@@ -1,0 +1,49 @@
+"""Text-analysis expression builders (north-star ops, SURVEY.md §2.11).
+
+All pure ``pyspark.sql.functions`` compositions — JVM-side, codegen'd,
+no Python UDFs in the hot path. Each has an exact ANSI-SQL counterpart
+(DuckDB) used by the oracle harness, so the cross-engine contract is:
+same tokenization regex, same shingling indices, same hash (md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens. DuckDB twin:
+    ``string_split_regex(lower(x), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), TOKEN_SPLIT_RE)
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """Distinct n-gram word shingles joined with single spaces.
+
+    DuckDB twin: ``array_to_string(w[i:i+n-1], ' ')`` over
+    ``i in range(1, len(w) - n + 2)``. Documents with fewer than ``n``
+    tokens produce an empty array (explode drops them).
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_shingles(col: Column | str, n: int) -> Column:
+    """Distinct character n-grams of the raw text (rolling fingerprint
+    substrate). Texts shorter than ``n`` contribute themselves."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    grams = F.transform(idx, lambda i: F.substring(c, i, n))
+    return F.when(F.length(c) >= n, F.array_distinct(grams)).otherwise(F.array(c))
+
+
+def stopword_hits(toks: Column, stopwords: list[str]) -> Column:
+    """Count of tokens that are in the stopword list (int)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))

@@ -1,0 +1,152 @@
+"""Deduplication operators (north-star, SURVEY.md §2.11).
+
+The reference's only dedup is row-wise DISTINCT for the gold dims
+(dim_artists.sql:4-10); a training-data pipeline needs the full ladder:
+
+- exact dedup by content hash (``exact_dedup_groups``) — one shuffle on
+  the hash, scales linearly;
+- MinHash signatures + banded LSH candidate pairs
+  (``minhash_signatures`` / ``minhash_lsh_pairs``) — near-dup at scale
+  without the quadratic pair join: candidates only meet if a band
+  collides;
+- exact n-gram Jaccard verification (``jaccard_pairs``) — the
+  inverted-index (explode + equi-join on shingle) formulation, used both
+  standalone over the whole corpus and as the verify step after LSH.
+
+Hashes are md5 (hex string), deliberately: identical and portable in
+Spark and DuckDB, so every operator here is oracle-checkable end-to-end.
+At production scale xxhash64 would be the cheaper choice; the structure
+is hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical normalized texts: representative = min id.
+    Returns (text_hash, doc_id, n_copies)."""
+    return (
+        df.select(F.md5(F.lower(F.col(text_col))).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted-index rows; distinct word n-gram shingles."""
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per document: sig0..sig{k-1}, where sig_i = min over
+    shingles of md5(i || ':' || shingle).
+
+    A single explode + groupBy — the signature build is one shuffle on
+    id regardless of k. Documents with < shingle_n tokens vanish
+    (no shingles), mirroring the SQL oracle.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: hash each band of ``num_hashes/bands`` signature rows,
+    self-join on (band_index, band_hash). Returns distinct candidate
+    pairs (doc_a < doc_b).
+
+    Scale shape: |docs| x bands rows shuffled on band_hash; only colliding
+    buckets join. No quadratic blowup unless a bucket is hot (which is
+    exactly the near-dup cluster you're looking for).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bh"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via the inverted index:
+    explode shingles, equi-join on shingle, count common, then
+    |A ∩ B| / (|A| + |B| - |A ∩ B|) >= threshold.
+
+    One wide shuffle on shingle; hot shingles are the skew risk at scale
+    (mitigate upstream with a document-frequency cap, or go through
+    minhash_lsh_pairs first and verify only candidates).
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,47 @@
+"""Declared query inventory — the correctness contract.
+
+Every implemented operator family from SURVEY.md §2 appears here as a
+named query: a ``(spark, sf_dir) -> DataFrame`` callable plus (where the
+semantics are SQL-expressible) an equivalent ANSI-SQL oracle string that
+DuckDB runs on the same parquet tables. The driver hash-compares the two
+at sf=0.01; ``tests/test_oracle.py`` runs the same comparison locally.
+
+Cross-engine parity conventions (see tests/conftest.py):
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round(x, 2)`` on both sides so summation-order
+  ulp drift cannot change the value hash;
+- counts are BIGINT on both sides (Spark ``count`` == DuckDB ``count``);
+- timestamps are projected as DATE (or strings) where the day is what
+  matters, avoiding tz-representation drift;
+- int-typed scalars (year(), grouping_id(), …) are cast explicitly on
+  whichever side differs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup, relational, streaming, text, vector
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = [relational, dedup, text, vector, streaming]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for m in _MODULES:
+        overlap = set(out) & set(m.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out

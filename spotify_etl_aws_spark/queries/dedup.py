@@ -1,0 +1,167 @@
+"""Dedup query inventory (north-star, SURVEY.md §2.11) over ``documents``.
+
+Every query here is fully oracle-checked: the md5-based MinHash is
+portable SQL, so even the LSH banding has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from ..sources.readers import load_table as t
+
+NUM_HASHES = 8
+BANDS = 4
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.05
+
+# Shared oracle CTE: tokens + distinct word 3-gram shingles, the exact SQL
+# twin of functions.text.tokens/word_shingles (same regex, same indices).
+_SHINGLE_CTE = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+)
+"""
+
+_SIG_EXPRS = ",\n         ".join(
+    f"min(md5(concat('{i}:', shingle))) AS sig{i}" for i in range(NUM_HASHES)
+)
+_SIG_CTE = f"""
+sig AS (
+  SELECT doc_id,
+         {_SIG_EXPRS}
+  FROM sh GROUP BY doc_id
+)
+"""
+
+_BAND_CASES = "\n           ".join(
+    f"WHEN {b} THEN md5(concat(sig{2 * b}, sig{2 * b + 1}))" for b in range(BANDS)
+)
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content."""
+    return exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+ORACLE_EXACT = """
+SELECT md5(lower(text)) AS text_hash,
+       min(doc_id)      AS doc_id,
+       count(*)         AS n_copies
+FROM documents
+GROUP BY md5(lower(text))
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(
+        t(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, shingle_n=SHINGLE_N
+    )
+
+
+ORACLE_MINHASH_SIG = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()}
+SELECT * FROM sig
+"""
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(
+        t(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, shingle_n=SHINGLE_N
+    )
+    return minhash_lsh_pairs(sig, num_hashes=NUM_HASHES, bands=BANDS)
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+band AS (
+  SELECT doc_id, b,
+         CASE b
+           {_BAND_CASES}
+         END AS bh
+  FROM (SELECT sig.*, unnest(range(0, {BANDS})) AS b FROM sig)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band a JOIN band b
+  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+ORACLE_JACCARD = f"""
+WITH {_SHINGLE_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup with a deterministic tiebreak (window row_number)
+    — the scalable 'pick one representative per key' pattern."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+ORACLE_FIRST_EVENT = """
+SELECT user_id, event_type, event_id
+FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_first_event": dedup_first_event,
+}
+
+ORACLE = {
+    "dedup_exact_docs": ORACLE_EXACT,
+    "dedup_minhash_signatures": ORACLE_MINHASH_SIG,
+    "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
+    "dedup_jaccard_pairs": ORACLE_JACCARD,
+    "dedup_first_event": ORACLE_FIRST_EVENT,
+}

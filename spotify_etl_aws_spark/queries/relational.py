@@ -1,0 +1,689 @@
+"""Relational operator inventory (SURVEY.md §2.2-2.8).
+
+The reference's own analytical surface is scan/project/cast/CASE/
+DISTINCT/inner-equi-join (rows P1-P4, J1, A1-A3, F1-F6 of SURVEY.md §2);
+the [gap] rows are the families the engine adds at full Spark surface:
+filters, aggregations (groupBy/rollup/cube/pivot/approx), windows,
+sorts/top-k, set ops, outer/semi/anti/range/as-of joins, scalar function
+families.
+
+Every query here is declarative DataFrame API — Catalyst gets filter
+pushdown, column pruning and join selection; nothing collects to the
+driver. Tiny dimensions are broadcast explicitly where Catalyst's
+statistics might not see it (e.g. after a transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.dates import normalize_partial_date
+from ..operators.asof import asof_join
+from ..sources.readers import load_table as t
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's gold fact build (J1: two inner equi-joins +
+# projection, fact_playlist_tracks.sql:18-20) re-expressed on the TPC-H-ish
+# testdata, extended with the aggregation the reference lacks (A4 gap).
+# ---------------------------------------------------------------------------
+
+
+def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation -> revenue per (nation, segment).
+
+    nation (25 rows) and customer (1.5k/SF) are broadcast; the lineitem
+    probe side never shuffles for the joins — only the final groupBy
+    exchanges on the (tiny) group key space, with partial aggregation
+    map-side. This is the plan shape that survives a 100x scale-up.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_FLAGSHIP = """
+SELECT n_name, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
+"""
+
+
+def fact_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure J1 parity: inner equi-join chain + wide projection, no agg —
+    the exact shape of the reference's fact_playlist_tracks build."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.round("l_extendedprice", 2).alias("price"),
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+
+ORACLE_FACT = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       round(l_extendedprice, 2) AS price,
+       o_orderstatus,
+       CAST(o_orderdate AS DATE) AS order_date,
+       c_custkey, c_name, c_mktsegment
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+# ---------------------------------------------------------------------------
+# Aggregations (A4 gap): TPC-H Q1 shape, stats, rollup/cube/pivot, approx.
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 2)                                        AS avg_qty,
+       round(avg(l_extendedprice), 2)                                   AS avg_price,
+       round(avg(l_discount), 2)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def group_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_STATS = """
+SELECT event_type,
+       count(*)                 AS n_events,
+       round(sum(value), 2)     AS sum_value,
+       round(avg(value), 2)     AS avg_value,
+       round(min(value), 2)     AS min_value,
+       round(max(value), 2)     AS max_value,
+       count(DISTINCT user_id)  AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approx distinct — sketch values differ across engines,
+    so this is a rows-only check (no oracle). The exact counterpart is
+    group_agg_stats.n_users."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / casts / CASE date normalization (P2-P5).
+# ---------------------------------------------------------------------------
+
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 gap: full predicate grammar — AND/OR/NOT, IN, BETWEEN, LIKE,
+    null checks — pushed to the parquet scan."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_totalprice").between(1000, 150000))
+        & (F.col("o_orderstatus").isin("O", "F"))
+        & (F.col("o_orderpriority").like("%-%"))
+        & (~F.col("o_orderpriority").like("5-%") | (F.col("o_totalprice") > 100000))
+        & (F.col("o_custkey").isNotNull())
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderpriority",
+    )
+
+
+ORACLE_FILTER = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total_price,
+       o_orderpriority
+FROM orders
+WHERE o_totalprice BETWEEN 1000 AND 150000
+  AND o_orderstatus IN ('O', 'F')
+  AND o_orderpriority LIKE '%-%'
+  AND (o_orderpriority NOT LIKE '5-%' OR o_totalprice > 100000)
+  AND o_custkey IS NOT NULL
+"""
+
+
+def staging_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 parity: the staging-model shape — projection + rename + lenient
+    cast chain (reference stg_tracks.sql:5-14)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_custkey").cast("string").alias("customer_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.upper("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.split("o_orderpriority", "-").getItem(0).try_cast("int").alias("priority_rank"),
+    )
+
+
+ORACLE_CASTPROJ = """
+SELECT CAST(o_orderkey AS VARCHAR)  AS order_id,
+       CAST(o_custkey AS VARCHAR)   AS customer_id,
+       CAST(o_orderdate AS DATE)    AS order_date,
+       upper(o_orderstatus)         AS order_status,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS priority_rank
+FROM orders
+"""
+
+
+def date_normalize_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 parity: the reference's CASE partial-date padding
+    (airflow/dags/dbt/.../stg_albums.sql:7-12) exercised on synthetic
+    partial dates derived deterministically from o_orderdate."""
+    o = t(spark, sf_dir, "orders")
+    prec = F.col("o_orderkey") % 3
+    raw = (
+        F.when(prec == 0, F.date_format("o_orderdate", "yyyy"))
+        .when(prec == 1, F.date_format("o_orderdate", "yyyy-MM"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw_date"),
+        normalize_partial_date(raw).alias("norm_date"),
+    )
+
+
+ORACLE_DATENORM = """
+WITH r AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y')
+              WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m')
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw_date
+  FROM orders
+)
+SELECT o_orderkey, raw_date,
+       CASE WHEN length(raw_date) = 4  THEN TRY_CAST(concat(raw_date, '-01-01') AS DATE)
+            WHEN length(raw_date) = 7  THEN TRY_CAST(concat(raw_date, '-01') AS DATE)
+            WHEN length(raw_date) = 10 THEN TRY_CAST(raw_date AS DATE)
+            ELSE NULL END AS norm_date
+FROM r
+"""
+
+
+def distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 parity: row-wise DISTINCT dim build (dim_artists.sql:4-10)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 gap: date/string/math scalar families in one projection."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.lower("o_orderpriority").alias("priority_lower"),
+        F.regexp_replace("o_orderpriority", "^[0-9]+-", "").alias("priority_name"),
+        F.length("o_orderpriority").cast("int").alias("priority_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.floor(F.col("o_totalprice") / 10000).cast("bigint").alias("price_bucket"),
+        F.round(F.sqrt(F.abs("o_totalprice")), 2).alias("sqrt_price"),
+        F.when(F.col("o_totalprice") > 100000, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+    )
+
+
+ORACLE_SCALAR = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)  AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(day(o_orderdate) AS INT)   AS order_day,
+       lower(o_orderpriority)          AS priority_lower,
+       regexp_replace(o_orderpriority, '^[0-9]+-', '') AS priority_name,
+       CAST(length(o_orderpriority) AS INT) AS priority_len,
+       concat_ws('|', o_orderstatus, o_orderpriority)  AS status_priority,
+       CAST(floor(o_totalprice / 10000) AS BIGINT)     AS price_bucket,
+       round(sqrt(abs(o_totalprice)), 2)               AS sqrt_price,
+       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5 gap).
+# ---------------------------------------------------------------------------
+
+
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — Window + row_number, the distributed
+    top-k-per-group pattern (no global sort, no collect)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS total_price,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+FROM orders
+QUALIFY rn <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate frame: cumulative spend per user in event order."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_value
+FROM events
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic functions: prior/next order price per customer."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+    )
+
+
+ORACLE_WINDOW_LAGLEAD = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS total_price,
+       round(lag(o_totalprice, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O2 gap).
+# ---------------------------------------------------------------------------
+
+
+def orderby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
+    heap + driver merge of k rows, never a full sort at scale."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7 gap).
+# ---------------------------------------------------------------------------
+
+
+def _setop_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    c = t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return building, rich
+
+
+_SETOP_SIDES_SQL = (
+    "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "SELECT c_custkey FROM customer WHERE c_acctbal > 5000",
+)
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep surplus
+    # duplicate occurrences, which is EXCEPT ALL.
+    a, b = _setop_sides(spark, sf_dir)
+    return a.subtract(b)
+
+
+ORACLE_UNION = f"{_SETOP_SIDES_SQL[0]} UNION {_SETOP_SIDES_SQL[1]}"
+ORACLE_INTERSECT = f"{_SETOP_SIDES_SQL[0]} INTERSECT {_SETOP_SIDES_SQL[1]}"
+ORACLE_EXCEPT = f"{_SETOP_SIDES_SQL[0]} EXCEPT {_SETOP_SIDES_SQL[1]}"
+
+# ---------------------------------------------------------------------------
+# Join family beyond inner-equi (J3 gap): semi / anti / outer / range / as-of.
+# ---------------------------------------------------------------------------
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — left_semi join, no row multiplication, build side broadcast."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — left_anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers, then count non-null."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_OUTER = """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS sum_price
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: orders banded by an inline price-band dimension.
+    The band dim is 3 rows -> broadcast nested-loop, which is exactly the
+    right physical plan for a non-equi join against a tiny side."""
+    o = t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e18)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+ORACLE_RANGE = """
+SELECT band_name, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+JOIN (VALUES ('low', 0.0, 50000.0),
+             ('mid', 50000.0, 150000.0),
+             ('high', 150000.0, 1e18)) AS b(band_name, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_name
+"""
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each event, the customer's most
+    recent order date at-or-before the event time."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("order_ts")
+    )
+    joined = asof_join(ev, o, on="user_id", left_ts="ts", right_ts="order_ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("order_ts").cast("date").alias("last_order_date"),
+    )
+
+
+ORACLE_ASOF = """
+SELECT e.event_id, e.user_id,
+       CAST((SELECT max(o.o_orderdate) FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS DATE)
+           AS last_order_date
+FROM events e
+"""
+
+
+QUERIES = {
+    "flagship_revenue": flagship_revenue,
+    "fact_order_lineitems": fact_order_lineitems,
+    "q1_pricing_summary": q1_pricing_summary,
+    "group_agg_stats": group_agg_stats,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_pivot": agg_pivot,
+    "agg_approx_distinct": agg_approx_distinct,
+    "filter_predicates": filter_predicates,
+    "staging_cast_projection": staging_cast_projection,
+    "date_normalize_case": date_normalize_case,
+    "distinct_dims": distinct_dims,
+    "scalar_functions": scalar_functions,
+    "window_rank_topk": window_rank_topk,
+    "window_running_sum": window_running_sum,
+    "window_lag_lead": window_lag_lead,
+    "orderby_topk": orderby_topk,
+    "set_union": set_union,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_outer_agg": join_outer_agg,
+    "join_range": join_range,
+    "join_asof": join_asof,
+}
+
+ORACLE = {
+    "flagship_revenue": ORACLE_FLAGSHIP,
+    "fact_order_lineitems": ORACLE_FACT,
+    "q1_pricing_summary": ORACLE_Q1,
+    "group_agg_stats": ORACLE_STATS,
+    "agg_rollup": ORACLE_ROLLUP,
+    "agg_cube": ORACLE_CUBE,
+    "agg_pivot": ORACLE_PIVOT,
+    # agg_approx_distinct: rows-only (sketch values are engine-specific)
+    "filter_predicates": ORACLE_FILTER,
+    "staging_cast_projection": ORACLE_CASTPROJ,
+    "date_normalize_case": ORACLE_DATENORM,
+    "distinct_dims": ORACLE_DISTINCT,
+    "scalar_functions": ORACLE_SCALAR,
+    "window_rank_topk": ORACLE_WINDOW_TOPK,
+    "window_running_sum": ORACLE_WINDOW_RUNNING,
+    "window_lag_lead": ORACLE_WINDOW_LAGLEAD,
+    "orderby_topk": ORACLE_TOPK,
+    "set_union": ORACLE_UNION,
+    "set_intersect": ORACLE_INTERSECT,
+    "set_except": ORACLE_EXCEPT,
+    "join_semi": ORACLE_SEMI,
+    "join_anti": ORACLE_ANTI,
+    "join_outer_agg": ORACLE_OUTER,
+    "join_range": ORACLE_RANGE,
+    "join_asof": ORACLE_ASOF,
+}

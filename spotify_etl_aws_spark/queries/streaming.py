@@ -1,0 +1,114 @@
+"""Streaming + event-time query inventory (SURVEY.md §2.9 gap) over
+``events``.
+
+The streaming queries run a real Structured Streaming job
+(file source -> Trigger.AvailableNow -> memory sink) and return the
+materialized result, so the DuckDB oracle checks end-to-end streaming
+semantics against the equivalent batch SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table as t
+from ..streaming.pipeline import read_table_stream, run_available_now
+
+SESSION_GAP = "30 minutes"
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type, computed by a
+    streaming aggregation (complete mode: every window emitted)."""
+    src = read_table_stream(spark, sf_dir, "events")
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    out = run_available_now(agg, "windowed_counts", output_mode="complete")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_WINDOWED = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first occurrence of each
+    (user_id, event_type) pair wins; unbounded state (no watermark) so the
+    result is exactly SELECT DISTINCT."""
+    src = read_table_stream(spark, sf_dir, "events")
+    deduped = src.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_available_now(deduped, "dedup_events", output_mode="append")
+
+
+ORACLE_STREAM_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via session_window
+    (merging event-time windows). A new session starts when the gap from
+    the previous event is >= 30 minutes."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_dedup_events": streaming_dedup_events,
+    "sessionize_events": sessionize_events,
+}
+
+ORACLE = {
+    "streaming_windowed_counts": ORACLE_WINDOWED,
+    "streaming_dedup_events": ORACLE_STREAM_DEDUP,
+    "sessionize_events": ORACLE_SESSIONIZE,
+}

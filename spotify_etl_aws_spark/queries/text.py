@@ -1,0 +1,166 @@
+"""Text-analysis query inventory (north-star, SURVEY.md §2.11) over
+``documents``: token stats, quality scoring, n-gram language ID,
+document fingerprinting. All built-in-function compositions with exact
+DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, stopword_hits, tokens
+from ..sources.readers import load_table as t
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Chosen to be SQL-portable (plain IN lists on both engines).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "los"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est"],
+}
+_PUNCT_RE = "[a-z0-9 ]"
+FINGERPRINT_NGRAM = 8
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization, char/token counts."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.round(F.length("text") / F.size(toks), 4).alias("chars_per_token"),
+    )
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       round(length(text) / len(string_split_regex(lower(text), '\s+')), 4)
+           AS chars_per_token
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, punctuation ratio, stopword
+    ratio — the pre-training corpus filter shape."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    lower = F.lower(F.col("text"))
+    n_punct = F.length(F.regexp_replace(lower, _PUNCT_RE, ""))
+    punct_ratio = n_punct / F.length("text")
+    stop_ratio = stopword_hits(toks, STOPWORDS["en"]) / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+ORACLE_QUALITY = rf"""
+WITH x AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(text), '\s+') AS w,
+         length(regexp_replace(lower(text), '{_PUNCT_RE}', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_tokens,
+       round(n_punct / length(text), 4) AS punct_ratio,
+       round(len(list_filter(w, tok -> tok IN ({_EN_LIST}))) / len(w), 4)
+           AS stopword_ratio,
+       round(least(1.0, len(w) / 100.0) * (1 - n_punct / length(text)), 4)
+           AS quality_score
+FROM x
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with a deterministic argmax tiebreak
+    (first language in en > es > de > fr order wins ties)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    hits = {lang: stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [hits[other] for other in langs[langs.index(lang) + 1 :]]
+        cond = hits[lang] >= F.greatest(*later) if len(later) > 1 else hits[lang] >= later[0]
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        *[hits[lang].alias(f"{lang}_hits") for lang in langs],
+        pred.alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"CAST(len(list_filter(w, tok -> tok IN ({words}))) AS INT)"
+
+
+ORACLE_LANG_ID = rf"""
+WITH x AS (
+  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+h AS (
+  SELECT doc_id, lang,
+         {_lang_hits_sql("en")} AS en_hits,
+         {_lang_hits_sql("es")} AS es_hits,
+         {_lang_hits_sql("de")} AS de_hits,
+         {_lang_hits_sql("fr")} AS fr_hits
+  FROM x
+)
+SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en'
+            WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       lang AS actual_lang
+FROM h
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over rolling character 8-grams
+    (winnowing-style content signature, portable md5)."""
+    docs = t(spark, sf_dir, "documents")
+    grams = char_shingles("text", FINGERPRINT_NGRAM)
+    fp = F.array_min(F.transform(grams, F.md5))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       CASE WHEN length(text) >= {FINGERPRINT_NGRAM}
+            THEN (SELECT min(md5(substr(text, i, {FINGERPRINT_NGRAM})))
+                  FROM unnest(range(1, length(text) - {FINGERPRINT_NGRAM - 2})) AS t(i))
+            ELSE md5(text) END AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE = {
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_quality_score": ORACLE_QUALITY,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+}

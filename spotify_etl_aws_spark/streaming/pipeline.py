@@ -1,0 +1,84 @@
+"""Structured Streaming layer (SURVEY.md §2.9 gap).
+
+The reference is batch-only: daily Airflow DAGs re-reading whatever new
+files landed (raw_dag.py:42, bronze_dag.py:78-98). That
+daily-batch-of-new-files pattern maps 1:1 onto file-source Structured
+Streaming with ``Trigger.AvailableNow`` — incremental, checkpointed,
+exactly-once, and identical transform code to the batch path.
+
+``run_available_now`` drives any streaming DataFrame to completion
+synchronously against a memory sink, which is how the streaming queries
+in the declared inventory return a plain DataFrame for the oracle
+harness.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_SCHEMAS
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over one testdata parquet table (schema declared
+    — streaming sources require it)."""
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS[name])
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_available_now(
+    df: DataFrame, base_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink; return the materialized result as a batch DataFrame."""
+    name = f"{base_name}_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{base_name}_")
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def incremental_bronze(
+    spark: SparkSession,
+    raw_json_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The reference's daily raw->bronze batch as an incremental stream:
+    new raw playlist JSON files are shredded into the four bronze parquet
+    tables exactly once per file (replaces bronze_dag.py:78-98's
+    re-scan-and-INSERT loop).
+    """
+    from ..operators.shred import shred
+    from ..schemas import RAW_PLAYLIST
+
+    raw = (
+        spark.readStream.schema(RAW_PLAYLIST)
+        .option("multiLine", True)
+        .json(raw_json_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        for table, df in shred(batch_df).items():
+            df.write.mode("append").parquet(f"{out_dir}/{table}")
+
+    q = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
