@@ -20,14 +20,18 @@ SESSION_GAP = "30 minutes"
 
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type, computed by a
-    streaming aggregation (complete mode: every window emitted)."""
+    streaming aggregation in append mode: a window is emitted exactly once,
+    when the watermark passes its end, and its state is then purged — the
+    only output mode whose state stays bounded on an unbounded stream.
+    (AvailableNow runs a final no-data microbatch that advances the
+    watermark past max(ts), flushing every window.)"""
     src = read_table_stream(spark, sf_dir, "events")
     agg = (
         src.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
-    out = run_available_now(agg, "windowed_counts", output_mode="complete")
+    out = run_available_now(agg, "windowed_counts", output_mode="append")
     return out.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -36,12 +40,20 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Append-mode twin: Spark emits a window only once the watermark
+# (= ms-truncated max event time - 1h delay) passes the window END, so the
+# oracle applies the identical cutoff. Spark tracks event-time stats at
+# millisecond precision, hence the // 1000 truncation.
 ORACLE_WINDOWED = """
+WITH wm AS (
+  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
+)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
-FROM events
+FROM events, wm
+WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm_us
 GROUP BY 1, 2
 """
 
@@ -79,7 +91,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SESSIONIZE = """
 WITH x AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
               WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
               ELSE 0 END AS brk

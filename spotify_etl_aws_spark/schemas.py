@@ -225,6 +225,12 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # Logical schema: ts is an event-time timestamp. The parquet files store
+    # ts as INT64 timestamp[ns], which Spark's vectorized reader refuses to
+    # load as TimestampType — the physical read goes through
+    # EVENTS_PARQUET_NANOS (ts as raw nanos long, via
+    # spark.sql.legacy.parquet.nanosAsLong) and readers convert to
+    # microsecond timestamps. See sources/readers.py:_load_events.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -254,3 +260,18 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
 }
 
 TESTDATA_TABLES = list(TESTDATA_SCHEMAS)
+
+# Physical read schema for events.parquet: the file stores ts as INT64
+# timestamp[ns]; with spark.sql.legacy.parquet.nanosAsLong=true Spark maps
+# that physical type to a plain long of epoch-nanoseconds, which readers
+# then convert to a microsecond TimestampType (nanos div 1000).
+EVENTS_PARQUET_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)

@@ -20,16 +20,43 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..schemas import RAW_PLAYLIST, TESTDATA_SCHEMAS, TESTDATA_TABLES
+from ..schemas import (
+    EVENTS_PARQUET_NANOS,
+    RAW_PLAYLIST,
+    TESTDATA_SCHEMAS,
+    TESTDATA_TABLES,
+)
 
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def enable_nanos_as_long(spark: SparkSession) -> None:
+    """events.parquet stores ts as INT64 timestamp[ns]; Spark's vectorized
+    parquet reader cannot load that as TimestampType. This legacy flag maps
+    nanos columns to plain longs so the reader accepts them; the conversion
+    to microsecond timestamps happens explicitly in ``_events_ts``.
+    Runtime-settable, so it also works on a driver-created session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _events_ts(df: DataFrame) -> DataFrame:
+    # integer div keeps the conversion exact (no double rounding at 1.7e18)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One testdata table, schema-declared parquet scan."""
+    if name == "events":
+        enable_nanos_as_long(spark)
+        raw = spark.read.schema(EVENTS_PARQUET_NANOS).parquet(
+            table_path(sf_dir, name)
+        )
+        return _events_ts(raw)
     reader = spark.read
     schema = TESTDATA_SCHEMAS.get(name)
     if schema is not None:

@@ -19,12 +19,22 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..schemas import TESTDATA_SCHEMAS
+from ..schemas import EVENTS_PARQUET_NANOS, TESTDATA_SCHEMAS
+from ..sources.readers import _events_ts, enable_nanos_as_long
 
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream over one testdata parquet table (schema declared
-    — streaming sources require it)."""
+    — streaming sources require it). events needs the same nanos->micros
+    conversion as the batch reader (see sources/readers.py)."""
+    if name == "events":
+        enable_nanos_as_long(spark)
+        raw = (
+            spark.readStream.schema(EVENTS_PARQUET_NANOS)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
+        return _events_ts(raw)
     return (
         spark.readStream.schema(TESTDATA_SCHEMAS[name])
         .option("pathGlobFilter", f"{name}.parquet")

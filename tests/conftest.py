@@ -57,7 +57,14 @@ def _cell(v) -> str:
             return "\\N"
         return repr(v)
     if isinstance(v, (dt.datetime, pd.Timestamp)):
-        return pd.Timestamp(v).isoformat()
+        # Spark DATE columns arrive as datetime.date while DuckDB's .df()
+        # delivers datetime64 midnight timestamps — canonicalize both to the
+        # bare date form so the comparison is representation-independent.
+        # (datetime must be checked before date: datetime is a date subclass.)
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is None and ts == ts.normalize():
+            return ts.date().isoformat()
+        return ts.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, bool):
