@@ -39,11 +39,28 @@ def exact_dedup_groups(
     )
 
 
+def spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Re-distribute a low-parallelism scan before CPU-heavy derivation.
+
+    A small/compact parquet input (one row group) arrives as one task; the
+    shingle explode + k md5s per shingle then run on a single core while
+    the rest of the cluster idles. Shuffling the *raw rows* (cheap: text
+    only, pre-explosion) buys full parallelism for the expensive map work.
+    At scale, inputs with enough splits pass through untouched — the
+    round-robin repartition only fires when the scan can't feed the
+    cluster.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingle) inverted-index rows; distinct word n-gram shingles."""
-    return df.select(
+    return spread_narrow_scan(df).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
     )
