@@ -23,16 +23,25 @@ rows at equal timestamps, making the join inclusive.
 Ties: among right rows sharing (key, ts), the carried payload is the one
 latest in the residual sort order — pass ``tie_breakers`` for a
 deterministic pick.
+
+The right payload travels as ONE struct column filled by a single
+``last(ignorenulls=True)``: every output cell comes from the same right
+row (per-column carries could stitch cells from different rows when some
+payload cells are legitimately NULL), and right rows with a NULL
+timestamp are dropped up front — they can't satisfy ``ts <= ts`` but
+would otherwise sort NULLS FIRST and leak payload onto every left row.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _ATS = "__asof_ts"
 _SIDE = "__asof_side"
+_PAY = "__asof_payload"
 
 
 def asof_join(
@@ -54,24 +63,32 @@ def asof_join(
     if clash:
         raise ValueError(f"left/right column clash outside join key: {clash}")
 
-    right_types = {f.name: f.dataType for f in right.schema.fields}
     left_types = {f.name: f.dataType for f in left.schema.fields}
+    pay_type = StructType(
+        [f for f in right.schema.fields if f.name in right_payload]
+    )
 
-    def side(df: DataFrame, ts: str, is_left: bool) -> DataFrame:
-        own = left_payload if is_left else right_payload
-        other = right_payload if is_left else left_payload
-        other_types = right_types if is_left else left_types
-        cols: list[Column] = [F.col(c) for c in on_cols]
-        cols.append(F.col(ts).alias(_ATS))
-        cols.append(F.lit(1 if is_left else 0).alias(_SIDE))
-        cols += [F.col(c) for c in own]
-        cols += [F.lit(None).cast(other_types[c]).alias(c) for c in other]
-        return df.select(*cols)
+    left_side = left.select(
+        *on_cols,
+        F.col(left_ts).alias(_ATS),
+        F.lit(1).alias(_SIDE),
+        *left_payload,
+        F.lit(None).cast(pay_type).alias(_PAY),
+    )
+    right_side = right.filter(F.col(right_ts).isNotNull()).select(
+        *on_cols,
+        F.col(right_ts).alias(_ATS),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_payload],
+        F.struct(*right_payload).alias(_PAY),
+    )
+    unioned = left_side.unionByName(right_side)
 
-    unioned = side(left, left_ts, True).unionByName(side(right, right_ts, False))
+    def _tb(c: str):  # tie-breakers naming right payload live inside the struct
+        return F.col(f"{_PAY}.{c}") if c in right_payload else F.col(c)
 
     order = [F.col(_ATS).asc(), F.col(_SIDE).asc()] + [
-        F.col(c).asc() for c in (tie_breakers or [])
+        _tb(c).asc() for c in (tie_breakers or [])
     ]
     w = (
         W.partitionBy(*on_cols)
@@ -80,9 +97,12 @@ def asof_join(
     )
     filled = unioned.select(
         *on_cols,
-        _ATS,
         _SIDE,
         *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_ATS, _SIDE)
+    return filled.filter(F.col(_SIDE) == 1).select(
+        *on_cols,
+        *left_payload,
+        *[F.col(f"{_PAY}.{c}").alias(c) for c in right_payload],
+    )

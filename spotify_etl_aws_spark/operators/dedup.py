@@ -66,6 +66,19 @@ def shingle_table(
     )
 
 
+def signatures_from_shingles(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures from an (id, shingle) table: sig_i = min over
+    shingles of md5(i || ':' || shingle). One shuffle on id regardless
+    of k (partial min map-side)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -81,11 +94,7 @@ def minhash_signatures(
     (no shingles), mirroring the SQL oracle.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return signatures_from_shingles(sh, id_col, num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -102,6 +111,11 @@ def minhash_lsh_pairs(
     buckets join. No quadratic blowup unless a bucket is hot (which is
     exactly the near-dup cluster you're looking for).
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature columns would be silently dropped"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -163,6 +177,41 @@ def jaccard_pairs(
     jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
     return (
         common.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The 100 TB near-dedup shape: banded-LSH candidate generation, then
+    exact Jaccard verification of ONLY the candidates.
+
+    Unlike ``jaccard_pairs`` (inverted-index self-join — quadratic on hot
+    shingles), the verify step here joins the small candidate-pair set to
+    per-document shingle sets and computes |A ∩ B| map-side with
+    ``array_intersect`` — cost is linear in candidates, immune to
+    shingle-frequency skew.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    sig = signatures_from_shingles(sh, id_col, num_hashes)
+    cand = minhash_lsh_pairs(sig, id_col, num_hashes, bands)
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shs"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    n_common = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    n_union = F.size(F.col("sa.shs")) + F.size(F.col("sb.shs")) - n_common
+    jac = n_common / n_union
+    return (
+        cand.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
         .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
+    lsh_verified_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
 )
@@ -22,16 +23,19 @@ NUM_HASHES = 8
 BANDS = 4
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.05
+LSH_VERIFY_THRESHOLD = 0.5
 
-# Shared oracle CTE: tokens + distinct word 3-gram shingles, the exact SQL
+# Shared oracle CTE: tokens + distinct word n-gram shingles, the exact SQL
 # twin of functions.text.tokens/word_shingles (same regex, same indices).
-_SHINGLE_CTE = r"""
+# Slice bounds derive from SHINGLE_N (DuckDB slices are 1-based inclusive)
+# so retuning the constant moves both engines together.
+_SHINGLE_CTE = rf"""
 toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {SHINGLE_N - 2})) AS i FROM toks)
 )
 """
 
@@ -126,6 +130,50 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed near-dedup: LSH candidates -> exact Jaccard verify on
+    candidates only (operators/dedup.py:lsh_verified_pairs)."""
+    return lsh_verified_pairs(
+        t(spark, sf_dir, "documents"),
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=LSH_VERIFY_THRESHOLD,
+    )
+
+
+ORACLE_LSH_VERIFIED = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+band AS (
+  SELECT doc_id, b,
+         CASE b
+           {_BAND_CASES}
+         END AS bh
+  FROM (SELECT sig.*, unnest(range(0, {BANDS})) AS b FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {LSH_VERIFY_THRESHOLD}
+"""
+
+
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup with a deterministic tiebreak (window row_number)
     — the scalable 'pick one representative per key' pattern."""
@@ -155,6 +203,7 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
     "dedup_first_event": dedup_first_event,
 }
 
@@ -163,5 +212,6 @@ ORACLE = {
     "dedup_minhash_signatures": ORACLE_MINHASH_SIG,
     "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
+    "dedup_lsh_verified_pairs": ORACLE_LSH_VERIFIED,
     "dedup_first_event": ORACLE_FIRST_EVENT,
 }

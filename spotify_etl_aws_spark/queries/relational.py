@@ -33,10 +33,11 @@ from ..sources.readers import load_table as t
 def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ orders ⋈ customer ⋈ nation -> revenue per (nation, segment).
 
-    nation (25 rows) and customer (1.5k/SF) are broadcast; the lineitem
-    probe side never shuffles for the joins — only the final groupBy
-    exchanges on the (tiny) group key space, with partial aggregation
-    map-side. This is the plan shape that survives a 100x scale-up.
+    nation (25 rows, fixed) is broadcast explicitly; customer grows with
+    SF (millions of wide rows at 100 TB), so its join strategy is left to
+    Catalyst/AQE — broadcast below the threshold, shuffled hash/sort-merge
+    above it. The final groupBy exchanges on the (tiny) group key space,
+    with partial aggregation map-side.
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
@@ -44,7 +45,7 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
         .groupBy("n_name", "c_mktsegment")
         .agg(
@@ -76,7 +77,7 @@ def fact_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .select(
             "l_orderkey",
             "l_linenumber",

@@ -6,10 +6,13 @@
   broadcast; the scan side is embarrassingly parallel (no shuffle until
   the final TakeOrderedAndProject).
 - ``vector_ann_ivf_bucketed``: the scale path — IVF-style bucketed
-  similarity join. ``label`` plays the coarse-quantizer cell id (at
-  production scale this is a k-means assignment step); candidates only
-  meet within a cell, turning the quadratic cross join into a per-bucket
-  equi-join.
+  similarity join with a *computed* coarse quantizer: the first
+  ``NUM_CENTROIDS`` vectors act as centroids (deterministic stand-in for
+  a k-means step at production scale), every vector is assigned to its
+  argmax-cosine cell entirely map-side (centroids collapse to ONE
+  broadcast array row; assignment is ``transform`` + ``array_max``, no
+  shuffle), and candidates only meet within a cell — the quadratic cross
+  join becomes a per-cell equi-join.
 
 Arithmetic is double on both engines; scores rounded to 4 places so
 summation-order ulp drift can't flip the hash.
@@ -25,7 +28,8 @@ from ..sources.readers import load_table as t
 
 QUERY_VEC_ID = 0
 TOPK = 10
-IVF_THRESHOLD = 0.9
+NUM_CENTROIDS = 8
+IVF_THRESHOLD = 0.35
 
 
 def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,22 +69,44 @@ LIMIT {TOPK}
 
 def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
+        "vec_id", as_double("embedding").alias("v")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    # Coarse quantizer: centroids collapse to a single array row that is
+    # broadcast to every task; cell assignment is a pure projection
+    # (transform + array_max argmax, ties -> lowest cell id). Zero
+    # shuffles until the per-cell candidate join.
+    cents = (
+        emb.filter(F.col("vec_id") < NUM_CENTROIDS)
+        .select(F.struct(F.col("vec_id").alias("cell"), F.col("v").alias("cv")).alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine(F.col("v"), c["cv"]).alias("cs"),
+                (-c["cell"]).alias("nc"),
+            ),
+        )
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", (-best["nc"]).alias("cell"))
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
     cos = cosine(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= IVF_THRESHOLD)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            F.col("a.cell").alias("cell"),
             F.round(cos, 4).alias("cosine"),
         )
     )
@@ -88,13 +114,28 @@ def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_IVF = f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {NUM_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cell ASC) AS rn
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, v, cell FROM scored WHERE rn = 1
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
            AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= {IVF_THRESHOLD}
