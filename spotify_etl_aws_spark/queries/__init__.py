@@ -23,11 +23,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, relational, streaming, text, vector
+from . import dedup, multimodal, relational, streaming, text, udfs, vector
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, dedup, text, vector, streaming]
+_MODULES = [relational, dedup, text, vector, udfs, multimodal, streaming]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,66 @@
+"""UDF-surface query inventory (SURVEY.md §2.10) — the Arrow batch lane.
+
+Both queries have exact SQL oracles: the pandas_udf scorer is the
+numeric twin of the built-in ``text_quality_score`` (same tokenization,
+same punctuation class), and the applyInPandas z-score matches windowed
+``avg``/``stddev_samp``. That the Python-lane results hash-match the
+SQL oracle is the point — the Arrow path is semantically transparent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pandas_ops import quality_score_udf, zscore_by_group
+from ..sources.readers import load_table as t
+
+
+def udf_pandas_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas_udf scalar over documents.text."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score_udf(F.col("text")), 4).alias("quality_score"),
+    )
+
+
+ORACLE_PANDAS_QUALITY = r"""
+WITH x AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(text), '\s+') AS w,
+         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       round(least(1.0, len(w) / 100.0) * (1 - n_punct / length(text)), 4)
+           AS quality_score
+FROM x
+"""
+
+
+def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas group-map: z-score of event value within event_type."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return zscore_by_group(
+        ev, group_col="event_type", id_col="event_id", value_col="value"
+    )
+
+
+ORACLE_GROUP_ZSCORE = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+FROM events
+"""
+
+
+QUERIES = {
+    "udf_pandas_quality_score": udf_pandas_quality_score,
+    "udf_group_zscore": udf_group_zscore,
+}
+
+ORACLE = {
+    "udf_pandas_quality_score": ORACLE_PANDAS_QUALITY,
+    "udf_group_zscore": ORACLE_GROUP_ZSCORE,
+}
