@@ -10,7 +10,12 @@ materialization on the executors, nothing collected to the driver), so
 the timing covers scan -> shuffle -> sink exactly as a cluster run
 would. The headline set spans every operator family: joins/aggs,
 windows, as-of, sessionization, near-dedup (MinHash-LSH), text scoring,
-and vector top-k.
+vector top-k, the Arrow UDF lane, and multimodal decode.
+
+Each query runs RUNS times and reports the fastest (warm) run:
+whole-stage-codegen compiles per distinct plan on first execution, and
+that one-time JIT cost — amortized to nothing over a real workload —
+would otherwise dominate sub-second queries at this scale factor.
 """
 
 from __future__ import annotations
@@ -33,7 +38,11 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "text_quality_score",
     "vector_cosine_topk",
+    "udf_group_zscore",
+    "multimodal_images",
 ]
+
+RUNS = 3
 
 
 def materialize(df) -> None:
@@ -57,9 +66,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -71,6 +83,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": RUNS,
             }
         )
     )
