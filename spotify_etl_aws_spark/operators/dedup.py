@@ -183,6 +183,92 @@ def jaccard_pairs(
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash document fingerprints: each shingle hashes to ``bits``
+    bits (md5 prefix); per bit position the doc accumulates +1/-1 for
+    set/unset; the fingerprint keeps the sign. Near-identical documents
+    get fingerprints within a small Hamming distance.
+
+    Scale shape: one explode + one groupBy shuffle on id with ``bits``
+    partial-aggregating sums — same cost class as the MinHash build,
+    but the output is a single 64-bit-packable integer per document.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    hex_digits = bits // 4
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, hex_digits), 16, 10).cast(
+        "long"
+    )
+    shh = sh.select(id_col, h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned("h", j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = shh.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into
+    ``bands`` bit-slices and equi-join on (band, slice) — pigeonhole
+    guarantees any pair within ``bands - 1`` Hamming distance collides
+    on at least one clean band — then verify ``bit_count(xor) <=
+    max_hamming``. Bucketed, never all-pairs."""
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", b * width).bitwiseAND(mask).alias("bb"),
+        )
+        for b in range(bands)
+    ]
+    banded = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("x")
+    ).select(id_col, "simhash", F.col("x.band").alias("band"), F.col("x.bb").alias("bb"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bb") == F.col("b.bb"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

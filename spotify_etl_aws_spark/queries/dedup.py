@@ -16,6 +16,8 @@ from ..operators.dedup import (
     lsh_verified_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    simhash_fingerprints,
+    simhash_pairs,
 )
 from ..sources.readers import load_table as t
 
@@ -24,6 +26,9 @@ BANDS = 4
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.05
 LSH_VERIFY_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
 
 # Shared oracle CTE: tokens + distinct word n-gram shingles, the exact SQL
 # twin of functions.text.tokens/word_shingles (same regex, same indices).
@@ -130,6 +135,69 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_CTE = f"""
+hh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, {SIMHASH_BITS // 4}))::BIGINT AS h
+  FROM sh
+),
+bs AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM hh GROUP BY doc_id),
+fp AS (SELECT doc_id, ({_SIMHASH_FP}) AS simhash FROM bs)
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (operators/dedup.py:simhash_fingerprints)."""
+    return simhash_fingerprints(
+        t(spark, sf_dir, "documents"), shingle_n=SHINGLE_N, bits=SIMHASH_BITS
+    )
+
+
+ORACLE_SIMHASH = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIMHASH_CTE.strip()}
+SELECT doc_id, simhash FROM fp
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs with Hamming verification."""
+    fps = simhash_fingerprints(
+        t(spark, sf_dir, "documents"), shingle_n=SHINGLE_N, bits=SIMHASH_BITS
+    )
+    return simhash_pairs(
+        fps,
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
+_SIMHASH_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIMHASH_CTE.strip()},
+banded AS (
+  SELECT doc_id, simhash, b,
+         (simhash >> (b * {_SIMHASH_WIDTH})) & {(1 << _SIMHASH_WIDTH) - 1} AS bb
+  FROM (SELECT fp.*, unnest(range(0, {SIMHASH_BANDS})) AS b FROM fp)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.b = b.b AND a.bb = b.bb AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed near-dedup: LSH candidates -> exact Jaccard verify on
     candidates only (operators/dedup.py:lsh_verified_pairs)."""
@@ -204,6 +272,8 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_first_event": dedup_first_event,
 }
 
@@ -213,5 +283,7 @@ ORACLE = {
     "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "dedup_lsh_verified_pairs": ORACLE_LSH_VERIFIED,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_first_event": ORACLE_FIRST_EVENT,
 }
