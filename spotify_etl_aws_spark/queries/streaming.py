@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table as t
 from ..streaming.pipeline import read_table_stream, run_available_now
+from ..streaming.stateful import running_user_totals
 
 SESSION_GAP = "30 minutes"
 
@@ -113,14 +114,33 @@ GROUP BY user_id, sid
 """
 
 
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState
+    (streaming/stateful.py): per-user GroupState running totals. One
+    AvailableNow pass makes the final state equal the batch aggregate,
+    so the custom-state lane is fully oracle-checked."""
+    src = read_table_stream(spark, sf_dir, "events").select("user_id", "value")
+    totals = running_user_totals(src)
+    return run_available_now(totals, "stateful_totals", output_mode="update")
+
+
+ORACLE_STATEFUL_TOTALS = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_dedup_events": streaming_dedup_events,
     "sessionize_events": sessionize_events,
+    "streaming_stateful_user_totals": streaming_stateful_user_totals,
 }
 
 ORACLE = {
     "streaming_windowed_counts": ORACLE_WINDOWED,
     "streaming_dedup_events": ORACLE_STREAM_DEDUP,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "streaming_stateful_user_totals": ORACLE_STATEFUL_TOTALS,
 }
