@@ -23,12 +23,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
     s = get_spark(
         app_name="tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "8g"},
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.sql.warehouse.dir": str(warehouse),
+        },
     )
     yield s
 
