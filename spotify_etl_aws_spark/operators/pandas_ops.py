@@ -53,6 +53,14 @@ def quality_score_udf(text: pd.Series) -> pd.Series:
     return (n_tokens / 100.0).clip(upper=1.0) * (1.0 - punct_ratio)
 
 
+@pandas_udf(DoubleType())
+def weighted_mean_udf(value: pd.Series, weight: pd.Series) -> float:
+    """Grouped-agg pandas_udf (the UDAF shape): whole group's columns
+    arrive as Series, one scalar returns. Spark plans it like a native
+    aggregate — partial batches stream through Arrow, no per-row calls."""
+    return float((value * weight).sum() / weight.sum())
+
+
 def zscore_by_group(
     df: DataFrame,
     group_col: str,

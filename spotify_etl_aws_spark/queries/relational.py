@@ -382,6 +382,35 @@ SELECT o_orderkey,
 FROM orders
 """
 
+def json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 gap, JSON + array families: get_json_object / from_json over the
+    events.props JSON column, to_json re-serialization, and sequence/
+    size/array_max generation — all JVM-side built-ins."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    parsed = F.from_json("props", "k INT")
+    arr = F.sequence(F.lit(1), k % 5 + 1)
+    return ev.select(
+        "event_id",
+        k.alias("k_extracted"),
+        parsed["k"].alias("k_parsed"),
+        F.size(arr).alias("arr_size"),
+        F.array_max(arr).alias("arr_max"),
+        F.to_json(F.struct(k.alias("k"))).alias("rejson"),
+    )
+
+
+ORACLE_JSON_ARRAY = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_extracted,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed,
+       CAST(len(range(1, CAST(json_extract_string(props, '$.k') AS INT) % 5 + 2)) AS INT) AS arr_size,
+       CAST(list_max(range(1, CAST(json_extract_string(props, '$.k') AS INT) % 5 + 2)) AS INT) AS arr_max,
+       to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT))) AS rejson
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window functions (§2.5 gap).
 # ---------------------------------------------------------------------------
@@ -647,6 +676,7 @@ QUERIES = {
     "date_normalize_case": date_normalize_case,
     "distinct_dims": distinct_dims,
     "scalar_functions": scalar_functions,
+    "json_array_functions": json_array_functions,
     "window_rank_topk": window_rank_topk,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
@@ -675,6 +705,7 @@ ORACLE = {
     "date_normalize_case": ORACLE_DATENORM,
     "distinct_dims": ORACLE_DISTINCT,
     "scalar_functions": ORACLE_SCALAR,
+    "json_array_functions": ORACLE_JSON_ARRAY,
     "window_rank_topk": ORACLE_WINDOW_TOPK,
     "window_running_sum": ORACLE_WINDOW_RUNNING,
     "window_lag_lead": ORACLE_WINDOW_LAGLEAD,

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.pandas_ops import quality_score_udf, zscore_by_group
+from ..operators.pandas_ops import (
+    quality_score_udf,
+    weighted_mean_udf,
+    zscore_by_group,
+)
 from ..sources.readers import load_table as t
 
 
@@ -55,12 +59,37 @@ FROM events
 """
 
 
+def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf (UDAF lane): quantity-weighted mean price
+    per (returnflag, linestatus)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                weighted_mean_udf(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("weighted_avg_price")
+        )
+    )
+
+
+ORACLE_WEIGHTED_MEAN = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+           AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "udf_pandas_quality_score": udf_pandas_quality_score,
     "udf_group_zscore": udf_group_zscore,
+    "udf_grouped_agg_weighted_mean": udf_grouped_agg_weighted_mean,
 }
 
 ORACLE = {
     "udf_pandas_quality_score": ORACLE_PANDAS_QUALITY,
     "udf_group_zscore": ORACLE_GROUP_ZSCORE,
+    "udf_grouped_agg_weighted_mean": ORACLE_WEIGHTED_MEAN,
 }
