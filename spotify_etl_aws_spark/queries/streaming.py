@@ -59,6 +59,49 @@ GROUP BY 1, 2
 """
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 hour long, every 30 minutes — each
+    event lands in exactly 2 overlapping windows), append mode under the
+    same watermark-flush semantics as the tumbling query."""
+    src = read_table_stream(spark, sf_dir, "events")
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_available_now(agg, "sliding_counts", output_mode="append")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+# Each event expands to its two covering 30-min-aligned window starts;
+# append-mode emission applies the identical ms-truncated watermark
+# cutoff as ORACLE_WINDOWED.
+ORACLE_SLIDING = """
+WITH wm AS (
+  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
+),
+ex AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+             AS w_start
+  FROM events
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM ex, wm
+WHERE epoch_us(w_start) + 3600000000 <= wm_us
+GROUP BY 1, 2
+"""
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: first occurrence of each
     (user_id, event_type) pair wins; unbounded state (no watermark) so the
@@ -133,6 +176,7 @@ GROUP BY user_id
 
 QUERIES = {
     "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_dedup_events": streaming_dedup_events,
     "sessionize_events": sessionize_events,
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
@@ -140,6 +184,7 @@ QUERIES = {
 
 ORACLE = {
     "streaming_windowed_counts": ORACLE_WINDOWED,
+    "streaming_sliding_counts": ORACLE_SLIDING,
     "streaming_dedup_events": ORACLE_STREAM_DEDUP,
     "sessionize_events": ORACLE_SESSIONIZE,
     "streaming_stateful_user_totals": ORACLE_STATEFUL_TOTALS,
