@@ -1,0 +1,100 @@
+"""Plan-shape regression tests: the scale posture, asserted.
+
+Correctness says what a query returns; these pin HOW — scans prune
+columns, filters reach the parquet reader, small dims broadcast, no
+cartesian products, no forced broadcast of SF-growing tables. A diff
+that silently degrades one of these shapes fails here even though
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_etl_aws_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+BATCH_QUERIES = [
+    "flagship_revenue",
+    "fact_order_lineitems",
+    "q1_pricing_summary",
+    "window_rank_topk",
+    "join_asof",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "vector_ann_ivf_bucketed",
+    "orderby_topk",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    # BroadcastNestedLoopJoin is only legitimate for the 1-row broadcast
+    # in cosine/centroid queries, never for these
+    if name not in ("vector_ann_ivf_bucketed",):
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_flagship_scan_prunes_columns(spark, sf_dir):
+    """The lineitem scan must read exactly the 3 columns the query
+    touches — a scan of all 16 would be reading ~5x the bytes at 100 TB."""
+    plan = _plan(spark, sf_dir, "flagship_revenue")
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l)
+    assert "l_orderkey" in scan and "l_extendedprice" in scan and "l_discount" in scan
+    assert "l_shipdate" not in scan and "l_comment" not in scan
+
+
+def test_flagship_broadcasts_dims_not_fact(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_revenue")
+    assert plan.count("BroadcastHashJoin") == 3
+    # the probe (lineitem) side must never be exchanged before the joins:
+    # the only shuffle is the final groupBy
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_comment" not in scan  # column pruning too
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine: a partial hash aggregate must run before the
+    exchange so only 6 groups/task cross the wire, not 600k rows."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    pre_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_sum" in pre_exchange
+
+
+def test_window_rank_single_shuffle(spark, sf_dir):
+    """Top-k-per-group = exactly one exchange (on the partition key) +
+    one sort; a global sort would not survive 100x."""
+    plan = _plan(spark, sf_dir, "window_rank_topk")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_orderby_topk_is_take_ordered(spark, sf_dir):
+    """LIMIT after ORDER BY must plan as TakeOrderedAndProject (per-
+    partition top-k + merge), never a full global sort."""
+    plan = _plan(spark, sf_dir, "orderby_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_asof_single_exchange_and_sort(spark, sf_dir):
+    """The union+window as-of composition: one hash exchange + one sort,
+    independent of per-key right cardinality."""
+    plan = _plan(spark, sf_dir, "join_asof")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
