@@ -151,11 +151,74 @@ FROM documents
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, pure built-ins: token counts ->
+    doc lengths -> document frequencies -> tf*ln(N/df), ranked per doc.
+
+    Ranking uses the integer pair (term count DESC, doc freq ASC) with a
+    token tiebreak — the same ordering TF-IDF induces within a document,
+    but immune to cross-engine libm drift in ln(); the tfidf value
+    itself is emitted rounded.
+    """
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar for the idf constant (one tiny job)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf_raw"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf_raw").alias("doc_len"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tf_raw"), F.asc("df"), F.asc("token")
+    )
+    tfidf = (F.col("tf_raw") / F.col("doc_len")) * F.log(F.lit(n_docs) / F.col("df"))
+    return (
+        tf.join(doc_len, "doc_id")
+        .join(df_, "token")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf_raw",
+            "df",
+            F.round(tfidf, 4).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+ORACLE_TFIDF = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf_raw FROM tok GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, sum(tf_raw) AS doc_len FROM tf GROUP BY doc_id),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf_raw, df.df,
+         round((tf.tf_raw / dl.doc_len) * ln(n.n_docs / df.df), 4) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf_raw DESC, df.df ASC, tf.token ASC) AS INT) AS rank
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN df ON tf.token = df.token
+          CROSS JOIN n
+)
+SELECT doc_id, token, tf_raw, df, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
 }
 
 ORACLE = {
@@ -163,4 +226,5 @@ ORACLE = {
     "text_quality_score": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_tfidf_top_terms": ORACLE_TFIDF,
 }
