@@ -382,6 +382,30 @@ SELECT o_orderkey,
 FROM orders
 """
 
+def agg_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 extension — order statistics + moments: exact interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``),
+    sample stddev, and correlation, grouped per returnflag."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+    )
+
+
+ORACLE_PERCENTILE_STATS = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+       round(corr(l_extendedprice, l_quantity), 4) AS corr_pq
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 gap, JSON + array families: get_json_object / from_json over the
     events.props JSON column, to_json re-serialization, and sequence/
@@ -677,6 +701,7 @@ QUERIES = {
     "distinct_dims": distinct_dims,
     "scalar_functions": scalar_functions,
     "json_array_functions": json_array_functions,
+    "agg_percentile_stats": agg_percentile_stats,
     "window_rank_topk": window_rank_topk,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
@@ -706,6 +731,7 @@ ORACLE = {
     "distinct_dims": ORACLE_DISTINCT,
     "scalar_functions": ORACLE_SCALAR,
     "json_array_functions": ORACLE_JSON_ARRAY,
+    "agg_percentile_stats": ORACLE_PERCENTILE_STATS,
     "window_rank_topk": ORACLE_WINDOW_TOPK,
     "window_running_sum": ORACLE_WINDOW_RUNNING,
     "window_lag_lead": ORACLE_WINDOW_LAGLEAD,

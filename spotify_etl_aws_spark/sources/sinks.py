@@ -42,3 +42,22 @@ def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
     """Catalog sink — the Spark equivalent of the reference's remote-catalog
     CTAS into MotherDuck (bronze.py:294-318, manager.py:151-171)."""
     df.write.mode(mode).saveAsTable(name)
+
+
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: rows are hash-bucketed (and optionally
+    sorted) on the join key at WRITE time, so two tables bucketed the
+    same way join with ZERO exchanges and zero sorts — the shuffle is
+    paid once at layout time instead of on every query. The 100 TB
+    posture for fact⋈fact joins that AQE can't broadcast."""
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

@@ -1,0 +1,55 @@
+"""Scale-technique tests: bucketed shuffle-free joins and salted
+skew joins — result-identical to their naive forms, with the plan
+shape asserted."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_etl_aws_spark.operators.skew import salted_join
+from spotify_etl_aws_spark.sources.readers import load_table
+from spotify_etl_aws_spark.sources.sinks import save_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key at write time must sort-merge
+    join with zero Exchange operators — the shuffle was paid at layout."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    save_bucketed(orders, "b_orders", 4, ["o_orderkey"], ["o_orderkey"])
+    save_bucketed(li, "b_lineitem", 4, ["l_orderkey"], ["l_orderkey"])
+    # disable auto-broadcast so the join exercises the bucketed path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it is still correct
+        expected = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting redistributes a hot key without changing the result."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderstatus"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    salted = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        salt=8,
+    ).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+    )
+    assert sorted(salted.collect()) == sorted(plain.collect())
