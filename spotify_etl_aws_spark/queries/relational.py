@@ -384,24 +384,43 @@ FROM orders
 
 def agg_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 extension — order statistics + moments: exact interpolated
-    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``),
-    sample stddev, and correlation, grouped per returnflag."""
+    quartiles, sample stddev, and correlation, grouped per returnflag.
+
+    Percentiles run on integer CENTS at binary-exact fractions
+    (0.25/0.5/0.75): with integer inputs and fractions representable in
+    binary, the interpolation ``a + (b-a)*f`` is bitwise identical in
+    both engines regardless of formula form — double-valued percentile
+    interpolation at e.g. 0.9 differs by an ulp across engines and can
+    flip the rounded value (observed at sf0.001)."""
     li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    li = li.withColumn("cents", cents)
+
+    def pct(f: float, alias: str):
+        return F.round(F.percentile("cents", F.lit(f)) / 100, 2).alias(alias)
+
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+        pct(0.25, "p25_price"),
+        pct(0.5, "median_price"),
+        pct(0.75, "p75_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
     )
 
 
 ORACLE_PERCENTILE_STATS = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+)
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+       round(quantile_cont(cents, 0.25) / 100, 2) AS p25_price,
+       round(quantile_cont(cents, 0.5)  / 100, 2) AS median_price,
+       round(quantile_cont(cents, 0.75) / 100, 2) AS p75_price,
        round(stddev_samp(l_extendedprice), 2) AS sd_price,
        round(corr(l_extendedprice, l_quantity), 4) AS corr_pq
-FROM lineitem
+FROM c
 GROUP BY l_returnflag
 """
 
