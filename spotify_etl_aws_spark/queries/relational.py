@@ -425,6 +425,40 @@ GROUP BY l_returnflag
 """
 
 
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: one pass over the
+    events stream table produces hourly, daily, and grand-total
+    aggregates via ROLLUP(day, hour) — the continuous-aggregate shape
+    time-series stores maintain, as a single Spark plan with partial
+    aggregation at every level."""
+    ev = t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.withColumn("day", day)
+        .withColumn("hour", hour)
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().cast("int").alias("grain"),
+        )
+    )
+
+
+ORACLE_HYPERTABLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')  AS day,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(grouping(strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')) * 2
+            + grouping(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'))
+            AS INT) AS grain
+FROM events
+GROUP BY ROLLUP (1, 2)
+"""
+
+
 def json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 gap, JSON + array families: get_json_object / from_json over the
     events.props JSON column, to_json re-serialization, and sequence/
@@ -721,6 +755,7 @@ QUERIES = {
     "scalar_functions": scalar_functions,
     "json_array_functions": json_array_functions,
     "agg_percentile_stats": agg_percentile_stats,
+    "events_hypertable_rollup": events_hypertable_rollup,
     "window_rank_topk": window_rank_topk,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
@@ -751,6 +786,7 @@ ORACLE = {
     "scalar_functions": ORACLE_SCALAR,
     "json_array_functions": ORACLE_JSON_ARRAY,
     "agg_percentile_stats": ORACLE_PERCENTILE_STATS,
+    "events_hypertable_rollup": ORACLE_HYPERTABLE,
     "window_rank_topk": ORACLE_WINDOW_TOPK,
     "window_running_sum": ORACLE_WINDOW_RUNNING,
     "window_lag_lead": ORACLE_WINDOW_LAGLEAD,

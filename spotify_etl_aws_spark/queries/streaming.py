@@ -157,6 +157,51 @@ GROUP BY user_id, sid
 """
 
 
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks in the preceding 30 minutes. Both sides are watermarked and
+    the join carries a time-range condition, so each side's buffered
+    state is purged once the other side's watermark passes the range —
+    the bounded-state formulation of stream-stream correlation."""
+    clicks = (
+        read_table_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_table_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "click_id", "purchase_id")
+    return run_available_now(joined, "ss_join", output_mode="append")
+
+
+ORACLE_STREAM_STREAM = """
+SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState
     (streaming/stateful.py): per-user GroupState running totals. One
@@ -179,6 +224,7 @@ QUERIES = {
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_dedup_events": streaming_dedup_events,
     "sessionize_events": sessionize_events,
+    "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
 }
 
@@ -187,5 +233,6 @@ ORACLE = {
     "streaming_sliding_counts": ORACLE_SLIDING,
     "streaming_dedup_events": ORACLE_STREAM_DEDUP,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "streaming_stream_stream_join": ORACLE_STREAM_STREAM,
     "streaming_stateful_user_totals": ORACLE_STATEFUL_TOTALS,
 }
