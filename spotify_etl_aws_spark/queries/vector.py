@@ -142,12 +142,45 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label — the k-means E-step /
+    centroid-refresh building block behind a production IVF quantizer.
+
+    posexplode flattens (vector, dim) pairs; the mean is one partial-
+    aggregating shuffle on (label, dim) — dimension count scales the row
+    volume linearly, never the shuffle count."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", as_double("embedding").alias("v")
+    )
+    return (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+flat AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS dim, v[u.i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS u(i)
+)
+SELECT label, dim, round(avg(x), 6) AS centroid
+FROM flat
+GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
     "vector_ann_ivf_bucketed": vector_ann_ivf_bucketed,
+    "vector_label_centroids": vector_label_centroids,
 }
 
 ORACLE = {
     "vector_cosine_topk": ORACLE_COSINE_TOPK,
     "vector_ann_ivf_bucketed": ORACLE_ANN_IVF,
+    "vector_label_centroids": ORACLE_LABEL_CENTROIDS,
 }
