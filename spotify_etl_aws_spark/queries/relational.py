@@ -646,15 +646,19 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS — left_anti join."""
+    """NOT EXISTS — left_anti join. The right side is filtered (no order
+    above 300k) so the result is non-empty at every SF: an anti-join
+    whose expected output is zero rows can't distinguish a working
+    operator from LIMIT 0."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 ORACLE_ANTI = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
 """
 
 
