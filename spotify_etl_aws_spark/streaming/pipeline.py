@@ -46,19 +46,32 @@ def run_available_now(
     df: DataFrame, base_name: str, output_mode: str = "append"
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
-    sink; return the materialized result as a batch DataFrame."""
+    sink; return the materialized result as a batch DataFrame.
+
+    The state-store partition count is fixed by shuffle.partitions at the
+    stream's FIRST run; an untuned session default (200) means 200 tiny
+    state tasks per microbatch at test scale, so it is clamped for the
+    duration of the run (runtime-settable, restored after)."""
     name = f"{base_name}_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{base_name}_")
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    sess = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = sess.conf.get(key, "200")
+    try:
+        if old.isdigit() and int(old) > 32:
+            sess.conf.set(key, "32")
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        sess.conf.set(key, old)
+    return sess.table(name)
 
 
 def incremental_bronze(
