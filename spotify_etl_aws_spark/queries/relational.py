@@ -425,6 +425,36 @@ GROUP BY l_returnflag
 """
 
 
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark SQL text front-end (same Catalyst plans as the
+    DataFrame API): TPC-H Q3 shipping priority, run verbatim over
+    registered temp views. Demonstrates that a reference user's raw SQL
+    runs unchanged — the oracle IS the query modulo dialect."""
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q3_SQL)
+
+
+ORACLE_SQL_Q3 = _Q3_SQL
+
+
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution time rollup: one pass over the
     events stream table produces hourly, daily, and grand-total
@@ -760,6 +790,7 @@ QUERIES = {
     "json_array_functions": json_array_functions,
     "agg_percentile_stats": agg_percentile_stats,
     "events_hypertable_rollup": events_hypertable_rollup,
+    "sql_q3_shipping_priority": sql_q3_shipping_priority,
     "window_rank_topk": window_rank_topk,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
@@ -791,6 +822,7 @@ ORACLE = {
     "json_array_functions": ORACLE_JSON_ARRAY,
     "agg_percentile_stats": ORACLE_PERCENTILE_STATS,
     "events_hypertable_rollup": ORACLE_HYPERTABLE,
+    "sql_q3_shipping_priority": ORACLE_SQL_Q3,
     "window_rank_topk": ORACLE_WINDOW_TOPK,
     "window_running_sum": ORACLE_WINDOW_RUNNING,
     "window_lag_lead": ORACLE_WINDOW_LAGLEAD,
