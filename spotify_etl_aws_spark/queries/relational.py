@@ -425,6 +425,75 @@ GROUP BY l_returnflag
 """
 
 
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the full snowflake: customer ⋈ orders ⋈ lineitem
+    ⋈ supplier (co-located nation) ⋈ nation ⋈ region. nation/region are
+    fixed-size (25/5 rows) and broadcast; supplier grows with SF and is
+    left to Catalyst/AQE."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q5 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def part_brand_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part ⋈ lineitem per-brand pricing: list-vs-transacted price."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+                "avg_unit_paid"
+            ),
+        )
+    )
+
+
+ORACLE_PART_BRAND = """
+SELECT p_brand,
+       count(*) AS n_items,
+       round(avg(p_retailprice), 2) AS avg_retail,
+       round(avg(l_extendedprice / l_quantity), 2) AS avg_unit_paid
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 _Q3_SQL = """
 SELECT l_orderkey,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -791,6 +860,8 @@ QUERIES = {
     "agg_percentile_stats": agg_percentile_stats,
     "events_hypertable_rollup": events_hypertable_rollup,
     "sql_q3_shipping_priority": sql_q3_shipping_priority,
+    "q5_regional_revenue": q5_regional_revenue,
+    "part_brand_pricing": part_brand_pricing,
     "window_rank_topk": window_rank_topk,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
@@ -823,6 +894,8 @@ ORACLE = {
     "agg_percentile_stats": ORACLE_PERCENTILE_STATS,
     "events_hypertable_rollup": ORACLE_HYPERTABLE,
     "sql_q3_shipping_priority": ORACLE_SQL_Q3,
+    "q5_regional_revenue": ORACLE_Q5,
+    "part_brand_pricing": ORACLE_PART_BRAND,
     "window_rank_topk": ORACLE_WINDOW_TOPK,
     "window_running_sum": ORACLE_WINDOW_RUNNING,
     "window_lag_lead": ORACLE_WINDOW_LAGLEAD,
