@@ -157,6 +157,61 @@ GROUP BY user_id, sid
 """
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a STREAMING query: session_window merges
+    per-user windows in state; append mode emits a session once the
+    watermark passes its end (last event + gap) and purges it. The
+    batch twin (sessionize_events) has no cutoff; here the oracle
+    applies the same watermark condition Spark uses for emission."""
+    src = read_table_stream(spark, sf_dir, "events")
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    out = run_available_now(agg, "stream_sessions", output_mode="append")
+    return out.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# Same gaps-and-islands CTE as the batch oracle, plus the append-mode
+# cutoff: a session is emitted iff its end (last event + 30 min) is at
+# or before the final watermark (ms-truncated max ts - 1h).
+ORACLE_STREAM_SESSIONIZE = """
+WITH wm AS (
+  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
+),
+x AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s, wm
+GROUP BY user_id, sid, wm_us
+HAVING epoch_us(max(ts)) + 1800000000 <= wm_us
+"""
+
+
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: purchases matched to the same user's
     clicks in the preceding 30 minutes. Both sides are watermarked and
@@ -224,6 +279,7 @@ QUERIES = {
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_dedup_events": streaming_dedup_events,
     "sessionize_events": sessionize_events,
+    "streaming_sessionize": streaming_sessionize,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
 }
@@ -233,6 +289,7 @@ ORACLE = {
     "streaming_sliding_counts": ORACLE_SLIDING,
     "streaming_dedup_events": ORACLE_STREAM_DEDUP,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "streaming_sessionize": ORACLE_STREAM_SESSIONIZE,
     "streaming_stream_stream_join": ORACLE_STREAM_STREAM,
     "streaming_stateful_user_totals": ORACLE_STATEFUL_TOTALS,
 }
