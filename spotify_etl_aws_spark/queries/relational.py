@@ -807,6 +807,53 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_DELTA = 1.0
+
+
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big range join, the 100 TB shape: |price_a - price_b| <= d
+    over a self-join. A naive theta join is a nested loop (quadratic);
+    binning each row to floor(price/d) makes every qualifying pair meet
+    in an EQUI-join — the left side explodes to its bin±1 so a pair
+    lands in exactly one bucket (the right row's own bin), no dedup
+    needed. Cost: 3x left rows through one hash join instead of n².
+    The oracle runs the naive theta join — same result, different plan.
+    """
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    binned = p.withColumn(
+        "bin", F.floor(F.col("p_retailprice") / RANGE_DELTA).cast("long")
+    )
+    lhs = binned.select(
+        "p_partkey",
+        "p_retailprice",
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("jbin"),
+    )
+    rhs = binned.select(
+        F.col("p_partkey").alias("q_partkey"),
+        F.col("p_retailprice").alias("q_price"),
+        F.col("bin").alias("jbin"),
+    )
+    diff = F.abs(F.col("p_retailprice") - F.col("q_price"))
+    return (
+        lhs.join(rhs, "jbin")
+        .filter((F.col("p_partkey") < F.col("q_partkey")) & (diff <= RANGE_DELTA))
+        .select(
+            "p_partkey", "q_partkey", F.round(diff, 2).alias("price_diff")
+        )
+    )
+
+
+ORACLE_RANGE_BINNED = f"""
+SELECT a.p_partkey AS p_partkey, b.p_partkey AS q_partkey,
+       round(abs(a.p_retailprice - b.p_retailprice), 2) AS price_diff
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(a.p_retailprice - b.p_retailprice) <= {RANGE_DELTA}
+"""
+
+
 ORACLE_RANGE = """
 SELECT band_name, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
 FROM orders
@@ -873,6 +920,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_outer_agg": join_outer_agg,
     "join_range": join_range,
+    "join_range_binned": join_range_binned,
     "join_asof": join_asof,
 }
 
@@ -907,5 +955,6 @@ ORACLE = {
     "join_anti": ORACLE_ANTI,
     "join_outer_agg": ORACLE_OUTER,
     "join_range": ORACLE_RANGE,
+    "join_range_binned": ORACLE_RANGE_BINNED,
     "join_asof": ORACLE_ASOF,
 }
