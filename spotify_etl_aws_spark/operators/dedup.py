@@ -269,6 +269,68 @@ def simhash_pairs(
     )
 
 
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_iters: int = 10,
+) -> DataFrame:
+    """The last step of near-dedup: assign every document the MINIMUM id
+    of its connected component in the verified near-dup graph (the
+    canonical "keep one representative per duplicate cluster" rule).
+
+    Connected components via iterative min-label propagation: each round
+    every node takes min(own label, neighbors' labels) — one join + one
+    partial-min aggregation per round, converging in O(component
+    diameter) rounds. Near-dup components are small by construction
+    (they ARE duplicate clusters), so the loop exits almost immediately;
+    ``localCheckpoint`` cuts plan lineage each round so the DAG doesn't
+    grow with iterations. The convergence probe is an aggregate count —
+    no data is collected to the driver.
+    """
+    pairs = lsh_verified_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    ).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = df.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.doc_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_rep")
+    )
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -16,6 +16,7 @@ from ..operators.dedup import (
     lsh_verified_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    neardup_clusters,
     simhash_fingerprints,
     simhash_pairs,
 )
@@ -242,6 +243,67 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {LSH_VERIFY_THRESHOLD}
 """
 
 
+def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative assignment over the verified near-dup
+    graph (operators/dedup.py:neardup_clusters) — iterative min-label
+    propagation; the oracle computes true connected components with a
+    recursive CTE, so the fixpoint is checked exactly."""
+    return neardup_clusters(
+        t(spark, sf_dir, "documents"),
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=LSH_VERIFY_THRESHOLD,
+    )
+
+
+ORACLE_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+band AS (
+  SELECT doc_id, b,
+         CASE b
+           {_BAND_CASES}
+         END AS bh
+  FROM (SELECT sig.*, unnest(range(0, {BANDS})) AS b FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+vp AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {LSH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM vp
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM vp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(m.mv, d.doc_id)) AS cluster_rep
+FROM documents d
+LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m ON d.doc_id = m.u
+"""
+
+
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup with a deterministic tiebreak (window row_number)
     — the scalable 'pick one representative per key' pattern."""
@@ -274,6 +336,7 @@ QUERIES = {
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_neardup_clusters": dedup_neardup_clusters,
     "dedup_first_event": dedup_first_event,
 }
 
@@ -285,5 +348,6 @@ ORACLE = {
     "dedup_lsh_verified_pairs": ORACLE_LSH_VERIFIED,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "dedup_first_event": ORACLE_FIRST_EVENT,
 }

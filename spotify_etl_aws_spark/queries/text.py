@@ -151,6 +151,38 @@ FROM documents
 """
 
 
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization — the first stage of every training-data
+    pipeline: lowercase, strip non-alphanumerics to spaces, collapse
+    whitespace runs, trim. Pure regexp_replace chain (JVM, codegen'd);
+    emits before/after lengths so the reduction is measurable."""
+    docs = t(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
+    )
+
+
+ORACLE_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                           '\s+', ' ', 'g')) AS clean_text,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                       '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+FROM documents
+"""
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document, pure built-ins: token counts ->
     doc lengths -> document frequencies -> tf*ln(N/df), ranked per doc.
@@ -218,6 +250,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_normalize_clean": text_normalize_clean,
     "text_tfidf_top_terms": text_tfidf_top_terms,
 }
 
@@ -226,5 +259,6 @@ ORACLE = {
     "text_quality_score": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_normalize_clean": ORACLE_NORMALIZE,
     "text_tfidf_top_terms": ORACLE_TFIDF,
 }
