@@ -304,6 +304,100 @@ LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m ON d.doc_id = m.u
 """
 
 
+QUALITY_CUTOFF = 0.5
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline as ONE declared query:
+    keep a document iff (a) it is its near-dup cluster's representative
+    (min id of its connected component) and (b) its heuristic quality
+    score clears the cutoff. Composes neardup_clusters with the
+    text-quality expression — the shape of a real pre-training corpus
+    filter, end-to-end oracle-checked."""
+    from ..functions.text import tokens
+    from .text import _PUNCT_RE
+
+    docs = t(spark, sf_dir, "documents")
+    reps = neardup_clusters(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=LSH_VERIFY_THRESHOLD,
+    ).filter(F.col("doc_id") == F.col("cluster_rep"))
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    punct_ratio = F.length(
+        F.regexp_replace(F.lower(F.col("text")), _PUNCT_RE, "")
+    ) / F.length("text")
+    quality = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio)
+    scored = docs.select("doc_id", F.round(quality, 4).alias("quality_score"))
+    return (
+        scored.join(reps.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("quality_score") >= QUALITY_CUTOFF)
+    )
+
+
+ORACLE_CURATION = f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+band AS (
+  SELECT doc_id, b,
+         CASE b
+           {_BAND_CASES}
+         END AS bh
+  FROM (SELECT sig.*, unnest(range(0, {BANDS})) AS b FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+vp AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {LSH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM vp
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM vp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(m.mv, d.doc_id)) AS cluster_rep
+  FROM documents d
+  LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m ON d.doc_id = m.u
+),
+q AS (
+  SELECT doc_id,
+         round(least(1.0, len(string_split_regex(lower(text), '\\s+')) / 100.0)
+               * (1 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                      / length(text)), 4) AS quality_score
+  FROM documents
+)
+SELECT q.doc_id, q.quality_score
+FROM q
+JOIN clusters c ON q.doc_id = c.doc_id AND c.doc_id = c.cluster_rep
+WHERE q.quality_score >= {QUALITY_CUTOFF}
+"""
+
+
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup with a deterministic tiebreak (window row_number)
     — the scalable 'pick one representative per key' pattern."""
@@ -337,6 +431,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_neardup_clusters": dedup_neardup_clusters,
+    "corpus_curation": corpus_curation,
     "dedup_first_event": dedup_first_event,
 }
 
@@ -349,5 +444,6 @@ ORACLE = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
+    "corpus_curation": ORACLE_CURATION,
     "dedup_first_event": ORACLE_FIRST_EVENT,
 }
