@@ -148,16 +148,35 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.05,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via the inverted index:
     explode shingles, equi-join on shingle, count common, then
     |A ∩ B| / (|A| + |B| - |A ∩ B|) >= threshold.
 
-    One wide shuffle on shingle; hot shingles are the skew risk at scale
-    (mitigate upstream with a document-frequency cap, or go through
-    minhash_lsh_pairs first and verify only candidates).
+    One wide shuffle on shingle; hot shingles are the skew risk at scale:
+    a shingle in d documents emits d·(d-1)/2 join rows, so one stopword
+    phrase in 1M docs is 5e11 rows through a single reducer. ``max_df``
+    caps that: shingles appearing in more than ``max_df`` documents are
+    dropped from the EFFECTIVE shingle sets (both the pair generation and
+    the |A|/|B| sizes, keeping the Jaccard definition self-consistent),
+    bounding any shingle's pair expansion to max_df·(max_df-1)/2. A
+    near-stopword shingle carries no dedup signal, so the cap trades
+    noise for a hard skew bound. The LSH route (``lsh_verified_pairs``)
+    remains the declared scale path; this is the exact-verification twin.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        # df(shingle) = docs containing it (shingles are distinct per doc).
+        # left_semi keeps the inverted index's (id, shingle) shape; the
+        # shuffle on shingle is the same one the self-join needs anyway.
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -301,6 +320,7 @@ def neardup_clusters(
     labels = df.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym.doc_b == labels.node)
@@ -326,6 +346,15 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        # Returning silently here would hand out WRONG cluster_rep values
+        # for any component whose diameter exceeds max_iters — fail loud
+        # so the caller raises the bound instead of training on bad dedup.
+        raise RuntimeError(
+            f"neardup_clusters did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing); a duplicate component's "
+            "diameter exceeds the iteration bound — raise max_iters"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_rep")
     )

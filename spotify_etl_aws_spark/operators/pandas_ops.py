@@ -17,9 +17,11 @@ engine's *policy* for when queries genuinely need Python:
 
 Scale notes: a pandas_udf streams Arrow record batches (bounded memory,
 any input size). ``applyInPandas`` materializes EACH GROUP as one pandas
-frame — fine for bounded groups (here: 5 event types), but an unbounded
-group at 100 TB must either be salted or rewritten as the two-pass
-built-in form (join against groupBy aggregates).
+frame — fine for bounded groups (here: event_type x day composites,
+whose size is capped by the day boundary no matter how long the table
+grows), but an unbounded group at 100 TB must either be salted or
+rewritten as the two-pass built-in form (join against groupBy
+aggregates).
 """
 
 from __future__ import annotations
@@ -63,7 +65,8 @@ def weighted_mean_udf(value: pd.Series, weight: pd.Series) -> float:
 
 def zscore_by_group(
     df: DataFrame,
-    group_col: str,
+    group_cols: list[str],
+    group_schema: str,
     id_col: str,
     value_col: str,
 ) -> DataFrame:
@@ -71,16 +74,25 @@ def zscore_by_group(
     each group arrives as one pandas frame; mean/std (sample, ddof=1)
     are computed in-frame and every row leaves with its normalized value.
 
-    Returns (id_col, group_col, zscore). Groups of size 1 emit NULL
+    Returns (id_col, *group_cols, zscore). Groups of size 1 emit NULL
     (sample std undefined), matching SQL ``stddev_samp`` semantics.
+
+    Because each group materializes as ONE pandas frame, the caller must
+    key on a BOUNDED composite (e.g. category x day) — an unbounded
+    group is a single-task OOM at scale; that's the module-docstring
+    rule. The zscore leaves UNROUNDED: rounding belongs on the JVM side
+    (``F.round``) so results carry SQL half-away-from-zero semantics,
+    not pandas banker's rounding.
     """
-    schema = f"{id_col} bigint, {group_col} string, zscore double"
+    schema = f"{id_col} bigint, {group_schema}, zscore double"
 
     def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value_col]
         z = (v - v.mean()) / v.std()  # ddof=1 == stddev_samp
-        return pd.DataFrame(
-            {id_col: pdf[id_col], group_col: pdf[group_col], "zscore": z.round(4)}
-        )
+        out = {id_col: pdf[id_col]}
+        for g in group_cols:
+            out[g] = pdf[g]
+        out["zscore"] = z
+        return pd.DataFrame(out)
 
-    return df.groupBy(group_col).applyInPandas(_norm, schema=schema)
+    return df.groupBy(*group_cols).applyInPandas(_norm, schema=schema)

@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 
 _SALT = "__salt"
 
+# Joins where replicating the right side over all salt values is sound:
+# every right row's copies either match the same salted left rows or
+# drop out. right/full outer would instead emit up to ``salt`` spurious
+# null-left rows per unmatched right row (one per unmatched salt copy).
+_SALTABLE_HOW = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+
 
 def salted_join(
     left: DataFrame,
@@ -30,11 +36,19 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the left (skewed) side salted and the right side
-    replicated. Result is row-identical to ``left.join(right, on, how)``.
+    replicated. For ``how`` in inner/left/left_semi/left_anti the result
+    is row-identical to ``left.join(right, on, how)``; right/full outer
+    are rejected (salt those by replicating the LEFT side instead).
 
     ``rand`` seeds deterministically per partition, so the salt only
     affects placement, never the result set.
     """
+    if how not in _SALTABLE_HOW:
+        raise ValueError(
+            f"salted_join supports how in {sorted(_SALTABLE_HOW)}, got {how!r}: "
+            "replicating the right side over salt values would emit spurious "
+            "null-left rows for right/full outer joins"
+        )
     on_cols = [on] if isinstance(on, str) else list(on)
     salted_left = left.withColumn(
         _SALT, (F.rand(seed=42) * salt).cast("int")

@@ -27,7 +27,11 @@ from . import dedup, multimodal, relational, streaming, text, udfs, vector
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, dedup, text, vector, udfs, multimodal, streaming]
+# Iteration order == the driver's CORRECTNESS order, and the driver checks
+# only the FIRST 50 queries: keep the non-relational families (streaming,
+# UDF lanes, multimodal, vectors) up front so they can never fall outside
+# the verification window if the relational tail grows.
+_MODULES = [vector, udfs, multimodal, streaming, dedup, text, relational]
 
 
 def all_queries() -> dict[str, QueryFn]:

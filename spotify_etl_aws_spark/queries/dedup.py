@@ -26,6 +26,10 @@ NUM_HASHES = 8
 BANDS = 4
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.05
+# Skew guard for the exact inverted-index path: shingles in more than
+# this many documents are dropped from the effective shingle sets,
+# bounding any one shingle's self-join expansion to max_df*(max_df-1)/2.
+JACCARD_MAX_DF = 100
 LSH_VERIFY_THRESHOLD = 0.5
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
@@ -75,20 +79,10 @@ GROUP BY md5(lower(text))
 """
 
 
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(
-        t(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, shingle_n=SHINGLE_N
-    )
-
-
-ORACLE_MINHASH_SIG = f"""
-WITH {_SHINGLE_CTE.strip()},
-{_SIG_CTE.strip()}
-SELECT * FROM sig
-"""
-
-
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature build (operators/dedup.py:minhash_signatures —
+    its own internal stage, oracle-covered through this query's CTE
+    chain) followed by banded LSH candidate generation."""
     sig = minhash_signatures(
         t(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, shingle_n=SHINGLE_N
     )
@@ -112,19 +106,26 @@ FROM band a JOIN band b
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inverted-index Jaccard with the document-frequency skew
+    guard on by default — the exposed operator is skew-safe; the
+    uncapped form stays available via operators.dedup.jaccard_pairs
+    (max_df=None) for verification on bounded corpora."""
     return jaccard_pairs(
         t(spark, sf_dir, "documents"),
         shingle_n=SHINGLE_N,
         threshold=JACCARD_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
     )
 
 
 ORACLE_JACCARD = f"""
 WITH {_SHINGLE_CTE.strip()},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {JACCARD_MAX_DF}),
+shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -155,22 +156,10 @@ fp AS (SELECT doc_id, ({_SIMHASH_FP}) AS simhash FROM bs)
 """
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (operators/dedup.py:simhash_fingerprints)."""
-    return simhash_fingerprints(
-        t(spark, sf_dir, "documents"), shingle_n=SHINGLE_N, bits=SIMHASH_BITS
-    )
-
-
-ORACLE_SIMHASH = f"""
-WITH {_SHINGLE_CTE.strip()},
-{_SIMHASH_CTE.strip()}
-SELECT doc_id, simhash FROM fp
-"""
-
-
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash near-dup pairs with Hamming verification."""
+    """Banded SimHash near-dup pairs with Hamming verification. The
+    fingerprint build (operators/dedup.py:simhash_fingerprints) is this
+    query's internal stage, oracle-covered through the CTE chain."""
     fps = simhash_fingerprints(
         t(spark, sf_dir, "documents"), shingle_n=SHINGLE_N, bits=SIMHASH_BITS
     )
@@ -424,11 +413,9 @@ WHERE rn = 1
 
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
-    "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
-    "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_neardup_clusters": dedup_neardup_clusters,
     "corpus_curation": corpus_curation,
@@ -437,11 +424,9 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact_docs": ORACLE_EXACT,
-    "dedup_minhash_signatures": ORACLE_MINHASH_SIG,
     "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "dedup_lsh_verified_pairs": ORACLE_LSH_VERIFIED,
-    "dedup_simhash": ORACLE_SIMHASH,
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_curation": ORACLE_CURATION,

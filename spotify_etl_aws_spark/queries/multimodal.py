@@ -1,14 +1,13 @@
 """Multimodal query inventory (north-star, SURVEY.md §2.11d).
 
-- ``multimodal_images``: binary media column end-to-end — JVM-side
-  encode into bytes, mapInPandas decode back out, JVM-side feature
-  derivation. The DuckDB oracle recomputes the metadata analytically,
-  so a hash match proves the bytes round-tripped through the Arrow
-  decode lane intact.
-- ``multimodal_frame_sample``: video-style frame sampling plumbing —
-  per-item frame counts expanded to sampled frame indices with
-  ``sequence`` + ``explode`` (pure JVM; a real pipeline would join
-  these indices against a frame-extract mapInPandas kernel).
+``multimodal_images`` is the binary media column end-to-end: JVM-side
+encode into bytes, mapInPandas decode back out, JVM-side feature
+derivation, then video-style frame sampling plumbing — per-item frame
+counts expanded to sampled frame indices with ``sequence`` + ``explode``
+(pure JVM; a real pipeline would join these indices against a
+frame-extract mapInPandas kernel). The DuckDB oracle recomputes the
+metadata analytically, so a hash match proves the bytes round-tripped
+through the Arrow decode lane intact.
 """
 
 from __future__ import annotations
@@ -41,7 +40,15 @@ def multimodal_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_media = docs.select(
         "doc_id", fake_image_bytes(F.col("doc_id"), F.col("text")).alias("media")
     )
-    return media_features(with_media_meta(with_media))
+    feats = media_features(with_media_meta(with_media))
+    n_frames = F.lit(FRAME_BASE) + F.col("doc_id") % FRAME_MOD
+    return feats.select(
+        "*",
+        n_frames.alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(FRAME_STEP))
+        ).alias("frame_idx"),
+    )
 
 
 ORACLE_IMAGES = f"""
@@ -57,37 +64,17 @@ SELECT doc_id, '{MEDIA_MAGIC.lower()}' AS media_type, width, height,
        round(width / height, 4) AS aspect_ratio,
        CAST(width * height AS INT) AS n_pixels,
        CASE WHEN width / height >= 1.0 THEN 'landscape' ELSE 'portrait' END
-           AS orientation
-FROM m
-"""
-
-
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    n_frames = F.lit(FRAME_BASE) + F.col("doc_id") % FRAME_MOD
-    return docs.select(
-        "doc_id",
-        n_frames.alias("n_frames"),
-        F.explode(
-            F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(FRAME_STEP))
-        ).alias("frame_idx"),
-    )
-
-
-ORACLE_FRAME_SAMPLE = f"""
-SELECT doc_id,
+           AS orientation,
        {FRAME_BASE} + doc_id % {FRAME_MOD} AS n_frames,
        unnest(range(0, {FRAME_BASE} + doc_id % {FRAME_MOD}, {FRAME_STEP})) AS frame_idx
-FROM documents
+FROM m
 """
 
 
 QUERIES = {
     "multimodal_images": multimodal_images,
-    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
     "multimodal_images": ORACLE_IMAGES,
-    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
 }

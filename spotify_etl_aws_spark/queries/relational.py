@@ -168,44 +168,48 @@ GROUP BY event_type
 """
 
 
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family in one query: ROLLUP over orders (priority,
+    status) unioned with CUBE over lineitem (returnflag, linestatus),
+    tagged by ``op``. Both sides keep partial aggregation map-side; the
+    union is plan-level (no extra shuffle beyond the two aggs)."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("k1"),
+        F.col("o_orderstatus").alias("k2"),
+        F.col("o_totalprice").alias("v"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("l_quantity").alias("v"),
+    )
+
+    def gsets(df: DataFrame, kind: str) -> DataFrame:
+        grouped = df.rollup("k1", "k2") if kind == "rollup" else df.cube("k1", "k2")
+        return grouped.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("v"), 2).alias("sum_val"),
             F.grouping_id().cast("int").alias("gid"),
-        )
+        ).withColumn("op", F.lit(kind))
+
+    return (
+        gsets(o, "rollup")
+        .unionByName(gsets(li, "cube"))
+        .select("op", "k1", "k2", "n_rows", "sum_val", "gid")
     )
 
 
-ORACLE_ROLLUP = """
-SELECT o_orderpriority, o_orderstatus,
-       count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price,
+ORACLE_ROLLUP_CUBE = """
+SELECT 'rollup' AS op, o_orderpriority AS k1, o_orderstatus AS k2,
+       count(*) AS n_rows,
+       round(sum(o_totalprice), 2) AS sum_val,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-"""
-
-
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.grouping_id().cast("int").alias("gid"),
-        )
-    )
-
-
-ORACLE_CUBE = """
-SELECT l_returnflag, l_linestatus,
-       count(*) AS n_items,
-       round(sum(l_quantity), 2) AS sum_qty,
+UNION ALL
+SELECT 'cube' AS op, l_returnflag AS k1, l_linestatus AS k2,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_val,
        CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -246,67 +250,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 gap: full predicate grammar — AND/OR/NOT, IN, BETWEEN, LIKE,
-    null checks — pushed to the parquet scan."""
-    o = t(spark, sf_dir, "orders")
-    return o.filter(
-        (F.col("o_totalprice").between(1000, 150000))
-        & (F.col("o_orderstatus").isin("O", "F"))
-        & (F.col("o_orderpriority").like("%-%"))
-        & (~F.col("o_orderpriority").like("5-%") | (F.col("o_totalprice") > 100000))
-        & (F.col("o_custkey").isNotNull())
-    ).select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        F.round("o_totalprice", 2).alias("total_price"),
-        "o_orderpriority",
-    )
-
-
-ORACLE_FILTER = """
-SELECT o_orderkey, o_custkey, o_orderstatus,
-       round(o_totalprice, 2) AS total_price,
-       o_orderpriority
-FROM orders
-WHERE o_totalprice BETWEEN 1000 AND 150000
-  AND o_orderstatus IN ('O', 'F')
-  AND o_orderpriority LIKE '%-%'
-  AND (o_orderpriority NOT LIKE '5-%' OR o_totalprice > 100000)
-  AND o_custkey IS NOT NULL
-"""
-
-
 def staging_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 parity: the staging-model shape — projection + rename + lenient
-    cast chain (reference stg_tracks.sql:5-14)."""
-    o = t(spark, sf_dir, "orders")
-    return o.select(
-        F.col("o_orderkey").cast("string").alias("order_id"),
-        F.col("o_custkey").cast("string").alias("customer_id"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
-        F.upper("o_orderstatus").alias("order_status"),
-        F.col("o_totalprice").cast("double").alias("total_price"),
-        F.split("o_orderpriority", "-").getItem(0).try_cast("int").alias("priority_rank"),
-    )
-
-
-ORACLE_CASTPROJ = """
-SELECT CAST(o_orderkey AS VARCHAR)  AS order_id,
-       CAST(o_custkey AS VARCHAR)   AS customer_id,
-       CAST(o_orderdate AS DATE)    AS order_date,
-       upper(o_orderstatus)         AS order_status,
-       CAST(o_totalprice AS DOUBLE) AS total_price,
-       TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS priority_rank
-FROM orders
-"""
-
-
-def date_normalize_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 parity: the reference's CASE partial-date padding
-    (airflow/dags/dbt/.../stg_albums.sql:7-12) exercised on synthetic
-    partial dates derived deterministically from o_orderdate."""
+    """P2-P4 parity in one staging model: projection + rename + lenient
+    cast chain (reference stg_tracks.sql:5-14) plus the reference's CASE
+    partial-date padding (airflow/dags/dbt/.../stg_albums.sql:7-12),
+    exercised on synthetic partial dates derived deterministically from
+    o_orderdate. One per-row projection, no shuffle."""
     o = t(spark, sf_dir, "orders")
     prec = F.col("o_orderkey") % 3
     raw = (
@@ -315,21 +264,32 @@ def date_normalize_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
     )
     return o.select(
-        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_custkey").cast("string").alias("customer_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.upper("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.split("o_orderpriority", "-").getItem(0).try_cast("int").alias("priority_rank"),
         raw.alias("raw_date"),
         normalize_partial_date(raw).alias("norm_date"),
     )
 
 
-ORACLE_DATENORM = """
+ORACLE_CASTPROJ = """
 WITH r AS (
-  SELECT o_orderkey,
+  SELECT *,
          CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y')
               WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m')
               ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw_date
   FROM orders
 )
-SELECT o_orderkey, raw_date,
+SELECT CAST(o_orderkey AS VARCHAR)  AS order_id,
+       CAST(o_custkey AS VARCHAR)   AS customer_id,
+       CAST(o_orderdate AS DATE)    AS order_date,
+       upper(o_orderstatus)         AS order_status,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS priority_rank,
+       raw_date,
        CASE WHEN length(raw_date) = 4  THEN TRY_CAST(concat(raw_date, '-01-01') AS DATE)
             WHEN length(raw_date) = 7  THEN TRY_CAST(concat(raw_date, '-01') AS DATE)
             WHEN length(raw_date) = 10 THEN TRY_CAST(raw_date AS DATE)
@@ -347,10 +307,18 @@ def distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DISTINCT = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
 
 
-def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 gap: date/string/math scalar families in one projection."""
+def filter_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + F7 in one query: the full predicate grammar — AND/OR/NOT,
+    IN, BETWEEN, LIKE, null checks — pushed to the parquet scan, feeding
+    the date/string/math scalar families in one projection."""
     o = t(spark, sf_dir, "orders")
-    return o.select(
+    return o.filter(
+        (F.col("o_totalprice").between(1000, 150000))
+        & (F.col("o_orderstatus").isin("O", "F"))
+        & (F.col("o_orderpriority").like("%-%"))
+        & (~F.col("o_orderpriority").like("5-%") | (F.col("o_totalprice") > 100000))
+        & (F.col("o_custkey").isNotNull())
+    ).select(
         "o_orderkey",
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
@@ -367,7 +335,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SCALAR = """
+ORACLE_FILTER_SCALAR = """
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS INT)  AS order_year,
        CAST(month(o_orderdate) AS INT) AS order_month,
@@ -380,6 +348,11 @@ SELECT o_orderkey,
        round(sqrt(abs(o_totalprice)), 2)               AS sqrt_price,
        CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class
 FROM orders
+WHERE o_totalprice BETWEEN 1000 AND 150000
+  AND o_orderstatus IN ('O', 'F')
+  AND o_orderpriority LIKE '%-%'
+  AND (o_orderpriority NOT LIKE '5-%' OR o_totalprice > 100000)
+  AND o_custkey IS NOT NULL
 """
 
 def agg_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,7 +539,10 @@ def json_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     parsed = F.from_json("props", "k INT")
     arr = F.sequence(F.lit(1), k % 5 + 1)
-    return ev.select(
+    # Non-null guard on k: legacy Spark size(NULL) = -1 while DuckDB
+    # len(NULL) = NULL, and to_json null-field handling differs — both
+    # engines filter the same rows so missing keys can't diverge.
+    return ev.filter(k.isNotNull()).select(
         "event_id",
         k.alias("k_extracted"),
         parsed["k"].alias("k_parsed"),
@@ -584,6 +560,7 @@ SELECT event_id,
        CAST(list_max(range(1, CAST(json_extract_string(props, '$.k') AS INT) % 5 + 2)) AS INT) AS arr_max,
        to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT))) AS rejson
 FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
 """
 
 
@@ -619,49 +596,31 @@ QUALIFY rn <= 3
 """
 
 
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate frame: cumulative spend per user in event order."""
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame + analytic offsets in one window pass: cumulative
+    spend plus lag/lead neighbors per user in event order. All three
+    functions share one (partition, order) spec, so Catalyst plans a
+    single exchange + single sort for the whole projection."""
     ev = t(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.round(F.sum("value").over(wf), 2).alias("running_value"),
+        F.round(F.lag("value", 1).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 2).alias("next_value"),
     )
 
 
-ORACLE_WINDOW_RUNNING = """
+ORACLE_WINDOW_RUNNING_LAG = """
 SELECT user_id, event_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-           AS running_value
+           AS running_value,
+       round(lag(value, 1)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+       round(lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value
 FROM events
-"""
-
-
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic functions: prior/next order price per customer."""
-    o = t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round("o_totalprice", 2).alias("total_price"),
-        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
-        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
-    )
-
-
-ORACLE_WINDOW_LAGLEAD = """
-SELECT o_custkey, o_orderkey,
-       round(o_totalprice, 2) AS total_price,
-       round(lag(o_totalprice, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
-       round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
-FROM orders
 """
 
 # ---------------------------------------------------------------------------
@@ -705,57 +664,61 @@ _SETOP_SIDES_SQL = (
 )
 
 
-def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over the same two keyed sides, tagged
+    by ``op``. ``subtract`` == SQL EXCEPT (set semantics); ``exceptAll``
+    would keep surplus duplicate occurrences (EXCEPT ALL)."""
     a, b = _setop_sides(spark, sf_dir)
-    return a.union(b).distinct()
+    u = a.union(b).distinct().withColumn("op", F.lit("union"))
+    i = a.intersect(b).withColumn("op", F.lit("intersect"))
+    e = a.subtract(b).withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e).select("op", "c_custkey")
 
 
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a, b = _setop_sides(spark, sf_dir)
-    return a.intersect(b)
-
-
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # subtract == SQL EXCEPT (set semantics); exceptAll would keep surplus
-    # duplicate occurrences, which is EXCEPT ALL.
-    a, b = _setop_sides(spark, sf_dir)
-    return a.subtract(b)
-
-
-ORACLE_UNION = f"{_SETOP_SIDES_SQL[0]} UNION {_SETOP_SIDES_SQL[1]}"
-ORACLE_INTERSECT = f"{_SETOP_SIDES_SQL[0]} INTERSECT {_SETOP_SIDES_SQL[1]}"
-ORACLE_EXCEPT = f"{_SETOP_SIDES_SQL[0]} EXCEPT {_SETOP_SIDES_SQL[1]}"
+ORACLE_SET_OPERATIONS = f"""
+SELECT 'union' AS op, c_custkey
+FROM ({_SETOP_SIDES_SQL[0]} UNION {_SETOP_SIDES_SQL[1]})
+UNION ALL
+SELECT 'intersect' AS op, c_custkey
+FROM ({_SETOP_SIDES_SQL[0]} INTERSECT {_SETOP_SIDES_SQL[1]})
+UNION ALL
+SELECT 'except' AS op, c_custkey
+FROM ({_SETOP_SIDES_SQL[0]} EXCEPT {_SETOP_SIDES_SQL[1]})
+"""
 
 # ---------------------------------------------------------------------------
 # Join family beyond inner-equi (J3 gap): semi / anti / outer / range / as-of.
 # ---------------------------------------------------------------------------
 
 
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS — left_semi join, no row multiplication, build side broadcast."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS in one query, tagged by ``op``: left_semi
+    (no row multiplication, build side broadcast) unioned with
+    left_anti. The anti side's right input is filtered (no order above
+    300k) so its result is non-empty at every SF — an anti-join whose
+    expected output is zero rows can't distinguish a working operator
+    from LIMIT 0."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("op", F.lit("semi"))
+    )
+    big = o.filter(F.col("o_totalprice") > 300000)
+    anti = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("op", F.lit("anti"))
+    )
+    return semi.unionByName(anti).select("op", "c_custkey", "c_name")
 
 
-ORACLE_SEMI = """
-SELECT c_custkey, c_name FROM customer c
+ORACLE_SEMI_ANTI = """
+SELECT 'semi' AS op, c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-"""
-
-
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS — left_anti join. The right side is filtered (no order
-    above 300k) so the result is non-empty at every SF: an anti-join
-    whose expected output is zero rows can't distinguish a working
-    operator from LIMIT 0."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-ORACLE_ANTI = """
-SELECT c_custkey, c_name FROM customer c
+UNION ALL
+SELECT 'anti' AS op, c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
 """
@@ -784,29 +747,6 @@ GROUP BY c_custkey, c_mktsegment
 """
 
 
-def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta/range join: orders banded by an inline price-band dimension.
-    The band dim is 3 rows -> broadcast nested-loop, which is exactly the
-    right physical plan for a non-equi join against a tiny side."""
-    o = t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e18)],
-        "band_name string, lo double, hi double",
-    )
-    return (
-        o.join(
-            F.broadcast(bands),
-            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
-            "inner",
-        )
-        .groupBy("band_name")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-        )
-    )
-
-
 RANGE_DELTA = 1.0
 
 
@@ -818,6 +758,9 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in exactly one bucket (the right row's own bin), no dedup
     needed. Cost: 3x left rows through one hash join instead of n².
     The oracle runs the naive theta join — same result, different plan.
+    (The tiny-dim variant of a range join — a 3-row band dimension —
+    needs no binning: broadcast the dim and let the non-equi predicate
+    run as BroadcastNestedLoopJoin.)
     """
     p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     binned = p.withColumn(
@@ -854,17 +797,6 @@ FROM part a JOIN part b
 """
 
 
-ORACLE_RANGE = """
-SELECT band_name, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
-FROM orders
-JOIN (VALUES ('low', 0.0, 50000.0),
-             ('mid', 50000.0, 150000.0),
-             ('high', 150000.0, 1e18)) AS b(band_name, lo, hi)
-  ON o_totalprice >= lo AND o_totalprice < hi
-GROUP BY band_name
-"""
-
-
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for each event, the customer's most
     recent order date at-or-before the event time."""
@@ -894,15 +826,12 @@ QUERIES = {
     "fact_order_lineitems": fact_order_lineitems,
     "q1_pricing_summary": q1_pricing_summary,
     "group_agg_stats": group_agg_stats,
-    "agg_rollup": agg_rollup,
-    "agg_cube": agg_cube,
+    "agg_rollup_cube": agg_rollup_cube,
     "agg_pivot": agg_pivot,
     "agg_approx_distinct": agg_approx_distinct,
-    "filter_predicates": filter_predicates,
     "staging_cast_projection": staging_cast_projection,
-    "date_normalize_case": date_normalize_case,
     "distinct_dims": distinct_dims,
-    "scalar_functions": scalar_functions,
+    "filter_scalar_functions": filter_scalar_functions,
     "json_array_functions": json_array_functions,
     "agg_percentile_stats": agg_percentile_stats,
     "events_hypertable_rollup": events_hypertable_rollup,
@@ -910,16 +839,11 @@ QUERIES = {
     "q5_regional_revenue": q5_regional_revenue,
     "part_brand_pricing": part_brand_pricing,
     "window_rank_topk": window_rank_topk,
-    "window_running_sum": window_running_sum,
-    "window_lag_lead": window_lag_lead,
+    "window_running_lag": window_running_lag,
     "orderby_topk": orderby_topk,
-    "set_union": set_union,
-    "set_intersect": set_intersect,
-    "set_except": set_except,
-    "join_semi": join_semi,
-    "join_anti": join_anti,
+    "set_operations": set_operations,
+    "join_semi_anti": join_semi_anti,
     "join_outer_agg": join_outer_agg,
-    "join_range": join_range,
     "join_range_binned": join_range_binned,
     "join_asof": join_asof,
 }
@@ -929,15 +853,12 @@ ORACLE = {
     "fact_order_lineitems": ORACLE_FACT,
     "q1_pricing_summary": ORACLE_Q1,
     "group_agg_stats": ORACLE_STATS,
-    "agg_rollup": ORACLE_ROLLUP,
-    "agg_cube": ORACLE_CUBE,
+    "agg_rollup_cube": ORACLE_ROLLUP_CUBE,
     "agg_pivot": ORACLE_PIVOT,
     # agg_approx_distinct: rows-only (sketch values are engine-specific)
-    "filter_predicates": ORACLE_FILTER,
     "staging_cast_projection": ORACLE_CASTPROJ,
-    "date_normalize_case": ORACLE_DATENORM,
     "distinct_dims": ORACLE_DISTINCT,
-    "scalar_functions": ORACLE_SCALAR,
+    "filter_scalar_functions": ORACLE_FILTER_SCALAR,
     "json_array_functions": ORACLE_JSON_ARRAY,
     "agg_percentile_stats": ORACLE_PERCENTILE_STATS,
     "events_hypertable_rollup": ORACLE_HYPERTABLE,
@@ -945,16 +866,11 @@ ORACLE = {
     "q5_regional_revenue": ORACLE_Q5,
     "part_brand_pricing": ORACLE_PART_BRAND,
     "window_rank_topk": ORACLE_WINDOW_TOPK,
-    "window_running_sum": ORACLE_WINDOW_RUNNING,
-    "window_lag_lead": ORACLE_WINDOW_LAGLEAD,
+    "window_running_lag": ORACLE_WINDOW_RUNNING_LAG,
     "orderby_topk": ORACLE_TOPK,
-    "set_union": ORACLE_UNION,
-    "set_intersect": ORACLE_INTERSECT,
-    "set_except": ORACLE_EXCEPT,
-    "join_semi": ORACLE_SEMI,
-    "join_anti": ORACLE_ANTI,
+    "set_operations": ORACLE_SET_OPERATIONS,
+    "join_semi_anti": ORACLE_SEMI_ANTI,
     "join_outer_agg": ORACLE_OUTER,
-    "join_range": ORACLE_RANGE,
     "join_range_binned": ORACLE_RANGE_BINNED,
     "join_asof": ORACLE_ASOF,
 }

@@ -20,85 +20,75 @@ SESSION_GAP = "30 minutes"
 
 
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows per event_type, computed by a
-    streaming aggregation in append mode: a window is emitted exactly once,
-    when the watermark passes its end, and its state is then purged — the
-    only output mode whose state stays bounded on an unbounded stream.
-    (AvailableNow runs a final no-data microbatch that advances the
-    watermark past max(ts), flushing every window.)"""
-    src = read_table_stream(spark, sf_dir, "events")
-    agg = (
-        src.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    """Tumbling (1-hour) AND sliding (1 hour long, every 30 minutes —
+    each event lands in exactly 2 overlapping windows) event-time window
+    aggregations per event_type, two streaming jobs unioned with a
+    ``kind`` tag. Both run in append mode: a window is emitted exactly
+    once, when the watermark passes its end, and its state is then
+    purged — the only output mode whose state stays bounded on an
+    unbounded stream. (AvailableNow runs a final no-data microbatch that
+    advances the watermark past max(ts), flushing every window.)"""
+
+    def windowed(win: F.Column, name: str, kind: str) -> DataFrame:
+        src = read_table_stream(spark, sf_dir, "events")
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(win.alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+        out = run_available_now(agg, name, output_mode="append")
+        return out.select(
+            F.lit(kind).alias("kind"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+
+    tumbling = windowed(F.window("ts", "1 hour"), "windowed_counts", "tumbling")
+    sliding = windowed(
+        F.window("ts", "1 hour", "30 minutes"), "sliding_counts", "sliding"
     )
-    out = run_available_now(agg, "windowed_counts", output_mode="append")
-    return out.select(
-        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-        "sum_value",
-    )
+    return tumbling.unionByName(sliding)
 
 
 # Append-mode twin: Spark emits a window only once the watermark
 # (= ms-truncated max event time - 1h delay) passes the window END, so the
 # oracle applies the identical cutoff. Spark tracks event-time stats at
-# millisecond precision, hence the // 1000 truncation.
+# millisecond precision, hence the // 1000 truncation. For the sliding
+# side, each event expands to its two covering 30-min-aligned window
+# starts under the same cutoff.
 ORACLE_WINDOWED = """
-WITH wm AS (
-  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
-)
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type,
-       count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
-FROM events, wm
-WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm_us
-GROUP BY 1, 2
-"""
-
-
-def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding event-time windows (1 hour long, every 30 minutes — each
-    event lands in exactly 2 overlapping windows), append mode under the
-    same watermark-flush semantics as the tumbling query."""
-    src = read_table_stream(spark, sf_dir, "events")
-    agg = (
-        src.withWatermark("ts", "1 hour")
-        .groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
-        )
-        .agg(F.count("*").alias("n_events"))
-    )
-    out = run_available_now(agg, "sliding_counts", output_mode="append")
-    return out.select(
-        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-    )
-
-
-# Each event expands to its two covering 30-min-aligned window starts;
-# append-mode emission applies the identical ms-truncated watermark
-# cutoff as ORACLE_WINDOWED.
-ORACLE_SLIDING = """
 WITH wm AS (
   SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
 ),
 ex AS (
-  SELECT event_type,
+  SELECT event_type, value,
          unnest([time_bucket(INTERVAL '30 minutes', ts),
                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
              AS w_start
   FROM events
 )
-SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+SELECT 'tumbling' AS kind,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
-       count(*) AS n_events
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events, wm
+WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm_us
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'sliding' AS kind,
+       strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
 FROM ex, wm
 WHERE epoch_us(w_start) + 3600000000 <= wm_us
-GROUP BY 1, 2
+GROUP BY 1, 2, 3
 """
 
 
@@ -264,7 +254,10 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     so the custom-state lane is fully oracle-checked."""
     src = read_table_stream(spark, sf_dir, "events").select("user_id", "value")
     totals = running_user_totals(src)
-    return run_available_now(totals, "stateful_totals", output_mode="update")
+    out = run_available_now(totals, "stateful_totals", output_mode="update")
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
 
 
 ORACLE_STATEFUL_TOTALS = """
@@ -276,7 +269,6 @@ GROUP BY user_id
 
 QUERIES = {
     "streaming_windowed_counts": streaming_windowed_counts,
-    "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_dedup_events": streaming_dedup_events,
     "sessionize_events": sessionize_events,
     "streaming_sessionize": streaming_sessionize,
@@ -286,7 +278,6 @@ QUERIES = {
 
 ORACLE = {
     "streaming_windowed_counts": ORACLE_WINDOWED,
-    "streaming_sliding_counts": ORACLE_SLIDING,
     "streaming_dedup_events": ORACLE_STREAM_DEDUP,
     "sessionize_events": ORACLE_SESSIONIZE,
     "streaming_sessionize": ORACLE_STREAM_SESSIONIZE,

@@ -24,25 +24,46 @@ _PUNCT_RE = "[a-z0-9 ]"
 FINGERPRINT_NGRAM = 8
 
 
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokenization, char/token counts."""
+def text_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization + token counting in one projection — the
+    first stage of every training-data pipeline: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim (pure
+    regexp_replace chain, JVM codegen'd), alongside whitespace token and
+    char counts on the raw text so the reduction is measurable."""
     docs = t(spark, sf_dir, "documents")
     toks = tokens("text")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", " "),
+            "\\s+",
+            " ",
+        )
+    )
     return docs.select(
         "doc_id",
+        cleaned.alias("clean_text"),
         F.size(toks).alias("n_tokens"),
-        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
         F.round(F.length("text") / F.size(toks), 4).alias("chars_per_token"),
     )
 
 
-ORACLE_TOKEN_STATS = r"""
+ORACLE_NORMALIZE_TOKENS = r"""
+WITH x AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS clean_text,
+         string_split_regex(lower(text), '\s+') AS w
+  FROM documents
+)
 SELECT doc_id,
-       CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS n_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars_measured,
-       round(length(text) / len(string_split_regex(lower(text), '\s+')), 4)
-           AS chars_per_token
-FROM documents
+       clean_text,
+       CAST(len(w) AS INT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+       round(length(text) / len(w), 4) AS chars_per_token
+FROM x
 """
 
 
@@ -85,9 +106,11 @@ FROM x
 """
 
 
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID with a deterministic argmax tiebreak
-    (first language in en > es > de > fr order wins ties)."""
+def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + content fingerprint in one projection: stopword-hit
+    language ID with a deterministic argmax tiebreak (first language in
+    en > es > de > fr order wins ties), plus a min-hash over rolling
+    character 8-grams (winnowing-style content signature, portable md5)."""
     docs = t(spark, sf_dir, "documents")
     toks = tokens("text")
     hits = {lang: stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
@@ -97,11 +120,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         later = [hits[other] for other in langs[langs.index(lang) + 1 :]]
         cond = hits[lang] >= F.greatest(*later) if len(later) > 1 else hits[lang] >= later[0]
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    grams = char_shingles("text", FINGERPRINT_NGRAM)
+    fp = F.array_min(F.transform(grams, F.md5))
     return docs.select(
         "doc_id",
         *[hits[lang].alias(f"{lang}_hits") for lang in langs],
         pred.alias("predicted_lang"),
         F.col("lang").alias("actual_lang"),
+        fp.alias("fingerprint"),
     )
 
 
@@ -110,12 +136,13 @@ def _lang_hits_sql(lang: str) -> str:
     return f"CAST(len(list_filter(w, tok -> tok IN ({words}))) AS INT)"
 
 
-ORACLE_LANG_ID = rf"""
+ORACLE_LANG_FINGERPRINT = rf"""
 WITH x AS (
-  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w FROM documents
+  SELECT doc_id, lang, text, string_split_regex(lower(text), '\s+') AS w
+  FROM documents
 ),
 h AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text,
          {_lang_hits_sql("en")} AS en_hits,
          {_lang_hits_sql("es")} AS es_hits,
          {_lang_hits_sql("de")} AS de_hits,
@@ -127,59 +154,12 @@ SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
             WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
             WHEN de_hits >= fr_hits THEN 'de'
             ELSE 'fr' END AS predicted_lang,
-       lang AS actual_lang
-FROM h
-"""
-
-
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: min-hash over rolling character 8-grams
-    (winnowing-style content signature, portable md5)."""
-    docs = t(spark, sf_dir, "documents")
-    grams = char_shingles("text", FINGERPRINT_NGRAM)
-    fp = F.array_min(F.transform(grams, F.md5))
-    return docs.select("doc_id", fp.alias("fingerprint"))
-
-
-ORACLE_FINGERPRINT = f"""
-SELECT doc_id,
+       lang AS actual_lang,
        CASE WHEN length(text) >= {FINGERPRINT_NGRAM}
             THEN (SELECT min(md5(substr(text, i, {FINGERPRINT_NGRAM})))
                   FROM unnest(range(1, length(text) - {FINGERPRINT_NGRAM - 2})) AS t(i))
             ELSE md5(text) END AS fingerprint
-FROM documents
-"""
-
-
-def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus normalization — the first stage of every training-data
-    pipeline: lowercase, strip non-alphanumerics to spaces, collapse
-    whitespace runs, trim. Pure regexp_replace chain (JVM, codegen'd);
-    emits before/after lengths so the reduction is measurable."""
-    docs = t(spark, sf_dir, "documents")
-    cleaned = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", " "),
-            "\\s+",
-            " ",
-        )
-    )
-    return docs.select(
-        "doc_id",
-        cleaned.alias("clean_text"),
-        F.length("text").cast("bigint").alias("n_chars_raw"),
-        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
-    )
-
-
-ORACLE_NORMALIZE = r"""
-SELECT doc_id,
-       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-                           '\s+', ' ', 'g')) AS clean_text,
-       CAST(length(text) AS BIGINT) AS n_chars_raw,
-       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-                                       '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
-FROM documents
+FROM h
 """
 
 
@@ -246,19 +226,15 @@ SELECT doc_id, token, tf_raw, df, tfidf, rank FROM ranked WHERE rank <= 3
 
 
 QUERIES = {
-    "text_token_stats": text_token_stats,
+    "text_normalize_tokens": text_normalize_tokens,
     "text_quality_score": text_quality_score,
-    "text_lang_id": text_lang_id,
-    "text_fingerprint": text_fingerprint,
-    "text_normalize_clean": text_normalize_clean,
+    "text_lang_fingerprint": text_lang_fingerprint,
     "text_tfidf_top_terms": text_tfidf_top_terms,
 }
 
 ORACLE = {
-    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_normalize_tokens": ORACLE_NORMALIZE_TOKENS,
     "text_quality_score": ORACLE_QUALITY,
-    "text_lang_id": ORACLE_LANG_ID,
-    "text_fingerprint": ORACLE_FINGERPRINT,
-    "text_normalize_clean": ORACLE_NORMALIZE,
+    "text_lang_fingerprint": ORACLE_LANG_FINGERPRINT,
     "text_tfidf_top_terms": ORACLE_TFIDF,
 }

@@ -44,17 +44,36 @@ FROM x
 
 
 def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas group-map: z-score of event value within event_type."""
-    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return zscore_by_group(
-        ev, group_col="event_type", id_col="event_id", value_col="value"
+    """applyInPandas group-map: z-score of event value within
+    (event_type, day). The composite key keeps every pandas group
+    bounded by the day boundary — the group count grows with data
+    volume while each group's size stays fixed, so no single task ever
+    materializes an unbounded frame. Rounding happens JVM-side
+    (``F.round``) for SQL half-away-from-zero semantics."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    z = zscore_by_group(
+        ev,
+        group_cols=["event_type", "day"],
+        group_schema="event_type string, day string",
+        id_col="event_id",
+        value_col="value",
+    )
+    return z.select(
+        "event_id", "event_type", "day", F.round("zscore", 4).alias("zscore")
     )
 
 
 ORACLE_GROUP_ZSCORE = """
 SELECT event_id, event_type,
-       round((value - avg(value) OVER (PARTITION BY event_type))
-             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       round((value - avg(value) OVER (PARTITION BY event_type, date_trunc('day', ts)))
+             / stddev_samp(value) OVER (PARTITION BY event_type, date_trunc('day', ts)), 4)
+           AS zscore
 FROM events
 """
 

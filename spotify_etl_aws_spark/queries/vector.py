@@ -6,13 +6,17 @@
   broadcast; the scan side is embarrassingly parallel (no shuffle until
   the final TakeOrderedAndProject).
 - ``vector_ann_ivf_bucketed``: the scale path — IVF-style bucketed
-  similarity join with a *computed* coarse quantizer: the first
-  ``NUM_CENTROIDS`` vectors act as centroids (deterministic stand-in for
-  a k-means step at production scale), every vector is assigned to its
-  argmax-cosine cell entirely map-side (centroids collapse to ONE
-  broadcast array row; assignment is ``transform`` + ``array_max``, no
-  shuffle), and candidates only meet within a cell — the quadratic cross
-  join becomes a per-cell equi-join.
+  similarity join with a LEARNED coarse quantizer: deterministic k-means
+  (fixed init = the first ``NUM_CENTROIDS`` vectors, exactly
+  ``KMEANS_ITERS`` Lloyd iteration(s); components rounded to 6 decimals
+  each M-step so cross-engine summation-order drift cannot move a
+  boundary assignment), every vector assigned to its argmax-cosine cell
+  entirely map-side (centroids collapse to ONE broadcast array row;
+  assignment is ``transform`` + ``array_max``, no shuffle), and
+  candidates only meet within a cell — the quadratic cross join becomes
+  a per-cell equi-join. Each E-step is one broadcast projection; each
+  M-step is one posexplode + (cell, dim) partial-aggregating shuffle —
+  per iteration cost is linear in rows x dims, never pairwise.
 
 Arithmetic is double on both engines; scores rounded to 4 places so
 summation-order ulp drift can't flip the hash.
@@ -30,19 +34,26 @@ QUERY_VEC_ID = 0
 TOPK = 10
 NUM_CENTROIDS = 8
 IVF_THRESHOLD = 0.35
+KMEANS_ITERS = 1
+CENTROID_DECIMALS = 6
 
 
 def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k. The 1-row query vector is fetched once
+    driver-side and inlined as an array LITERAL (same policy as the IDF
+    scalar in queries/text.py): the whole query is then a single
+    scan -> project -> TakeOrderedAndProject job, with no broadcast-
+    build job and no join at all."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qv])
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cosine"),
+            F.round(cosine(F.col("v"), q), 4).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOPK)
@@ -67,19 +78,11 @@ LIMIT {TOPK}
 """
 
 
-def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
-    # Coarse quantizer: centroids collapse to a single array row that is
-    # broadcast to every task; cell assignment is a pure projection
-    # (transform + array_max argmax, ties -> lowest cell id). Zero
-    # shuffles until the per-cell candidate join.
-    cents = (
-        emb.filter(F.col("vec_id") < NUM_CENTROIDS)
-        .select(F.struct(F.col("vec_id").alias("cell"), F.col("v").alias("cv")).alias("c"))
-        .agg(F.collect_list("c").alias("cents"))
-    )
+def _assign_cells(emb: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """E-step: argmax-cosine cell assignment as a pure projection.
+    ``cents_row`` is ONE row holding array<struct<cell, cv>>; it is
+    broadcast to every task and the argmax runs via transform +
+    array_max (ties -> lowest cell id). Zero shuffles."""
     best = F.array_max(
         F.transform(
             F.col("cents"),
@@ -89,10 +92,47 @@ def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", (-best["nc"]).alias("cell"))
+    return emb.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "v", (-best["nc"]).alias("cell")
     )
+
+
+def _collapse_cents(cents: DataFrame) -> DataFrame:
+    """(cell, cv) rows -> one array<struct> row for broadcast."""
+    return cents.select(
+        F.struct(F.col("cell"), F.col("cv")).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+
+
+def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    # Deterministic k-means init: the first NUM_CENTROIDS vectors.
+    cents_row = _collapse_cents(
+        emb.filter(F.col("vec_id") < NUM_CENTROIDS).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
+    )
+    # Lloyd iterations: E-step broadcast assignment, M-step element-wise
+    # mean per cell (posexplode -> one (cell, dim) shuffle with partial
+    # aggregation -> re-assembled array). Means are rounded so the DuckDB
+    # twin lands on bit-identical centroids; empty cells drop out
+    # identically in both engines.
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign_cells(emb, cents_row)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), CENTROID_DECIMALS).alias("m"))
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.transform("dm", lambda p: p["m"]).alias("cv"))
+        )
+        cents_row = _collapse_cents(cents)
+    assign = _assign_cells(emb, cents_row)
     a = assign.alias("a")
     b = assign.alias("b")
     cos = cosine(F.col("a.v"), F.col("b.v"))
@@ -112,25 +152,40 @@ def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_EC = """list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"""
+
 ORACLE_ANN_IVF = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-c AS (
+c0 AS (
   SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {NUM_CENTROIDS}
 ),
-scored AS (
+s0 AS (
   SELECT e.vec_id, e.v, c.cell,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY list_dot_product(e.v, c.cv)
-                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           ORDER BY {_COS_EC} DESC,
                     c.cell ASC) AS rn
-  FROM e, c
+  FROM e, c0 c
 ),
-assign AS (
-  SELECT vec_id, v, cell FROM scored WHERE rn = 1
-)
+a0 AS (SELECT vec_id, v, cell FROM s0 WHERE rn = 1),
+m1 AS (
+  SELECT cell, u.i AS i, round(avg(v[u.i]), {CENTROID_DECIMALS}) AS m
+  FROM a0, unnest(generate_series(1, len(v))) AS u(i)
+  GROUP BY cell, u.i
+),
+c1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM m1 GROUP BY cell),
+s1 AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_COS_EC} DESC,
+                    c.cell ASC) AS rn
+  FROM e, c1 c
+),
+assign AS (SELECT vec_id, v, cell FROM s1 WHERE rn = 1)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)

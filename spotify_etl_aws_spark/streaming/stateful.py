@@ -45,11 +45,14 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        # total_value leaves unrounded: Python round() is banker's
+        # rounding; SQL-semantics rounding (half away from zero) is
+        # applied JVM-side by the caller via F.round.
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [total],
             }
         )
 

@@ -92,6 +92,27 @@ def test_orderby_topk_is_take_ordered(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_q5_broadcasts_only_fixed_dims(spark, sf_dir):
+    """The heaviest join tree: nation (25 rows) and region (5 rows) are
+    the ONLY forced broadcasts — customer/supplier/orders/lineitem grow
+    with SF and must stay shuffle-joinable (AQE may still elect to
+    broadcast them at small SF, but the plan must never require it) —
+    and no join may degenerate to a cartesian product."""
+    df = QUERIES["q5_regional_revenue"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly the two fixed-size dims (nation, region) carry broadcast
+    # hints on their join sides
+    assert optimized.count("strategy=broadcast") == 2, optimized
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # scans prune: lineitem must not read l_comment / l_shipdate
+    li_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    )
+    assert "l_comment" not in li_scan and "l_shipdate" not in li_scan
+
+
 def test_asof_single_exchange_and_sort(spark, sf_dir):
     """The union+window as-of composition: one hash exchange + one sort,
     independent of per-key right cardinality."""

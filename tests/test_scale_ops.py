@@ -4,8 +4,10 @@ shape asserted."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
+from spotify_etl_aws_spark.operators.dedup import jaccard_pairs
 from spotify_etl_aws_spark.operators.skew import salted_join
 from spotify_etl_aws_spark.sources.readers import load_table
 from spotify_etl_aws_spark.sources.sinks import save_bucketed
@@ -53,3 +55,30 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
     )
     assert sorted(salted.collect()) == sorted(plain.collect())
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Replicating the right side over salt values would emit spurious
+    null-left rows for right/full outer — the operator must refuse."""
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, df, on="k", how=how)
+
+
+def test_jaccard_max_df_bounds_hot_shingle_expansion(spark):
+    """A stopword-like shingle shared by every doc must not generate the
+    quadratic pair set once the document-frequency cap is on."""
+    n = 30
+    hot = "the quick brown fox"  # 2 shingles (3-grams), in all 30 docs
+    rows = [(i, f"{hot} unique{i} body{i} tail{i} end{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = jaccard_pairs(docs, threshold=0.01, max_df=None)
+    # every pair of docs shares the hot shingles -> full quadratic blowup
+    assert uncapped.count() == n * (n - 1) // 2
+
+    capped = jaccard_pairs(docs, threshold=0.01, max_df=10)
+    # hot shingles (df=30 > 10) leave the effective sets; the remaining
+    # per-doc unique shingles share nothing -> zero pairs survive
+    assert capped.count() == 0
