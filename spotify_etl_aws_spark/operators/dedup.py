@@ -327,23 +327,23 @@ def neardup_clusters(
             .groupBy("doc_a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # the changed flag rides along in the same checkpointed pass, so
+        # the convergence probe is a filter-count on in-memory blocks,
+        # not another join against the previous labels
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+        )
+        flagged = (
             labels.join(neigh, labels.node == neigh.doc_a, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.filter(F.col("chg")).count()
+        labels = flagged.drop("chg")
         if changed == 0:
             break
     if changed:
