@@ -399,10 +399,15 @@ GROUP BY l_returnflag
 
 
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape — the full snowflake: customer ⋈ orders ⋈ lineitem
-    ⋈ supplier (co-located nation) ⋈ nation ⋈ region. nation/region are
-    fixed-size (25/5 rows) and broadcast; supplier grows with SF and is
-    left to Catalyst/AQE."""
+    """TPC-H Q5 shape — the full snowflake, rooted at the FACT: lineitem
+    ⋈ orders ⋈ customer ⋈ supplier (co-located nation) ⋈ nation ⋈
+    region. Lineitem is the largest table at every SF, so it must be the
+    PROBE side streaming through the joins — hash tables build over the
+    SF-smaller dims, never over the fact. nation/region are fixed-size
+    (25/5 rows) and broadcast explicitly; orders/customer/supplier grow
+    with SF and are left to Catalyst/AQE (broadcast under the threshold,
+    shuffled hash/sort-merge above — the li-rooted order is correct in
+    both regimes)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -410,8 +415,8 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from spotify_etl_aws_spark.operators.dedup import jaccard_pairs
+from spotify_etl_aws_spark.operators.dedup import jaccard_pairs, label_propagation
 from spotify_etl_aws_spark.operators.skew import salted_join
 from spotify_etl_aws_spark.sources.readers import load_table
 from spotify_etl_aws_spark.sources.sinks import save_bucketed
@@ -64,6 +64,28 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(df, df, on="k", how=how)
+
+
+def test_label_propagation_chain_converges_to_min(spark):
+    """A path graph 0-1-2-3-4 has diameter 4; with enough iterations
+    every node labels to the component minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.range(5).withColumnRenamed("id", "node")
+    got = {r.node: r.label for r in label_propagation(pairs, nodes, max_iters=8).collect()}
+    assert got == {i: 0 for i in range(5)}
+
+
+def test_label_propagation_raises_when_iteration_bound_too_small(spark):
+    """Silently returning half-propagated labels would be wrong cluster
+    representatives; the operator must fail loud instead."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.range(5).withColumnRenamed("id", "node")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(pairs, nodes, max_iters=1)
 
 
 def test_jaccard_max_df_bounds_hot_shingle_expansion(spark):
