@@ -24,6 +24,8 @@ summation-order ulp drift can't flip the hash.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,6 +40,22 @@ KMEANS_ITERS = 1
 CENTROID_DECIMALS = 6
 
 
+def _query_vector(sf_dir: str, vec_id: int) -> list[float]:
+    """Driver-side parameter fetch: the query vector is an INPUT to the
+    search (in production it arrives with the request), not distributed
+    data — read it with pyarrow on the driver, no Spark job. float32 ->
+    Python float is the exact same widening Spark's float->double cast
+    performs, so literals match the scan-side arithmetic bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return [float(x) for x in tbl.column("embedding")[0].as_py()]
+
+
 def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k. The 1-row query vector is fetched once
     driver-side and inlined as an array LITERAL (same policy as the IDF
@@ -47,8 +65,7 @@ def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").head()[0]
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    q = F.array(*[F.lit(x) for x in _query_vector(sf_dir, QUERY_VEC_ID)])
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select(
