@@ -91,6 +91,9 @@ def main() -> None:
             materialize(queries[name](spark, sf_dir))
         except Exception:
             pass  # the timed loop below reports the failure
+    # settle: collect the warm pass's garbage so the first timed queries
+    # don't absorb its GC pauses
+    spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     failed = 0

@@ -29,8 +29,14 @@ BATCH_QUERIES = [
     "join_asof",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_lsh_verified_pairs",
     "vector_ann_ivf_bucketed",
     "orderby_topk",
+    "join_range_binned",
+    "set_operations",
+    "join_semi_anti",
+    "corpus_curation",
 ]
 
 
@@ -119,3 +125,30 @@ def test_asof_single_exchange_and_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_asof")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_binned_is_equi_join(spark, sf_dir):
+    """The big-big range join must meet on the bin EQUI-key (hash or
+    sort-merge join), never a nested loop — that's the whole point of
+    the bin±1 explode."""
+    plan = _plan(spark, sf_dir, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    assert "jbin" in plan
+
+
+def test_multimodal_media_bytes_never_shuffle(spark, sf_dir):
+    """The decode pipeline is shuffle-free: binary media bytes flow
+    scan -> mapInPandas -> feature projection entirely within a stage.
+    At 100 TB, shuffling raw media would dominate the job; this pins
+    that no Exchange exists anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "multimodal_images")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_tfidf_partial_aggregation_everywhere(spark, sf_dir):
+    """All three hash aggregations (tf, doc_len, df) must partial-
+    aggregate map-side before their exchanges."""
+    plan = _plan(spark, sf_dir, "text_tfidf_top_terms")
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 3
