@@ -22,16 +22,22 @@ STOPWORDS = {
 }
 _PUNCT_RE = "[a-z0-9 ]"
 FINGERPRINT_NGRAM = 8
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs — the
+# regex-split shape subword tokenizers apply before merges. Identical
+# pattern semantics in Spark and DuckDB regexp_extract_all.
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
 
 
 def text_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus normalization + token counting in one projection — the
     first stage of every training-data pipeline: lowercase, strip
     non-alphanumerics to spaces, collapse whitespace runs, trim (pure
-    regexp_replace chain, JVM codegen'd), alongside whitespace token and
-    char counts on the raw text so the reduction is measurable."""
+    regexp_replace chain, JVM codegen'd), alongside whitespace AND
+    BPE-ish-regex token counts on the raw text so the reduction is
+    measurable and a subword-budget estimate rides along for free."""
     docs = t(spark, sf_dir, "documents")
     toks = tokens("text")
+    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", " "),
@@ -43,23 +49,26 @@ def text_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         cleaned.alias("clean_text"),
         F.size(toks).alias("n_tokens"),
+        F.size(bpe).alias("n_tokens_bpe"),
         F.length("text").cast("bigint").alias("n_chars_raw"),
         F.length(cleaned).cast("bigint").alias("n_chars_clean"),
         F.round(F.length("text") / F.size(toks), 4).alias("chars_per_token"),
     )
 
 
-ORACLE_NORMALIZE_TOKENS = r"""
+ORACLE_NORMALIZE_TOKENS = rf"""
 WITH x AS (
   SELECT doc_id, text,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
                              '\s+', ' ', 'g')) AS clean_text,
-         string_split_regex(lower(text), '\s+') AS w
+         string_split_regex(lower(text), '\s+') AS w,
+         regexp_extract_all(lower(text), '{_BPE_RE}') AS bpe
   FROM documents
 )
 SELECT doc_id,
        clean_text,
        CAST(len(w) AS INT) AS n_tokens,
+       CAST(len(bpe) AS INT) AS n_tokens_bpe,
        CAST(length(text) AS BIGINT) AS n_chars_raw,
        CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
        round(length(text) / len(w), 4) AS chars_per_token

@@ -14,6 +14,7 @@ harness.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -71,6 +72,9 @@ def run_available_now(
         q.awaitTermination()
     finally:
         sess.conf.set(key, old)
+        # the memory sink holds the results; the checkpoint is dead state
+        # once the query terminated — don't leak a dir per run
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return sess.table(name)
 
 
