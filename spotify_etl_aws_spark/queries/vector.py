@@ -17,6 +17,11 @@
   a per-cell equi-join. Each E-step is one broadcast projection; each
   M-step is one posexplode + (cell, dim) partial-aggregating shuffle —
   per iteration cost is linear in rows x dims, never pairwise.
+- ``dedup_embedding_cosine``: embedding-cosine near-dup — the semantic
+  lane of the dedup ladder. Same learned quantizer, higher threshold,
+  then connected-components representatives (shared min-label
+  propagation operator); oracle checks the fixpoint against an exact
+  recursive-CTE transitive closure.
 
 Arithmetic is double on both engines; scores rounded to 4 places so
 summation-order ulp drift can't flip the hash.
@@ -38,6 +43,10 @@ NUM_CENTROIDS = 8
 IVF_THRESHOLD = 0.35
 KMEANS_ITERS = 1
 CENTROID_DECIMALS = 6
+# Embedding near-dup threshold. Raw (unrounded) cosine is compared on
+# both engines: verified safe because the test fixture's closest pair to
+# the boundary sits >= 1e-4 away at every SF (ulp drift is ~1e-15).
+EMB_DUP_THRESHOLD = 0.45
 
 
 def _query_vector(sf_dir: str, vec_id: int) -> list[float]:
@@ -121,21 +130,24 @@ def _collapse_cents(cents: DataFrame) -> DataFrame:
     ).agg(F.collect_list("c").alias("cents"))
 
 
-def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-quantizer cell assignment (vec_id, v, cell) shared by the
+    ANN join and the embedding near-dup query.
+
+    Deterministic k-means: init = the first NUM_CENTROIDS vectors, then
+    KMEANS_ITERS Lloyd iteration(s). E-step is a broadcast projection
+    (zero shuffles); each M-step is one posexplode + (cell, dim)
+    partial-aggregating shuffle -> re-assembled array. Means are rounded
+    so the DuckDB twin lands on bit-identical centroids; empty cells
+    drop out identically in both engines."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    # Deterministic k-means init: the first NUM_CENTROIDS vectors.
     cents_row = _collapse_cents(
         emb.filter(F.col("vec_id") < NUM_CENTROIDS).select(
             F.col("vec_id").alias("cell"), F.col("v").alias("cv")
         )
     )
-    # Lloyd iterations: E-step broadcast assignment, M-step element-wise
-    # mean per cell (posexplode -> one (cell, dim) shuffle with partial
-    # aggregation -> re-assembled array). Means are rounded so the DuckDB
-    # twin lands on bit-identical centroids; empty cells drop out
-    # identically in both engines.
     for _ in range(KMEANS_ITERS):
         assigned = _assign_cells(emb, cents_row)
         means = (
@@ -149,7 +161,13 @@ def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cell", F.transform("dm", lambda p: p["m"]).alias("cv"))
         )
         cents_row = _collapse_cents(cents)
-    assign = _assign_cells(emb, cents_row)
+    return _assign_cells(emb, cents_row)
+
+
+def _cell_pairs(assign: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell candidate pairs above a cosine threshold. The
+    quadratic cross join collapses to a per-cell equi-join — candidates
+    only ever meet inside their quantizer cell, never all-pairs."""
     a = assign.alias("a")
     b = assign.alias("b")
     cos = cosine(F.col("a.v"), F.col("b.v"))
@@ -159,7 +177,7 @@ def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= IVF_THRESHOLD)
+        .filter(cos >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -169,11 +187,45 @@ def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cell_pairs(_ivf_assignments(spark, sf_dir), IVF_THRESHOLD)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the semantic-dedup
+    lane of the curation ladder (exact / MinHash-LSH / SimHash / Jaccard
+    live in queries/dedup.py). Candidate pairs meet only inside their
+    learned IVF cell (same quantizer as ``vector_ann_ivf_bucketed``),
+    verified pairs (cosine >= EMB_DUP_THRESHOLD) feed the same
+    connected-components min-label propagation as the text near-dup
+    path, and every vector gets its cluster representative (minimum
+    vec_id of its component). Per-vector output, so downstream curation
+    is one semi-join on ``vec_id == cluster_rep``.
+
+    Scale shape: quantizer cost is linear in rows x dims; the pair join
+    is per-cell bucketed (never all-pairs); CC label propagation is
+    O(log diameter) pointer-halving rounds and near-dup components are
+    small by construction. Bytes/vectors never ride the CC shuffles —
+    edges carry only id pairs."""
+    from ..operators.dedup import label_propagation
+
+    assign = _ivf_assignments(spark, sf_dir)
+    pairs = _cell_pairs(assign, EMB_DUP_THRESHOLD).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = assign.select(F.col("vec_id").alias("node"))
+    labels = label_propagation(pairs, nodes)
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_rep")
+    )
+
+
 _COS_EC = """list_dot_product(e.v, c.cv)
                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"""
 
-ORACLE_ANN_IVF = f"""
-WITH e AS (
+# Shared quantizer CTE chain (ends at `assign`) — the SQL twin of
+# _ivf_assignments, reused by the ANN oracle and the near-dup oracle.
+_IVF_ASSIGN_CTES = f"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 c0 AS (
@@ -202,7 +254,10 @@ s1 AS (
                     c.cell ASC) AS rn
   FROM e, c1 c
 ),
-assign AS (SELECT vec_id, v, cell FROM s1 WHERE rn = 1)
+assign AS (SELECT vec_id, v, cell FROM s1 WHERE rn = 1)"""
+
+ORACLE_ANN_IVF = f"""
+WITH {_IVF_ASSIGN_CTES}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
@@ -211,6 +266,34 @@ FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= {IVF_THRESHOLD}
+"""
+
+# Near-dup oracle: same quantizer CTEs, higher threshold, then TRUE
+# connected components via a recursive CTE — the Spark side's iterative
+# min-label fixpoint is checked against an exact transitive closure.
+ORACLE_EMB_DEDUP = f"""
+WITH RECURSIVE {_IVF_ASSIGN_CTES},
+vp AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {EMB_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT u, v FROM vp
+  UNION
+  SELECT v AS u, u AS v FROM vp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+)
+SELECT emb.vec_id,
+       least(emb.vec_id, coalesce(m.mv, emb.vec_id)) AS cluster_rep
+FROM embeddings emb
+LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m ON emb.vec_id = m.u
 """
 
 
@@ -248,11 +331,13 @@ GROUP BY label, dim
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
     "vector_ann_ivf_bucketed": vector_ann_ivf_bucketed,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "vector_label_centroids": vector_label_centroids,
 }
 
 ORACLE = {
     "vector_cosine_topk": ORACLE_COSINE_TOPK,
     "vector_ann_ivf_bucketed": ORACLE_ANN_IVF,
+    "dedup_embedding_cosine": ORACLE_EMB_DEDUP,
     "vector_label_centroids": ORACLE_LABEL_CENTROIDS,
 }

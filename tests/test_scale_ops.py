@@ -88,6 +88,34 @@ def test_label_propagation_raises_when_iteration_bound_too_small(spark):
         label_propagation(pairs, nodes, max_iters=1)
 
 
+def test_embedding_neardup_reps_are_component_minima(spark, sf_dir):
+    """Embedding-cosine near-dup invariants: one row per vector, the
+    representative is never larger than the member id, representatives
+    are a fixpoint (rep of rep == rep), both endpoints of every verified
+    within-cell pair land in the same cluster, and the fixture yields a
+    non-vacuous result (at least one genuine duplicate)."""
+    from spotify_etl_aws_spark.queries.vector import (
+        EMB_DUP_THRESHOLD,
+        _cell_pairs,
+        _ivf_assignments,
+        dedup_embedding_cosine,
+    )
+
+    rep = {
+        r.vec_id: r.cluster_rep
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rep) == n_vecs
+    assert all(label <= vid for vid, label in rep.items())
+    assert all(rep[label] == label for label in rep.values())
+    pairs = _cell_pairs(
+        _ivf_assignments(spark, sf_dir), EMB_DUP_THRESHOLD
+    ).collect()
+    assert pairs, "fixture has no within-cell near-dup pairs — vacuous test"
+    assert all(rep[p.vec_a] == rep[p.vec_b] for p in pairs)
+
+
 def test_jaccard_max_df_bounds_hot_shingle_expansion(spark):
     """A stopword-like shingle shared by every doc must not generate the
     quadratic pair set once the document-frequency cap is on."""
