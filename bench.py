@@ -47,6 +47,7 @@ HEADLINE = [
     "join_range_binned",
     "dedup_neardup_clusters",
     "corpus_curation",
+    "dedup_embedding_cosine",
 ]
 
 RUNS = 3

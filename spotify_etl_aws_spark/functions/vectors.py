@@ -29,4 +29,8 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Per-ROW cosine (query-vector scoring, centroid assignment). For
+    per-PAIR scoring inside a similarity self-join use the Arrow GEMM
+    kernels in ``operators/vector_ops.py`` — interpreted HOF eval per
+    pair is the measured bottleneck there (see that module docstring)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -104,64 +104,83 @@ LIMIT {TOPK}
 """
 
 
-def _assign_cells(emb: DataFrame, cents_row: DataFrame) -> DataFrame:
-    """E-step: argmax-cosine cell assignment as a pure projection.
-    ``cents_row`` is ONE row holding array<struct<cell, cv>>; it is
-    broadcast to every task and the argmax runs via transform +
-    array_max (ties -> lowest cell id). Zero shuffles."""
+def _assign_cells(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """E-step: argmax-cosine cell assignment as a pure projection. The
+    centroid set is inlined as an array-of-structs LITERAL, so the
+    assignment is map-side only — no broadcast-build job, no crossJoin,
+    zero shuffles; argmax via transform + array_max (ties -> lowest
+    cell id)."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+            )
+            for cell, cv in cents
+        ]
+    )
     best = F.array_max(
         F.transform(
-            F.col("cents"),
+            arr,
             lambda c: F.struct(
                 cosine(F.col("v"), c["cv"]).alias("cs"),
                 (-c["cell"]).alias("nc"),
             ),
         )
     )
-    return emb.crossJoin(F.broadcast(cents_row)).select(
-        "vec_id", "v", (-best["nc"]).alias("cell")
+    return emb.select("vec_id", "v", (-best["nc"]).alias("cell"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
     )
 
 
-def _collapse_cents(cents: DataFrame) -> DataFrame:
-    """(cell, cv) rows -> one array<struct> row for broadcast."""
-    return cents.select(
-        F.struct(F.col("cell"), F.col("cv")).alias("c")
-    ).agg(F.collect_list("c").alias("cents"))
+def _learned_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means centroids: init = the first NUM_CENTROIDS
+    vectors, then KMEANS_ITERS Lloyd iteration(s). The centroid set is
+    O(k x d) MODEL STATE, not data — it lives on the driver between
+    iterations (exactly how Spark MLlib's KMeans runs Lloyd's
+    algorithm) and is inlined into each E-step as a literal, so
+    assignment is a pure map-side projection. Each M-step is one
+    posexplode + (cell, dim) partial-aggregating shuffle over the DATA,
+    which never leaves the executors. Means are rounded so the DuckDB
+    twin lands on bit-identical centroids; empty cells drop out
+    identically in both engines (they simply have no mean rows)."""
+    from ..operators.vector_ops import assign_cells_arrow
+
+    emb = _embeddings(spark, sf_dir)
+    cents = sorted(
+        (r.vec_id, list(r.v))
+        for r in emb.filter(F.col("vec_id") < NUM_CENTROIDS).collect()
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = assign_cells_arrow(emb, cents)
+        mean_rows = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), CENTROID_DECIMALS).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        cents = sorted(
+            (cell, [dims[d] for d in sorted(dims)])
+            for cell, dims in by_cell.items()
+        )
+    return cents
 
 
 def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-quantizer cell assignment (vec_id, v, cell) shared by the
-    ANN join and the embedding near-dup query.
-
-    Deterministic k-means: init = the first NUM_CENTROIDS vectors, then
-    KMEANS_ITERS Lloyd iteration(s). E-step is a broadcast projection
-    (zero shuffles); each M-step is one posexplode + (cell, dim)
-    partial-aggregating shuffle -> re-assembled array. Means are rounded
-    so the DuckDB twin lands on bit-identical centroids; empty cells
-    drop out identically in both engines."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+    ANN join and the embedding near-dup query."""
+    return _assign_cells(
+        _embeddings(spark, sf_dir), _learned_centroids(spark, sf_dir)
     )
-    cents_row = _collapse_cents(
-        emb.filter(F.col("vec_id") < NUM_CENTROIDS).select(
-            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-        )
-    )
-    for _ in range(KMEANS_ITERS):
-        assigned = _assign_cells(emb, cents_row)
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.round(F.avg("x"), CENTROID_DECIMALS).alias("m"))
-        )
-        cents = (
-            means.groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cell", F.transform("dm", lambda p: p["m"]).alias("cv"))
-        )
-        cents_row = _collapse_cents(cents)
-    return _assign_cells(emb, cents_row)
 
 
 def _cell_pairs(assign: DataFrame, threshold: float) -> DataFrame:
@@ -202,18 +221,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id of its component). Per-vector output, so downstream curation
     is one semi-join on ``vec_id == cluster_rep``.
 
-    Scale shape: quantizer cost is linear in rows x dims; the pair join
-    is per-cell bucketed (never all-pairs); CC label propagation is
-    O(log diameter) pointer-halving rounds and near-dup components are
-    small by construction. Bytes/vectors never ride the CC shuffles —
-    edges carry only id pairs."""
+    Scale shape: quantizer cost is linear in rows x dims; candidate
+    generation is per-cell bucketed (never all-pairs) and runs as an
+    Arrow GEMM kernel (``operators/vector_ops.py`` — measured 8-14x
+    over the JVM expression join, which can't codegen a 64-term dot per
+    pair); CC label propagation is O(log diameter) pointer-halving
+    rounds and near-dup components are small by construction.
+    Bytes/vectors never ride the CC shuffles — edges carry only id
+    pairs."""
     from ..operators.dedup import label_propagation
+    from ..operators.vector_ops import assign_cells_arrow, cell_cosine_pairs_arrow
 
-    assign = _ivf_assignments(spark, sf_dir)
-    pairs = _cell_pairs(assign, EMB_DUP_THRESHOLD).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    cents = _learned_centroids(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    pairs = cell_cosine_pairs_arrow(
+        assign_cells_arrow(emb, cents), EMB_DUP_THRESHOLD
     )
-    nodes = assign.select(F.col("vec_id").alias("node"))
+    nodes = emb.select(F.col("vec_id").alias("node"))
     labels = label_propagation(pairs, nodes)
     return labels.select(
         F.col("node").alias("vec_id"), F.col("label").alias("cluster_rep")
@@ -273,12 +297,15 @@ WHERE list_dot_product(a.v, b.v)
 # min-label fixpoint is checked against an exact transitive closure.
 ORACLE_EMB_DEDUP = f"""
 WITH RECURSIVE {_IVF_ASSIGN_CTES},
+au AS (
+  SELECT vec_id, cell,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM assign
+),
 vp AS (
   SELECT a.vec_id AS u, b.vec_id AS v
-  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-        >= {EMB_DUP_THRESHOLD}
+  FROM au a JOIN au b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.u, b.u) >= {EMB_DUP_THRESHOLD}
 ),
 edges AS (
   SELECT u, v FROM vp
