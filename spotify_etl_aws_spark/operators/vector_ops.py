@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 
 ASSIGN_SCHEMA = "vec_id bigint, cell int, v array<double>, u array<double>"
 PAIR_SCHEMA = "doc_a bigint, doc_b bigint"
+SCORED_PAIR_SCHEMA = "doc_a bigint, doc_b bigint, cell int, cosine double"
 
 
 def assign_cells_arrow(
@@ -71,27 +72,37 @@ def assign_cells_arrow(
     return emb.mapInPandas(gen, ASSIGN_SCHEMA)
 
 
-def cell_cosine_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
+def cell_cosine_pairs_arrow(
+    assigned: DataFrame, threshold: float, with_score: bool = False
+) -> DataFrame:
     """Within-cell (doc_a < doc_b) id pairs with unit-dot (= cosine)
-    >= threshold; one n_c x n_c GEMM per cell, ids-only output."""
+    >= threshold; one n_c x n_c GEMM per cell. Output is ids-only by
+    default; ``with_score`` adds the cell and the RAW cosine — any
+    rounding for presentation/oracle parity stays JVM-side (``F.round``)
+    so Python/pandas banker's rounding never touches a compared value."""
+
+    empty = {
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+    }
+    if with_score:
+        empty["cell"] = pd.Series([], dtype="int32")
+        empty["cosine"] = pd.Series([], dtype="float64")
 
     def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                }
-            )
+            return pd.DataFrame(empty)
         ids = pdf["vec_id"].to_numpy()
         U = np.vstack(pdf["u"].to_numpy())
         S = U @ U.T
         ai, bi = np.nonzero(np.triu(S >= threshold, k=1))
         da, db = ids[ai], ids[bi]
-        return pd.DataFrame(
-            {"doc_a": np.minimum(da, db), "doc_b": np.maximum(da, db)}
-        )
+        out = {"doc_a": np.minimum(da, db), "doc_b": np.maximum(da, db)}
+        if with_score:
+            out["cell"] = np.full(len(ai), pdf["cell"].iloc[0], dtype=np.int32)
+            out["cosine"] = S[ai, bi]
+        return pd.DataFrame(out)
 
     return assigned.select("vec_id", "cell", "u").groupBy("cell").applyInPandas(
-        pairs_fn, PAIR_SCHEMA
+        pairs_fn, SCORED_PAIR_SCHEMA if with_score else PAIR_SCHEMA
     )
