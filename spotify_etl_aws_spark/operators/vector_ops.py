@@ -58,11 +58,22 @@ def assign_cells_arrow(
             if not len(pdf):
                 continue
             M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            U = M / np.linalg.norm(M, axis=1, keepdims=True)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            # Zero vectors have no direction: cosine is undefined, so
+            # they are dropped from the index (the documented contract,
+            # same shape as sub-shingle docs vanishing from the MinHash
+            # signature table). Downstream near-dup output still covers
+            # every vec_id because cluster nodes come from the source
+            # table, not the index — a zero vector stays a singleton.
+            keep = norms[:, 0] > 0.0
+            if not keep.any():
+                continue
+            M, norms = M[keep], norms[keep]
+            U = M / norms
             idx = np.argmax(U @ Cn.T, axis=1)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
                     "cell": cells[idx],
                     "v": list(M),
                     "u": list(U),

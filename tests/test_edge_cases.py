@@ -102,3 +102,74 @@ def test_jaccard_pairs_brute_force_reference(spark):
         for r in jaccard_pairs(docs, threshold=0.2).collect()
     }
     assert got == want
+
+
+def _edge_vecs(spark):
+    """Degenerate embedding table: a zero vector (no direction), exact
+    duplicates, an antipodal pair, and a lone off-axis vector."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # centroid-ish seed
+        (1, [0.0, 1.0, 0.0]),   # second seed, orthogonal
+        (2, [0.0, 0.0, 0.0]),   # zero vector: cosine undefined
+        (3, [2.0, 0.0, 0.0]),   # same direction as 0, different norm
+        (4, [-1.0, 0.0, 0.0]),  # antipodal to 0: cosine -1
+        (5, [1.0, 0.0, 0.0]),   # exact duplicate of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+
+
+def test_assign_cells_arrow_drops_zero_vectors_only(spark):
+    """Zero-norm vectors vanish from the index (cosine has no meaning
+    for them); every other vector gets exactly one cell, and identical
+    directions land in the same cell."""
+    from spotify_etl_aws_spark.operators.vector_ops import assign_cells_arrow
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {r.vec_id: r for r in assign_cells_arrow(_edge_vecs(spark), cents).collect()}
+    assert set(out) == {0, 1, 3, 4, 5}  # vec 2 dropped
+    assert out[0].cell == out[3].cell == out[5].cell == 0
+    assert out[1].cell == 1
+    # unit vectors really are unit
+    for r in out.values():
+        assert abs(sum(x * x for x in r.u) - 1.0) < 1e-12
+
+
+def test_cell_pair_kernel_contracts(spark):
+    """Singleton cells emit nothing; duplicates and same-direction
+    vectors pair at cosine ~1; antipodal vectors never clear a positive
+    threshold; emitted pairs always have doc_a < doc_b; the scored
+    variant carries the cell and the raw symmetric score."""
+    from spotify_etl_aws_spark.operators.vector_ops import (
+        assign_cells_arrow,
+        cell_cosine_pairs_arrow,
+    )
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    assigned = assign_cells_arrow(_edge_vecs(spark), cents)
+    got = cell_cosine_pairs_arrow(assigned, 0.9, with_score=True).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in got}
+    # cell 0 holds {0, 3, 4, 5}: the three same-direction vectors pair,
+    # the antipodal one (cos = -1) never does; cell 1 is a singleton.
+    assert set(pairs) == {(0, 3), (0, 5), (3, 5)}
+    for (a, b), r in pairs.items():
+        assert a < b
+        assert r.cell == 0
+        assert abs(r.cosine - 1.0) < 1e-12
+
+
+def test_embedding_neardup_keeps_zero_vector_as_singleton(spark):
+    """The near-dup composition stays TOTAL over vec_ids even though
+    the zero vector is dropped from the index: nodes come from the
+    source table, so it remains its own representative."""
+    from spotify_etl_aws_spark.operators.dedup import label_propagation
+    from spotify_etl_aws_spark.operators.vector_ops import (
+        assign_cells_arrow,
+        cell_cosine_pairs_arrow,
+    )
+
+    emb = _edge_vecs(spark)
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    pairs = cell_cosine_pairs_arrow(assign_cells_arrow(emb, cents), 0.9)
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    got = {r.node: r.label for r in label_propagation(pairs, nodes).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
