@@ -18,9 +18,10 @@ Scale posture:
   batch, linear in rows, zero shuffles.
 - ``cell_cosine_pairs_arrow`` is applyInPandas keyed on the quantizer
   cell: group size is ~N/k, and k is the knob that keeps cells bounded
-  as N grows (the same contract as every IVF index); a hot cell at
-  extreme scale would move to a blocked GEMM (outer x inner block ids
-  as the group key) without changing the emitted pairs.
+  as N grows (the same contract as every IVF index). Inside a cell the
+  GEMM runs block-by-block (GEMM_BLOCK edge), so scratch memory is
+  constant no matter how hot the cell — only the group's ROW data must
+  fit, and the emitted pairs are identical to the one-shot matrix.
 - Only id PAIRS leave the kernel — the n_c x n_c score matrix is
   scratch, and vectors never ride the downstream shuffles.
 
@@ -42,6 +43,12 @@ from pyspark.sql import DataFrame
 ASSIGN_SCHEMA = "vec_id bigint, cell int, v array<double>, u array<double>"
 PAIR_SCHEMA = "doc_a bigint, doc_b bigint"
 SCORED_PAIR_SCHEMA = "doc_a bigint, doc_b bigint, cell int, cosine double"
+
+# Score-matrix block edge: the GEMM inside cell_cosine_pairs_arrow runs
+# block-by-block so scratch memory is O(GEMM_BLOCK^2) = ~128 MB of
+# float64 regardless of cell size, instead of O(n_c^2) (a 100k-vector
+# cell would otherwise need an 80 GB matrix).
+GEMM_BLOCK = 4096
 
 
 def assign_cells_arrow(
@@ -105,14 +112,32 @@ def cell_cosine_pairs_arrow(
             return pd.DataFrame(empty)
         ids = pdf["vec_id"].to_numpy()
         U = np.vstack(pdf["u"].to_numpy())
-        S = U @ U.T
-        ai, bi = np.nonzero(np.triu(S >= threshold, k=1))
-        da, db = ids[ai], ids[bi]
-        out = {"doc_a": np.minimum(da, db), "doc_b": np.maximum(da, db)}
-        if with_score:
-            out["cell"] = np.full(len(ai), pdf["cell"].iloc[0], dtype=np.int32)
-            out["cosine"] = S[ai, bi]
-        return pd.DataFrame(out)
+        n = len(ids)
+        frames = []
+        # Block the n x n score space: diagonal blocks keep the strict
+        # upper triangle, off-diagonal blocks take every hit. Identical
+        # pair set to the one-shot GEMM, scratch bounded by the block.
+        for i0 in range(0, n, GEMM_BLOCK):
+            Ui = U[i0 : i0 + GEMM_BLOCK]
+            for j0 in range(i0, n, GEMM_BLOCK):
+                S = Ui @ U[j0 : j0 + GEMM_BLOCK].T
+                hits = S >= threshold
+                if i0 == j0:
+                    hits = np.triu(hits, k=1)
+                ai, bi = np.nonzero(hits)
+                if not len(ai):
+                    continue
+                da, db = ids[i0 + ai], ids[j0 + bi]
+                out = {"doc_a": np.minimum(da, db), "doc_b": np.maximum(da, db)}
+                if with_score:
+                    out["cell"] = np.full(
+                        len(ai), pdf["cell"].iloc[0], dtype=np.int32
+                    )
+                    out["cosine"] = S[ai, bi]
+                frames.append(pd.DataFrame(out))
+        if not frames:
+            return pd.DataFrame(empty)
+        return pd.concat(frames, ignore_index=True)
 
     return assigned.select("vec_id", "cell", "u").groupBy("cell").applyInPandas(
         pairs_fn, SCORED_PAIR_SCHEMA if with_score else PAIR_SCHEMA

@@ -173,3 +173,32 @@ def test_embedding_neardup_keeps_zero_vector_as_singleton(spark):
     nodes = emb.select(F.col("vec_id").alias("node"))
     got = {r.node: r.label for r in label_propagation(pairs, nodes).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+def test_blocked_gemm_matches_one_shot_pairs(spark, sf_dir, monkeypatch):
+    """Forcing a tiny block edge must not change the emitted pair set:
+    the blocked traversal covers each unordered pair exactly once
+    (strict upper triangle on diagonal blocks, full hits elsewhere)."""
+    from spotify_etl_aws_spark.operators import vector_ops
+    from spotify_etl_aws_spark.queries.vector import (
+        EMB_DUP_THRESHOLD,
+        _embeddings,
+        _learned_centroids,
+    )
+
+    cents = _learned_centroids(spark, sf_dir)
+    assigned = vector_ops.assign_cells_arrow(_embeddings(spark, sf_dir), cents)
+    one_shot = {
+        (r.doc_a, r.doc_b)
+        for r in vector_ops.cell_cosine_pairs_arrow(
+            assigned, EMB_DUP_THRESHOLD
+        ).collect()
+    }
+    monkeypatch.setattr(vector_ops, "GEMM_BLOCK", 7)  # force many blocks
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in vector_ops.cell_cosine_pairs_arrow(
+            assigned, EMB_DUP_THRESHOLD
+        ).collect()
+    }
+    assert one_shot and blocked == one_shot
