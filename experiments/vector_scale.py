@@ -26,13 +26,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/vector_scale"
 
 
-def amplify(reps: int) -> str:
-    path = f"{OUT}/emb_x{reps}.parquet"
-    if os.path.exists(path):
-        return path
-    os.makedirs(OUT, exist_ok=True)
+def amplify(reps: int) -> tuple[str, int]:
     src = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
     n = src.num_rows
+    # cache key includes the source dir name and row count so pointing
+    # SPARK_GRAFT_SF_DIR elsewhere can never serve stale amplification
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    path = f"{OUT}/emb_{tag}_{n}_x{reps}.parquet"
+    if os.path.exists(path):
+        return path, n * reps
+    os.makedirs(OUT, exist_ok=True)
     chunks = []
     for r in range(reps):
         t = src.set_column(
@@ -42,12 +45,14 @@ def amplify(reps: int) -> str:
         )
         chunks.append(t)
     pq.write_table(pa.concat_tables(chunks), path)
-    return path
+    return path, n * reps
 
 
 def spark_pipeline(spark, emb_path: str) -> tuple[float, int]:
-    """End-to-end: fit + pairs + CC on the amplified table. Uses the
-    same operators as the declared query, pointed at the tmp parquet."""
+    """End-to-end: fit + pairs + CC on the amplified table, via the
+    SAME code paths as the declared query (the fit is the shared
+    _fit_centroids helper and the CC bound is the operator default, so
+    the experiment cannot desynchronize from dedup_embedding_cosine)."""
     import pyspark.sql.functions as F
 
     from spotify_etl_aws_spark.functions.vectors import as_double
@@ -63,28 +68,12 @@ def spark_pipeline(spark, emb_path: str) -> tuple[float, int]:
         spark.read.parquet(emb_path)
         .select("vec_id", as_double("embedding").alias("v"))
     )
-    cents = sorted(
-        (r.vec_id, list(r.v))
-        for r in emb.filter(F.col("vec_id") < V.NUM_CENTROIDS).collect()
-    )
-    assigned = assign_cells_arrow(emb, cents)
-    mean_rows = (
-        assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-        .groupBy("cell", "dim")
-        .agg(F.round(F.avg("x"), V.CENTROID_DECIMALS).alias("m"))
-        .collect()
-    )
-    by_cell: dict[int, dict[int, float]] = {}
-    for r in mean_rows:
-        by_cell.setdefault(r.cell, {})[r.dim] = r.m
-    cents = sorted(
-        (cell, [dims[d] for d in sorted(dims)]) for cell, dims in by_cell.items()
-    )
+    cents = V._fit_centroids(emb)
     pairs = cell_cosine_pairs_arrow(
         assign_cells_arrow(emb, cents), V.EMB_DUP_THRESHOLD
     )
     nodes = emb.select(F.col("vec_id").alias("node"))
-    labels = label_propagation(pairs, nodes, max_iters=12)
+    labels = label_propagation(pairs, nodes)
     n_dups = labels.filter(F.col("node") != F.col("label")).count()
     return time.perf_counter() - t0, n_dups
 
@@ -108,9 +97,8 @@ def main() -> None:
     spark = get_spark(app_name="vector-scale")
     spark.sparkContext.setLogLevel("ERROR")
     for reps in (1, 10, 50):
-        path = amplify(reps)
+        path, n = amplify(reps)
         wall, dups = spark_pipeline(spark, path)
-        n = 2000 * reps
         print(f"spark  n={n:>6}: {wall:6.2f}s  non-singleton={dups}", flush=True)
         if reps <= 10:
             dwall, ddups = duckdb_pipeline(path)

@@ -296,7 +296,7 @@ def neardup_clusters(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_iters: int = 10,
+    max_iters: int = 16,
 ) -> DataFrame:
     """The last step of near-dedup: assign every document the MINIMUM id
     of its connected component in the verified near-dup graph (the
@@ -322,7 +322,7 @@ def neardup_clusters(
 
 
 def label_propagation(
-    pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
+    pairs: DataFrame, nodes: DataFrame, max_iters: int = 16
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: each
     round every node takes min(own label, neighbors' labels) — one join
@@ -336,7 +336,10 @@ def label_propagation(
     pointer-jumping CC a la Shiloach-Vishkin): labels chase the chain
     two hops per round, so a path of diameter d converges in O(log d)
     rounds instead of O(d) — the difference between 6 and 60 shuffles
-    on a 100-TB pair graph with one long chain.
+    on a 100-TB pair graph with one long chain. The default bound of 16
+    therefore covers component diameters up to ~2^16; the loop breaks
+    at the fixpoint, so a generous bound costs nothing on converged
+    graphs.
 
     ``localCheckpoint`` cuts plan lineage each round so the DAG doesn't
     grow with iterations; the convergence probe is an aggregate count on

@@ -35,7 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, l2_norm
 from ..sources.readers import load_table as t
 
 QUERY_VEC_ID = 0
@@ -76,13 +76,18 @@ def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       an array LITERAL (same policy as the IDF scalar in
       queries/text.py): a single scan -> project ->
       TakeOrderedAndProject job, no broadcast-build job, no join.
-    - ``ivf_probe``: the scale path — probe only the NPROBE quantizer
-      cells whose centroids are nearest the query vector, then score
-      just those vectors. Probe selection is a k-by-1 driver-side
-      argsort over MODEL STATE (margins to the next cell >= 0.014 on
-      the fixture, far above cross-engine drift); the scan side prunes
-      to ~NPROBE/k of the data, which at 100 TB is the difference
-      between touching every vector and touching 2 cells' worth.
+    - ``ivf_probe``: probe only the NPROBE quantizer cells whose
+      centroids are nearest the query vector, then score just those
+      vectors. Probe selection is a k-by-1 driver-side argsort over
+      MODEL STATE (margins to the next cell >= 0.014 on the fixture,
+      far above cross-engine drift). Reading the raw table, assignment
+      is computed map-side and the cell filter applies AFTER it — the
+      scan itself is still full; the true pruned-scan posture stores
+      the index partitioned by cell so the probe prunes at scan time
+      (built and plan-asserted in
+      tests/test_scale_ops.py::test_ivf_partitioned_layout_prunes_probed_cells),
+      which at 100 TB is the difference between touching every vector
+      and touching NPROBE cells' files.
 
     Both lanes order by (rounded cosine desc, vec_id) so the k-boundary
     cut is engine-deterministic."""
@@ -120,17 +125,21 @@ def _probe_cells(
     """The ``nprobe`` cells whose centroids are cosine-nearest the
     query vector (ties -> lowest cell id). Pure model-state x
     query-parameter math — runs on the driver like every ANN system's
-    probe-selection step."""
+    probe-selection step. A zero query vector has no direction to
+    search along — rejected loudly; a zero-norm centroid (possible if
+    a cell's rounded means collapse) is simply never probed."""
     import math
 
     qn = math.sqrt(sum(x * x for x in qv))
+    if qn == 0.0:
+        raise ValueError("probe query vector has zero norm: cosine undefined")
     scored = sorted(
         (
-            -sum(a * b for a, b in zip(cv, qv))
-            / (math.sqrt(sum(a * a for a in cv)) * qn),
+            -sum(a * b for a, b in zip(cv, qv)) / (cn * qn),
             cell,
         )
         for cell, cv in cents
+        if (cn := math.sqrt(sum(a * a for a in cv))) > 0.0
     )
     return [cell for _, cell in scored[:nprobe]]
 
@@ -144,7 +153,12 @@ def _assign_cells(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataF
     centroid set is inlined as an array-of-structs LITERAL, so the
     assignment is map-side only — no broadcast-build job, no crossJoin,
     zero shuffles; argmax via transform + array_max (ties -> lowest
-    cell id)."""
+    cell id). Zero-norm vectors are dropped — the same index contract
+    as the Arrow kernel (operators/vector_ops.py), so the two
+    formulations stay pair-for-pair comparable. The SQL oracle twins do
+    NOT replicate the drop (they'd order NULL cosines arbitrarily);
+    that contract is safe because the fixture contains no zero vectors,
+    asserted by tests/test_edge_cases.py::test_fixture_has_no_zero_vectors."""
     arr = F.array(
         *[
             F.struct(
@@ -163,7 +177,10 @@ def _assign_cells(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataF
             ),
         )
     )
-    return emb.select("vec_id", "v", (-best["nc"]).alias("cell"))
+    return (
+        emb.filter(l2_norm(F.col("v")) > 0)
+        .select("vec_id", "v", (-best["nc"]).alias("cell"))
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,13 +212,20 @@ def _learned_centroids(
     once per process. The cached value is plain Python data derived
     deterministically from the parquet files — it is session-free and
     safe across SparkSession restarts."""
-    from ..operators.vector_ops import assign_cells_arrow
-
     cached = _CENTROID_CACHE.get(sf_dir)
     if cached is not None:
         return cached
+    cents = _fit_centroids(_embeddings(spark, sf_dir))
+    _CENTROID_CACHE[sf_dir] = cents
+    return cents
 
-    emb = _embeddings(spark, sf_dir)
+
+def _fit_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """The uncached Lloyd fit over an arbitrary (vec_id, v) frame —
+    shared by the declared queries (via _learned_centroids) and the
+    amplified-scale experiment, so the two can never desynchronize."""
+    from ..operators.vector_ops import assign_cells_arrow
+
     cents = sorted(
         (r.vec_id, list(r.v))
         for r in emb.filter(F.col("vec_id") < NUM_CENTROIDS).collect()
@@ -221,7 +245,6 @@ def _learned_centroids(
             (cell, [dims[d] for d in sorted(dims)])
             for cell, dims in by_cell.items()
         )
-    _CENTROID_CACHE[sf_dir] = cents
     return cents
 
 

@@ -202,3 +202,16 @@ def test_blocked_gemm_matches_one_shot_pairs(spark, sf_dir, monkeypatch):
         ).collect()
     }
     assert one_shot and blocked == one_shot
+
+
+def test_fixture_has_no_zero_vectors(oracle_con):
+    """The SQL oracle twins keep zero vectors (their NULL cosines would
+    order arbitrarily) while the index drops them — a contract that is
+    only safe because the fixture contains none. Guard that assumption:
+    if a regenerated fixture ever ships a zero embedding, this fails
+    before any oracle hash mysteriously diverges."""
+    lo = oracle_con.execute(
+        "SELECT min(list_dot_product(CAST(embedding AS DOUBLE[]),"
+        " CAST(embedding AS DOUBLE[]))) FROM embeddings"
+    ).fetchone()[0]
+    assert lo > 0.0
