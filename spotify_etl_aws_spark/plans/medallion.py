@@ -24,6 +24,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.core import gold
+from ..operators.quality import (
+    check_not_null,
+    check_references,
+    check_unique,
+    expect_all,
+)
 from ..operators.shred import shred
 from ..operators.staging import silver_projection, stage
 from ..sources.readers import read_raw_playlists
@@ -31,11 +37,21 @@ from ..sources.sinks import write_parquet, write_partitioned
 
 
 def run_medallion(
-    spark: SparkSession, raw_json_path: str, out_root: str
+    spark: SparkSession,
+    raw_json_path: str,
+    out_root: str,
+    validate: bool = True,
 ) -> dict[str, DataFrame]:
     """raw JSON -> bronze -> silver -> gold, all materialized as parquet
     under ``out_root``. Returns the gold DataFrames (re-read from disk so
-    callers see exactly what was written)."""
+    callers see exactly what was written).
+
+    ``validate`` enforces the gold-layer contracts the reference only
+    documents (schema.yml PK/FK prose, no dbt ``tests:``): dim primary
+    keys unique + not-null, fact FKs resolving to their dims. Checked
+    AFTER the write on the re-read frames — what is validated is what
+    landed — raising if any contract fails, like a dbt build gated on
+    its tests."""
     raw = read_raw_playlists(spark, raw_json_path)
 
     bronze = shred(raw)
@@ -58,7 +74,35 @@ def run_medallion(
         else:
             write_parquet(df, path)
 
-    return {
+    landed = {
         name: spark.read.parquet(os.path.join(out_root, "gold", name))
         for name in gold_frames
     }
+    if validate:
+        expect_all(gold_contracts(landed))
+    return landed
+
+
+_DIM_KEYS = {
+    "dim_playlists": "playlist_id",
+    "dim_albums": "album_id",
+    "dim_artists": "artist_id",
+}
+
+
+def gold_contracts(gold_frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """The reference's documented schema contracts as named checks
+    (dbt/spotify_etl_aws/models/staging/schema.yml:8,27-40,46,57)."""
+    fact = gold_frames["fact_playlist_tracks"]
+    checks: dict[str, DataFrame] = {}
+    for name, pk in _DIM_KEYS.items():
+        checks[f"{name}.{pk}_unique"] = check_unique(gold_frames[name], [pk])
+        checks[f"{name}.{pk}_not_null"] = check_not_null(gold_frames[name], [pk])
+    checks["fact_playlist_tracks.track_id_unique"] = check_unique(
+        fact, ["track_id"]
+    )
+    for name, pk in _DIM_KEYS.items():
+        checks[f"fact_playlist_tracks.{pk}_references"] = check_references(
+            fact, pk, gold_frames[name], pk
+        )
+    return checks

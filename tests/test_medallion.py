@@ -168,13 +168,25 @@ def test_boolean_roundtrip(gold_frames):
 
 def test_null_fk_drops_from_fact(spark, tmp_path):
     """A track with a NULL album FK survives staging but drops from the
-    fact (inner join semantics, fact_playlist_tracks.sql:19-20)."""
+    fact (inner join semantics, fact_playlist_tracks.sql:19-20).
+
+    The same input also lands a NULL-PK row in dim_albums — faithful to
+    the reference's dim SQL (SELECT DISTINCT, no null filter,
+    dim_albums.sql:3-9) but in breach of the PK contract its schema.yml
+    documents and never enforces. The validate gate must CATCH that
+    breach; parity semantics are then asserted with the gate off."""
+    import pytest
+
     items = [
         _item(0, _album(0), [_artist(0)]),
         _item(1, None, [_artist(1)]),  # no album -> NULL FK
     ]
     raw = _write_fixture(str(tmp_path / "raw.json"), items)
-    gold = run_medallion(spark, raw, str(tmp_path / "lake"))
+    with pytest.raises(ValueError, match="dim_albums.album_id_not_null"):
+        run_medallion(spark, raw, str(tmp_path / "lake"))
+    gold = run_medallion(
+        spark, raw, str(tmp_path / "lake2"), validate=False
+    )
     fact = gold["fact_playlist_tracks"]
     assert fact.count() == 1
     assert [r.track_id for r in fact.collect()] == ["T00"]

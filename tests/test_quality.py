@@ -83,22 +83,12 @@ def test_medallion_gold_honours_reference_schema_contracts(gold_frames):
     """The contracts schema.yml WRITES DOWN but never enforces, enforced:
     each dim's documented primary key is unique + not-null, and every
     documented foreign key in the fact resolves (schema.yml:8-10,27-40;
-    NULL-FK tracks were already dropped by the inner fact join)."""
+    NULL-FK tracks were already dropped by the inner fact join). The
+    gold_frames fixture already ran the validate=True gate inside
+    run_medallion; this re-runs the same contract set explicitly and
+    asserts the ledger is all-zero."""
+    from spotify_etl_aws_spark.plans.medallion import gold_contracts
+
     gold, _ = gold_frames
-    dims = {
-        "dim_playlists": "playlist_id",
-        "dim_albums": "album_id",
-        "dim_artists": "artist_id",
-    }
-    fact = gold["fact_playlist_tracks"]
-    checks = {}
-    for name, pk in dims.items():
-        checks[f"{name}.{pk}_unique"] = check_unique(gold[name], [pk])
-        checks[f"{name}.{pk}_not_null"] = check_not_null(gold[name], [pk])
-    checks["fact.track_id_unique"] = check_unique(fact, ["track_id"])
-    for name, pk in dims.items():
-        checks[f"fact.{pk}_references"] = check_references(
-            fact, pk, gold[name], pk
-        )
-    counts = expect_all(checks)
-    assert set(counts.values()) == {0}
+    counts = expect_all(gold_contracts(gold))
+    assert len(counts) == 10 and set(counts.values()) == {0}
