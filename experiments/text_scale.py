@@ -17,35 +17,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb
-import pyarrow as pa
-import pyarrow.parquet as pq
+from experiments.common import compare_loop, timed_oracle
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/text_scale"
 
 
-def amplify(reps: int) -> tuple[str, int]:
-    src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
-    n = src.num_rows
-    tag = os.path.basename(os.path.normpath(SF_DIR))
-    path = f"{OUT}/docs_{tag}_{n}_x{reps}.parquet"
-    if os.path.exists(path):
-        return path, n * reps
-    os.makedirs(OUT, exist_ok=True)
-    chunks = []
-    for r in range(reps):
-        t = src.set_column(
-            src.schema.get_field_index("doc_id"),
-            "doc_id",
-            pa.compute.add(src.column("doc_id"), r * n),
-        )
-        chunks.append(t)
-    pq.write_table(pa.concat_tables(chunks), path)
-    return path, n * reps
-
-
-def spark_pipeline(spark, docs_path: str) -> tuple[float, int]:
+def spark_pipeline(docs_path: str) -> tuple[float, int]:
     import pyspark.sql.functions as F
 
     from spotify_etl_aws_spark.operators.dedup import neardup_clusters
@@ -57,7 +34,7 @@ def spark_pipeline(spark, docs_path: str) -> tuple[float, int]:
     )
 
     t0 = time.perf_counter()
-    docs = spark.read.parquet(docs_path)
+    docs = _SPARK.read.parquet(docs_path)
     labels = neardup_clusters(
         docs,
         num_hashes=NUM_HASHES,
@@ -72,33 +49,25 @@ def spark_pipeline(spark, docs_path: str) -> tuple[float, int]:
 def duckdb_pipeline(docs_path: str) -> tuple[float, int]:
     from spotify_etl_aws_spark.queries.dedup import ORACLE_NEARDUP_CLUSTERS
 
-    con = duckdb.connect(config={"threads": "32"})
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docs_path}')"
-    )
-    t0 = time.perf_counter()
-    rows = con.execute(ORACLE_NEARDUP_CLUSTERS).fetchall()
-    dt = time.perf_counter() - t0
+    dt, rows = timed_oracle(ORACLE_NEARDUP_CLUSTERS, "documents", docs_path)
     return dt, sum(1 for did, rep in rows if did != rep)
 
 
 def main() -> None:
     from spotify_etl_aws_spark.session import get_spark
 
-    spark = get_spark(app_name="text-scale")
-    spark.sparkContext.setLogLevel("ERROR")
-    for reps in (1, 4, 10):
-        path, n = amplify(reps)
-        wall, dups = spark_pipeline(spark, path)
-        print(f"spark  n={n:>6}: {wall:6.2f}s  non-singleton={dups}", flush=True)
-        if reps <= 4:
-            dwall, ddups = duckdb_pipeline(path)
-            print(
-                f"duckdb n={n:>6}: {dwall:6.2f}s  non-singleton={ddups}",
-                flush=True,
-            )
-            if ddups != dups:
-                print("MISMATCH between engines!", file=sys.stderr)
+    global _SPARK
+    _SPARK = get_spark(app_name="text-scale")
+    _SPARK.sparkContext.setLogLevel("ERROR")
+    compare_loop(
+        "documents",
+        "doc_id",
+        OUT,
+        reps_list=[1, 4, 10],
+        duckdb_max_reps=4,
+        spark_fn=spark_pipeline,
+        duckdb_fn=duckdb_pipeline,
+    )
 
 
 if __name__ == "__main__":

@@ -97,10 +97,23 @@ def check_references(
 
 
 def expect_all(checks: dict[str, DataFrame]) -> dict[str, int]:
-    """Evaluate every named check; raise ONE error naming each failed
-    contract with its violation count. Returns the per-check counts
-    (all zero) when everything holds, so callers can log a ledger."""
-    counts = {name: df.count() for name, df in checks.items()}
+    """Evaluate every named check in ONE Spark job (each check collapses
+    to a tagged one-row count and the rows union — not one action per
+    check, which would rescan the inputs N times); raise ONE error
+    naming each failed contract with its violation count. Returns the
+    per-check counts (all zero) when everything holds, so callers can
+    log a ledger."""
+    from functools import reduce
+
+    tagged = [
+        df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("check"), "n"
+        )
+        for name, df in checks.items()
+    ]
+    counts = {
+        r.check: r.n for r in reduce(DataFrame.unionAll, tagged).collect()
+    }
     failed = {name: n for name, n in counts.items() if n}
     if failed:
         detail = ", ".join(f"{name} ({n} violations)" for name, n in failed.items())

@@ -92,15 +92,16 @@ _DIM_KEYS = {
 
 def gold_contracts(gold_frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
     """The reference's documented schema contracts as named checks
-    (dbt/spotify_etl_aws/models/staging/schema.yml:8,27-40,46,57)."""
+    (dbt/spotify_etl_aws/models/staging/schema.yml:8,27-40,46,57):
+    each dim's PK unique + not-null, each fact FK resolving. The fact
+    itself gets NO uniqueness contract — its grain is (playlist,
+    position): the same track legitimately repeats across playlists
+    (and even within one), and the reference declares no fact PK."""
     fact = gold_frames["fact_playlist_tracks"]
     checks: dict[str, DataFrame] = {}
     for name, pk in _DIM_KEYS.items():
         checks[f"{name}.{pk}_unique"] = check_unique(gold_frames[name], [pk])
         checks[f"{name}.{pk}_not_null"] = check_not_null(gold_frames[name], [pk])
-    checks["fact_playlist_tracks.track_id_unique"] = check_unique(
-        fact, ["track_id"]
-    )
     for name, pk in _DIM_KEYS.items():
         checks[f"fact_playlist_tracks.{pk}_references"] = check_references(
             fact, pk, gold_frames[name], pk

@@ -204,14 +204,27 @@ def test_blocked_gemm_matches_one_shot_pairs(spark, sf_dir, monkeypatch):
     assert one_shot and blocked == one_shot
 
 
-def test_fixture_has_no_zero_vectors(oracle_con):
+def test_fixture_has_no_zero_vectors():
     """The SQL oracle twins keep zero vectors (their NULL cosines would
     order arbitrarily) while the index drops them — a contract that is
-    only safe because the fixture contains none. Guard that assumption:
-    if a regenerated fixture ever ships a zero embedding, this fails
-    before any oracle hash mysteriously diverges."""
-    lo = oracle_con.execute(
-        "SELECT min(list_dot_product(CAST(embedding AS DOUBLE[]),"
-        " CAST(embedding AS DOUBLE[]))) FROM embeddings"
-    ).fetchone()[0]
-    assert lo > 0.0
+    only safe because the fixtures contain none. Guard that assumption
+    at EVERY scale factor the harness touches (oracle runs sf0.01, the
+    bench and experiments sf0.1), including NULL embeddings (min()
+    would silently skip them): if a regenerated fixture ever ships a
+    zero or NULL embedding, this fails before any oracle hash
+    mysteriously diverges."""
+    import glob
+
+    import duckdb
+
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs
+    for d in dirs:
+        n_null, lo = duckdb.execute(
+            "SELECT sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END),"
+            " min(list_dot_product(CAST(embedding AS DOUBLE[]),"
+            " CAST(embedding AS DOUBLE[])))"
+            f" FROM read_parquet('{d}/embeddings.parquet')"
+        ).fetchone()
+        assert n_null == 0, d
+        assert lo > 0.0, d

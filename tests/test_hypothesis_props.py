@@ -41,27 +41,29 @@ _texts = st.lists(
 @settings(**_SETTINGS)
 @given(_texts)
 def test_bpe_token_count_matches_python_re(spark, texts):
-    """regexp_extract_all(lower(x), BPE_RE) token COUNTS match Python's
-    re.findall on the same pattern — the cross-engine tokenizer contract
-    (Spark, DuckDB and the reference implementation all run this exact
-    pattern)."""
-    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    """regexp_extract_all over the BPE pattern: token COUNTS match
+    Python's re.findall compiled with re.ASCII, which gives \\s the
+    exact Java semantics (ASCII-only) — so the property holds for the
+    FULL unicode input range, not just ASCII. Lowercasing happens in
+    Python before the data reaches either side, isolating the regex
+    contract from any str.lower()/toLowerCase() unicode-version skew
+    (the production lower() path is covered by the sf0.01 oracle)."""
+    lowered = [t.lower() for t in texts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lowered)], "i long, t string"
+    )
     got = {
         r.i: r.n
         for r in df.select(
             "i",
             F.size(
-                F.regexp_extract_all(F.lower(F.col("t")), F.lit(_BPE_RE), 0)
+                F.regexp_extract_all(F.col("t"), F.lit(_BPE_RE), 0)
             ).alias("n"),
         ).collect()
     }
-    pat = re.compile(_BPE_RE)
-    for i, t in enumerate(texts):
-        # Java \s is ASCII-only, Python \s is Unicode-aware: U+00A0 etc.
-        # count differently. The engine contract is JVM semantics
-        # (mirrored by DuckDB), so assert only where the notion agrees.
-        if all(ord(c) < 128 for c in t):
-            assert got[i] == len(pat.findall(t.lower())), repr(t)
+    pat = re.compile(_BPE_RE, re.ASCII)
+    for i, t in enumerate(lowered):
+        assert got[i] == len(pat.findall(t)), repr(t)
 
 
 @settings(**_SETTINGS)

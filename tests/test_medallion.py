@@ -175,8 +175,6 @@ def test_null_fk_drops_from_fact(spark, tmp_path):
     dim_albums.sql:3-9) but in breach of the PK contract its schema.yml
     documents and never enforces. The validate gate must CATCH that
     breach; parity semantics are then asserted with the gate off."""
-    import pytest
-
     items = [
         _item(0, _album(0), [_artist(0)]),
         _item(1, None, [_artist(1)]),  # no album -> NULL FK

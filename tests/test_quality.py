@@ -25,7 +25,7 @@ from .test_medallion import _playlist_items, _write_fixture
 def gold_frames(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("quality_medallion")
     raw = _write_fixture(str(root / "raw.json"), _playlist_items())
-    return run_medallion(spark, raw, str(root / "lake")), str(root / "lake")
+    return run_medallion(spark, raw, str(root / "lake"))
 
 
 @pytest.fixture(scope="module")
@@ -89,6 +89,38 @@ def test_medallion_gold_honours_reference_schema_contracts(gold_frames):
     asserts the ledger is all-zero."""
     from spotify_etl_aws_spark.plans.medallion import gold_contracts
 
-    gold, _ = gold_frames
-    counts = expect_all(gold_contracts(gold))
-    assert len(counts) == 10 and set(counts.values()) == {0}
+    counts = expect_all(gold_contracts(gold_frames))
+    assert len(counts) == 9 and set(counts.values()) == {0}
+
+
+def test_validate_gate_accepts_shared_tracks_across_playlists(spark, tmp_path):
+    """The fact's grain is (playlist, track): one track appearing in two
+    playlists is clean data and the default-on validate gate must pass
+    it (regression: a track_id-unique contract at the wrong grain would
+    reject exactly this, the normal Spotify case)."""
+    import json
+
+    from .test_medallion import _album, _artist, _item
+
+    items = [_item(0, _album(0), [_artist(0)])]
+
+    def playlist(pid):
+        return {
+            "id": pid,
+            "name": f"Playlist {pid}",
+            "description": "shared-track fixture",
+            "owner": {"id": "owner-1"},
+            "followers": {"total": 1},
+            "public": True,
+            "snapshot_id": f"snap-{pid}",
+            "images": [{"url": "https://img/1", "height": 640, "width": 640}],
+            "tracks": {"total": 1, "limit": 100, "offset": 0, "items": items},
+        }
+
+    raw = str(tmp_path / "raw.json")
+    with open(raw, "w") as f:
+        json.dump([playlist("PL1"), playlist("PL2")], f)
+    gold = run_medallion(spark, raw, str(tmp_path / "lake"))  # must not raise
+    fact = gold["fact_playlist_tracks"]
+    assert fact.count() == 2
+    assert {r.playlist_id for r in fact.collect()} == {"PL1", "PL2"}
