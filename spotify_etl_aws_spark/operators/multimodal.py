@@ -97,6 +97,43 @@ def with_media_meta(
     return df.select(id_col, media_col).mapInPandas(_decode, schema=schema)
 
 
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize the media column to (width, height) — binary in, binary
+    out, through the same codec seam as decode: in a real deployment
+    the Arrow batch body is PIL ``decode -> resize -> encode``; with
+    the fake codec the header is rewritten to the target dimensions and
+    the payload derived deterministically from the original payload +
+    target (so output bytes are reproducible, differ from the input,
+    and re-decoding yields exactly the requested dimensions).
+
+    Scale shape: bytes flow scan -> kernel -> (sink); the resized
+    column comes back as ``binary`` for writing, never into a shuffle —
+    join/aggregate on the METADATA frames instead."""
+    import hashlib
+
+    schema = f"{id_col} bigint, {media_col} binary"
+    suffix = f":{width}x{height}".encode("ascii")
+    header = b"%s:%d:%d:" % (MEDIA_MAGIC.encode("ascii"), width, height)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(b: bytes) -> bytes:
+                _, _, _, payload = b.split(b":", 3)
+                return header + hashlib.md5(payload + suffix).digest()
+
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], media_col: pdf[media_col].map(one)}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(_resize, schema=schema)
+
+
 def media_features(meta: DataFrame) -> DataFrame:
     """Derived features over decoded metadata — back on the JVM lane
     (built-in functions) the moment the bytes are gone."""

@@ -228,3 +228,32 @@ def test_fixture_has_no_zero_vectors():
         ).fetchone()
         assert n_null == 0, d
         assert lo > 0.0, d
+
+
+def test_resize_media_roundtrips_target_dimensions(spark):
+    """resize_media: binary in -> binary out at the requested
+    dimensions, deterministic (same input -> same bytes), content
+    actually changed, and the resized column re-decodes through the
+    standard metadata path."""
+    from spotify_etl_aws_spark.operators.multimodal import (
+        fake_image_bytes,
+        resize_media,
+        with_media_meta,
+    )
+
+    df = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        fake_image_bytes(F.col("id"), F.col("id").cast("string")).alias("media"),
+    )
+    resized = resize_media(df, 128, 96)
+    meta = {r.doc_id: r for r in with_media_meta(resized).collect()}
+    assert set(meta) == set(range(6))
+    assert all(m.width == 128 and m.height == 96 for m in meta.values())
+    # deterministic and different from the originals
+    again = {r.doc_id: bytes(r.media) for r in resize_media(df, 128, 96).collect()}
+    first = {r.doc_id: bytes(r.media) for r in resized.collect()}
+    orig = {r.doc_id: bytes(r.media) for r in df.collect()}
+    assert again == first
+    assert all(first[i] != orig[i] for i in range(6))
+    # distinct payloads stay distinct after resize (md5 over payload+target)
+    assert len(set(first.values())) == 6
