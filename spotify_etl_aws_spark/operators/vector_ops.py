@@ -52,13 +52,23 @@ GEMM_BLOCK = 4096
 
 
 def assign_cells_arrow(
-    emb: DataFrame, cents: list[tuple[int, list[float]]]
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    keep_cells: list[int] | None = None,
 ) -> DataFrame:
     """(vec_id, v) -> (vec_id, cell, v, u): argmax-cosine quantizer-cell
-    assignment plus unit normalization, one GEMM per Arrow batch."""
+    assignment plus unit normalization, one GEMM per Arrow batch.
+
+    ``keep_cells`` filters INSIDE the kernel (an IVF probe keeps only
+    the probed cells): rows outside the probe set never cross the
+    Arrow boundary back to the JVM, so a probe ships ~nprobe/k of the
+    data instead of assigning everything and filtering afterwards.
+    Assignment is per-row, so filtering commutes with it — the kept
+    rows are bit-identical either way."""
     cells = np.array([c for c, _ in sorted(cents)], dtype=np.int32)
     C = np.array([cv for _, cv in sorted(cents)], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    wanted = None if keep_cells is None else np.isin(cells, list(keep_cells))
 
     def gen(batches):
         for pdf in batches:
@@ -78,6 +88,12 @@ def assign_cells_arrow(
             M, norms = M[keep], norms[keep]
             U = M / norms
             idx = np.argmax(U @ Cn.T, axis=1)
+            if wanted is not None:
+                probe = wanted[idx]
+                if not probe.any():
+                    continue
+                M, U, idx = M[probe], U[probe], idx[probe]
+                keep = np.flatnonzero(keep)[probe]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy()[keep],

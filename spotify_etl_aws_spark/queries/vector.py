@@ -111,10 +111,10 @@ def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = _learned_centroids(spark, sf_dir)
     probe = _probe_cells(cents, qv, NPROBE)
-    probed = (
-        assign_cells_arrow(emb, cents)
-        .filter(F.col("cell").isin(probe))
-        .select("vec_id", "v")
+    # the probe filter runs INSIDE the Arrow kernel: non-probed rows
+    # never ship back to the JVM (~nprobe/k of the data crosses)
+    probed = assign_cells_arrow(emb, cents, keep_cells=probe).select(
+        "vec_id", "v"
     )
     return exact.unionAll(topk(probed, "ivf_probe"))
 
