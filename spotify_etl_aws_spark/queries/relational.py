@@ -377,7 +377,12 @@ def agg_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(0.5, "median_price"),
         pct(0.75, "p75_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        # + 0.0 normalizes IEEE -0.0: a near-zero negative correlation
+        # rounds to -0.0 in DuckDB but 0.0 in Spark — equal as floats,
+        # different under the harness's string/hash compare
+        (F.round(F.corr("l_extendedprice", "l_quantity"), 4) + F.lit(0.0)).alias(
+            "corr_pq"
+        ),
     )
 
 
@@ -392,7 +397,7 @@ SELECT l_returnflag,
        round(quantile_cont(cents, 0.5)  / 100, 2) AS median_price,
        round(quantile_cont(cents, 0.75) / 100, 2) AS p75_price,
        round(stddev_samp(l_extendedprice), 2) AS sd_price,
-       round(corr(l_extendedprice, l_quantity), 4) AS corr_pq
+       round(corr(l_extendedprice, l_quantity), 4) + 0.0 AS corr_pq
 FROM c
 GROUP BY l_returnflag
 """

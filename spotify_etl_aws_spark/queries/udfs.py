@@ -49,7 +49,11 @@ def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the day boundary — the group count grows with data
     volume while each group's size stays fixed, so no single task ever
     materializes an unbounded frame. Rounding happens JVM-side
-    (``F.round``) for SQL half-away-from-zero semantics."""
+    (``F.round``) for SQL half-away-from-zero semantics; ``+ 0.0``
+    after the round normalizes IEEE negative zero on both engines — a
+    tiny negative z rounds to -0.0 in DuckDB but 0.0 in Spark, equal as
+    floats yet different under the harness's string/hash compare
+    (surfaced by the sf0.1 full sweep, two rows)."""
     ev = t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -64,7 +68,10 @@ def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
     )
     return z.select(
-        "event_id", "event_type", "day", F.round("zscore", 4).alias("zscore")
+        "event_id",
+        "event_type",
+        "day",
+        (F.round("zscore", 4) + F.lit(0.0)).alias("zscore"),
     )
 
 
@@ -73,6 +80,7 @@ SELECT event_id, event_type,
        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        round((value - avg(value) OVER (PARTITION BY event_type, date_trunc('day', ts)))
              / stddev_samp(value) OVER (PARTITION BY event_type, date_trunc('day', ts)), 4)
+           + 0.0
            AS zscore
 FROM events
 """

@@ -460,7 +460,7 @@ def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("v").alias("dim", "x"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+        .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("centroid"))
     )
 
 
@@ -472,7 +472,7 @@ flat AS (
   SELECT label, CAST(u.i - 1 AS INT) AS dim, v[u.i] AS x
   FROM e, unnest(generate_series(1, len(v))) AS u(i)
 )
-SELECT label, dim, round(avg(x), 6) AS centroid
+SELECT label, dim, round(avg(x), 6) + 0.0 AS centroid
 FROM flat
 GROUP BY label, dim
 """
