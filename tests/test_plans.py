@@ -152,3 +152,14 @@ def test_tfidf_partial_aggregation_everywhere(spark, sf_dir):
     aggregate map-side before their exchanges."""
     plan = _plan(spark, sf_dir, "text_tfidf_top_terms")
     assert plan.count("partial_count") + plan.count("partial_sum") >= 3
+
+
+def test_two_lane_topk_has_no_join_and_prunes_scan(spark, sf_dir):
+    """Similarity search: both lanes end in TakeOrderedAndProject, the
+    query vector is an inlined literal (no join anywhere — a broadcast-
+    build job per search would dominate at high QPS), and the parquet
+    scan reads only (vec_id, embedding)."""
+    plan = _plan(spark, sf_dir, "vector_cosine_topk")
+    assert plan.count("TakeOrderedAndProject") == 2  # exact + ivf_probe
+    assert "Join" not in plan
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float" in plan
