@@ -96,9 +96,14 @@ def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID)
 
     def topk(df, tag):
+        # + 0.0 normalizes IEEE -0.0 (a negative cosine rounding to
+        # zero would hash differently across engines)
         return (
             df.select(
-                "vec_id", F.round(cosine(F.col("v"), q), 4).alias("cosine")
+                "vec_id",
+                (F.round(cosine(F.col("v"), q), 4) + F.lit(0.0)).alias(
+                    "cosine"
+                ),
             )
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(TOPK)
@@ -385,14 +390,14 @@ pcells AS (
   LIMIT {NPROBE}
 ),
 ex AS (
-  SELECT x.vec_id, round({_COS_EQ}, 4) AS cosine, 'exact' AS method
+  SELECT x.vec_id, round({_COS_EQ}, 4) + 0.0 AS cosine, 'exact' AS method
   FROM e x, q
   WHERE x.vec_id <> {QUERY_VEC_ID}
   ORDER BY cosine DESC, x.vec_id ASC
   LIMIT {TOPK}
 ),
 iv AS (
-  SELECT x.vec_id, round({_COS_EQ}, 4) AS cosine, 'ivf_probe' AS method
+  SELECT x.vec_id, round({_COS_EQ}, 4) + 0.0 AS cosine, 'ivf_probe' AS method
   FROM assign x, q
   WHERE x.cell IN (SELECT cell FROM pcells) AND x.vec_id <> {QUERY_VEC_ID}
   ORDER BY cosine DESC, x.vec_id ASC
