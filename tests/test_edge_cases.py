@@ -148,8 +148,9 @@ def test_cell_pair_kernel_contracts(spark):
     assigned = assign_cells_arrow(_edge_vecs(spark), cents)
     got = cell_cosine_pairs_arrow(assigned, 0.9, with_score=True).collect()
     pairs = {(r.doc_a, r.doc_b): r for r in got}
-    # cell 0 holds {0, 3, 4, 5}: the three same-direction vectors pair,
-    # the antipodal one (cos = -1) never does; cell 1 is a singleton.
+    # cell 0 holds {0, 3, 5} (the same-direction vectors — all pair);
+    # the antipodal vec 4 assigns to cell 1 (cos 0 beats -1), where its
+    # cosine to vec 1 is 0 < threshold, so it never pairs either.
     assert set(pairs) == {(0, 3), (0, 5), (3, 5)}
     for (a, b), r in pairs.items():
         assert a < b
@@ -257,3 +258,26 @@ def test_resize_media_roundtrips_target_dimensions(spark):
     assert all(first[i] != orig[i] for i in range(6))
     # distinct payloads stay distinct after resize (md5 over payload+target)
     assert len(set(first.values())) == 6
+
+
+def test_assign_cells_arrow_probe_filter_composes_with_zero_drop(spark):
+    """keep_cells filtering inside the kernel must compose with the
+    zero-vector drop: integer re-indexing after two boolean masks is
+    the subtle path (vec_ids must stay aligned with their vectors)."""
+    from spotify_etl_aws_spark.operators.vector_ops import assign_cells_arrow
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {
+        r.vec_id: r
+        for r in assign_cells_arrow(
+            _edge_vecs(spark), cents, keep_cells=[1]
+        ).collect()
+    }
+    # zero vector (2) dropped; same-direction vectors (0,3,5) live in
+    # cell 0 and are filtered out; cell 1 holds vec 1 AND the antipodal
+    # vec 4 (cosine 0 to the orthogonal centroid beats -1 to its own
+    # axis) — both must survive, correctly aligned with their vectors
+    assert set(out) == {1, 4}
+    assert out[1].cell == 1 and out[4].cell == 1
+    assert out[1].v == [0.0, 1.0, 0.0]
+    assert out[4].v == [-1.0, 0.0, 0.0]
