@@ -1,0 +1,76 @@
+"""DuckDB twin of bench.py: times the HEADLINE queries' oracle SQL on
+the same parquet (32 threads, warm-up + best of N) and prints ONE JSON
+line in the same shape, so the Spark-vs-DuckDB ratio in BASELINE.md is
+reproducible instead of hand-measured.
+
+Queries with no oracle (or non-SQL surfaces) are skipped with a null.
+
+Run: python tools/duckbench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from bench import HEADLINE, RUNS
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as E
+
+    oracles = E.oracle_sql()
+    con = duckdb.connect(config={"threads": 32})
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    timings: dict[str, float | None] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            timings[name] = None
+            continue
+        con.execute(sql).fetchall()  # warm
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "runs_per_query": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
