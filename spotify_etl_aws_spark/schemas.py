@@ -225,12 +225,13 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # Logical schema: ts is an event-time timestamp. The parquet files store
-    # ts as INT64 timestamp[ns], which Spark's vectorized reader refuses to
-    # load as TimestampType — the physical read goes through
-    # EVENTS_PARQUET_NANOS (ts as raw nanos long, via
-    # spark.sql.legacy.parquet.nanosAsLong) and readers convert to
-    # microsecond timestamps. See sources/readers.py:_load_events.
+    # Logical schema: ts is an event-time timestamp. Fixture generations
+    # have stored ts as either timestamp[us] (read directly with this
+    # schema) or timestamp[ns] (which Spark's vectorized reader refuses
+    # to load as TimestampType — that read goes through
+    # EVENTS_PARQUET_NANOS + spark.sql.legacy.parquet.nanosAsLong and an
+    # explicit nanos->micros conversion). Readers sniff the footer and
+    # dispatch: sources/readers.py:events_ts_unit.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -261,10 +262,11 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
 
 TESTDATA_TABLES = list(TESTDATA_SCHEMAS)
 
-# Physical read schema for events.parquet: the file stores ts as INT64
-# timestamp[ns]; with spark.sql.legacy.parquet.nanosAsLong=true Spark maps
-# that physical type to a plain long of epoch-nanoseconds, which readers
-# then convert to a microsecond TimestampType (nanos div 1000).
+# Physical read schema for events.parquet generations that store ts as
+# INT64 timestamp[ns]: with spark.sql.legacy.parquet.nanosAsLong=true
+# Spark maps that physical type to a plain long of epoch-nanoseconds,
+# which readers then convert to a microsecond TimestampType (nanos div
+# 1000). Unused when the file stores timestamp[us] (read directly).
 EVENTS_PARQUET_NANOS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

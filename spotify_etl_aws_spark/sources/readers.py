@@ -35,11 +35,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def enable_nanos_as_long(spark: SparkSession) -> None:
-    """events.parquet stores ts as INT64 timestamp[ns]; Spark's vectorized
-    parquet reader cannot load that as TimestampType. This legacy flag maps
-    nanos columns to plain longs so the reader accepts them; the conversion
-    to microsecond timestamps happens explicitly in ``_events_ts``.
-    Runtime-settable, so it also works on a driver-created session.
+    """For events files storing ts as INT64 timestamp[ns]: Spark's
+    vectorized parquet reader cannot load nanos as TimestampType. This
+    legacy flag maps nanos columns to plain longs so the reader accepts
+    them; the conversion to microsecond timestamps happens explicitly in
+    ``_events_ts``. Runtime-settable, so it also works on a
+    driver-created session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -49,14 +50,36 @@ def _events_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Physical resolution of events.ts ('ns'/'us'/'ms'/'s'), sniffed
+    from the parquet FOOTER — a driver-side metadata read, no data
+    touched. Fixture generations have flipped between timestamp[ns] and
+    timestamp[us]; hardcoding either silently corrupts every event-time
+    query under the other (ns read as us lands in 1970), so the reader
+    dispatches on what the file actually stores. Memoized per path —
+    one footer read per corpus per process."""
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        unit = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+        _TS_UNIT_CACHE[path] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One testdata table, schema-declared parquet scan."""
     if name == "events":
-        enable_nanos_as_long(spark)
-        raw = spark.read.schema(EVENTS_PARQUET_NANOS).parquet(
-            table_path(sf_dir, name)
-        )
-        return _events_ts(raw)
+        path = table_path(sf_dir, name)
+        if events_ts_unit(path) == "ns":
+            enable_nanos_as_long(spark)
+            raw = spark.read.schema(EVENTS_PARQUET_NANOS).parquet(path)
+            return _events_ts(raw)
+        # us/ms/s map straight onto Spark's microsecond TimestampType
+        return spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(path)
     reader = spark.read
     schema = TESTDATA_SCHEMAS.get(name)
     if schema is not None:
@@ -76,14 +99,65 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
-def read_raw_playlists(spark: SparkSession, path: str, encoding: str = "UTF-8") -> DataFrame:
+def _sample_json_file(path: str) -> str | None:
+    """A local file to sniff: the path itself, or the first .json file
+    inside a directory. None for remote/missing paths (no sniff)."""
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".json"):
+                return os.path.join(path, name)
+        return None
+    return path if os.path.isfile(path) else None
+
+
+def sniff_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
+    """Driver-side encoding detection for raw JSON — the reference's
+    chardet sniff with its ISO-8859-1 fallback
+    (ingestion/ingestion/bronze/bronze.py:48-63). chardet is used when
+    installed; otherwise a strict UTF-8 trial decode stands in (UTF-8
+    self-validates; any byte sequence that fails it falls back to
+    ISO-8859-1, which accepts every byte — the same fallback posture as
+    the reference). Non-local paths sniff nothing and default to UTF-8.
+    """
+    f = _sample_json_file(path)
+    if f is None:
+        return "UTF-8"
+    with open(f, "rb") as fh:
+        sample = fh.read(sample_bytes)
+    if sample.startswith(b"\xef\xbb\xbf"):
+        return "UTF-8"
+    try:
+        import chardet  # pragma: no cover - not present in this container
+
+        enc = (chardet.detect(sample) or {}).get("encoding")
+        return enc or "ISO-8859-1"
+    except ImportError:
+        pass
+    try:
+        sample.decode("utf-8")
+        return "UTF-8"
+    except UnicodeDecodeError as e:
+        # a multi-byte char truncated at the sample boundary is not
+        # evidence of a non-UTF-8 file
+        if e.start >= len(sample) - 3:
+            return "UTF-8"
+        return "ISO-8859-1"
+
+
+def read_raw_playlists(
+    spark: SparkSession, path: str, encoding: str | None = None
+) -> DataFrame:
     """Raw playlist JSON (array-of-playlists documents) -> one row per playlist.
 
     Replaces the reference's driver-side ``get_object + chardet + json.loads``
-    (bronze.py:33-77) with a distributed multiline JSON scan. The encoding
-    sniff becomes an explicit reader option; the reference's ISO-8859-1
-    fallback is available via ``encoding="ISO-8859-1"``.
+    (bronze.py:33-77) with a distributed multiline JSON scan. With
+    ``encoding=None`` (the default) the encoding is auto-detected
+    driver-side (``sniff_encoding`` — reference parity with the chardet
+    sniff + ISO-8859-1 fallback); pass an explicit encoding to skip the
+    sniff.
     """
+    if encoding is None:
+        encoding = sniff_encoding(path)
     return (
         spark.read.schema(RAW_PLAYLIST)
         .option("multiLine", True)

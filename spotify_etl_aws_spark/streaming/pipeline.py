@@ -21,21 +21,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import EVENTS_PARQUET_NANOS, TESTDATA_SCHEMAS
-from ..sources.readers import _events_ts, enable_nanos_as_long
+from ..sources.readers import (
+    _events_ts,
+    enable_nanos_as_long,
+    events_ts_unit,
+    table_path,
+)
 
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream over one testdata parquet table (schema declared
-    — streaming sources require it). events needs the same nanos->micros
-    conversion as the batch reader (see sources/readers.py)."""
+    — streaming sources require it). events dispatches on the file's
+    physical ts resolution exactly like the batch reader (see
+    sources/readers.py:events_ts_unit)."""
     if name == "events":
-        enable_nanos_as_long(spark)
-        raw = (
-            spark.readStream.schema(EVENTS_PARQUET_NANOS)
-            .option("pathGlobFilter", f"{name}.parquet")
-            .parquet(sf_dir)
-        )
-        return _events_ts(raw)
+        if events_ts_unit(table_path(sf_dir, name)) == "ns":
+            enable_nanos_as_long(spark)
+            raw = (
+                spark.readStream.schema(EVENTS_PARQUET_NANOS)
+                .option("pathGlobFilter", f"{name}.parquet")
+                .parquet(sf_dir)
+            )
+            return _events_ts(raw)
     return (
         spark.readStream.schema(TESTDATA_SCHEMAS[name])
         .option("pathGlobFilter", f"{name}.parquet")
