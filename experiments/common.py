@@ -68,6 +68,7 @@ def compare_loop(
     """Per amplification: run Spark always, DuckDB up to
     ``duckdb_max_reps`` (its exact recursive closures go super-linear),
     print one line each, and hard-flag any output mismatch."""
+    mismatched = False
     for reps in reps_list:
         path, n = amplify(table, id_col, reps, out_root)
         wall, summary = spark_fn(path)
@@ -80,3 +81,7 @@ def compare_loop(
             )
             if dsummary != summary:
                 print("MISMATCH between engines!", file=sys.stderr)
+                mismatched = True
+    if mismatched:
+        # scripted runs must fail loudly on a cross-engine disagreement
+        sys.exit(1)

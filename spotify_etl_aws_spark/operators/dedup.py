@@ -392,11 +392,27 @@ def label_propagation(
             .localCheckpoint()
         )
     if changed:
-        raise RuntimeError(
-            f"label_propagation did not converge within max_iters={max_iters} "
-            f"({changed} labels still changing); a component's diameter "
-            "exceeds the iteration bound — raise max_iters"
+        # `changed` was counted BEFORE the last round's pointer-halving
+        # step, so a graph that lands on the fixpoint exactly at the
+        # max_iters boundary would raise spuriously. Re-probe against
+        # the post-halving labels (one more neighbor-min comparison)
+        # and only raise if a label would still move.
+        neigh = (
+            sym.join(labels, sym.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
         )
+        still = (
+            labels.join(neigh, labels.node == neigh.doc_a, "left")
+            .filter(F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label"))
+            .count()
+        )
+        if still:
+            raise RuntimeError(
+                f"label_propagation did not converge within max_iters={max_iters} "
+                f"({still} labels still changing); a component's diameter "
+                "exceeds the iteration bound — raise max_iters"
+            )
     return labels
 
 

@@ -67,7 +67,10 @@ def check_accepted_values(
 ) -> DataFrame:
     """Distinct out-of-domain values with row counts (dbt
     ``accepted_values``); NULLs are out-of-domain unless listed."""
-    in_domain = F.col(col).isin(*[v for v in values if v is not None])
+    non_null = [v for v in values if v is not None]
+    # isin() with zero args raises a Py4J error, so a values list of
+    # only None (or empty) starts from an empty domain instead.
+    in_domain = F.col(col).isin(*non_null) if non_null else F.lit(False)
     if any(v is None for v in values):
         in_domain = in_domain | F.col(col).isNull()
     else:

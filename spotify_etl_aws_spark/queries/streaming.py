@@ -36,7 +36,9 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(win.alias("w"), "event_type")
             .agg(
                 F.count("*").alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
+                # + 0.0 collapses IEEE -0.0 (a sum rounding to zero from
+                # below) to 0.0, matching the oracle's identical nudge.
+                (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
             )
         )
         out = run_available_now(agg, name, output_mode="append")
@@ -76,7 +78,7 @@ SELECT 'tumbling' AS kind,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round(sum(value), 2) + 0.0 AS sum_value
 FROM events, wm
 WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm_us
 GROUP BY 1, 2, 3
@@ -85,7 +87,7 @@ SELECT 'sliding' AS kind,
        strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round(sum(value), 2) + 0.0 AS sum_value
 FROM ex, wm
 WHERE epoch_us(w_start) + 3600000000 <= wm_us
 GROUP BY 1, 2, 3
@@ -113,7 +115,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -141,7 +146,7 @@ s AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round(sum(value), 2) + 0.0 AS sum_value
 FROM s
 GROUP BY user_id, sid
 """
@@ -159,7 +164,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
         )
     )
     out = run_available_now(agg, "stream_sessions", output_mode="append")
@@ -195,7 +200,7 @@ s AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round(sum(value), 2) + 0.0 AS sum_value
 FROM s, wm
 GROUP BY user_id, sid, wm_us
 HAVING epoch_us(max(ts)) + 1800000000 <= wm_us
@@ -256,12 +261,15 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     totals = running_user_totals(src)
     out = run_available_now(totals, "stateful_totals", output_mode="update")
     return out.select(
-        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+        "user_id",
+        "n_events",
+        # + 0.0 collapses IEEE -0.0 to 0.0 (oracle applies the same nudge).
+        (F.round("total_value", 2) + F.lit(0.0)).alias("total_value"),
     )
 
 
 ORACLE_STATEFUL_TOTALS = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) + 0.0 AS total_value
 FROM events
 GROUP BY user_id
 """

@@ -11,6 +11,7 @@ Usage:
     python tools/sweep.py                 # sf0.01 (driver parity)
     python tools/sweep.py all             # sf0.001 + sf0.01 + sf0.1
     python tools/sweep.py /root/testdata/sf0.1
+    python tools/sweep.py all -q vector_cosine_topk,dedup_embedding_cosine
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ def _cell(v):
     return str(v)
 
 
-def sweep(spark, sf_dir: str) -> tuple[list, list]:
+def sweep(spark, sf_dir: str, only: set[str] | None = None) -> tuple[list, list]:
     import __spark_entry__ as E
 
     con = duckdb.connect(config={"threads": 32})
@@ -55,6 +56,11 @@ def sweep(spark, sf_dir: str) -> tuple[list, list]:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = E.queries(), E.oracle_sql()
+    if only is not None:
+        unknown = only - qs.keys()
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     bad, empty = [], []
     for name in qs:
         try:
@@ -87,7 +93,13 @@ def sweep(spark, sf_dir: str) -> tuple[list, list]:
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    arg = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only = None
+    if "-q" in argv:
+        i = argv.index("-q")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    arg = argv[0] if argv else "/root/testdata/sf0.01"
     dirs = (
         ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
         if arg == "all"
@@ -104,7 +116,7 @@ def main() -> None:
     failures = 0
     for d in dirs:
         print(f"== {d}", flush=True)
-        bad, empty = sweep(spark, d)
+        bad, empty = sweep(spark, d, only)
         print(f"== {d}: MISMATCH={bad} EMPTY={empty}", flush=True)
         failures += len(bad)
     sys.exit(1 if failures else 0)
