@@ -43,7 +43,7 @@ TOPK = 10
 NUM_CENTROIDS = 8
 NPROBE = 2
 IVF_THRESHOLD = 0.35
-KMEANS_ITERS = 1
+KMEANS_ITERS = 2
 CENTROID_DECIMALS = 6
 # Embedding near-dup threshold. Raw (unrounded) cosine is compared on
 # both engines: verified safe because the test fixture's closest pair to
@@ -80,14 +80,12 @@ def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       centroids are nearest the query vector, then score just those
       vectors. Probe selection is a k-by-1 driver-side argsort over
       MODEL STATE (margins to the next cell >= 0.014 on the fixture,
-      far above cross-engine drift). Reading the raw table, assignment
-      is computed map-side and the cell filter applies AFTER it — the
-      scan itself is still full; the true pruned-scan posture stores
-      the index partitioned by cell so the probe prunes at scan time
-      (built and plan-asserted in
-      tests/test_scale_ops.py::test_ivf_partitioned_layout_prunes_probed_cells),
-      which at 100 TB is the difference between touching every vector
-      and touching NPROBE cells' files.
+      far above cross-engine drift). The lane scans the cell-partitioned
+      INDEX (built once per corpus by ``_ivf_index_path``), so the
+      ``cell IN (probed)`` filter is PartitionFilters-level pruning —
+      only the NPROBE probed cells' files are ever read (plan-pinned in
+      tests/test_plans.py). At 100 TB that is the difference between
+      touching every vector and touching ~nprobe/k of the files.
 
     Both lanes order by (rounded cosine desc, vec_id) so the k-boundary
     cut is engine-deterministic."""
@@ -112,14 +110,15 @@ def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = topk(emb, "exact")
 
-    from ..operators.vector_ops import assign_cells_arrow
-
     cents = _learned_centroids(spark, sf_dir)
     probe = _probe_cells(cents, qv, NPROBE)
-    # the probe filter runs INSIDE the Arrow kernel: non-probed rows
-    # never ship back to the JVM (~nprobe/k of the data crosses)
-    probed = assign_cells_arrow(emb, cents, keep_cells=probe).select(
-        "vec_id", "v"
+    # Scan the cell-partitioned index: `cell IN (probed)` prunes at the
+    # file level, so the k - nprobe unprobed cells are never read.
+    probed = (
+        spark.read.parquet(_ivf_index_path(spark, sf_dir))
+        .filter(F.col("cell").isin(probe))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "v")
     )
     return exact.unionAll(topk(probed, "ivf_probe"))
 
@@ -253,6 +252,56 @@ def _fit_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
     return cents
 
 
+_INDEX_PATH_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus per process) the IVF INDEX: quantizer-cell
+    assignments written as parquet PARTITIONED BY ``cell``. This is the
+    build/query split every ANN system has — the build pays one linear
+    assignment pass (the Arrow kernel, zero shuffles before the write),
+    and every probe afterwards prunes at SCAN time through the
+    Hive-style ``cell=<n>/`` directories: a probe's ``cell IN (...)``
+    touches nprobe of k partitions' files instead of the whole corpus.
+
+    The index lives in the system temp dir (same policy as the
+    streaming checkpoints) keyed by corpus path, row count, and the
+    quantizer config, so a changed fixture or constant can never serve
+    a stale index. Only (vec_id, v) ride in the files — the unit
+    vector is recomputed where needed, keeping the index bytes
+    minimal."""
+    cached = _INDEX_PATH_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..operators.vector_ops import assign_cells_arrow
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+    key = (
+        f"{os.path.abspath(sf_dir)}|{n}|{NUM_CENTROIDS}"
+        f"|{KMEANS_ITERS}|{CENTROID_DECIMALS}"
+    )
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+    if not os.path.isdir(path):
+        cents = _learned_centroids(spark, sf_dir)
+        (
+            assign_cells_arrow(_embeddings(spark, sf_dir), cents)
+            .select("vec_id", "v", "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    _INDEX_PATH_CACHE[sf_dir] = path
+    return path
+
+
 def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-quantizer cell assignment (vec_id, v, cell) shared by the
     ANN join and the embedding near-dup query."""
@@ -342,38 +391,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_EC = """list_dot_product(e.v, c.cv)
                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"""
 
-# Shared quantizer CTE chain (ends at `assign`) — the SQL twin of
-# _ivf_assignments, reused by the ANN oracle and the near-dup oracle.
-_IVF_ASSIGN_CTES = f"""e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-c0 AS (
-  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {NUM_CENTROIDS}
-),
-s0 AS (
+def _ivf_assign_ctes(iters: int = KMEANS_ITERS) -> str:
+    """SQL twin of ``_fit_centroids`` + ``_ivf_assignments``, GENERATED
+    for any Lloyd iteration count so the oracle can never freeze the
+    quantizer quality at one hand-unrolled iteration: ``c0`` seeds from
+    the first NUM_CENTROIDS vectors, then each iteration i contributes
+    an assignment (``s{i}``/``a{i}``) and a rounded mean refresh
+    (``m{i+1}``/``c{i+1}``); the chain ends at ``assign`` — the
+    assignment under the FINAL centroids ``c{iters}``. Empty cells
+    simply have no mean rows and drop out, exactly as in the Python
+    fit."""
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
   SELECT e.vec_id, e.v, c.cell,
          row_number() OVER (
            PARTITION BY e.vec_id
            ORDER BY {_COS_EC} DESC,
                     c.cell ASC) AS rn
-  FROM e, c0 c
-),
-a0 AS (SELECT vec_id, v, cell FROM s0 WHERE rn = 1),
-m1 AS (
+  FROM e, {cents} c
+)"""
+
+    parts = [
+        "e AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n)",
+        f"c0 AS (\n  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {NUM_CENTROIDS}\n)",
+    ]
+    for i in range(iters):
+        parts.append(assign_cte(f"s{i}", f"c{i}"))
+        parts.append(f"a{i} AS (SELECT vec_id, v, cell FROM s{i} WHERE rn = 1)")
+        parts.append(
+            f"""m{i + 1} AS (
   SELECT cell, u.i AS i, round(avg(v[u.i]), {CENTROID_DECIMALS}) AS m
-  FROM a0, unnest(generate_series(1, len(v))) AS u(i)
+  FROM a{i}, unnest(generate_series(1, len(v))) AS u(i)
   GROUP BY cell, u.i
-),
-c1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM m1 GROUP BY cell),
-s1 AS (
-  SELECT e.vec_id, e.v, c.cell,
-         row_number() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY {_COS_EC} DESC,
-                    c.cell ASC) AS rn
-  FROM e, c1 c
-),
-assign AS (SELECT vec_id, v, cell FROM s1 WHERE rn = 1)"""
+)"""
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cell, list(m ORDER BY i) AS cv"
+            f" FROM m{i + 1} GROUP BY cell)"
+        )
+    parts.append(assign_cte(f"s{iters}", f"c{iters}"))
+    parts.append(f"assign AS (SELECT vec_id, v, cell FROM s{iters} WHERE rn = 1)")
+    return ",\n".join(parts)
+
+
+# Shared quantizer CTE chain (ends at `assign`) — reused by the ANN
+# oracle and the near-dup oracle. _FINAL_CENTS names the CTE holding the
+# final learned centroids (the probe-selection input).
+_IVF_ASSIGN_CTES = _ivf_assign_ctes()
+_FINAL_CENTS = f"c{KMEANS_ITERS}"
 
 _COS_EQ = """list_dot_product(x.v, q.qv)
              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.qv, q.qv)))"""
@@ -383,7 +449,10 @@ WITH {_IVF_ASSIGN_CTES},
 q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
 pcells AS (
   SELECT c.cell
-  FROM c1 c, q
+  FROM {_FINAL_CENTS} c, q
+  -- mirror _probe_cells' zero-norm exclusion: a collapsed centroid's
+  -- NaN cosine would sort greatest in DuckDB and be probed first
+  WHERE list_dot_product(c.cv, c.cv) > 0
   ORDER BY list_dot_product(c.cv, q.qv)
            / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
            c.cell ASC

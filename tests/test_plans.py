@@ -163,3 +163,23 @@ def test_two_lane_topk_has_no_join_and_prunes_scan(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") == 2  # exact + ivf_probe
     assert "Join" not in plan
     assert "ReadSchema: struct<vec_id:bigint,embedding:array<float" in plan
+
+
+def test_ivf_probe_lane_prunes_partitions(spark, sf_dir):
+    """The declared probe lane scans the cell-partitioned INDEX with a
+    PartitionFilters-level `cell IN (...)`: only the NPROBE probed
+    cells' directories are read — at 100 TB the probe touches
+    ~nprobe/k of the corpus files, never all of them."""
+    import os
+
+    from spotify_etl_aws_spark.queries.vector import NPROBE, _ivf_index_path
+
+    plan = _plan(spark, sf_dir, "vector_cosine_topk")
+    # the exact lane's raw-table scan has empty PartitionFilters; the
+    # probe lane's index scan must carry the cell IN (...) filter
+    segs = [s[:160] for s in plan.split("PartitionFilters")[1:]]
+    assert any("cell" in s and "IN" in s for s in segs), segs
+    # pruning is non-vacuous: the index holds more cells than a probe reads
+    idx = _ivf_index_path(spark, sf_dir)
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) > NPROBE
