@@ -1,13 +1,17 @@
 """Multimodal query inventory (north-star, SURVEY.md §2.11d).
 
-``multimodal_images`` is the binary media column end-to-end: JVM-side
-encode into bytes, mapInPandas decode back out, JVM-side feature
-derivation, then video-style frame sampling plumbing — per-item frame
+``multimodal_images`` is the binary media column end-to-end with a REAL
+codec: a mapInPandas encode kernel writes genuine uncompressed 24-bit
+BMP files (stdlib ``struct``), a mapInPandas decode kernel parses the
+actual BMP headers back out of the bytes, then JVM-side feature
+derivation and video-style frame sampling plumbing — per-item frame
 counts expanded to sampled frame indices with ``sequence`` + ``explode``
 (pure JVM; a real pipeline would join these indices against a
 frame-extract mapInPandas kernel). The DuckDB oracle recomputes the
-metadata analytically, so a hash match proves the bytes round-tripped
-through the Arrow decode lane intact.
+metadata analytically from the BMP format spec (54-byte headers +
+4-byte-aligned BGR rows), so a hash match proves the bytes really are
+well-formed BMPs and round-tripped through the Arrow decode lane
+intact.
 """
 
 from __future__ import annotations
@@ -16,15 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
-    HEIGHT_BASE,
-    HEIGHT_MULT,
-    HEIGHT_MOD,
-    MEDIA_MAGIC,
-    PAYLOAD_BYTES,
-    WIDTH_BASE,
-    WIDTH_MULT,
-    WIDTH_MOD,
-    fake_image_bytes,
+    BMP_HEADER_BYTES,
+    encode_media_bmp,
     media_features,
     with_media_meta,
 )
@@ -34,12 +31,30 @@ FRAME_BASE = 10
 FRAME_MOD = 50
 FRAME_STEP = 5
 
+# Deterministic image dimensions, affine in doc_id — small enough that
+# real pixel buffers stay cheap (≤ 64x48x3 ≈ 9 KB/image), large enough
+# that width/height/aspect vary across the corpus.
+BMP_WIDTH_BASE, BMP_WIDTH_MULT, BMP_WIDTH_MOD = 16, 7, 48
+BMP_HEIGHT_BASE, BMP_HEIGHT_MULT, BMP_HEIGHT_MOD = 12, 13, 36
+
 
 def multimodal_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    with_media = docs.select(
-        "doc_id", fake_image_bytes(F.col("doc_id"), F.col("text")).alias("media")
+    staged = docs.select(
+        "doc_id",
+        (F.lit(BMP_WIDTH_BASE) + (F.col("doc_id") * BMP_WIDTH_MULT) % BMP_WIDTH_MOD)
+        .cast("int")
+        .alias("width"),
+        (
+            F.lit(BMP_HEIGHT_BASE)
+            + (F.col("doc_id") * BMP_HEIGHT_MULT) % BMP_HEIGHT_MOD
+        )
+        .cast("int")
+        .alias("height"),
+        # pixel seed: md5(text) digest, computed JVM-side
+        F.unhex(F.md5(F.col("text"))).alias("payload"),
     )
+    with_media = encode_media_bmp(staged)
     feats = media_features(with_media_meta(with_media))
     n_frames = F.lit(FRAME_BASE) + F.col("doc_id") % FRAME_MOD
     return feats.select(
@@ -51,16 +66,18 @@ def multimodal_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# n_bytes is the BMP format's own arithmetic: 54 header bytes + height
+# rows of 3*width bytes padded to 4-byte alignment.
 ORACLE_IMAGES = f"""
 WITH m AS (
   SELECT doc_id,
-         CAST({WIDTH_BASE} + (doc_id * {WIDTH_MULT}) % {WIDTH_MOD} AS INT) AS width,
-         CAST({HEIGHT_BASE} + (doc_id * {HEIGHT_MULT}) % {HEIGHT_MOD} AS INT) AS height
+         CAST({BMP_WIDTH_BASE} + (doc_id * {BMP_WIDTH_MULT}) % {BMP_WIDTH_MOD} AS INT) AS width,
+         CAST({BMP_HEIGHT_BASE} + (doc_id * {BMP_HEIGHT_MULT}) % {BMP_HEIGHT_MOD} AS INT) AS height
   FROM documents
 )
-SELECT doc_id, '{MEDIA_MAGIC.lower()}' AS media_type, width, height,
-       CAST(length('{MEDIA_MAGIC}:' || width || ':' || height || ':')
-            + {PAYLOAD_BYTES} AS INT) AS n_bytes,
+SELECT doc_id, 'bmp' AS media_type, width, height,
+       CAST({BMP_HEADER_BYTES} + height * (((3 * width + 3) // 4) * 4) AS INT)
+           AS n_bytes,
        round(width / height, 4) AS aspect_ratio,
        CAST(width * height AS INT) AS n_pixels,
        CASE WHEN width / height >= 1.0 THEN 'landscape' ELSE 'portrait' END

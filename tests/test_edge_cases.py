@@ -260,6 +260,64 @@ def test_resize_media_roundtrips_target_dimensions(spark):
     assert len(set(first.values())) == 6
 
 
+def test_bmp_codec_real_roundtrip(spark):
+    """The REAL codec: encode_bmp writes genuine uncompressed 24-bit
+    BMP files, decode_image recovers dimensions AND pixels bit-for-bit,
+    resize_media performs true nearest-neighbor resampling of the pixel
+    grid, and the Spark kernels carry real BMPs end-to-end."""
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.multimodal import (
+        bmp_row_bytes,
+        decode_image,
+        encode_bmp,
+        encode_media_bmp,
+        resize_media,
+        with_media_meta,
+    )
+
+    # driver-side: pixel-exact round trip through the actual file format
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    b = encode_bmp(7, 10, src.tobytes())
+    assert b[:2] == b"BM"
+    assert len(b) == 54 + 10 * bmp_row_bytes(7)
+    img = decode_image(b)
+    assert (img.width, img.height) == (7, 10)
+    assert np.array_equal(
+        np.frombuffer(img.pixels, np.uint8).reshape(10, 7, 3), src
+    )
+
+    # real nearest-neighbor resize: output pixels are exactly the
+    # source pixels the index arithmetic selects
+    one = spark.createDataFrame(
+        [(0, bytearray(b))], "doc_id bigint, media binary"
+    )
+    out = bytes(resize_media(one, 3, 4).collect()[0].media)
+    rimg = decode_image(out)
+    assert (rimg.width, rimg.height) == (3, 4)
+    yi = (np.arange(4) * 10) // 4
+    xi = (np.arange(3) * 7) // 3
+    assert np.array_equal(
+        np.frombuffer(rimg.pixels, np.uint8).reshape(4, 3, 3), src[yi][:, xi]
+    )
+
+    # Spark lane: encode kernel -> metadata decode reads REAL headers
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") + 3).cast("int").alias("width"),
+        (F.col("id") + 2).cast("int").alias("height"),
+        F.unhex(F.md5(F.col("id").cast("string"))).alias("payload"),
+    )
+    media = encode_media_bmp(df)
+    meta = {r.doc_id: r for r in with_media_meta(media).collect()}
+    assert set(meta) == set(range(5))
+    assert all(m.media_type == "bmp" for m in meta.values())
+    assert all(
+        meta[i].width == i + 3 and meta[i].height == i + 2 for i in range(5)
+    )
+
+
 def test_assign_cells_arrow_probe_filter_composes_with_zero_drop(spark):
     """keep_cells filtering inside the kernel must compose with the
     zero-vector drop: integer re-indexing after two boolean masks is
