@@ -57,13 +57,36 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(salted.collect()) == sorted(plain.collect())
 
 
-def test_salted_join_rejects_right_and_full_outer(spark):
-    """Replicating the right side over salt values would emit spurious
-    null-left rows for right/full outer — the operator must refuse."""
+def test_salted_join_all_types_match_plain_join(spark):
+    """Result identity vs the plain join for EVERY join type — with
+    keys unmatched on each side, duplicate keys (fan-out), and NULL
+    keys (which never equi-match and must surface from both sides of
+    an outer join exactly once)."""
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, 21.0), (4, 40.0), (None, 50.0)],
+        "k int, rv double",
+    )
+    for how in (
+        "inner", "left", "left_outer", "left_semi", "left_anti",
+        "right", "right_outer", "full", "full_outer", "outer",
+    ):
+        plain = left.join(right, "k", how)
+        salted = salted_join(left, right, on="k", salt=4, how=how)
+        assert sorted(salted.columns) == sorted(plain.columns), how
+        key = lambda r: tuple((v is None, v) for v in r)
+        got = sorted((tuple(r) for r in salted.collect()), key=key)
+        want = sorted((tuple(r) for r in plain.collect()), key=key)
+        assert got == want, how
+
+
+def test_salted_join_rejects_unknown_how(spark):
     df = spark.range(4).withColumnRenamed("id", "k")
-    for how in ("right", "full", "full_outer", "right_outer"):
-        with pytest.raises(ValueError, match="salted_join supports"):
-            salted_join(df, df, on="k", how=how)
+    with pytest.raises(ValueError, match="unsupported join type"):
+        salted_join(df, df, on="k", how="cross")
 
 
 def test_label_propagation_chain_converges_to_min(spark):
