@@ -166,6 +166,39 @@ def test_boolean_roundtrip(gold_frames):
     assert explicit["T00"] is True and explicit["T01"] is False
 
 
+def test_encoding_sniff_reads_latin1_fixture(spark, tmp_path):
+    """Reference parity with bronze.py:48-63: a raw file in ISO-8859-1
+    is read correctly WITHOUT an explicit encoding= argument — the
+    driver-side sniff detects the non-UTF-8 bytes and falls back, and
+    the full medallion run still reproduces the goldens with the
+    non-ASCII name intact."""
+    items = _playlist_items()
+    playlist = {
+        "id": "PL1",
+        "name": "Playlist Café Müller",  # ISO-8859-1-only bytes
+        "description": "aperçu",
+        "owner": {"id": "owner-1"},
+        "followers": {"total": 123},
+        "public": True,
+        "snapshot_id": "snap-1",
+        "images": [{"url": "https://img/1", "height": 640, "width": 640}],
+        "tracks": {"total": len(items), "limit": 100, "offset": 0, "items": items},
+    }
+    raw = str(tmp_path / "raw_latin1.json")
+    with open(raw, "w", encoding="ISO-8859-1") as f:
+        json.dump([playlist], f, ensure_ascii=False)
+
+    from spotify_etl_aws_spark.sources.readers import sniff_encoding
+
+    assert sniff_encoding(raw) == "ISO-8859-1"
+    gold = run_medallion(spark, raw, str(tmp_path / "lake"))
+    assert gold["dim_albums"].count() == N_ALBUMS
+    assert gold["dim_artists"].count() == N_ARTISTS
+    assert gold["fact_playlist_tracks"].count() == N_TRACKS
+    name = gold["dim_playlists"].collect()[0].playlist_name
+    assert name == "Playlist Café Müller"
+
+
 def test_null_fk_drops_from_fact(spark, tmp_path):
     """A track with a NULL album FK survives staging but drops from the
     fact (inner join semantics, fact_playlist_tracks.sql:19-20).
