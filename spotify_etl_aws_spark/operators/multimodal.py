@@ -56,6 +56,8 @@ def encode_bmp(width: int, height: int, payload: bytes) -> bytes:
         raise ValueError(f"invalid BMP dimensions {width}x{height}")
     if not payload:
         raise ValueError("BMP payload must be non-empty")
+    import numpy as np
+
     stride = 3 * width
     row = bmp_row_bytes(width)
     size = BMP_HEADER_BYTES + row * height
@@ -65,13 +67,13 @@ def encode_bmp(width: int, height: int, payload: bytes) -> bytes:
         2835, 2835, 0, 0,
     )
     pix = (payload * (stride * height // len(payload) + 1))[: stride * height]
-    pad = b"\x00" * (row - stride)
-    # positive biHeight => rows stored bottom-up (the canonical layout)
-    body = b"".join(
-        pix[r * stride : (r + 1) * stride] + pad
-        for r in reversed(range(height))
-    )
-    return file_header + info_header + body
+    # vectorized row layout: rows reversed (positive biHeight = bottom-up
+    # storage, the canonical layout) and padded to 4-byte alignment
+    rows = np.zeros((height, row), dtype=np.uint8)
+    rows[:, :stride] = np.frombuffer(pix, dtype=np.uint8).reshape(height, stride)[
+        ::-1
+    ]
+    return file_header + info_header + rows.tobytes()
 
 
 class DecodedImage(NamedTuple):
@@ -143,11 +145,13 @@ def decode_image(data: bytes) -> DecodedImage:
 
 def _parse_one(b: bytes) -> tuple[str, int, int, int]:
     """Per-item metadata extraction, dispatched on the actual bytes:
-    real BMP decode when the buffer is a BMP file, the legacy fake
-    header otherwise."""
+    real BMP header decode when the buffer is a BMP file (width/height
+    read straight from the BITMAPINFOHEADER — metadata extraction does
+    not build the pixel buffer, exactly like PIL's lazy open()), the
+    legacy fake header otherwise."""
     if b[:2] == b"BM":
-        img = decode_image(b)
-        return "bmp", img.width, img.height, len(b)
+        width, biheight = struct.unpack_from("<ii", b, 18)
+        return "bmp", width, abs(biheight), len(b)
     magic, w, h, _ = b.split(b":", 3)
     return magic.decode("ascii").lower(), int(w), int(h), len(b)
 
