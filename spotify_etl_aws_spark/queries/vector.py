@@ -280,9 +280,15 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from ..operators.vector_ops import assign_cells_arrow
 
-    n = pq.ParquetFile(
-        os.path.join(sf_dir, "embeddings.parquet")
-    ).metadata.num_rows
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):  # multi-file layout: sum the part footers
+        n = sum(
+            pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        )
+    else:
+        n = pq.ParquetFile(src).metadata.num_rows
     key = (
         f"{os.path.abspath(sf_dir)}|{n}|{NUM_CENTROIDS}"
         f"|{KMEANS_ITERS}|{CENTROID_DECIMALS}"

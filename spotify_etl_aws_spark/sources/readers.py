@@ -65,7 +65,14 @@ def events_ts_unit(path: str) -> str:
     if unit is None:
         import pyarrow.parquet as pq
 
-        unit = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+        probe = path
+        if os.path.isdir(path):  # multi-file table: any part file will do
+            probe = next(
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
+        unit = pq.ParquetFile(probe).schema_arrow.field("ts").type.unit
         _TS_UNIT_CACHE[path] = unit
     return unit
 

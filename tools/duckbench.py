@@ -38,9 +38,10 @@ def main() -> None:
     oracles = E.oracle_sql()
     con = duckdb.connect(config={"threads": 32})
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file layout (tools/relayout.py)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     timings: dict[str, float | None] = {}
     for name in HEADLINE:
