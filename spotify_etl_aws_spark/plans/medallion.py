@@ -20,8 +20,13 @@ Differences from the reference, on purpose:
 from __future__ import annotations
 
 import os
+import time
+from collections.abc import Callable
+from typing import TypeVar
 
 from pyspark.sql import DataFrame, SparkSession
+
+T = TypeVar("T")
 
 from ..operators.core import gold
 from ..operators.quality import (
@@ -36,11 +41,40 @@ from ..sources.readers import read_raw_playlists
 from ..sources.sinks import write_parquet, write_partitioned
 
 
+def run_with_retries(
+    fn: Callable[[], T],
+    name: str,
+    retries: int,
+    delay_s: float,
+    sleeper: Callable[[float], None] = time.sleep,
+) -> T:
+    """Airflow-task-style retry envelope (the reference carries
+    ``retries=1`` on raw/bronze/silver and ``retries=2`` on gold with a
+    5-minute delay — airflow/dags/raw_dag.py:34-35, gold_dag.py:9-10).
+    A stage that raises is re-run up to ``retries`` times after
+    ``delay_s``; stages here are idempotent (mode=overwrite parquet
+    writes, dbt-style full rebuilds), so a re-run after a partial
+    failure converges exactly like an Airflow task retry. ``sleeper``
+    is injectable for tests."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception:
+            if attempt == retries:
+                raise
+            sleeper(delay_s)
+    raise AssertionError("unreachable")
+
+
 def run_medallion(
     spark: SparkSession,
     raw_json_path: str,
     out_root: str,
     validate: bool = True,
+    retries: int = 1,
+    gold_retries: int = 2,
+    retry_delay_s: float = 0.0,
+    sleeper: Callable[[float], None] = time.sleep,
 ) -> dict[str, DataFrame]:
     """raw JSON -> bronze -> silver -> gold, all materialized as parquet
     under ``out_root``. Returns the gold DataFrames (re-read from disk so
@@ -51,28 +85,54 @@ def run_medallion(
     keys unique + not-null, fact FKs resolving to their dims. Checked
     AFTER the write on the re-read frames — what is validated is what
     landed — raising if any contract fails, like a dbt build gated on
-    its tests."""
-    raw = read_raw_playlists(spark, raw_json_path)
+    its tests. The CONTRACT GATE IS NOT RETRIED: a failing contract is
+    deterministic data, not a transient fault.
 
-    bronze = shred(raw)
-    for name, df in bronze.items():
-        write_parquet(df, os.path.join(out_root, "bronze", name))
+    ``retries``/``gold_retries`` mirror the reference's Airflow retry
+    policy (1 for ingest stages, 2 for gold; its delay is 300 s —
+    ``retry_delay_s`` defaults to 0 so library callers aren't stalled
+    by default, pass 300 for strict parity)."""
 
-    silver = {}
-    for name in bronze:
-        bdf = spark.read.parquet(os.path.join(out_root, "bronze", name))
-        sdf = silver_projection(bdf, name)
-        write_parquet(sdf, os.path.join(out_root, "silver", name))
-        silver[name] = spark.read.parquet(os.path.join(out_root, "silver", name))
+    def _bronze() -> dict[str, DataFrame]:
+        raw = read_raw_playlists(spark, raw_json_path)
+        bronze = shred(raw)
+        for name, df in bronze.items():
+            write_parquet(df, os.path.join(out_root, "bronze", name))
+        return bronze
 
-    stg = {name: df.cache() for name, df in stage(silver).items()}
-    gold_frames = gold(stg)
-    for name, df in gold_frames.items():
-        path = os.path.join(out_root, "gold", name)
-        if name == "fact_playlist_tracks":
-            write_partitioned(df, path, ["playlist_id"])
-        else:
-            write_parquet(df, path)
+    bronze = run_with_retries(
+        _bronze, "bronze", retries, retry_delay_s, sleeper
+    )
+
+    def _silver() -> dict[str, DataFrame]:
+        silver = {}
+        for name in bronze:
+            bdf = spark.read.parquet(os.path.join(out_root, "bronze", name))
+            sdf = silver_projection(bdf, name)
+            write_parquet(sdf, os.path.join(out_root, "silver", name))
+            silver[name] = spark.read.parquet(
+                os.path.join(out_root, "silver", name)
+            )
+        return silver
+
+    silver = run_with_retries(
+        _silver, "silver", retries, retry_delay_s, sleeper
+    )
+
+    def _gold() -> dict[str, DataFrame]:
+        stg = {name: df.cache() for name, df in stage(silver).items()}
+        gold_frames = gold(stg)
+        for name, df in gold_frames.items():
+            path = os.path.join(out_root, "gold", name)
+            if name == "fact_playlist_tracks":
+                write_partitioned(df, path, ["playlist_id"])
+            else:
+                write_parquet(df, path)
+        return gold_frames
+
+    gold_frames = run_with_retries(
+        _gold, "gold", gold_retries, retry_delay_s, sleeper
+    )
 
     landed = {
         name: spark.read.parquet(os.path.join(out_root, "gold", name))

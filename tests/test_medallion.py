@@ -166,6 +166,53 @@ def test_boolean_roundtrip(gold_frames):
     assert explicit["T00"] is True and explicit["T01"] is False
 
 
+def test_retry_envelope_recovers_transient_stage_failure(spark, tmp_path):
+    """Reference parity with the Airflow retry policy (retries=1 ingest,
+    retries=2 gold, raw_dag.py:34-35 / gold_dag.py:9-10): a stage that
+    fails transiently is re-run after the delay and the pipeline
+    completes; with retries exhausted the original error surfaces."""
+    from spotify_etl_aws_spark.plans.medallion import run_with_retries
+
+    calls = {"n": 0}
+    slept: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert (
+        run_with_retries(flaky, "s", retries=2, delay_s=7.0, sleeper=slept.append)
+        == "ok"
+    )
+    assert calls["n"] == 3 and slept == [7.0, 7.0]
+
+    calls["n"] = 0
+    with pytest.raises(OSError, match="transient"):
+        run_with_retries(flaky, "s", retries=1, delay_s=0.0, sleeper=slept.append)
+
+    # end-to-end: one transient gold-write failure, pipeline still lands
+    import spotify_etl_aws_spark.plans.medallion as M
+
+    raw = _write_fixture(str(tmp_path / "raw.json"), _playlist_items())
+    real_write = M.write_partitioned
+    boom = {"armed": True}
+
+    def flaky_write(df, path, cols):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("transient write")
+        return real_write(df, path, cols)
+
+    M.write_partitioned = flaky_write
+    try:
+        gold = run_medallion(spark, raw, str(tmp_path / "lake"))
+    finally:
+        M.write_partitioned = real_write
+    assert gold["fact_playlist_tracks"].count() == N_TRACKS
+
+
 def test_encoding_sniff_reads_latin1_fixture(spark, tmp_path):
     """Reference parity with bronze.py:48-63: a raw file in ISO-8859-1
     is read correctly WITHOUT an explicit encoding= argument — the

@@ -6,6 +6,8 @@ reproducible instead of hand-measured.
 Queries with no oracle (or non-SQL surfaces) are skipped with a null.
 
 Run: python tools/duckbench.py
+(SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a subset — e.g. to finish a
+tail after one query exceeds a timeout at amplified scale.)
 """
 
 from __future__ import annotations
@@ -43,8 +45,10 @@ def main() -> None:
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = only.split(",") if only else HEADLINE
     timings: dict[str, float | None] = {}
-    for name in HEADLINE:
+    for name in names:
         sql = oracles.get(name)
         if sql is None:
             timings[name] = None

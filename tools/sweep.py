@@ -52,9 +52,10 @@ def sweep(spark, sf_dir: str, only: set[str] | None = None) -> tuple[list, list]
 
     con = duckdb.connect(config={"threads": 32})
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file layout (tools/relayout.py)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     qs, oracles = E.queries(), E.oracle_sql()
     if only is not None:
         unknown = only - qs.keys()
