@@ -48,12 +48,22 @@ def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, day). The composite key keeps every pandas group
     bounded by the day boundary — the group count grows with data
     volume while each group's size stays fixed, so no single task ever
-    materializes an unbounded frame. Rounding happens JVM-side
-    (``F.round``) for SQL half-away-from-zero semantics; ``+ 0.0``
-    after the round normalizes IEEE negative zero on both engines — a
-    tiny negative z rounds to -0.0 in DuckDB but 0.0 in Spark, equal as
-    floats yet different under the harness's string/hash compare
-    (surfaced by the sf0.1 full sweep, two rows)."""
+    materializes an unbounded frame.
+
+    HONESTY NOTE: this query exists to exercise the §2.10 UDTF lane —
+    for THIS computation the production choice is the pure-JVM window
+    twin (``avg``/``stddev_samp`` over a window partitioned by the same
+    key, zero Python round-trips, ~5x faster at sf0.1). Reach for
+    applyInPandas only when the per-group logic genuinely needs pandas
+    (model scoring, scipy, stateful per-group algorithms); z-scores do
+    not. ``tests/test_edge_cases.py::test_zscore_udtf_matches_jvm_window_twin``
+    pins that both formulations produce identical rows.
+
+    Rounding happens JVM-side (``F.round``) for SQL half-away-from-zero
+    semantics; ``+ 0.0`` after the round normalizes IEEE negative zero
+    on both engines — a tiny negative z rounds to -0.0 in DuckDB but
+    0.0 in Spark, equal as floats yet different under the harness's
+    string/hash compare (surfaced by the sf0.1 full sweep, two rows)."""
     ev = t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",

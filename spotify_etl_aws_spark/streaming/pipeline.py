@@ -29,6 +29,23 @@ from ..sources.readers import (
 )
 
 
+def _stream_reader(spark: SparkSession, sf_dir: str, name: str, schema) -> DataFrame:
+    """Streaming scan for `{sf_dir}/{name}.parquet` in either layout:
+    a DIRECTORY of part files streams directly; a single file streams
+    via a pathGlobFilter on the parent (the file source wants a
+    directory to watch)."""
+    import os
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream over one testdata parquet table (schema declared
     — streaming sources require it). events dispatches on the file's
@@ -37,17 +54,10 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         if events_ts_unit(table_path(sf_dir, name)) == "ns":
             enable_nanos_as_long(spark)
-            raw = (
-                spark.readStream.schema(EVENTS_PARQUET_NANOS)
-                .option("pathGlobFilter", f"{name}.parquet")
-                .parquet(sf_dir)
+            return _events_ts(
+                _stream_reader(spark, sf_dir, name, EVENTS_PARQUET_NANOS)
             )
-            return _events_ts(raw)
-    return (
-        spark.readStream.schema(TESTDATA_SCHEMAS[name])
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    return _stream_reader(spark, sf_dir, name, TESTDATA_SCHEMAS[name])
 
 
 def run_available_now(

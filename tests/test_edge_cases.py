@@ -260,6 +260,37 @@ def test_resize_media_roundtrips_target_dimensions(spark):
     assert len(set(first.values())) == 6
 
 
+def test_zscore_udtf_matches_jvm_window_twin(spark, sf_dir):
+    """The applyInPandas z-score exists to exercise the UDTF lane; the
+    production formulation is the pure-JVM window twin. This pins that
+    the two produce IDENTICAL rows — so the docstring's 'use the
+    built-in for this computation' claim is a checked fact, not
+    advice."""
+    from pyspark.sql import Window
+
+    from spotify_etl_aws_spark.queries.udfs import udf_group_zscore
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    got = sorted(
+        tuple(r) for r in udf_group_zscore(spark, sf_dir).collect()
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    w = Window.partitionBy("event_type", "day")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    twin = ev.select(
+        "event_id",
+        "event_type",
+        "day",
+        (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
+    )
+    assert got == sorted(tuple(r) for r in twin.collect())
+
+
 def test_bmp_codec_real_roundtrip(spark):
     """The REAL codec: encode_bmp writes genuine uncompressed 24-bit
     BMP files, decode_image recovers dimensions AND pixels bit-for-bit,

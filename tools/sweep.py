@@ -111,6 +111,13 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # plain JVM sizing, not a SQL-semantics conf: the 1g default heap
+        # OOMs on amplified-scale sweeps (full toPandas materialization);
+        # driver-parity is about leaving query semantics configs alone
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_SWEEP_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
