@@ -38,6 +38,15 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst/AQE — broadcast below the threshold, shuffled hash/sort-merge
     above it. The final groupBy exchanges on the (tiny) group key space,
     with partial aggregation map-side.
+
+    The money sum aggregates in DECIMAL (price and discount are
+    2-decimal-exact money values): a double sum's summation-order drift
+    grows with the sum while the 2-decimal rounding grid does not —
+    measured at 10x amplification (~2.4e9 sums), double drift flips
+    one-cent round() boundaries across engines; decimal is exact at ANY
+    scale, which is also how a production engine should sum money. The
+    final cast back to double is lossless (every 2-decimal value has a
+    unique nearest double on both engines).
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
@@ -49,17 +58,26 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
         .groupBy("n_name", "c_mktsegment")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum(_decimal_revenue()), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
-ORACLE_FLAGSHIP = """
+def _decimal_revenue() -> F.Column:
+    """Exact per-item revenue: decimal(12,2) price x decimal(3,2)
+    (1 - discount) — shared by the flagship and Q5 money sums."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+_DECIMAL_REVENUE_SQL = """CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"""
+
+ORACLE_FLAGSHIP = f"""
 SELECT n_name, c_mktsegment,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum({_DECIMAL_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -427,17 +445,16 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            # decimal money sum — exact at any scale (see flagship_revenue)
+            F.round(F.sum(_decimal_revenue()), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
-ORACLE_Q5 = """
+ORACLE_Q5 = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum({_DECIMAL_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM customer
 JOIN orders   ON c_custkey = o_custkey

@@ -33,10 +33,13 @@ TABLES = [
 
 
 def _cell(v):
-    if v is None:
+    # pd.isna covers None, float NaN, AND pd.NaT — a null timestamp
+    # arrives as None from Spark but NaT from DuckDB's datetime64
+    # column; both must normalize to the same marker
+    if v is None or (not isinstance(v, (str, bytes, list)) and pd.isna(v)):
         return "\\N"
     if isinstance(v, float):
-        return "\\N" if math.isnan(v) else repr(v)
+        return repr(v)
     if isinstance(v, (dt.datetime, pd.Timestamp)):
         ts = pd.Timestamp(v)
         if ts.tzinfo is None and ts == ts.normalize():
