@@ -1,0 +1,89 @@
+"""Sequence-packing operator (operators/packing.py): exact-greedy
+parity per shard, global invariants on the documents fixture, and the
+bounded-waste guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_etl_aws_spark.operators.packing import pack_sequences, pack_stats
+from spotify_etl_aws_spark.sources.readers import load_table
+
+
+def _greedy_reference(items: list[tuple[int, int]], budget: int) -> dict[int, int]:
+    """Driver-side exact greedy packer: id-ordered, local pack index."""
+    out, pack, used = {}, 0, 0
+    for doc_id, tok in sorted(items):
+        if used > 0 and used + tok > budget:
+            pack += 1
+            used = 0
+        out[doc_id] = pack
+        used += tok
+    return out
+
+
+def test_single_shard_matches_exact_greedy(spark):
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(docs, budget=256, shard_span=1000).collect()
+    }
+    assert got == _greedy_reference(rows, 256)
+
+
+def test_packing_invariants_on_documents(spark, sf_dir):
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    n_docs = docs.count()
+    packed = pack_sequences(docs, budget=budget, shard_span=1000)
+    rows = packed.collect()
+
+    # every document exactly once
+    assert len(rows) == n_docs and len({r.doc_id for r in rows}) == n_docs
+
+    # no multi-doc pack exceeds the budget; oversize docs sit alone
+    stats = pack_stats(packed, budget).collect()
+    for s in stats:
+        if s.n_docs > 1:
+            assert s.pack_tokens <= budget, s
+    over = [s for s in stats if s.pack_tokens > budget]
+    assert all(s.n_docs == 1 for s in over)
+
+    # pack_pos is a contiguous 0..n_docs-1 run within each pack
+    by_pack: dict[int, list[int]] = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r.pack_pos)
+    assert all(sorted(v) == list(range(len(v))) for v in by_pack.values())
+
+    # deterministic
+    again = {
+        (r.doc_id, r.pack_id, r.pack_pos)
+        for r in pack_sequences(docs, budget=budget, shard_span=1000).collect()
+    }
+    assert again == {(r.doc_id, r.pack_id, r.pack_pos) for r in rows}
+
+
+def test_bounded_waste_across_shards(spark):
+    """≤ one partial pack per shard: mean fill of non-final packs per
+    shard stays near the budget even with many shards."""
+    rows = [(i, 300) for i in range(1000)]  # 300 tokens each
+    docs = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    budget = 1000  # 3 docs/pack, shard_span=100 -> 34 packs/shard
+    stats = pack_stats(
+        pack_sequences(docs, budget=budget, shard_span=100), budget
+    ).collect()
+    partial = [s for s in stats if s.pack_tokens < 900]
+    # 10 shards -> at most 10 partial (final) packs
+    assert len(partial) <= 10
+
+
+def test_packing_rejects_bad_params(spark):
+    docs = spark.createDataFrame([(0, 5)], "doc_id bigint, n_tokens bigint")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, budget=0)
+    with pytest.raises(ValueError, match="shard_span"):
+        pack_sequences(docs, budget=10, shard_span=0)
