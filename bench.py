@@ -112,6 +112,11 @@ def main() -> None:
             failed += 1
             continue
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        # settle between queries (off the timer): collect this query's
+        # garbage so a heavy query's GC debt isn't billed to the next
+        # one — round-3's +25-30% swings on mid-list queries tracked
+        # bench-session pressure, not plan changes
+        spark.sparkContext._jvm.System.gc()
 
     # A failed query would silently shrink the total and make the round
     # look faster than the last one — publish the failure count and void
