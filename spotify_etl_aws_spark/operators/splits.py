@@ -1,0 +1,55 @@
+"""Deterministic dataset splits (north-star, SURVEY.md §2.11c): assign
+every document a train/val/test split by HASH, not by random draw.
+
+Hash assignment is the property a training pipeline actually needs and
+``randomSplit`` cannot give: a document's split depends only on its id
+and the salt — stable across runs, cluster sizes, partitionings, and
+corpus growth (adding documents never moves an existing one between
+splits, so eval sets stay eval sets forever). It is also a pure
+map-side projection: no shuffle, no RNG state, trivially joinable back
+to any table carrying the id.
+
+``xxhash64`` is Spark's built-in 64-bit hash (JVM-side, codegen-
+friendly); the bucket is its non-negative remainder mod 1e6, compared
+against cumulative weight boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def split_column(
+    weights: dict[str, float], id_col: str = "doc_id", salt: str = "v1"
+) -> Column:
+    """The split-name expression for ``weights`` (name -> fraction,
+    summing to ~1). Change ``salt`` to re-deal every assignment at
+    once; keep it fixed to keep assignments frozen."""
+    total = sum(weights.values())
+    if not weights or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(_BUCKETS))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return (expr.otherwise(last) if expr is not None else last).alias("split")
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """df plus a ``split`` column. Default weights: 98/1/1
+    train/val/test."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    return df.select("*", split_column(weights, id_col, salt))
