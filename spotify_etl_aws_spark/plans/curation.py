@@ -1,0 +1,100 @@
+"""End-to-end training-corpus build (north-star, SURVEY.md §2.11):
+the full ladder a pre-training data pipeline runs, composed from the
+engine's operators in the order real pipelines run them:
+
+1. DECONTAMINATE — drop documents colliding with the benchmark set
+   (broadcast n-gram semi-join, corpus text never shuffles);
+2. NEAR-DEDUP — MinHash/LSH candidate pairs, exact-Jaccard verify,
+   connected components; keep each cluster's representative;
+3. QUALITY GATE — heuristic score cutoff (token count, punctuation);
+4. SPLIT — deterministic hash assignment (train/val/test frozen under
+   corpus growth);
+5. PACK — per-split fixed-token-budget sequence packing (train packs
+   feed the trainer; val/test pack separately so no window straddles
+   a split).
+
+Output: one parquet dataset partitioned by split, one row per kept
+document with (doc_id, text, n_tokens, quality_score, split, pack_id,
+pack_pos) — trainer-ready. Every stage is an operator tested/oracled
+on its own; this runner pins their composition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..operators.decontaminate import decontaminate
+from ..operators.dedup import neardup_clusters
+from ..operators.packing import pack_sequences
+from ..operators.splits import assign_split
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    bench: DataFrame | None,
+    out_dir: str,
+    quality_cutoff: float = 0.3,
+    pack_budget: int = 2048,
+    split_weights: dict[str, float] | None = None,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Run the ladder over ``docs`` (doc_id, text) and write the packed
+    corpus partitioned by split. Returns the re-read result frame."""
+    from ..queries.text import _PUNCT_RE
+
+    stage = docs.select("doc_id", "text")
+    if bench is not None:
+        stage = decontaminate(stage, bench)
+
+    reps = neardup_clusters(
+        stage,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=dup_threshold,
+    ).filter(F.col("doc_id") == F.col("cluster_rep"))
+    stage = stage.join(reps.select("doc_id"), "doc_id", "left_semi")
+
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    punct_ratio = F.length(
+        F.regexp_replace(F.lower(F.col("text")), _PUNCT_RE, "")
+    ) / F.length("text")
+    quality = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio)
+    scored = stage.select(
+        "doc_id",
+        "text",
+        n_tokens.alias("n_tokens"),
+        F.round(quality, 4).alias("quality_score"),
+    ).filter(F.col("quality_score") >= quality_cutoff)
+
+    split_docs = assign_split(scored, split_weights)
+
+    # pack PER SPLIT so no training window straddles a split boundary;
+    # token counts ride alone through the packer (text joins back by id)
+    packed_parts = []
+    for split_name in (split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}):
+        part = split_docs.filter(F.col("split") == split_name)
+        packs = pack_sequences(
+            part.select("doc_id", "n_tokens"), budget=pack_budget
+        )
+        packed_parts.append(
+            part.join(
+                packs.select("doc_id", "pack_id", "pack_pos"), "doc_id"
+            )
+        )
+    out = packed_parts[0]
+    for p in packed_parts[1:]:
+        out = out.unionByName(p)
+
+    path = os.path.join(out_dir, "corpus")
+    out.write.mode("overwrite").partitionBy("split").parquet(path)
+    return spark.read.parquet(path)

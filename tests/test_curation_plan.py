@@ -1,0 +1,62 @@
+"""End-to-end training-corpus build (plans/curation.py): the composed
+ladder holds every stage's invariant at once on the documents fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_etl_aws_spark.plans.curation import build_training_corpus
+from spotify_etl_aws_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # benchmark = 3 documents sampled from the corpus itself, so the
+    # decontamination stage has planted, known-true positives
+    bench = docs.filter(F.col("doc_id").isin(1, 2, 3)).select(
+        F.col("text").alias("text")
+    )
+    out = build_training_corpus(
+        spark,
+        docs,
+        bench,
+        str(tmp_path_factory.mktemp("corpus")),
+        quality_cutoff=0.2,
+        pack_budget=512,
+        split_weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return docs, out
+
+
+def test_contaminated_docs_are_gone(built, spark):
+    docs, out = built
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert not kept & {1, 2, 3}
+    assert len(kept) > 0
+
+
+def test_quality_and_dedup_gates_applied(built):
+    _, out = built
+    rows = out.collect()
+    assert all(r.quality_score >= 0.2 for r in rows)
+    # one row per kept document
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_packs_respect_split_and_budget(built):
+    _, out = built
+    rows = out.collect()
+    by_pack: dict[tuple, list] = {}
+    for r in rows:
+        by_pack.setdefault((r.split, r.pack_id), []).append(r)
+    for (split, _), docs_in_pack in by_pack.items():
+        assert len({d.split for d in docs_in_pack}) == 1  # no straddle
+        total = sum(d.n_tokens for d in docs_in_pack)
+        if len(docs_in_pack) > 1:
+            assert total <= 512
+    # every split present has valid packs; splits partition the corpus
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"}
+    assert "train" in splits
