@@ -282,15 +282,22 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isdir(src):  # multi-file layout: sum the part footers
-        n = sum(
-            pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
+        parts = [
+            os.path.join(src, f)
             for f in sorted(os.listdir(src))
             if f.endswith(".parquet")
-        )
+        ]
+        n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
     else:
+        parts = [src]
         n = pq.ParquetFile(src).metadata.num_rows
+    # size+mtime make the key content-sensitive: a regenerated fixture
+    # with the SAME row count must not serve a stale index
+    stat = ";".join(
+        f"{os.path.getsize(p)}:{os.path.getmtime(p):.0f}" for p in parts
+    )
     key = (
-        f"{os.path.abspath(sf_dir)}|{n}|{NUM_CENTROIDS}"
+        f"{os.path.abspath(sf_dir)}|{n}|{stat}|{NUM_CENTROIDS}"
         f"|{KMEANS_ITERS}|{CENTROID_DECIMALS}"
     )
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
