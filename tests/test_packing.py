@@ -81,6 +81,22 @@ def test_bounded_waste_across_shards(spark):
     assert len(partial) <= 10
 
 
+def test_packing_is_single_exchange(spark, sf_dir):
+    """Scale shape pin: sharding is a pure projection, so the whole
+    packing plan carries exactly ONE Exchange (the shard groupBy) and
+    no global sort before it."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    plan = (
+        pack_sequences(docs, budget=2048)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
 def test_packing_rejects_bad_params(spark):
     docs = spark.createDataFrame([(0, 5)], "doc_id bigint, n_tokens bigint")
     with pytest.raises(ValueError, match="budget"):
