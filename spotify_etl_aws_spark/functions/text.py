@@ -47,3 +47,21 @@ def char_shingles(col: Column | str, n: int) -> Column:
 def stopword_hits(toks: Column, stopwords: list[str]) -> Column:
     """Count of tokens that are in the stopword list (int)."""
     return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+# Characters that do NOT count as punctuation for the quality score
+# (regexp_replace with this class leaves only the punctuation behind).
+QUALITY_PUNCT_RE = "[a-z0-9 ]"
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """The heuristic pre-training quality score — ONE definition shared
+    by the oracle-checked query twins (queries/text.py, queries/dedup.py)
+    and the curation plan, so the gate can never silently desynchronize
+    from the checked formula: least(1, n_tokens/100) * (1 - punct_ratio).
+    Raw (unrounded); round at presentation."""
+    n_tokens = F.size(tokens(text_col))
+    punct_ratio = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), QUALITY_PUNCT_RE, "")
+    ) / F.length(text_col)
+    return F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio)

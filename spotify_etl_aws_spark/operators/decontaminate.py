@@ -48,9 +48,9 @@ def benchmark_overlap(
         .select("shingle")
         .distinct()
     )
-    corpus_sh = shingle_table(docs, id_col, text_col, shingle_n).dropDuplicates(
-        [id_col, "shingle"]
-    )
+    # count_distinct dedups (id, shingle) in the same aggregation —
+    # no separate dropDuplicates pass on the corpus-side hot path
+    corpus_sh = shingle_table(docs, id_col, text_col, shingle_n)
     return (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)

@@ -93,5 +93,9 @@ def salted_join(
             *[F.lit(None).cast(l_types[c]).alias(c) for c in l_rest],
             *r_rest,
         )
-        return matched.unionByName(left_only).unionByName(right_only)
+        # positional union: all three legs are built in the same
+        # (on, left-rest, right-rest) order — and a plain full join may
+        # legitimately output DUPLICATE column names when left and
+        # right share a non-key name, which unionByName would reject
+        return matched.union(left_only).union(right_only)
     raise ValueError(f"salted_join: unsupported join type {how!r}")

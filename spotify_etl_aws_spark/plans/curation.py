@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import quality_score, tokens
 from ..operators.decontaminate import decontaminate
 from ..operators.dedup import neardup_clusters
 from ..operators.packing import pack_sequences
@@ -45,14 +45,15 @@ def build_training_corpus(
     bands: int = 4,
     shingle_n: int = 3,
     dup_threshold: float = 0.5,
+    decon_shingle_n: int = 8,
 ) -> DataFrame:
     """Run the ladder over ``docs`` (doc_id, text) and write the packed
     corpus partitioned by split. Returns the re-read result frame."""
-    from ..queries.text import _PUNCT_RE
+    weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
 
     stage = docs.select("doc_id", "text")
     if bench is not None:
-        stage = decontaminate(stage, bench)
+        stage = decontaminate(stage, bench, shingle_n=decon_shingle_n)
 
     reps = neardup_clusters(
         stage,
@@ -63,25 +64,19 @@ def build_training_corpus(
     ).filter(F.col("doc_id") == F.col("cluster_rep"))
     stage = stage.join(reps.select("doc_id"), "doc_id", "left_semi")
 
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    punct_ratio = F.length(
-        F.regexp_replace(F.lower(F.col("text")), _PUNCT_RE, "")
-    ) / F.length("text")
-    quality = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio)
     scored = stage.select(
         "doc_id",
         "text",
-        n_tokens.alias("n_tokens"),
-        F.round(quality, 4).alias("quality_score"),
+        F.size(tokens("text")).alias("n_tokens"),
+        F.round(quality_score("text"), 4).alias("quality_score"),
     ).filter(F.col("quality_score") >= quality_cutoff)
 
-    split_docs = assign_split(scored, split_weights)
+    split_docs = assign_split(scored, weights)
 
     # pack PER SPLIT so no training window straddles a split boundary;
     # token counts ride alone through the packer (text joins back by id)
     packed_parts = []
-    for split_name in (split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}):
+    for split_name in weights:
         part = split_docs.filter(F.col("split") == split_name)
         packs = pack_sequences(
             part.select("doc_id", "n_tokens"), budget=pack_budget

@@ -56,12 +56,19 @@ def run_with_retries(
     writes, dbt-style full rebuilds), so a re-run after a partial
     failure converges exactly like an Airflow task retry. ``sleeper``
     is injectable for tests."""
+    import sys
+
     for attempt in range(retries + 1):
         try:
             return fn()
-        except Exception:
+        except Exception as exc:
             if attempt == retries:
                 raise
+            print(
+                f"stage {name}: attempt {attempt + 1}/{retries + 1} failed "
+                f"({type(exc).__name__}: {exc}); retrying in {delay_s}s",
+                file=sys.stderr,
+            )
             sleeper(delay_s)
     raise AssertionError("unreachable")
 

@@ -303,8 +303,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     score clears the cutoff. Composes neardup_clusters with the
     text-quality expression — the shape of a real pre-training corpus
     filter, end-to-end oracle-checked."""
-    from ..functions.text import tokens
-    from .text import _PUNCT_RE
+    from ..functions.text import quality_score
 
     docs = t(spark, sf_dir, "documents")
     reps = neardup_clusters(
@@ -314,13 +313,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=SHINGLE_N,
         threshold=LSH_VERIFY_THRESHOLD,
     ).filter(F.col("doc_id") == F.col("cluster_rep"))
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    punct_ratio = F.length(
-        F.regexp_replace(F.lower(F.col("text")), _PUNCT_RE, "")
-    ) / F.length("text")
-    quality = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio)
-    scored = docs.select("doc_id", F.round(quality, 4).alias("quality_score"))
+    scored = docs.select(
+        "doc_id", F.round(quality_score("text"), 4).alias("quality_score")
+    )
     return (
         scored.join(reps.select("doc_id"), "doc_id", "left_semi")
         .filter(F.col("quality_score") >= QUALITY_CUTOFF)

@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, stopword_hits, tokens
+from ..functions.text import (
+    QUALITY_PUNCT_RE as _PUNCT_RE,
+    char_shingles,
+    quality_score,
+    stopword_hits,
+    tokens,
+)
 from ..sources.readers import load_table as t
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -20,7 +26,6 @@ STOPWORDS = {
     "de": ["der", "die", "das", "und", "zu", "ist", "ein"],
     "fr": ["le", "la", "de", "et", "les", "des", "est"],
 }
-_PUNCT_RE = "[a-z0-9 ]"
 FINGERPRINT_NGRAM = 8
 # BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs — the
 # regex-split shape subword tokenizers apply before merges. Identical
@@ -86,7 +91,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_punct = F.length(F.regexp_replace(lower, _PUNCT_RE, ""))
     punct_ratio = n_punct / F.length("text")
     stop_ratio = stopword_hits(toks, STOPWORDS["en"]) / n_tokens
-    quality = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio)
+    quality = quality_score("text")
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

@@ -302,7 +302,11 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     )
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
-    if not os.path.isdir(path):
+    # a bare directory is NOT a complete index: Spark creates the dir
+    # before writing part files, so an interrupted build leaves a
+    # partial tree. Only the _SUCCESS marker certifies completeness;
+    # anything else is rebuilt (mode=overwrite clears the partial).
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         cents = _learned_centroids(spark, sf_dir)
         (
             assign_cells_arrow(_embeddings(spark, sf_dir), cents)

@@ -68,10 +68,17 @@ def events_ts_unit(path: str) -> str:
         probe = path
         if os.path.isdir(path):  # multi-file table: any part file will do
             probe = next(
-                os.path.join(path, f)
-                for f in sorted(os.listdir(path))
-                if f.endswith(".parquet")
+                (
+                    os.path.join(path, f)
+                    for f in sorted(os.listdir(path))
+                    if f.endswith(".parquet")
+                ),
+                None,
             )
+            if probe is None:
+                raise FileNotFoundError(
+                    f"no .parquet part files under directory table {path}"
+                )
         unit = pq.ParquetFile(probe).schema_arrow.field("ts").type.unit
         _TS_UNIT_CACHE[path] = unit
     return unit
@@ -144,9 +151,11 @@ def sniff_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
         sample.decode("utf-8")
         return "UTF-8"
     except UnicodeDecodeError as e:
-        # a multi-byte char truncated at the sample boundary is not
-        # evidence of a non-UTF-8 file
-        if e.start >= len(sample) - 3:
+        # a multi-byte char cut at the SAMPLE boundary is not evidence
+        # of a non-UTF-8 file — but the boundary excuse only exists if
+        # the sample really was truncated (file larger than the sample)
+        truncated = len(sample) == sample_bytes
+        if truncated and e.start >= len(sample) - 3:
             return "UTF-8"
         return "ISO-8859-1"
 

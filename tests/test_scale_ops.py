@@ -83,6 +83,21 @@ def test_salted_join_all_types_match_plain_join(spark):
         assert got == want, how
 
 
+def test_salted_join_full_outer_with_duplicate_nonkey_names(spark):
+    """A plain full join legitimately outputs duplicate column names
+    when both sides carry the same non-key name; the composed salted
+    path must too (positional union, not unionByName)."""
+    left = spark.createDataFrame([(1, "a"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, "x"), (4, "y")], "k int, v string")
+    plain = left.join(right, "k", "full")
+    salted = salted_join(left, right, on="k", salt=4, how="full")
+    assert salted.columns == plain.columns  # k, v, v
+    key = lambda r: tuple((x is None, x) for x in r)
+    assert sorted((tuple(r) for r in salted.collect()), key=key) == sorted(
+        (tuple(r) for r in plain.collect()), key=key
+    )
+
+
 def test_salted_join_rejects_unknown_how(spark):
     df = spark.range(4).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="unsupported join type"):

@@ -47,6 +47,9 @@ def main() -> None:
 
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     names = only.split(",") if only else HEADLINE
+    unknown = set(names) - set(HEADLINE)
+    if unknown:  # a typo must not masquerade as a valid null-skip
+        raise SystemExit(f"unknown headline names: {sorted(unknown)}")
     timings: dict[str, float | None] = {}
     for name in names:
         sql = oracles.get(name)
