@@ -93,3 +93,63 @@ def build_training_corpus(
     path = os.path.join(out_dir, "corpus")
     out.write.mode("overwrite").partitionBy("split").parquet(path)
     return spark.read.parquet(path)
+
+
+def incremental_curation(
+    spark: SparkSession,
+    docs_dir: str,
+    bench: DataFrame | None,
+    out_dir: str,
+    checkpoint_dir: str,
+    quality_cutoff: float = 0.3,
+    split_weights: dict[str, float] | None = None,
+    decon_shingle_n: int = 8,
+) -> None:
+    """The STREAMING lane of corpus curation: new document files land
+    in ``docs_dir`` and each is curated exactly once (checkpointed
+    AvailableNow file source, same pattern as ``incremental_bronze``).
+    Per batch: decontaminate against the benchmark set, quality-gate,
+    assign the FROZEN hash split (hash assignment is what makes
+    incremental splits sound — a document's split never depends on
+    which batch delivered it), and append partitioned by split.
+
+    Deliberately NOT incremental: cross-corpus near-dedup and packing.
+    Near-dedup needs global signature state and packing is a
+    corpus-order concern — both belong to the periodic batch rebuild
+    (``build_training_corpus``), the standard incremental/batch split
+    for training-data pipelines."""
+    from ..schemas import TESTDATA_SCHEMAS
+
+    weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
+        .option("pathGlobFilter", "*.parquet")
+        # landed tables are directories of part files
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+
+    def curate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        stage = batch_df.select("doc_id", "text")
+        if bench is not None:
+            stage = decontaminate(stage, bench, shingle_n=decon_shingle_n)
+        kept = (
+            stage.select(
+                "doc_id",
+                "text",
+                F.size(tokens("text")).alias("n_tokens"),
+                F.round(quality_score("text"), 4).alias("quality_score"),
+            )
+            .filter(F.col("quality_score") >= quality_cutoff)
+        )
+        assign_split(kept, weights).write.mode("append").partitionBy(
+            "split"
+        ).parquet(os.path.join(out_dir, "corpus_incremental"))
+
+    q = (
+        stream.writeStream.foreachBatch(curate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -45,6 +45,46 @@ def test_quality_and_dedup_gates_applied(built):
     assert len({r.doc_id for r in rows}) == len(rows)
 
 
+def test_incremental_curation_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming curation: files land in waves, each doc curated
+    exactly once across runs, gates and frozen splits applied."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.plans.curation import incremental_curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    wave1 = docs.filter(F.col("doc_id") < 100)
+    wave2 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    bench = docs.filter(F.col("doc_id").isin(5, 6)).select("text")
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    wave1.write.parquet(str(land / "wave1.parquet"))
+
+    incremental_curation(spark, str(land), bench, out, ckpt, quality_cutoff=0.2)
+    path = f"{out}/corpus_incremental"
+    first = spark.read.parquet(path)
+    n1 = first.count()
+    assert n1 > 0
+    kept_ids = {r.doc_id for r in first.select("doc_id").collect()}
+    assert not kept_ids & {5, 6}  # decontaminated
+    splits1 = {r.doc_id: r.split for r in first.collect()}
+
+    # re-run with nothing new: no duplicates
+    incremental_curation(spark, str(land), bench, out, ckpt, quality_cutoff=0.2)
+    assert spark.read.parquet(path).count() == n1
+
+    # second wave appends; wave-1 splits are untouched (frozen hash)
+    wave2.write.parquet(str(land / "wave2.parquet"))
+    incremental_curation(spark, str(land), bench, out, ckpt, quality_cutoff=0.2)
+    final = spark.read.parquet(path)
+    assert final.count() > n1
+    assert final.select("doc_id").distinct().count() == final.count()
+    splits2 = {r.doc_id: r.split for r in final.collect()}
+    assert all(splits2[d] == s for d, s in splits1.items())
+
+
 def test_packs_respect_split_and_budget(built):
     _, out = built
     rows = out.collect()
