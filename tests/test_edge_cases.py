@@ -260,6 +260,52 @@ def test_resize_media_roundtrips_target_dimensions(spark):
     assert len(set(first.values())) == 6
 
 
+def test_events_reader_handles_both_ts_resolutions(spark, tmp_path):
+    """Fixture generations have stored events.ts as timestamp[ns] AND
+    timestamp[us]; the reader sniffs the footer and must produce
+    identical TimestampType values for both physical encodings (nanos
+    misread as micros would land in 1970)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spotify_etl_aws_spark.sources.readers import events_ts_unit, load_table
+    from spotify_etl_aws_spark.streaming.pipeline import read_table_stream, run_available_now
+
+    ts = [
+        dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+        dt.datetime(2024, 6, 15, 12, 30, 45, 654321),
+    ]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        tbl = pa.table(
+            {**base, "ts": pa.array(ts, pa.timestamp(unit))}
+        ).select(["event_id", "ts", "user_id", "event_type", "value", "props"])
+        pq.write_table(tbl, str(d / "events.parquet"))
+        assert events_ts_unit(str(d / "events.parquet")) == unit
+        got = sorted(
+            (r.event_id, r.ts)
+            for r in load_table(spark, str(d), "events").collect()
+        )
+        assert got == [(1, ts[0]), (2, ts[1])], unit
+        # streaming path dispatches identically
+        out = run_available_now(
+            read_table_stream(spark, str(d), "events").select("event_id", "ts"),
+            f"nsus_{unit}",
+        )
+        sgot = sorted((r.event_id, r.ts) for r in out.collect())
+        assert sgot == [(1, ts[0]), (2, ts[1])], unit
+
+
 def test_zscore_udtf_matches_jvm_window_twin(spark, sf_dir):
     """The applyInPandas z-score exists to exercise the UDTF lane; the
     production formulation is the pure-JVM window twin. This pins that
