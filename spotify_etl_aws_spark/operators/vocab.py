@@ -64,8 +64,13 @@ def token_frequencies(
     """(token, n_occurrences, n_docs) per pre-token — the unigram table
     behind vocab-size / frequency-cutoff decisions. One explode + one
     partially-aggregated shuffle."""
-    tok = docs.select(
-        F.monotonically_increasing_id().alias("__doc"),
+    # Materialize the doc id BEFORE the explode: a nondeterministic
+    # expression placed in the same select as explode() is evaluated in
+    # the Project above the Generate, handing every exploded (doc,
+    # token) row a fresh id and collapsing n_docs into n_occurrences.
+    # As a pre-materialized attribute it is evaluated once per input row.
+    tok = docs.withColumn("__doc", F.monotonically_increasing_id()).select(
+        "__doc",
         F.explode(_pretokens(text_col)).alias("token"),
     )
     return (

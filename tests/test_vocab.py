@@ -60,6 +60,26 @@ def test_token_frequencies_on_documents(spark, sf_dir):
     assert all(r.n_docs <= r.n_occurrences for r in rows)
 
 
+def test_token_frequencies_exact_n_docs(spark):
+    """A token repeating WITHIN one doc must count that doc once.
+
+    Regression: monotonically_increasing_id() placed in the same select
+    as explode() was evaluated above the Generate, so every exploded row
+    got a fresh doc id and n_docs silently equalled n_occurrences."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog and the bird"),  # 'the' x3, 'and' x2
+            (1, "the end"),
+            (2, "no articles here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.token: (r.n_occurrences, r.n_docs) for r in token_frequencies(docs).collect()}
+    assert got["the"] == (4, 2)
+    assert got["and"] == (2, 1)
+    assert got["cat"] == (1, 1)
+
+
 def test_pair_counts_plan_shape(spark, sf_dir):
     """No UDFs anywhere; counting partial-aggregates map-side before
     its exchange."""
