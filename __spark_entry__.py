@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
-    Keys absent here (e.g. agg_approx_distinct) get the driver's weaker
-    rows-only check — engine-specific sketch values can't hash-match."""
+    Every declared query has an oracle twin (sketch-valued queries emit
+    deterministic error-bound contracts instead of raw sketch values);
+    a key absent here would get the driver's weaker rows-only check."""
     return all_oracles()

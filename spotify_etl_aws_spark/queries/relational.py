@@ -253,14 +253,38 @@ GROUP BY l_returnflag
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approx distinct — sketch values differ across engines,
-    so this is a rows-only check (no oracle). The exact counterpart is
-    group_agg_stats.n_users."""
+    """HyperLogLog++ approx distinct, made oracle-checkable.
+
+    Raw sketch estimates differ across engines, so the query emits a
+    deterministic contract instead: the exact distinct counts plus a
+    BOOLEAN asserting Spark's HLL estimate (rsd=0.01) lands within 5%
+    of exact. The sketch value itself never leaves the query; the
+    oracle emits the same exact counts and literal TRUE, so a sketch
+    drifting past 5% fails the hash gate. Measured margin: max rel err
+    0.86% across sf0.001-0.1 vs the 5% bound (≈6x headroom), and HLL
+    is deterministic for fixed data."""
     li = t(spark, sf_dir, "lineitem")
+    ap = F.approx_count_distinct("l_partkey", 0.01)
+    ao = F.approx_count_distinct("l_orderkey", 0.01)
+    ep = F.count_distinct("l_partkey")
+    eo = F.count_distinct("l_orderkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        ep.alias("n_parts"),
+        eo.alias("n_orders"),
+        (F.abs(ap - ep) <= ep * F.lit(0.05)).alias("parts_within_5pct"),
+        (F.abs(ao - eo) <= eo * F.lit(0.05)).alias("orders_within_5pct"),
     )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders,
+       TRUE AS parts_within_5pct,
+       TRUE AS orders_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -882,7 +906,7 @@ ORACLE = {
     "group_agg_stats": ORACLE_STATS,
     "agg_rollup_cube": ORACLE_ROLLUP_CUBE,
     "agg_pivot": ORACLE_PIVOT,
-    # agg_approx_distinct: rows-only (sketch values are engine-specific)
+    "agg_approx_distinct": ORACLE_APPROX_DISTINCT,
     "staging_cast_projection": ORACLE_CASTPROJ,
     "distinct_dims": ORACLE_DISTINCT,
     "filter_scalar_functions": ORACLE_FILTER_SCALAR,
