@@ -1,17 +1,20 @@
 """Multimodal query inventory (north-star, SURVEY.md §2.11d).
 
-``multimodal_images`` is the binary media column end-to-end with a REAL
-codec: a mapInPandas encode kernel writes genuine uncompressed 24-bit
-BMP files (stdlib ``struct``), a mapInPandas decode kernel parses the
-actual BMP headers back out of the bytes, then JVM-side feature
-derivation and video-style frame sampling plumbing — per-item frame
-counts expanded to sampled frame indices with ``sequence`` + ``explode``
-(pure JVM; a real pipeline would join these indices against a
-frame-extract mapInPandas kernel). The DuckDB oracle recomputes the
-metadata analytically from the BMP format spec (54-byte headers +
-4-byte-aligned BGR rows), so a hash match proves the bytes really are
-well-formed BMPs and round-tripped through the Arrow decode lane
-intact.
+``multimodal_images`` is the binary media column end-to-end with REAL
+codecs over a MIXED-format corpus: a mapInPandas encode kernel writes
+genuine uncompressed 24-bit BMP files (even doc_ids, stdlib
+``struct``) and genuine truecolor 8-bit PNG files (odd doc_ids, stdlib
+``zlib`` — real chunk CRCs and DEFLATE stream), a mapInPandas decode
+kernel parses the actual file headers back out of the bytes, then
+JVM-side feature derivation and video-style frame sampling plumbing —
+per-item frame counts expanded to sampled frame indices with
+``sequence`` + ``explode`` (pure JVM; a real pipeline would join these
+indices against a frame-extract mapInPandas kernel). The DuckDB oracle
+recomputes the metadata analytically from both format specs (BMP:
+54-byte headers + 4-byte-aligned BGR rows; PNG: chunk framing + zlib
+level-0 stored-block arithmetic), so a hash match proves the bytes
+really are well-formed image files of the right format and
+round-tripped through the Arrow decode lane intact.
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     BMP_HEADER_BYTES,
-    encode_media_bmp,
+    encode_media,
     media_features,
     with_media_meta,
 )
@@ -53,8 +56,12 @@ def multimodal_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("height"),
         # pixel seed: md5(text) digest, computed JVM-side
         F.unhex(F.md5(F.col("text"))).alias("payload"),
+        # mixed-format corpus: even ids BMP, odd ids PNG
+        F.when(F.col("doc_id") % 2 == 0, F.lit("bmp"))
+        .otherwise(F.lit("png"))
+        .alias("fmt"),
     )
-    with_media = encode_media_bmp(staged)
+    with_media = encode_media(staged)
     feats = media_features(with_media_meta(with_media))
     n_frames = F.lit(FRAME_BASE) + F.col("doc_id") % FRAME_MOD
     return feats.select(
@@ -66,8 +73,11 @@ def multimodal_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# n_bytes is the BMP format's own arithmetic: 54 header bytes + height
-# rows of 3*width bytes padded to 4-byte alignment.
+# n_bytes is each format's own arithmetic. BMP: 54 header bytes +
+# height rows of 3*width bytes padded to 4-byte alignment. PNG:
+# 63 fixed bytes (signature + IHDR/IDAT/IEND framing + zlib header
+# and adler) + raw filtered scanlines (height * (1 + 3*width)) +
+# 5 bytes per stored DEFLATE block (level-0 zlib, 65535-byte blocks).
 ORACLE_IMAGES = f"""
 WITH m AS (
   SELECT doc_id,
@@ -75,9 +85,14 @@ WITH m AS (
          CAST({BMP_HEIGHT_BASE} + (doc_id * {BMP_HEIGHT_MULT}) % {BMP_HEIGHT_MOD} AS INT) AS height
   FROM documents
 )
-SELECT doc_id, 'bmp' AS media_type, width, height,
-       CAST({BMP_HEADER_BYTES} + height * (((3 * width + 3) // 4) * 4) AS INT)
-           AS n_bytes,
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS media_type,
+       width, height,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN {BMP_HEADER_BYTES} + height * (((3 * width + 3) // 4) * 4)
+                 ELSE 63 + height * (1 + 3 * width)
+                      + 5 * ((height * (1 + 3 * width) + 65534) // 65535)
+            END AS INT) AS n_bytes,
        round(width / height, 4) AS aspect_ratio,
        CAST(width * height AS INT) AS n_pixels,
        CASE WHEN width / height >= 1.0 THEN 'landscape' ELSE 'portrait' END

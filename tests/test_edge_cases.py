@@ -395,6 +395,112 @@ def test_bmp_codec_real_roundtrip(spark):
     )
 
 
+def test_png_codec_real_roundtrip(spark):
+    """The PNG half of the codec seam: encode_png writes genuine
+    truecolor 8-bit PNG files (real CRCs, real zlib stream) whose size
+    matches the closed-form png_n_bytes, decode recovers pixels
+    bit-for-bit (including foreign files using filters 1-4), resize
+    re-encodes in the source format, and the mixed-format Spark kernel
+    dispatches per row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_image,
+        encode_media,
+        encode_png,
+        png_n_bytes,
+        resize_media,
+        with_media_meta,
+    )
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    b = encode_png(7, 10, src.tobytes())
+    assert b[: len(PNG_SIG)] == PNG_SIG
+    assert len(b) == png_n_bytes(7, 10)
+    img = decode_image(b)
+    assert (img.width, img.height, img.mode) == (7, 10, "RGB")
+    assert np.array_equal(
+        np.frombuffer(img.pixels, np.uint8).reshape(10, 7, 3), src
+    )
+
+    # a foreign PNG using Sub/Up/Average/Paeth filters decodes per spec
+    def _chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    w, h = 5, 4
+    fsrc = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.int32)
+    lines, prev = [], np.zeros(w * 3, np.int32)
+    for y, ft in enumerate([1, 2, 3, 4]):
+        row = fsrc[y].reshape(-1)
+        filt = np.zeros(w * 3, np.int32)
+        for i in range(w * 3):
+            a = row[i - 3] if i >= 3 else 0
+            up = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) >> 1
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            filt[i] = (row[i] - pred) & 255
+        lines.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+        prev = row
+    foreign = (
+        PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines), 9))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image(foreign).pixels == fsrc.astype(np.uint8).tobytes()
+
+    # real nearest-neighbor resize, re-encoded as PNG
+    one = spark.createDataFrame([(0, bytearray(b))], "doc_id bigint, media binary")
+    out = bytes(resize_media(one, 3, 4).collect()[0].media)
+    assert out[: len(PNG_SIG)] == PNG_SIG
+    rimg = decode_image(out)
+    yi = (np.arange(4) * 10) // 4
+    xi = (np.arange(3) * 7) // 3
+    assert np.array_equal(
+        np.frombuffer(rimg.pixels, np.uint8).reshape(4, 3, 3), src[yi][:, xi]
+    )
+
+    # mixed-format Spark kernel: per-row codec dispatch on fmt
+    df = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") + 3).cast("int").alias("width"),
+        (F.col("id") + 2).cast("int").alias("height"),
+        F.unhex(F.md5(F.col("id").cast("string"))).alias("payload"),
+        F.when(F.col("id") % 2 == 0, F.lit("bmp")).otherwise(F.lit("png")).alias("fmt"),
+    )
+    meta = {r.doc_id: r for r in with_media_meta(encode_media(df)).collect()}
+    assert all(
+        meta[i].media_type == ("bmp" if i % 2 == 0 else "png") for i in range(6)
+    )
+    assert all(
+        meta[i].width == i + 3 and meta[i].height == i + 2 for i in range(6)
+    )
+    assert all(
+        meta[i].n_bytes == png_n_bytes(i + 3, i + 2)
+        for i in range(6)
+        if i % 2 == 1
+    )
+
+
 def test_assign_cells_arrow_probe_filter_composes_with_zero_drop(spark):
     """keep_cells filtering inside the kernel must compose with the
     zero-vector drop: integer re-indexing after two boolean masks is
