@@ -208,11 +208,17 @@ HAVING epoch_us(max(ts)) + 1800000000 <= wm_us
 
 
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream inner join: purchases matched to the same user's
-    clicks in the preceding 30 minutes. Both sides are watermarked and
-    the join carries a time-range condition, so each side's buffered
-    state is purged once the other side's watermark passes the range —
-    the bounded-state formulation of stream-stream correlation."""
+    """Stream-stream LEFT OUTER join: every purchase, matched to the
+    same user's clicks in the preceding 30 minutes, or null-padded when
+    no such click exists. Both sides are watermarked and the join
+    carries a time-range condition, so each side's buffered state is
+    purged once the other side's watermark passes the range — and the
+    null-padded row for an unmatched purchase is emitted exactly at
+    that eviction point (never before: a qualifying click could still
+    arrive). An unmatched purchase younger than the final watermark is
+    still in state when the stream ends and is NOT emitted — the state-
+    eviction correctness case the oracle replicates with the same
+    watermark cutoff."""
     clicks = (
         read_table_stream(spark, sf_dir, "events")
         .filter(F.col("event_type") == "click")
@@ -233,22 +239,45 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("purchase_ts", "1 hour")
     )
-    joined = clicks.join(
-        purchases,
+    joined = purchases.join(
+        clicks,
         (F.col("c_user") == F.col("user_id"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
     ).select("user_id", "click_id", "purchase_id")
     return run_available_now(joined, "ss_join", output_mode="append")
 
 
+# Matched rows are the plain inner join (AvailableNow processes the
+# whole file, so every true match is found). Null-padded rows appear
+# only for purchases EVICTED from join state by the final watermark.
+# Three semantics details, each pinned empirically with planted
+# boundary fixtures (test_stream_stream_left_outer_boundary):
+#   1. Each side's watermark comes from ITS OWN filtered stream's max
+#      event time (ms-truncated) - 1h, and the global watermark is the
+#      MIN of the two sides (multipleWatermarkPolicy=min default).
+#   2. Spark's StreamingJoinHelper subtracts 1 ms when deriving the
+#      state-value watermark, so eviction is ts_us <= wm_us - 1000
+#      (non-strict at exactly wm - 1ms; a purchase at wm - 999us
+#      stays buffered).
+#   3. Unmatched purchases younger than that die in state, unemitted.
 ORACLE_STREAM_STREAM = """
+WITH wm AS (
+  SELECT least(
+           (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'click'),
+           (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'purchase')
+         ) * 1000 - 3600000000 AS wm_us
+)
 SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id
-FROM events c
-JOIN events p
+FROM events p
+LEFT JOIN events c
   ON c.user_id = p.user_id
- AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+CROSS JOIN wm
+WHERE p.event_type = 'purchase'
+  AND (c.event_id IS NOT NULL OR epoch_us(p.ts) + 1000 <= wm_us)
 """
 
 
