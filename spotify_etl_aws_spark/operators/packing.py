@@ -41,18 +41,30 @@ from pyspark.sql import functions as F
 PACK_SCHEMA = "doc_id bigint, pack_id bigint, pack_pos int, n_tokens bigint"
 
 
+GROUP_STRIDE = 1 << 44  # pack-id namespace width per group
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     shard_span: int = 10_000,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training pack of at most ``budget``
     tokens. Returns (doc_id, pack_id, pack_pos, n_tokens): ``pack_pos``
     is the document's position within its pack. Deterministic — same
     input, same packing. Ids must be non-negative (standard for
-    synthetic doc ids; shift upstream otherwise)."""
+    synthetic doc ids; shift upstream otherwise).
+
+    ``group_col`` (an integer group-index column, e.g. a split index)
+    packs each group independently in the SAME job: grouping is
+    (group, shard), so no pack ever straddles a group, and pack ids are
+    namespaced per group (``group * GROUP_STRIDE + shard*span + local``)
+    — globally unique across groups, one exchange regardless of group
+    count. The kernel validates its shard's id range fits the stride so
+    an id-space overflow fails loudly instead of colliding."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if shard_span <= 0:
@@ -61,6 +73,14 @@ def pack_sequences(
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id")
         base = int(pdf["__shard"].iloc[0]) * shard_span
+        if group_col is not None:
+            if base + shard_span > GROUP_STRIDE:
+                raise ValueError(
+                    f"doc id space overflows the per-group pack-id "
+                    f"stride: shard base {base} + span {shard_span} > "
+                    f"{GROUP_STRIDE}"
+                )
+            base += int(pdf["__grp"].iloc[0]) * GROUP_STRIDE
         pack_local, pos, used = 0, 0, 0
         packs, positions = [], []
         for tok in pdf["__tok"]:
@@ -81,11 +101,18 @@ def pack_sequences(
             }
         )
 
-    sharded = docs.select(
+    cols = [
         F.col(id_col).alias("__id"),
         F.col(tokens_col).cast("long").alias("__tok"),
-    ).withColumn("__shard", F.floor(F.col("__id") / shard_span))
-    return sharded.groupBy("__shard").applyInPandas(pack_shard, PACK_SCHEMA)
+    ]
+    keys = ["__shard"]
+    if group_col is not None:
+        cols.append(F.col(group_col).cast("long").alias("__grp"))
+        keys = ["__grp", "__shard"]
+    sharded = docs.select(*cols).withColumn(
+        "__shard", F.floor(F.col("__id") / shard_span)
+    )
+    return sharded.groupBy(*keys).applyInPandas(pack_shard, PACK_SCHEMA)
 
 
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:

@@ -73,22 +73,21 @@ def build_training_corpus(
 
     split_docs = assign_split(scored, weights)
 
-    # pack PER SPLIT so no training window straddles a split boundary;
-    # token counts ride alone through the packer (text joins back by id)
-    packed_parts = []
-    for split_name in weights:
-        part = split_docs.filter(F.col("split") == split_name)
-        packs = pack_sequences(
-            part.select("doc_id", "n_tokens"), budget=pack_budget
-        )
-        packed_parts.append(
-            part.join(
-                packs.select("doc_id", "pack_id", "pack_pos"), "doc_id"
-            )
-        )
-    out = packed_parts[0]
-    for p in packed_parts[1:]:
-        out = out.unionByName(p)
+    # pack PER SPLIT in ONE job: the split index joins the packer's
+    # grouping key, so no training window straddles a split boundary,
+    # pack ids are namespaced per split (globally unique), and the job
+    # count stays 1 regardless of how many splits/partitions exist.
+    # Token counts ride alone through the packer (text joins back by id).
+    split_names = sorted(weights)
+    gidx = F.lit(None).cast("long")
+    for i, name in enumerate(split_names):
+        gidx = F.when(F.col("split") == name, i).otherwise(gidx)
+    packs = pack_sequences(
+        split_docs.select("doc_id", "n_tokens", gidx.alias("__gidx")),
+        budget=pack_budget,
+        group_col="__gidx",
+    )
+    out = split_docs.join(packs.select("doc_id", "pack_id", "pack_pos"), "doc_id")
 
     path = os.path.join(out_dir, "corpus")
     out.write.mode("overwrite").partitionBy("split").parquet(path)
@@ -106,15 +105,32 @@ def incremental_curation(
     decon_shingle_n: int = 8,
 ) -> None:
     """The STREAMING lane of corpus curation: new document files land
-    in ``docs_dir`` and each is curated exactly once (checkpointed
-    AvailableNow file source, same pattern as ``incremental_bronze``).
-    Per batch: decontaminate against the benchmark set, quality-gate,
-    assign the FROZEN hash split (hash assignment is what makes
-    incremental splits sound — a document's split never depends on
-    which batch delivered it), and append partitioned by split.
+    in ``docs_dir`` and each is curated exactly once — a checkpointed
+    AvailableNow file source (each FILE processed once, same pattern as
+    ``incremental_bronze``) plus CROSS-BATCH content dedup and an
+    idempotent epoch-keyed sink (each ROW landed once even across
+    crash-replays). Per batch: decontaminate against the benchmark set,
+    quality-gate, assign the FROZEN hash split (hash assignment is what
+    makes incremental splits sound — a document's split never depends
+    on which batch delivered it), and overwrite this epoch's partition.
 
-    Deliberately NOT incremental: cross-corpus near-dedup and packing.
-    Near-dedup needs global signature state and packing is a
+    Cross-batch dedup: ``dropDuplicates`` on the xxhash64 content hash
+    runs INSIDE the stream graph, so its state store persists across
+    runs via the checkpoint — a wave-2 duplicate of a wave-1 document
+    (same text, any doc_id-bearing re-land of the same content) is
+    dropped before curation. State is one 8-byte hash key per distinct
+    document, unbounded by design: content identity never expires.
+    (A watermarked variant bounds state when business rules allow
+    re-admitting old content.)
+
+    Idempotence: ``foreachBatch`` is at-least-once on replay, so the
+    batch write targets ``epoch=<epoch_id>`` with mode=overwrite — a
+    replayed batch overwrites its own partial output instead of
+    appending duplicates (the standard foreachBatch idempotence
+    pattern). Readers see ``epoch`` as one more partition column.
+
+    Deliberately NOT incremental: cross-corpus NEAR-dedup (MinHash) and
+    packing. Near-dedup needs global signature state and packing is a
     corpus-order concern — both belong to the periodic batch rebuild
     (``build_training_corpus``), the standard incremental/batch split
     for training-data pipelines."""
@@ -127,6 +143,10 @@ def incremental_curation(
         # landed tables are directories of part files
         .option("recursiveFileLookup", "true")
         .parquet(docs_dir)
+        # cross-batch exact dedup on content: checkpointed state store
+        .withColumn("__content_hash", F.xxhash64("text"))
+        .dropDuplicates(["__content_hash"])
+        .drop("__content_hash")
     )
 
     def curate_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -142,9 +162,11 @@ def incremental_curation(
             )
             .filter(F.col("quality_score") >= quality_cutoff)
         )
-        assign_split(kept, weights).write.mode("append").partitionBy(
+        assign_split(kept, weights).write.mode("overwrite").partitionBy(
             "split"
-        ).parquet(os.path.join(out_dir, "corpus_incremental"))
+        ).parquet(
+            os.path.join(out_dir, "corpus_incremental", f"epoch={epoch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(curate_batch)

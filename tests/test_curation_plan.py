@@ -47,14 +47,24 @@ def test_quality_and_dedup_gates_applied(built):
 
 def test_incremental_curation_exactly_once(spark, sf_dir, tmp_path):
     """Streaming curation: files land in waves, each doc curated
-    exactly once across runs, gates and frozen splits applied."""
+    exactly once across runs, gates and frozen splits applied, and a
+    wave-2 re-land of wave-1 CONTENT (same text, new doc_id) is dropped
+    by the cross-batch dedup state."""
     from pyspark.sql import functions as F
 
     from spotify_etl_aws_spark.plans.curation import incremental_curation
 
     docs = load_table(spark, sf_dir, "documents")
     wave1 = docs.filter(F.col("doc_id") < 100)
-    wave2 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    # wave 2 carries a planted duplicate: doc 9999 re-lands doc 50's text
+    dup = wave1.filter(F.col("doc_id") == 50).select(
+        F.lit(9999).cast("long").alias("doc_id"),
+        "text",
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    wave2 = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    ).unionByName(dup)
     bench = docs.filter(F.col("doc_id").isin(5, 6)).select("text")
 
     land = tmp_path / "landing"
@@ -81,6 +91,15 @@ def test_incremental_curation_exactly_once(spark, sf_dir, tmp_path):
     final = spark.read.parquet(path)
     assert final.count() > n1
     assert final.select("doc_id").distinct().count() == final.count()
+    # the re-landed content was deduped against wave-1 state: the new
+    # doc_id never reaches the corpus, the original row is untouched
+    final_ids = {r.doc_id for r in final.select("doc_id").collect()}
+    assert 9999 not in final_ids
+    assert (50 in final_ids) == (50 in kept_ids)
+    # each document's content appears exactly once corpus-wide
+    assert (
+        final.select("text").distinct().count() == final.count()
+    )
     splits2 = {r.doc_id: r.split for r in final.collect()}
     assert all(splits2[d] == s for d, s in splits1.items())
 
@@ -100,3 +119,8 @@ def test_packs_respect_split_and_budget(built):
     splits = {r.split for r in rows}
     assert splits <= {"train", "val", "test"}
     assert "train" in splits
+    # pack ids are globally unique: one split per pack_id corpus-wide
+    pack_splits: dict[int, set] = {}
+    for r in rows:
+        pack_splits.setdefault(r.pack_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in pack_splits.values())
