@@ -268,3 +268,94 @@ def test_null_fk_drops_from_fact(spark, tmp_path):
     fact = gold["fact_playlist_tracks"]
     assert fact.count() == 1
     assert [r.track_id for r in fact.collect()] == ["T00"]
+
+
+def test_incremental_gold_refresh_upserts_only_touched_partitions(
+    spark, tmp_path
+):
+    """MERGE-shaped incremental refresh (plans/medallion.py:
+    refresh_gold_incremental): a second run with changed rows updates
+    only the touched fact partitions (untouched partition files are
+    bit-identical on disk afterward), keys are upserted not duplicated,
+    and the gold contracts still gate the result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.plans.medallion import refresh_gold_incremental
+
+    raw = _write_fixture(str(tmp_path / "raw.json"), _playlist_items())
+    lake = str(tmp_path / "lake")
+    gold = run_medallion(spark, raw, lake)
+    fact = gold["fact_playlist_tracks"]
+    n0 = fact.count()
+    p1 = fact.first().playlist_id
+
+    # wave 1: land a SECOND playlist partition (clone rows under a new
+    # id) plus its dim row, in one upsert batch
+    p2_fact = fact.withColumn("playlist_id", F.lit("p2"))
+    p2_dim = (
+        gold["dim_playlists"]
+        .filter(F.col("playlist_id") == p1)
+        .withColumn("playlist_id", F.lit("p2"))
+    )
+    landed = refresh_gold_incremental(
+        spark,
+        lake,
+        {"fact_playlist_tracks": p2_fact, "dim_playlists": p2_dim},
+    )
+    fact2 = landed["fact_playlist_tracks"]
+    assert fact2.count() == 2 * n0
+    assert fact2.filter(F.col("playlist_id") == p1).count() == n0
+
+    def _listing(pid: str) -> list[tuple[str, float, int]]:
+        d = os.path.join(lake, "gold", "fact_playlist_tracks", f"playlist_id={pid}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_p1 = _listing(p1)
+
+    # wave 2: update ONE row in p2 only — p1's partition files must not
+    # be rewritten
+    tn = p2_fact.first().track_number
+    upd = p2_fact.filter(F.col("track_number") == tn).withColumn(
+        "track_name", F.lit("UPDATED TITLE")
+    )
+    landed = refresh_gold_incremental(spark, lake, {"fact_playlist_tracks": upd})
+    assert _listing(p1) == before_p1
+
+    fact3 = landed["fact_playlist_tracks"]
+    assert fact3.count() == 2 * n0  # upsert, not append
+    got = fact3.filter(
+        (F.col("playlist_id") == "p2") & (F.col("track_number") == tn)
+    ).collect()
+    assert [r.track_name for r in got] == ["UPDATED TITLE"]
+    # p1 rows untouched
+    assert fact3.filter(
+        (F.col("playlist_id") == p1) & (F.col("track_name") == "UPDATED TITLE")
+    ).count() == 0
+
+    # dim upsert: change an artist's name; key count is unchanged and
+    # contracts (PK unique) still pass
+    some_artist = gold["dim_artists"].first()
+    n_artists = gold["dim_artists"].count()
+    dim_upd = spark.createDataFrame(
+        [(some_artist.artist_id, "Renamed Artist")], "artist_id string, artist_name string"
+    )
+    landed = refresh_gold_incremental(spark, lake, {"dim_artists": dim_upd})
+    dims = landed["dim_artists"]
+    assert dims.filter(F.col("artist_id") == some_artist.artist_id).collect()[
+        0
+    ].artist_name == "Renamed Artist"
+    assert dims.count() == n_artists
+
+    # an upsert that breaks a contract is rejected by the same gate as
+    # the full build: a fact row referencing a missing dim
+    bad = p2_fact.limit(1).withColumn("playlist_id", F.lit("ghost"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="playlist_id_references"):
+        refresh_gold_incremental(spark, lake, {"fact_playlist_tracks": bad})
