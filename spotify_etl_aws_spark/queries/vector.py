@@ -252,9 +252,6 @@ def _fit_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
     return cents
 
 
-_INDEX_PATH_CACHE: dict[str, str] = {}
-
-
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per corpus per process) the IVF INDEX: quantizer-cell
     assignments written as parquet PARTITIONED BY ``cell``. This is the
@@ -269,10 +266,15 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     quantizer config, so a changed fixture or constant can never serve
     a stale index. Only (vec_id, v) ride in the files — the unit
     vector is recomputed where needed, keeping the index bytes
-    minimal."""
-    cached = _INDEX_PATH_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
+    minimal.
+
+    The content key (size+mtime of every part) is recomputed on EVERY
+    call — a fixture regenerated mid-process changes the tag and misses
+    to a rebuild, never serving a stale index. Builds land in a unique
+    temp dir that is atomically renamed into place, so two concurrent
+    processes racing the same build can't interleave part files: the
+    loser's rename fails against the winner's directory and its build
+    is discarded."""
     import hashlib
     import tempfile
 
@@ -305,17 +307,30 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     # a bare directory is NOT a complete index: Spark creates the dir
     # before writing part files, so an interrupted build leaves a
     # partial tree. Only the _SUCCESS marker certifies completeness;
-    # anything else is rebuilt (mode=overwrite clears the partial).
+    # anything else is rebuilt (into a private tmp dir, renamed into
+    # place atomically).
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import shutil
+        import uuid
+
+        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
         cents = _learned_centroids(spark, sf_dir)
         (
             assign_cells_arrow(_embeddings(spark, sf_dir), cents)
             .select("vec_id", "v", "cell")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(path)
+            .parquet(tmp)
         )
-    _INDEX_PATH_CACHE[sf_dir] = path
+        try:
+            if os.path.exists(path):  # stale partial from a dead build
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent build won the rename; its index is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
     return path
 
 

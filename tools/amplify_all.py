@@ -60,6 +60,19 @@ def amplify_all(src_dir: str, out_dir: str, reps: int, n_files: int) -> None:
         tables["events"].column("user_id")
     ).as_py()
 
+    # replica key shifts are collision-free only if every key column is
+    # dense in [0, stride): on a sparse-key fixture (TPC-H-style sparse
+    # orderkeys) replicas would silently overlap. Fail loudly instead.
+    for t in AMPLIFIED:
+        for col, domain in KEY_DOMAINS[t].items():
+            mx = pc.max(tables[t].column(col)).as_py()
+            if mx is not None and mx >= strides[domain]:
+                raise SystemExit(
+                    f"{t}.{col}: max key {mx} >= stride {strides[domain]} "
+                    f"({domain}) — sparse key space, amplification would "
+                    f"collide replica keys"
+                )
+
     for t in FIXED_DIMS:
         dst = os.path.join(out_dir, f"{t}.parquet")
         os.makedirs(dst, exist_ok=True)
