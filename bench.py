@@ -52,29 +52,74 @@ HEADLINE = [
 
 RUNS = 3
 
+# The three floor-bound tiny-result aggregates (see BASELINE.md): their
+# sf0.1 time IS Spark's per-job dispatch floor (~0.3 s), which is paid
+# serially in the default mode. The amortized mode measures the
+# realistic cluster posture instead: a session keeps many queries in
+# flight, dispatch overlaps, and the effective per-query cost is
+# throughput-bound, not floor-bound.
+FLOOR_BOUND = ["flagship_revenue", "q1_pricing_summary", "q5_regional_revenue"]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def run_amortized(spark, queries, sf_dir: str, repeats: int = 8, threads: int = 8):
+    """One-session-many-queries: submit ``repeats`` copies of each
+    floor-bound query onto a thread pool (Spark schedules concurrent
+    jobs from separate submitter threads), measure ONE wall interval,
+    and report effective seconds per query run. This is the number a
+    1000-executor cluster session actually experiences for small
+    aggregates — the 0.3 s dispatch floor is per-job and overlappable,
+    not per-byte."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    work = [name for name in FLOOR_BOUND for _ in range(repeats)]
+    # warm once per distinct plan outside the timer
+    for name in FLOOR_BOUND:
+        materialize(queries[name](spark, sf_dir))
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        list(pool.map(lambda n: materialize(queries[n](spark, sf_dir)), work))
+    wall = time.perf_counter() - t0
+    return {
+        "metric": "bench_amortized_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": {
+            name: round(wall / len(work), 3) for name in FLOOR_BOUND
+        },
+        "runs_total": len(work),
+        "effective_sec_per_query": round(wall / len(work), 3),
+        "threads": threads,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    # Bench-session tuning (measured, see BASELINE.md): at sf0.1 in one
-    # JVM every input is a single parquet row group, so AQE has nothing
-    # to re-plan — its per-stage re-optimization barrier just adds
-    # ~50-100 ms to every sub-second query — and 32-way shuffles cost
-    # more in task dispatch than they buy in parallelism. The bench pins
-    # static plans with shuffles sized to the fixture; session.py's
-    # cluster posture (AQE on, shuffle=cores) is unchanged — map-side
-    # parallelism for CPU-heavy stages still comes from
-    # spread_narrow_scan's explicit repartition to defaultParallelism.
+    # Bench-session tuning (measured, see BASELINE.md): at sf<=0.5 in
+    # one JVM every input is a single parquet row group, so AQE has
+    # nothing to re-plan — its per-stage re-optimization barrier just
+    # adds ~50-100 ms to every sub-second query — and 32-way shuffles
+    # cost more in task dispatch than they buy in parallelism. The
+    # bench pins static plans with shuffles sized to the fixture. At
+    # AMPLIFIED scale (sf>0.5: tools/amplify_all.py fixtures) that
+    # pinning is exactly wrong — shuffles carry tens of millions of
+    # rows — so the session reverts to the cluster posture (AQE on,
+    # shuffle=cores), the same confs session.py defaults to.
+    small = sf is not None and sf <= 0.5
     spark = get_spark(
         app_name="bench",
-        shuffle_partitions=8,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        shuffle_partitions=8 if small else None,
+        extra_conf=(
+            {"spark.sql.adaptive.enabled": "false"} if small else None
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -82,12 +127,21 @@ def main() -> None:
 
     queries = all_queries()
 
+    if mode == "amortized":
+        out = run_amortized(spark, queries, sf_dir)
+        out["sf"] = sf
+        print(json.dumps(out))
+        return
+
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = only.split(",") if only else HEADLINE
+
     # Warm pass: run every headline query once outside timing. Whole-
     # stage codegen JIT-compiles per distinct plan (the iterative CC
     # query alone generates ~10 distinct stage plans) and the first
     # execution pays 5-10x; a real workload amortizes that to nothing,
     # so timed runs measure steady state.
-    for name in HEADLINE:
+    for name in headline:
         try:
             materialize(queries[name](spark, sf_dir))
         except Exception:
@@ -98,7 +152,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failed = 0
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         try:
             for _ in range(RUNS):

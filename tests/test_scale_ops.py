@@ -98,6 +98,38 @@ def test_salted_join_full_outer_with_duplicate_nonkey_names(spark):
     )
 
 
+def test_targeted_salted_join_all_types_match_plain_join(spark):
+    """Targeted salting (hot_keys given) keeps the same row-identity
+    guarantee for every join type: hot rows salt/replicate, cold rows
+    pair at salt 0 — including hot keys unmatched on one side, NULL
+    keys, and a hot_keys entry absent from both sides."""
+    from spotify_etl_aws_spark.operators.skew import detect_hot_keys
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (1, "d"), (2, "e"), (3, "f"), (None, "g")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0), (4, 40.0), (None, 50.0)],
+        "k int, rv double",
+    )
+    hot = detect_hot_keys(left, "k", min_fraction=0.3)
+    assert hot == [1]
+    for hot_keys in ([1], [1, 4], [99]):
+        for how in (
+            "inner", "left", "left_semi", "left_anti",
+            "right", "full",
+        ):
+            plain = left.join(right, "k", how)
+            salted = salted_join(
+                left, right, on="k", salt=4, how=how, hot_keys=hot_keys
+            )
+            key = lambda r: tuple((v is None, v) for v in r)
+            got = sorted((tuple(r) for r in salted.collect()), key=key)
+            want = sorted((tuple(r) for r in plain.collect()), key=key)
+            assert got == want, (how, hot_keys)
+
+
 def test_salted_join_rejects_unknown_how(spark):
     df = spark.range(4).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="unsupported join type"):
