@@ -29,6 +29,36 @@ from ..sources.readers import (
 )
 
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
+    """Switch streaming state to the RocksDB provider (session-level;
+    applies to queries STARTED afterwards — existing checkpoints keep
+    the provider they were created with).
+
+    This is the 100 TB posture for unbounded state: the default
+    HDFS-backed provider keeps every key on the executor HEAP, so a
+    cross-corpus dedup state (one key per distinct document —
+    billions) dies in GC long before the capacity limit. RocksDB keeps
+    state off-heap/on-disk with block-cache reads, and changelog
+    checkpointing ships per-batch deltas instead of full snapshots.
+    Verified working against the bundled rocksdbjni in this Spark
+    distribution (see test_rocksdb_state_store_dedup)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+    )
+    if changelog:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing."
+            "enabled",
+            "true",
+        )
+
+
 def _stream_reader(spark: SparkSession, sf_dir: str, name: str, schema) -> DataFrame:
     """Streaming scan for `{sf_dir}/{name}.parquet` in either layout:
     a DIRECTORY of part files streams directly; a single file streams
