@@ -1,0 +1,667 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 baseline sequential DCT).
+
+Closes the last format seam in the multimodal lane (SURVEY.md §2.11d):
+the reference's declared models carry image URLs
+(``/root/reference/models/model.py:10,19``,
+``models/playlist_model.py:12-13``) and any real multimodal training
+corpus is mostly JPEG — until now those bytes raised
+``NotImplementedError`` at the codec seam because this container has no
+imaging library. This module implements the baseline profile from the
+public spec with stdlib + numpy only:
+
+- ``encode_jpeg``: baseline sequential, JFIF container, standard Annex K
+  quantization tables (IJG quality scaling) and Annex K Huffman tables,
+  4:4:4 or 4:2:0 chroma subsampling, optional restart intervals.
+- ``decode_jpeg``: baseline sequential decode — marker parse, Huffman
+  entropy decode (with byte-unstuffing and restart-marker resync),
+  dequantize, de-zigzag, IDCT, chroma upsample, YCbCr→RGB. Progressive
+  (SOF2) / arithmetic / 12-bit inputs raise ``NotImplementedError`` with
+  a precise message.
+
+Scale shape: this codec runs inside the same Arrow-batched
+``mapInPandas`` seam as the BMP/PNG codecs — per-item Python cost on
+thumbnail-sized media, bytes never cross a shuffle. In a real
+deployment you would swap this module for libjpeg-turbo via PIL at the
+same call sites; the point here is that the seam is *closed*, not
+stubbed: encode→decode round-trips are pixel-accurate to quantization
+error and the emitted files are spec-conformant baseline JFIF.
+
+The DCT is the separable orthonormal 8x8 transform done as one einsum
+over all blocks of an image (numpy BLAS); only the entropy coding is a
+per-block Python loop, which is the part libjpeg replaces.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (row-major).
+QTBL_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+QTBL_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL).
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> np.ndarray:
+    """Row-major index for each zigzag position, generated by the
+    diagonal walk (no hand-transcribed table to get wrong)."""
+    order = []
+    for s in range(15):  # anti-diagonals r+c = s
+        rng = range(min(s, 7), max(0, s - 7) - 1, -1)  # up-right (r desc)
+        if s % 2 == 1:
+            rng = reversed(list(rng))  # odd diagonals walk down-left
+        for r in rng:
+            order.append(r * 8 + (s - r))
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()  # block.flat[ZIGZAG] -> zigzag vector
+UNZIGZAG = np.argsort(ZIGZAG)  # zz[UNZIGZAG] -> row-major block
+
+# Orthonormal DCT-II basis: D @ block @ D.T is the forward transform.
+_k = np.arange(8)
+DCT_M = np.sqrt(2.0 / 8.0) * np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16.0)
+DCT_M[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def scale_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 → scaled table clipped to [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1,100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment per T.81 C.2: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for canonical decode."""
+    return {(ln, c): s for s, (c, ln) in build_huffman_codes(bits, vals).items()}
+
+
+# ------------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing inside entropy data
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)
+
+    def marker(self, m: int) -> None:
+        """Byte-align then emit a marker (restart) into the stream."""
+        self.align()
+        self.buf += bytes((0xFF, m))
+
+
+def _bit_size(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# -------------------------------------------------------------- encoder
+
+
+def _encode_component(
+    writer: _BitWriter,
+    blocks_zz: np.ndarray,
+    order: list[int],
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    """Entropy-code zigzagged quantized blocks in the given order;
+    returns the updated DC predictor."""
+    for bi in order:
+        zz = blocks_zz[bi]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        size = _bit_size(diff)
+        code, ln = dc_codes[size]
+        writer.write(code, ln)
+        if size:
+            writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        run = 0
+        for i in range(1, last + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            size = _bit_size(v)
+            code, ln = ac_codes[(run << 4) | size]
+            writer.write(code, ln)
+            writer.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            writer.write(code, ln)
+    return pred
+
+
+def _fdct_quant(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """All 8x8 blocks of a (H,W) plane → zigzagged quantized int32
+    array of shape (H//8 * W//8, 64), blocks in raster order."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ux,bcxy,vy->bcuv", DCT_M, blocks, DCT_M, optimize=True)
+    q = qtbl.reshape(8, 8).astype(np.float64)
+    quant = np.round(coef / q).astype(np.int32)
+    flat = quant.reshape(-1, 64)
+    return flat[:, ZIGZAG]
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad a (H,W) plane to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph = (-h) % mh
+    pw = (-w) % mw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    payload: bytes,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """A REAL baseline JFIF file from an RGB pixel buffer.
+
+    Same payload convention as ``encode_bmp`` / ``encode_png``: payload
+    fills the 3*width*height RGB buffer (repeated / truncated), so an
+    exactly-sized buffer encodes those pixels. ``subsampling`` is
+    ``"444"`` (no chroma subsampling) or ``"420"`` (2x2);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (the error-resilience feature real encoders use for streaming
+    decode)."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid JPEG dimensions {width}x{height}")
+    if not payload:
+        raise ValueError("JPEG payload must be non-empty")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+
+    stride = 3 * width
+    pix = (payload * (stride * height // len(payload) + 1))[: stride * height]
+    rgb = np.frombuffer(pix, dtype=np.uint8).reshape(height, width, 3)
+    ycc = rgb_to_ycbcr(rgb.astype(np.float64))
+
+    qlum = scale_qtable(QTBL_LUM, quality)
+    qchrom = scale_qtable(QTBL_CHROM, quality)
+
+    if subsampling == "444":
+        hmax = vmax = 1
+        y_plane = _pad_to(ycc[..., 0], 8, 8)
+        cb_plane = _pad_to(ycc[..., 1], 8, 8)
+        cr_plane = _pad_to(ycc[..., 2], 8, 8)
+    else:
+        hmax = vmax = 2
+        y_plane = _pad_to(ycc[..., 0], 16, 16)
+        # chroma: average 2x2 then pad to 8x8 blocks
+        ph, pw = y_plane.shape
+        cb_full = _pad_to(ycc[..., 1], ph, pw)[:ph, :pw]
+        cr_full = _pad_to(ycc[..., 2], ph, pw)[:ph, :pw]
+        cb_plane = cb_full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr_plane = cr_full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    zz_y = _fdct_quant(y_plane, qlum)
+    zz_cb = _fdct_quant(cb_plane, qchrom)
+    zz_cr = _fdct_quant(cr_plane, qchrom)
+
+    dc_l = build_huffman_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = build_huffman_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = build_huffman_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_c = build_huffman_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+    # MCU walk
+    yw = y_plane.shape[1] // 8  # luma blocks per row
+    cw = cb_plane.shape[1] // 8
+    mcus_x = y_plane.shape[1] // (8 * hmax)
+    mcus_y = y_plane.shape[0] // (8 * vmax)
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
+            y_order = [
+                (my * vmax + by) * yw + (mx * hmax + bx)
+                for by in range(vmax)
+                for bx in range(hmax)
+            ]
+            preds[0] = _encode_component(writer, zz_y, y_order, dc_l, ac_l, preds[0])
+            c_order = [my * cw + mx]
+            preds[1] = _encode_component(writer, zz_cb, c_order, dc_c, ac_c, preds[1])
+            preds[2] = _encode_component(writer, zz_cr, c_order, dc_c, ac_c, preds[2])
+            mcu_count += 1
+    writer.align()
+
+    # ---- container
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        (1, 1, 0)
+    ) + struct.pack(">HH", 1, 1) + bytes((0, 0))
+    for tid, tbl in ((0, qlum), (1, qchrom)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes((tid,))
+        out += bytes(int(v) for v in tbl[ZIGZAG])  # stored in zigzag order
+    samp = (hmax << 4) | vmax
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes((1, samp, 0))  # Y
+    out += bytes((2, 0x11, 1))  # Cb
+    out += bytes((3, 0x11, 1))  # Cr
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+        (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+        (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes(((cls << 4) | tid,)) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes((1, 0x00, 2, 0x11, 3, 0x11))  # comp id, (dc<<4|ac)
+    out += bytes((0, 63, 0))  # Ss, Se, Ah/Al
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF header only — no entropy decode,
+    the metadata-extraction fast path (PIL's lazy ``open()`` shape)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            _, height, width = struct.unpack_from(">BHH", data, pos + 4)
+            return width, height
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF header")
+
+
+# -------------------------------------------------------------- decoder
+
+
+class _Component(NamedTuple):
+    cid: int
+    h: int
+    v: int
+    qid: int
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers,
+    and resyncs past RSTn on demand."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # marker reached: feed 1-bits so a well-formed stream's
+                # trailing EOB decodes; actual resync is via restart()
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker, hit end of stream")
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size`-bit raw value to signed."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
+    """Baseline sequential JFIF decode → (width, height, RGB bytes).
+
+    Supports: 8-bit baseline (SOF0), 1 or 3 components, sampling
+    factors 1-2 (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments,
+    restart intervals. Progressive (SOF2), arithmetic coding, and
+    12-bit precision raise ``NotImplementedError``."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[_Component] = []
+    width = height = 0
+    restart_interval = 0
+    scan_comps: list[tuple[int, int, int]] = []
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8).astype(
+                    np.int32
+                )
+                qtables[tq] = zz[UNZIGZAG]  # store row-major
+                off += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential (SOF0) is supported, got SOF marker "
+                f"0xFF{marker:02X} (progressive/arithmetic/lossless)"
+            )
+        elif marker == 0xC0:  # SOF0
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            for i in range(ncomp):
+                cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                h, v = samp >> 4, samp & 0xF
+                if h not in (1, 2) or v not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {h}x{v} unsupported (1-2 only)"
+                    )
+                comps.append(_Component(cid, h, v, qid))
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htables[(cls, tid)] = _build_decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for i in range(ns):
+                cid, tbl = body[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cid, tbl >> 4, tbl & 0xF))
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    else:
+        raise ValueError("JPEG missing SOS marker")
+
+    if not comps or not width:
+        raise ValueError("JPEG missing SOF0 before SOS")
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    planes = []
+    dims = []
+    for c in comps:
+        pw, ph = mcus_x * c.h * 8, mcus_y * c.v * 8
+        planes.append(np.zeros((ph // 8, pw // 8, 8, 8), dtype=np.float64))
+        dims.append((pw, ph))
+
+    by_cid = {c.cid: i for i, c in enumerate(comps)}
+    scan = [(by_cid[cid], dc, ac) for cid, dc, ac in scan_comps]
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(comps)
+            for ci, dc_id, ac_id in scan:
+                c = comps[ci]
+                dc_tbl = htables[(0, dc_id)]
+                ac_tbl = htables[(1, ac_id)]
+                q = qtables[c.qid]
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = _decode_huff(reader, dc_tbl)
+                        diff = _extend(reader.receive(size), size) if size else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huff(reader, ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol in JPEG stream")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            zz[k] = _extend(reader.receive(size), size)
+                            k += 1
+                        block = (zz * q)[UNZIGZAG].reshape(8, 8).astype(np.float64)
+                        planes[ci][my * c.v + by, mx * c.h + bx] = block
+            mcu_count += 1
+
+    # IDCT all blocks per component at once, assemble planes, upsample
+    full = []
+    for ci, c in enumerate(comps):
+        coef = planes[ci]
+        spatial = (
+            np.einsum("xu,rcuv,yv->rcxy", DCT_M.T, coef, DCT_M.T, optimize=True)
+            + 128.0
+        )
+        br, bc = spatial.shape[0], spatial.shape[1]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(br * 8, bc * 8)
+        # nearest upsample to the luma grid
+        plane = np.repeat(np.repeat(plane, vmax // c.v, axis=0), hmax // c.h, axis=1)
+        full.append(plane[:height, :width])
+
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
+    return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()

@@ -7,14 +7,16 @@ carries the media itself: an opaque ``binary`` column plus a typed
 metadata struct, with decode / feature-extraction running as
 Arrow-batched Python over ``mapInPandas``.
 
-The codec is REAL for two formats: uncompressed 24-bit BMP
-(``encode_bmp``, stdlib ``struct``) and truecolor 8-bit PNG
+The codec is REAL for three formats: uncompressed 24-bit BMP
+(``encode_bmp``, stdlib ``struct``), truecolor 8-bit PNG
 (``encode_png`` / ``decode_png``, stdlib ``zlib`` — real chunk CRCs,
 real DEFLATE stream, filter-aware decode covering all five PNG filter
-types). Resize is true nearest-neighbor resampling over the decoded
-pixel grid for both. JPEG still needs a library this container lacks;
-those bytes raise ``NotImplementedError`` at the same seam — swap in
-PIL/torchvision there in a real deployment. A legacy deterministic fake
+types), and baseline JPEG (``operators/jpeg.py`` — pure-numpy DCT +
+Annex K Huffman entropy coding, 4:4:4/4:2:0, restart markers). Resize
+is true nearest-neighbor resampling over the decoded pixel grid for
+all three. Progressive JPEG / arithmetic coding raise
+``NotImplementedError`` at the same seam — swap in PIL/torchvision
+there in a real deployment. A legacy deterministic fake
 (``IMG:<w>:<h>:`` header + 16-byte payload) is kept as a fallback so
 the plumbing can be exercised with zero codec cost.
 
@@ -84,6 +86,7 @@ def encode_bmp(width: int, height: int, payload: bytes) -> bytes:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SIG = b"\xff\xd8"
 _PNG_STORED_BLOCK = 65535  # max stored-block payload in DEFLATE
 
 
@@ -254,17 +257,23 @@ def fake_image_bytes(id_col: Column, payload_src: Column) -> Column:
 
 def decode_image(data: bytes) -> DecodedImage:
     """REAL image decode, dispatched on the file magic: uncompressed
-    24-bit BMP (header parse, padding strip, bottom-up flip) or
-    truecolor 8-bit PNG (zlib inflate + filter reversal). JPEG still
-    requires a library this container lacks — it raises at this seam
-    (swap in PIL/torchvision in a real deployment); everything around
-    it (mapInPandas batching, schema, column flow) is format-agnostic."""
+    24-bit BMP (header parse, padding strip, bottom-up flip), truecolor
+    8-bit PNG (zlib inflate + filter reversal), or baseline JPEG
+    (pure-numpy Huffman + IDCT decode — ``operators/jpeg.py``).
+    Progressive JPEG / other formats raise at this seam; everything
+    around it (mapInPandas batching, schema, column flow) is
+    format-agnostic."""
     if data[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(data)
+    if data[:2] == JPEG_SIG:
+        from spotify_etl_aws_spark.operators.jpeg import decode_jpeg
+
+        w, h, pixels = decode_jpeg(data)
+        return DecodedImage(w, h, "RGB", pixels)
     if len(data) < 2 or data[:2] != b"BM":
         raise NotImplementedError(
-            "decode_image implements uncompressed 24-bit BMP and "
-            "truecolor 8-bit PNG; other formats (JPEG/...) need an "
+            "decode_image implements uncompressed 24-bit BMP, truecolor "
+            "8-bit PNG, and baseline JPEG; other formats need an "
             "imaging library (e.g. PIL) not present in this container"
         )
     if len(data) < BMP_HEADER_BYTES:
@@ -306,6 +315,11 @@ def _parse_one(b: bytes) -> tuple[str, int, int, int]:
     if b[: len(PNG_SIG)] == PNG_SIG:
         width, height = struct.unpack_from(">II", b, 16)
         return "png", width, height, len(b)
+    if b[:2] == JPEG_SIG:
+        from spotify_etl_aws_spark.operators.jpeg import jpeg_dimensions
+
+        width, height = jpeg_dimensions(b)
+        return "jpeg", width, height, len(b)
     magic, w, h, _ = b.split(b":", 3)
     return magic.decode("ascii").lower(), int(w), int(h), len(b)
 
@@ -343,7 +357,13 @@ def encode_media_bmp(
     )
 
 
-_ENCODERS = {"bmp": encode_bmp, "png": encode_png}
+def _encode_jpeg(width: int, height: int, payload: bytes) -> bytes:
+    from spotify_etl_aws_spark.operators.jpeg import encode_jpeg
+
+    return encode_jpeg(width, height, payload)
+
+
+_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "jpeg": _encode_jpeg}
 
 
 def encode_media(
@@ -356,7 +376,7 @@ def encode_media(
 ) -> DataFrame:
     """Mixed-format media encode via mapInPandas: (id, width, height,
     payload, fmt) -> (id, media binary), dispatching per row on ``fmt``
-    ('bmp' | 'png'). Same Arrow-batched lane as ``encode_media_bmp``,
+    ('bmp' | 'png' | 'jpeg'). Same Arrow-batched lane as ``encode_media_bmp``,
     with the per-item codec chosen by a column — the shape a real
     corpus has, where media formats are heterogeneous within one
     table."""
@@ -458,6 +478,8 @@ def resize_media(
                     return _resize_real(b, encode_bmp)
                 if b[: len(PNG_SIG)] == PNG_SIG:
                     return _resize_real(b, encode_png)
+                if b[:2] == JPEG_SIG:
+                    return _resize_real(b, _encode_jpeg)
                 _, _, _, payload = b.split(b":", 3)
                 return header + hashlib.md5(payload + suffix).digest()
 

@@ -1,0 +1,219 @@
+"""Baseline JPEG codec tests (operators/jpeg.py) — the compressed-format
+seam (SURVEY.md §2.11d) closed with a pure-numpy T.81 baseline codec.
+
+No imaging library exists in this container to cross-check against, so
+the suite leans on (a) spec-structure assertions (marker layout, Annex K
+table counts, prefix-free canonical codes, byte stuffing), (b) numeric
+inverses (DCT orthonormality, EXTEND), and (c) encode→decode round trips
+whose error bound is the quantization error itself — any zigzag/Huffman/
+DCT defect corrupts round trips catastrophically, not subtly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_etl_aws_spark.operators.jpeg import (
+    AC_CHROM_BITS,
+    AC_CHROM_VALS,
+    AC_LUM_BITS,
+    AC_LUM_VALS,
+    DC_LUM_BITS,
+    DC_LUM_VALS,
+    DCT_M,
+    UNZIGZAG,
+    ZIGZAG,
+    build_huffman_codes,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dimensions,
+    rgb_to_ycbcr,
+    scale_qtable,
+    ycbcr_to_rgb,
+)
+
+
+def _gradient(w: int, h: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+def test_spec_tables_and_transforms():
+    """Annex K table shapes, canonical prefix-free codes, zigzag
+    permutation, DCT orthonormality, color-transform inverse."""
+    # zigzag: the first 16 entries of the published scan + permutation
+    assert list(ZIGZAG[:16]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert sorted(ZIGZAG) == list(range(64))
+    assert np.array_equal(ZIGZAG[UNZIGZAG], np.arange(64))
+
+    # Annex K Huffman tables: 12 DC categories, 162 AC symbols
+    assert sum(DC_LUM_BITS) == len(DC_LUM_VALS) == 12
+    assert sum(AC_LUM_BITS) == len(AC_LUM_VALS) == 162
+    assert sum(AC_CHROM_BITS) == len(AC_CHROM_VALS) == 162
+    codes = build_huffman_codes(AC_LUM_BITS, AC_LUM_VALS)
+    bitstrings = {format(c, f"0{ln}b") for c, ln in codes.values()}
+    assert len(bitstrings) == 162  # injective assignment
+    ordered = sorted(bitstrings)
+    for a, b in zip(ordered, ordered[1:]):  # prefix-free
+        assert not b.startswith(a)
+
+    # orthonormal DCT: D D^T = I to machine precision
+    assert np.allclose(DCT_M @ DCT_M.T, np.eye(8), atol=1e-12)
+
+    # color transform round trip
+    rng = np.random.default_rng(3)
+    rgb = rng.uniform(0, 255, (16, 16, 3))
+    # the spec's rounded constants are inverse to ~1e-3, not machine eps
+    assert np.allclose(ycbcr_to_rgb(rgb_to_ycbcr(rgb)), rgb, atol=1e-2)
+
+    # IJG quality scaling endpoints
+    assert (scale_qtable(np.full(64, 16), 100) == 1).all()  # scale 0 -> clip 1
+    assert scale_qtable(np.full(64, 16), 50)[0] == 16  # scale 100 -> identity
+
+
+def test_file_structure_is_spec_conformant():
+    """Marker walk: SOI..EOI, required segments present, and no bare
+    0xFF byte inside the entropy-coded segment (stuffing works)."""
+    img = _gradient(24, 16)
+    b = encode_jpeg(24, 16, img.tobytes(), quality=85)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    # walk marker segments up to SOS
+    pos, seen = 2, []
+    while True:
+        assert b[pos] == 0xFF
+        marker = b[pos + 1]
+        seen.append(marker)
+        if marker == 0xDA:
+            seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            scan_start = pos + 2 + seglen
+            break
+        seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        pos += 2 + seglen
+    assert 0xE0 in seen and 0xDB in seen and 0xC0 in seen and 0xC4 in seen
+    # entropy segment: every 0xFF is stuffed (followed by 0x00) except EOI
+    scan = b[scan_start:-2]
+    i = 0
+    while i < len(scan):
+        if scan[i] == 0xFF:
+            assert scan[i + 1] == 0x00, f"unstuffed 0xFF at scan offset {i}"
+            i += 2
+        else:
+            i += 1
+    assert jpeg_dimensions(b) == (24, 16)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_roundtrip_gradient(sub):
+    """encode→decode lands within quantization error of the source; at
+    4:4:4 q100 the only loss is DCT rounding (max error a few counts)."""
+    img = _gradient(56, 40)
+    for q, min_psnr in ((100, 40.0), (90, 33.0)):
+        b = encode_jpeg(56, 40, img.tobytes(), quality=q, subsampling=sub)
+        w, h, pix = decode_jpeg(b)
+        assert (w, h) == (56, 40)
+        out = np.frombuffer(pix, np.uint8).reshape(40, 56, 3)
+        assert _psnr(out, img) > min_psnr
+    if sub == "444":
+        b = encode_jpeg(56, 40, img.tobytes(), quality=100, subsampling=sub)
+        out = np.frombuffer(decode_jpeg(b)[2], np.uint8).reshape(40, 56, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_roundtrip_edge_shapes():
+    """Flat color is exact at q100; odd (non-multiple-of-8/16)
+    dimensions pad and crop correctly; noise survives q100 within a
+    couple of counts."""
+    flat = np.full((16, 24, 3), 137, np.uint8)
+    b = encode_jpeg(24, 16, flat.tobytes(), quality=100)
+    assert decode_jpeg(b)[2] == flat.tobytes()
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    out = np.frombuffer(
+        decode_jpeg(encode_jpeg(24, 24, noise.tobytes(), quality=100))[2], np.uint8
+    ).reshape(24, 24, 3)
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 3
+
+    odd = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        w, h, pix = decode_jpeg(
+            encode_jpeg(9, 13, odd.tobytes(), quality=95, subsampling=sub)
+        )
+        assert (w, h) == (9, 13) and len(pix) == 9 * 13 * 3
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn: markers actually appear in the stream, DC predictors
+    reset, and decode resyncs to the same pixels."""
+    img = _gradient(56, 40)
+    plain = decode_jpeg(encode_jpeg(56, 40, img.tobytes(), quality=90))[2]
+    b = encode_jpeg(56, 40, img.tobytes(), quality=90, restart_interval=3)
+    nrst = sum(b.count(bytes((0xFF, 0xD0 + i))) for i in range(8))
+    assert nrst > 0
+    assert decode_jpeg(b)[2] == plain
+
+
+def test_progressive_and_malformed_rejected():
+    img = _gradient(8, 8)
+    b = bytearray(encode_jpeg(8, 8, img.tobytes()))
+    sof = b.find(b"\xff\xc0")
+    b[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        decode_jpeg(bytes(b))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        encode_jpeg(0, 8, b"x")
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, b"x", quality=0)
+
+
+def test_jpeg_through_spark_media_lane(spark):
+    """The Spark seam end-to-end: mixed BMP+PNG+JPEG corpus through
+    encode_media → with_media_meta → resize_media, with real headers
+    parsed for metadata and a true decode→resample→re-encode resize."""
+    from spotify_etl_aws_spark.operators.multimodal import (
+        JPEG_SIG,
+        decode_image,
+        encode_media,
+        resize_media,
+        with_media_meta,
+    )
+
+    fmts = ["bmp", "png", "jpeg"]
+    df = spark.range(9).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") + 8).cast("int").alias("width"),
+        (F.col("id") + 6).cast("int").alias("height"),
+        F.unhex(F.md5(F.col("id").cast("string"))).alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(f) for f in fmts]), (F.col("id") % 3 + 1).cast("int")
+        ).alias("fmt"),
+    )
+    media = encode_media(df)
+    meta = {r.doc_id: r for r in with_media_meta(media).collect()}
+    assert set(meta) == set(range(9))
+    for i in range(9):
+        assert meta[i].media_type == fmts[i % 3]
+        assert (meta[i].width, meta[i].height) == (i + 8, i + 6)
+
+    resized = {r.doc_id: bytes(r.media) for r in resize_media(media, 5, 4).collect()}
+    for i in range(9):
+        img = decode_image(resized[i])
+        assert (img.width, img.height) == (5, 4)
+        if fmts[i % 3] == "jpeg":
+            assert resized[i][:2] == JPEG_SIG  # re-encoded in source format
