@@ -2,10 +2,12 @@
 
 ``multimodal_images`` is the binary media column end-to-end with REAL
 codecs over a MIXED-format corpus: a mapInPandas encode kernel writes
-genuine uncompressed 24-bit BMP files (even doc_ids, stdlib
-``struct``) and genuine truecolor 8-bit PNG files (odd doc_ids, stdlib
-``zlib`` — real chunk CRCs and DEFLATE stream), a mapInPandas decode
-kernel parses the actual file headers back out of the bytes, then
+genuine uncompressed 24-bit BMP files (doc_id % 3 == 0, stdlib
+``struct``), genuine truecolor 8-bit PNG files (% 3 == 1, stdlib
+``zlib`` — real chunk CRCs and DEFLATE stream), and genuine baseline
+JPEG files (% 3 == 2, the pure-numpy T.81 codec in
+``operators/jpeg.py``), a mapInPandas decode kernel parses the actual
+file headers back out of the bytes, then
 JVM-side feature derivation and video-style frame sampling plumbing —
 per-item frame counts expanded to sampled frame indices with
 ``sequence`` + ``explode`` (pure JVM; a real pipeline would join these
@@ -56,13 +58,32 @@ def multimodal_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("height"),
         # pixel seed: md5(text) digest, computed JVM-side
         F.unhex(F.md5(F.col("text"))).alias("payload"),
-        # mixed-format corpus: even ids BMP, odd ids PNG
-        F.when(F.col("doc_id") % 2 == 0, F.lit("bmp"))
-        .otherwise(F.lit("png"))
+        # mixed-format corpus: doc_id % 3 -> bmp / png / jpeg
+        F.when(F.col("doc_id") % 3 == 0, F.lit("bmp"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("png"))
+        .otherwise(F.lit("jpeg"))
         .alias("fmt"),
     )
-    with_media = encode_media(staged)
-    feats = media_features(with_media_meta(with_media))
+    # The codec kernel is CPU-bound; a single-file scan would hand it
+    # one partition. Repartition the 28-byte seed rows (doc_id, dims,
+    # md5 payload — the image BYTES don't exist yet, so nothing heavy
+    # shuffles) so encode runs on every core — the same fan-out a real
+    # cluster wants for per-item media work.
+    with_media = encode_media(
+        staged.repartition(spark.sparkContext.defaultParallelism)
+    )
+    # JPEG's entropy-coded size has no closed form, so the oracle can't
+    # recompute it — publish NULL there; width/height still come from
+    # the REAL SOF header of the REAL encoded file, so the hash gate
+    # proves the bytes are well-formed baseline JPEGs of the right dims.
+    feats = media_features(
+        with_media_meta(with_media).withColumn(
+            "n_bytes",
+            F.when(F.col("media_type") == "jpeg", F.lit(None).cast("int")).otherwise(
+                F.col("n_bytes")
+            ),
+        )
+    )
     n_frames = F.lit(FRAME_BASE) + F.col("doc_id") % FRAME_MOD
     return feats.select(
         "*",
@@ -86,12 +107,16 @@ WITH m AS (
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS media_type,
+       CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+            WHEN doc_id % 3 = 1 THEN 'png'
+            ELSE 'jpeg' END AS media_type,
        width, height,
-       CAST(CASE WHEN doc_id % 2 = 0
+       CAST(CASE WHEN doc_id % 3 = 0
                  THEN {BMP_HEADER_BYTES} + height * (((3 * width + 3) // 4) * 4)
-                 ELSE 63 + height * (1 + 3 * width)
+                 WHEN doc_id % 3 = 1
+                 THEN 63 + height * (1 + 3 * width)
                       + 5 * ((height * (1 + 3 * width) + 65534) // 65535)
+                 ELSE NULL  -- JPEG entropy size has no closed form
             END AS INT) AS n_bytes,
        round(width / height, 4) AS aspect_ratio,
        CAST(width * height AS INT) AS n_pixels,

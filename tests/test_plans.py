@@ -138,13 +138,18 @@ def test_range_binned_is_equi_join(spark, sf_dir):
 
 
 def test_multimodal_media_bytes_never_shuffle(spark, sf_dir):
-    """The decode pipeline is shuffle-free: binary media bytes flow
-    scan -> mapInPandas -> feature projection entirely within a stage.
-    At 100 TB, shuffling raw media would dominate the job; this pins
-    that no Exchange exists anywhere in the plan."""
+    """Media BYTES never cross an Exchange: the one allowed shuffle is
+    the round-robin fan-out of the 28-byte seed rows BELOW the encode
+    kernel (so the CPU-bound codec uses every core); from encode onward
+    the plan is scan -> mapInPandas -> projection within a stage. At
+    100 TB, shuffling encoded media would dominate the job."""
     plan = _plan(spark, sf_dir, "multimodal_images")
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1 and "RoundRobinPartitioning" in exchanges[0]
+    # parents print before children: every MapInPandas (encode, meta
+    # decode) must sit ABOVE the seed shuffle, i.e. bytes never shuffle
+    assert plan.rindex("MapInPandas") < plan.index("Exchange")
 
 
 def test_tfidf_partial_aggregation_everywhere(spark, sf_dir):
