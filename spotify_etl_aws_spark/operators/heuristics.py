@@ -1,0 +1,275 @@
+"""Corpus-curation heuristics (north-star, SURVEY.md §2.11c): the
+repetition / PII / sampling filters a large-scale training-data
+pipeline runs between dedup and packing.
+
+The reference has no curation surface at all (its text columns are
+playlist/track names — `/root/reference/models/model.py`), so this
+module is pure north-star: the Gopher-style repetition signals
+(Rae et al. 2021, "Scaling Language Models", Table A1) and C4-style
+scrubbing re-expressed as Spark built-ins.
+
+Scale posture — every operator here is a MAP-SIDE projection:
+
+- ``repetition_stats`` computes all duplicate-line / duplicate-n-gram /
+  top-n-gram fractions with higher-order functions over per-document
+  arrays (``array_sort`` + shifted-slice ``zip_with`` + ``aggregate``),
+  so repetition of a document never becomes a shuffle of its n-grams:
+  O(G log G) per doc, zero Exchange, embarrassingly parallel at 100 TB.
+- ``scrub_pii`` is a ``regexp_count`` + ``regexp_replace`` chain —
+  JVM-side, codegen'd.
+- ``stratified_sample`` / ``domain_mix`` sample by HASH threshold
+  (``xxhash64``, same discipline as ``operators/splits.py``), not by
+  ``rand()``: a row's fate depends only on (id, salt), so samples are
+  reproducible across runs, cluster sizes, AND task retries — ``rand()``
+  sampling silently changes membership when a task is re-executed,
+  which at 1000-executor scale is a when, not an if. ``domain_mix``'s
+  only non-map step is one tiny per-domain count (model state, like a
+  quantizer fit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+_BUCKETS = 1_000_000
+
+
+# ------------------------------------------------------------ repetition
+
+
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """ALL word n-grams (space-joined), duplicates kept — the occurrence
+    list the repetition stats need (``functions.text.word_shingles`` is
+    the distinct variant used by MinHash)."""
+    if n == 1:
+        return toks
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), m)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _adjacent_dup_chars(sorted_arr: Column) -> Column:
+    """Sum of lengths of elements equal to their predecessor in a
+    sorted array = characters contained in repeated occurrences (every
+    occurrence beyond the first counts once)."""
+    m = F.greatest(F.size(sorted_arr) - 1, F.lit(0))
+    per = F.zip_with(
+        F.slice(sorted_arr, 2, m),
+        F.slice(sorted_arr, 1, m),
+        lambda a, b: F.when(a == b, F.length(a)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(per, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _top_run_chars(sorted_arr: Column) -> Column:
+    """max(run_length * element_chars) over equal-element runs of a
+    sorted array — the characters covered by the most frequent element.
+    One aggregate pass with (prev, run, best) struct state."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run * F.length(x)).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc.best)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngrams: tuple[int, ...] = (2, 3, 4),
+    dup_ngrams: tuple[int, ...] = (5, 10),
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document repetition signals, Gopher Table A1 shape:
+
+    - ``dup_line_frac``: duplicated lines / non-empty lines
+    - ``dup_line_char_frac``: chars in repeated line occurrences / chars
+      in all non-empty lines
+    - ``top_{n}gram_char_frac``: chars covered by the single most
+      frequent word n-gram / chars in the document (n in top_ngrams)
+    - ``dup_{n}gram_char_frac``: chars in repeated word-n-gram
+      occurrences / chars in the document (n in dup_ngrams)
+
+    "Chars" counts the space-joined gram text (occurrences beyond the
+    first, overlap-unaware) — the cheap single-pass variant; thresholds
+    should be calibrated against THIS definition. Everything is
+    higher-order functions over per-doc arrays: no explode, no shuffle.
+    """
+    text = F.col(text_col)
+    toks = tokens(text_col)
+    lines = _nonempty_lines(text)
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    slines = F.array_sort(lines)
+    total_chars = F.length(text).cast("long")
+
+    cols = [
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.size(toks).alias("n_tokens"),
+        n_lines.alias("n_lines"),
+        F.when(
+            n_lines > 0,
+            1.0 - F.size(F.array_distinct(lines)) / n_lines,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(line_chars > 0, _adjacent_dup_chars(slines) / line_chars)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+    ]
+    for n in top_ngrams:
+        grams = F.array_sort(_word_ngrams(toks, n))
+        cols.append(
+            F.when(
+                (total_chars > 0) & (F.size(grams) > 0),
+                _top_run_chars(grams) / total_chars,
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ngrams:
+        grams = F.array_sort(_word_ngrams(toks, n))
+        cols.append(
+            F.when(
+                (total_chars > 0) & (F.size(grams) > 0),
+                _adjacent_dup_chars(grams) / total_chars,
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    return docs.select(*cols)
+
+
+def repetition_gate(
+    stats: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_2gram_char_frac: float = 0.20,
+    max_dup_5gram_char_frac: float = 0.15,
+) -> DataFrame:
+    """Filter a ``repetition_stats`` frame to documents under the
+    (Gopher-shaped) repetition thresholds."""
+    return stats.filter(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top_2gram_char_frac") <= max_top_2gram_char_frac)
+        & (F.col("dup_5gram_char_frac") <= max_dup_5gram_char_frac)
+    )
+
+
+# ------------------------------------------------------------------ PII
+
+# Order matters: emails carry dots and digits, so scrub them before the
+# looser phone/IP patterns can chew on their pieces.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().\- ]{6,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, scrubbed text, per-kind match counts, pii_total) — C4-style
+    PII redaction as a pure ``regexp_count`` + ``regexp_replace`` chain
+    (JVM, codegen'd; counts are taken on the text each pattern actually
+    sees, i.e. after the earlier patterns' replacements)."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    out = docs.select(F.col(id_col), scrubbed.alias(text_col), *counts)
+    return out.withColumn(
+        "pii_total", sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS)
+    )
+
+
+# ------------------------------------------------------- hash sampling
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    Hash-threshold sampling (``pmod(xxhash64(salt, id), B) < frac*B``):
+    reproducible under retries and corpus growth, map-side only (no
+    Exchange — pinned in tests). Strata absent from ``fractions`` are
+    dropped; fractions outside [0, 1] raise."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(_BUCKETS))
+    keep = F.lit(False)
+    for name, frac in fractions.items():
+        keep = keep | (
+            (F.col(strata_col) == name) & (bucket < int(round(frac * _BUCKETS)))
+        )
+    return df.filter(keep)
+
+
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Temperature-based domain re-weighting by downsampling.
+
+    Target shares q_d ∝ p_d^temperature (T=1 keeps the natural mix,
+    T=0 equalizes domains, 0<T<1 flattens — the standard multilingual /
+    multi-source mixing rule). Rates r_d = (q_d / p_d) / max(q/p) are
+    downsample-only (the largest relative upweight keeps 100%; nothing
+    is duplicated). Returns (sampled df, rate per domain).
+
+    The per-domain count is the one non-map step — O(#domains) driver
+    state, the same posture as a quantizer fit."""
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return df, {}
+    shares = {d: n / total for d, n in counts.items()}
+    targets = {d: p**temperature for d, p in shares.items()}
+    tsum = sum(targets.values())
+    rel = {d: (targets[d] / tsum) / shares[d] for d in shares}
+    peak = max(rel.values())
+    rates = {d: r / peak for d, r in rel.items()}
+    return stratified_sample(df, rates, domain_col, id_col, salt), rates

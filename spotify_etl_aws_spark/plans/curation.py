@@ -6,10 +6,14 @@ engine's operators in the order real pipelines run them:
    (broadcast n-gram semi-join, corpus text never shuffles);
 2. NEAR-DEDUP — MinHash/LSH candidate pairs, exact-Jaccard verify,
    connected components; keep each cluster's representative;
-3. QUALITY GATE — heuristic score cutoff (token count, punctuation);
-4. SPLIT — deterministic hash assignment (train/val/test frozen under
+3. PII SCRUB — C4-style email/IP/phone redaction (regexp chain,
+   map-side) so no downstream artifact carries raw identifiers;
+4. QUALITY GATE — heuristic score cutoff (token count, punctuation)
+   AND the Gopher-style repetition gate (duplicate-line / top-n-gram /
+   duplicate-n-gram char fractions, all HOF map-side);
+5. SPLIT — deterministic hash assignment (train/val/test frozen under
    corpus growth);
-5. PACK — per-split fixed-token-budget sequence packing (train packs
+6. PACK — per-split fixed-token-budget sequence packing (train packs
    feed the trainer; val/test pack separately so no window straddles
    a split).
 
@@ -29,6 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.text import quality_score, tokens
 from ..operators.decontaminate import decontaminate
 from ..operators.dedup import neardup_clusters
+from ..operators.heuristics import repetition_gate, repetition_stats, scrub_pii
 from ..operators.packing import pack_sequences
 from ..operators.splits import assign_split
 
@@ -46,9 +51,14 @@ def build_training_corpus(
     shingle_n: int = 3,
     dup_threshold: float = 0.5,
     decon_shingle_n: int = 8,
+    pii_scrub: bool = True,
+    repetition_filter: bool = True,
 ) -> DataFrame:
     """Run the ladder over ``docs`` (doc_id, text) and write the packed
-    corpus partitioned by split. Returns the re-read result frame."""
+    corpus partitioned by split. Returns the re-read result frame.
+    ``pii_scrub`` / ``repetition_filter`` toggle the C4-style redaction
+    and the Gopher-style repetition gate (thresholds:
+    ``operators.heuristics.repetition_gate`` defaults)."""
     weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
 
     stage = docs.select("doc_id", "text")
@@ -63,6 +73,13 @@ def build_training_corpus(
         threshold=dup_threshold,
     ).filter(F.col("doc_id") == F.col("cluster_rep"))
     stage = stage.join(reps.select("doc_id"), "doc_id", "left_semi")
+
+    if pii_scrub:
+        stage = scrub_pii(stage).select("doc_id", "text")
+    if repetition_filter:
+        stage = repetition_gate(
+            repetition_stats(stage, extra_cols=("text",))
+        ).select("doc_id", "text")
 
     scored = stage.select(
         "doc_id",
@@ -153,6 +170,12 @@ def incremental_curation(
         stage = batch_df.select("doc_id", "text")
         if bench is not None:
             stage = decontaminate(stage, bench, shingle_n=decon_shingle_n)
+        # same map-side scrub + repetition gate as the batch ladder:
+        # per-batch application is exact (both are per-document)
+        stage = scrub_pii(stage).select("doc_id", "text")
+        stage = repetition_gate(
+            repetition_stats(stage, extra_cols=("text",))
+        ).select("doc_id", "text")
         kept = (
             stage.select(
                 "doc_id",

@@ -10,9 +10,29 @@ from spotify_etl_aws_spark.plans.curation import build_training_corpus
 from spotify_etl_aws_spark.sources.readers import load_table
 
 
+PII_DOC_ID = 900001
+SPAM_DOC_ID = 900002
+
+
 @pytest.fixture(scope="module")
 def built(spark, sf_dir, tmp_path_factory):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant one PII-bearing doc (must survive, scrubbed) and one
+    # repetition-spam doc (must be dropped by the repetition gate)
+    planted = spark.createDataFrame(
+        [
+            (
+                PII_DOC_ID,
+                "the quick brown fox wrote to alice@example.com about many "
+                "different interesting subjects spanning storage compute "
+                "network planning scheduling caching batching sorting "
+                "joining grouping windowing sampling packing splitting",
+            ),
+            (SPAM_DOC_ID, "buy now " * 60),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = docs.unionByName(planted)
     # benchmark = 3 documents sampled from the corpus itself, so the
     # decontamination stage has planted, known-true positives
     bench = docs.filter(F.col("doc_id").isin(1, 2, 3)).select(
@@ -35,6 +55,17 @@ def test_contaminated_docs_are_gone(built, spark):
     kept = {r.doc_id for r in out.select("doc_id").collect()}
     assert not kept & {1, 2, 3}
     assert len(kept) > 0
+
+
+def test_pii_scrubbed_and_spam_gated(built):
+    """The round-5 ladder stages: the planted PII doc survives with its
+    email redacted; the planted repetition-spam doc is gone."""
+    _, out = built
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert SPAM_DOC_ID not in ids
+    assert PII_DOC_ID in ids
+    text = out.filter(F.col("doc_id") == PII_DOC_ID).collect()[0].text
+    assert "alice@example.com" not in text and "<EMAIL>" in text
 
 
 def test_quality_and_dedup_gates_applied(built):

@@ -1,0 +1,147 @@
+"""Curation-heuristics operators (operators/heuristics.py): Gopher-style
+repetition stats, PII scrubbing, deterministic hash sampling, domain
+mixing. Planted fixtures with hand-computed expectations; plan pins for
+the map-side-only claims."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_etl_aws_spark.operators.heuristics import (
+    domain_mix,
+    repetition_gate,
+    repetition_stats,
+    scrub_pii,
+    stratified_sample,
+)
+
+
+def _stats_row(spark, text: str):
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    return repetition_stats(df).collect()[0]
+
+
+def test_repetition_stats_planted_lines(spark):
+    # 4 non-empty lines, "dup" appears 3x -> 2 duplicated-beyond-first
+    text = "dup\ndup\n\nuniq\ndup"
+    r = _stats_row(spark, text)
+    assert r.n_lines == 4
+    assert r.dup_line_frac == pytest.approx(1 - 2 / 4)
+    # repeated occurrences: 2 extra "dup" lines of 3 chars over the 13
+    # chars of all non-empty lines (dup+dup+uniq+dup = 3+3+4+3)
+    assert r.dup_line_char_frac == pytest.approx(6 / 13)
+
+
+def test_repetition_stats_top_and_dup_ngrams(spark):
+    # "a b" bigram occurs 3x in "a b a b a b" (overlapping: positions
+    # 1,3,5 -> also "b a" 2x). top bigram = "a b": 3 occurrences * 3
+    # chars = 9 over 11 total chars.
+    text = "a b a b a b"
+    r = _stats_row(spark, text)
+    assert r.top_2gram_char_frac == pytest.approx(9 / 11)
+    # no 5-grams repeated (only two 5-gram windows, distinct)
+    assert r.dup_5gram_char_frac == pytest.approx(
+        # windows: "a b a b a" and "b a b a b" -> distinct -> 0
+        0.0
+    )
+
+    # a 12-token doc that repeats one 5-gram: "w1..w5" twice then filler
+    text2 = "p q r s t p q r s t x y"
+    r2 = _stats_row(spark, text2)
+    # sorted 5-gram windows: "p q r s t" occurs at positions 1 and 6
+    # -> one repeated occurrence of 9 chars over 23 chars
+    assert r2.dup_5gram_char_frac == pytest.approx(9 / 23)
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    r = _stats_row(spark, "")
+    assert r.dup_line_frac == 0.0 and r.dup_line_char_frac == 0.0
+    assert r.top_2gram_char_frac == 0.0 and r.dup_10gram_char_frac == 0.0
+    r1 = _stats_row(spark, "single")
+    assert r1.n_lines == 1 and r1.dup_line_frac == 0.0
+    assert r1.top_2gram_char_frac == 0.0  # no bigrams in a 1-token doc
+
+
+def test_repetition_gate_filters_spam(spark):
+    spam = "buy now " * 50
+    clean = " ".join(f"w{i} x{i * 7} y{i + 13}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, spam), (1, clean)], "doc_id bigint, text string"
+    )
+    kept = [r.doc_id for r in repetition_gate(repetition_stats(df)).collect()]
+    assert kept == [1]
+
+
+def test_repetition_stats_no_shuffle(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail alice@example.com or bob.smith+x@sub.co.uk now"),
+            (1, "server at 10.0.255.3, call +1 (415) 555-0199 today"),
+            (2, "no pii here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows[0].n_email == 2 and rows[0].pii_total == 2
+    assert "alice@example.com" not in rows[0].text
+    assert rows[0].text.count("<EMAIL>") == 2
+    assert rows[1].n_ip == 1 and rows[1].n_phone == 1
+    assert "<IP>" in rows[1].text and "<PHONE>" in rows[1].text
+    assert "555" not in rows[1].text
+    assert rows[2].pii_total == 0 and rows[2].text == "no pii here"
+
+
+def test_stratified_sample_deterministic_and_faithful(spark):
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "web").otherwise("books").alias("src"),
+    )
+    frac = {"web": 0.5, "books": 0.1}
+    s1 = stratified_sample(df, frac, "src")
+    s2 = stratified_sample(df, frac, "src")
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+    got = {r.src: r.n for r in s1.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got["web"] == pytest.approx(0.5 * 5000, rel=0.05)
+    assert got["books"] == pytest.approx(0.1 * 15000, rel=0.05)
+    # different salt re-deals membership
+    s3 = stratified_sample(df, frac, "src", salt="v2")
+    assert sorted(r.doc_id for r in s3.collect()) != sorted(
+        r.doc_id for r in s1.collect()
+    )
+    # map-side only
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(df, {"web": 1.5}, "src")
+
+
+def test_domain_mix_temperatures(spark):
+    df = spark.range(12000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 6 == 0, "rare").otherwise("common").alias("src"),
+    )
+    # T=1: natural mix — every rate is 1.0, nothing dropped
+    full, rates = domain_mix(df, "src", temperature=1.0)
+    assert rates == {"rare": 1.0, "common": 1.0}
+    assert full.count() == 12000
+    # T=0: equalize — rare keeps all, common downsamples to rare's size
+    eq, rates0 = domain_mix(df, "src", temperature=0.0)
+    assert rates0["rare"] == pytest.approx(1.0)
+    assert rates0["common"] == pytest.approx(2000 / 10000)
+    got = {r.src: r.n for r in eq.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got["rare"] == 2000
+    assert got["common"] == pytest.approx(2000, rel=0.1)
+    # 0<T<1 flattens monotonically: common's rate between T=0 and T=1
+    _, rates_half = domain_mix(df, "src", temperature=0.5)
+    assert rates0["common"] < rates_half["common"] < 1.0
+    with pytest.raises(ValueError, match="temperature"):
+        domain_mix(df, "src", temperature=-1)
