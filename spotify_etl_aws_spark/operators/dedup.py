@@ -97,6 +97,82 @@ def minhash_signatures(
     return signatures_from_shingles(sh, id_col, num_hashes)
 
 
+def band_table(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bh) LSH band-bucket rows of a signature frame — the
+    shared substrate of the self-join (``minhash_lsh_pairs``) and the
+    store-join (``neardup_against_store``) lanes."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature columns would be silently dropped"
+        )
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bh"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def neardup_against_store(
+    batch_sigs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Ids in ``batch_sigs`` that NEAR-match any signature in
+    ``store_sigs`` — the cross-batch near-dedup probe.
+
+    Candidates come from an LSH band-bucket join (batch bands against
+    store bands — only colliding buckets meet, never all-pairs), then
+    each candidate is verified by MinHash agreement: the fraction of
+    equal signature components estimates Jaccard similarity, so no
+    shingle or text storage is needed — the store carries k hashes per
+    document, nothing else. Returns distinct matching batch ids.
+
+    Scale shape: |batch| x bands rows shuffle-join against the store's
+    band table; the store side can be pre-bucketed/partitioned by
+    ``bh``. Verification touches candidates only, comparing 2k string
+    columns map-side."""
+    bb = band_table(batch_sigs, id_col, num_hashes, bands).alias("a")
+    sb = band_table(store_sigs, id_col, num_hashes, bands).alias("b")
+    cands = (
+        bb.join(
+            sb,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("store_id"),
+        )
+        .distinct()
+    )
+    a = batch_sigs.alias("x")
+    b = store_sigs.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.sig{i}") == F.col(f"y.sig{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
+        cands.join(a, F.col("batch_id") == F.col(f"x.{id_col}"))
+        .join(b, F.col("store_id") == F.col(f"y.{id_col}"))
+        .filter(agree >= threshold)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -111,21 +187,7 @@ def minhash_lsh_pairs(
     buckets join. No quadratic blowup unless a bucket is hot (which is
     exactly the near-dup cluster you're looking for).
     """
-    if num_hashes % bands:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
-            "trailing signature columns would be silently dropped"
-        )
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bh"))
-        )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = band_table(signatures, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

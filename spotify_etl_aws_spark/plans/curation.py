@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, tokens
 from ..operators.decontaminate import decontaminate
-from ..operators.dedup import neardup_clusters
+from ..operators.dedup import (
+    minhash_signatures,
+    neardup_against_store,
+    neardup_clusters,
+)
 from ..operators.heuristics import repetition_gate, repetition_stats, scrub_pii
 from ..operators.packing import pack_sequences
 from ..operators.splits import assign_split
@@ -120,6 +124,10 @@ def incremental_curation(
     quality_cutoff: float = 0.3,
     split_weights: dict[str, float] | None = None,
     decon_shingle_n: int = 8,
+    neardup_threshold: float = 0.7,
+    neardup_num_hashes: int = 8,
+    neardup_bands: int = 4,
+    neardup_shingle_n: int = 3,
 ) -> None:
     """The STREAMING lane of corpus curation: new document files land
     in ``docs_dir`` and each is curated exactly once — a checkpointed
@@ -146,11 +154,21 @@ def incremental_curation(
     appending duplicates (the standard foreachBatch idempotence
     pattern). Readers see ``epoch`` as one more partition column.
 
-    Deliberately NOT incremental: cross-corpus NEAR-dedup (MinHash) and
-    packing. Near-dedup needs global signature state and packing is a
-    corpus-order concern — both belong to the periodic batch rebuild
-    (``build_training_corpus``), the standard incremental/batch split
-    for training-data pipelines."""
+    Cross-batch NEAR-dedup (round 5): alongside the exact content-hash
+    state, each batch's curated documents append their MinHash
+    signatures (k hashes per doc — no text) to a parquet SIGNATURE
+    STORE under ``out_dir``; incoming documents LSH-band-join against
+    the store and are dropped when MinHash agreement estimates Jaccard
+    >= ``neardup_threshold``. Store writes are epoch-keyed overwrites
+    (idempotent under foreachBatch replay, same pattern as the corpus
+    sink). So a wave-2 re-land of wave-1 content is dropped even after
+    light edits, not just byte-identical ones.
+
+    Deliberately NOT incremental: WITHIN-batch near-dedup clustering
+    and packing. Cluster representatives need the global pair graph and
+    packing is a corpus-order concern — both belong to the periodic
+    batch rebuild (``build_training_corpus``), the standard
+    incremental/batch split for training-data pipelines."""
     from ..schemas import TESTDATA_SCHEMAS
 
     weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -165,6 +183,8 @@ def incremental_curation(
         .dropDuplicates(["__content_hash"])
         .drop("__content_hash")
     )
+
+    sig_store = os.path.join(out_dir, "sig_store")
 
     def curate_batch(batch_df: DataFrame, epoch_id: int) -> None:
         stage = batch_df.select("doc_id", "text")
@@ -184,6 +204,38 @@ def incremental_curation(
                 F.round(quality_score("text"), 4).alias("quality_score"),
             )
             .filter(F.col("quality_score") >= quality_cutoff)
+        )
+        # cross-batch NEAR-dedup against the signature store: light
+        # edits of already-landed content are dropped, not just
+        # byte-identical re-lands (those died at the content-hash
+        # state). Signatures are computed AFTER the quality gate so the
+        # store records exactly the curated corpus.
+        sigs = minhash_signatures(
+            kept,
+            num_hashes=neardup_num_hashes,
+            shingle_n=neardup_shingle_n,
+        ).localCheckpoint(eager=True)
+        spark = batch_df.sparkSession
+        try:
+            stored = spark.read.option("recursiveFileLookup", "true").parquet(
+                sig_store
+            )
+        except Exception:
+            stored = None
+        if stored is not None and not stored.isEmpty():
+            hits = neardup_against_store(
+                sigs,
+                stored,
+                num_hashes=neardup_num_hashes,
+                bands=neardup_bands,
+                threshold=neardup_threshold,
+            )
+            kept = kept.join(hits, "doc_id", "left_anti")
+            sigs = sigs.join(hits, "doc_id", "left_anti")
+        # epoch-keyed overwrites: a replayed batch rewrites its own
+        # signatures and corpus partition instead of appending dups
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_store, f"epoch={epoch_id}")
         )
         assign_split(kept, weights).write.mode("overwrite").partitionBy(
             "split"

@@ -86,16 +86,39 @@ def test_incremental_curation_exactly_once(spark, sf_dir, tmp_path):
     from spotify_etl_aws_spark.plans.curation import incremental_curation
 
     docs = load_table(spark, sf_dir, "documents")
-    wave1 = docs.filter(F.col("doc_id") < 100)
+    base_text = " ".join(
+        f"{w}{i}" for i, w in enumerate(
+            ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+            * 3
+        )
+    )
+    meta_cols = [c for c in docs.columns if c not in ("doc_id", "text")]
+    anchor = docs.limit(1).select(
+        F.lit(8888).cast("long").alias("doc_id"),
+        F.lit(base_text).alias("text"),
+        *meta_cols,
+    )
+    wave1 = docs.filter(F.col("doc_id") < 100).unionByName(anchor)
     # wave 2 carries a planted duplicate: doc 9999 re-lands doc 50's text
     dup = wave1.filter(F.col("doc_id") == 50).select(
         F.lit(9999).cast("long").alias("doc_id"),
         "text",
-        *[c for c in docs.columns if c not in ("doc_id", "text")],
+        *meta_cols,
     )
-    wave2 = docs.filter(
-        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
-    ).unionByName(dup)
+    # ...and a planted NEAR-duplicate: doc 9998 is the wave-1 anchor's
+    # text with a short appended tail (different content hash, so only
+    # the signature store can catch it)
+    near = docs.limit(1).select(
+        F.lit(9998).cast("long").alias("doc_id"),
+        F.lit(base_text + " plus a small appended tail").alias("text"),
+        *meta_cols,
+    )
+    wave2 = (
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+        .unionByName(dup)
+        .unionByName(near)
+    )
     bench = docs.filter(F.col("doc_id").isin(5, 6)).select("text")
 
     land = tmp_path / "landing"
@@ -127,6 +150,10 @@ def test_incremental_curation_exactly_once(spark, sf_dir, tmp_path):
     final_ids = {r.doc_id for r in final.select("doc_id").collect()}
     assert 9999 not in final_ids
     assert (50 in final_ids) == (50 in kept_ids)
+    # the NEAR-duplicate (edited text, new hash) died at the signature
+    # store; the wave-1 anchor it edited is still there, curated once
+    assert 8888 in kept_ids and 8888 in final_ids
+    assert 9998 not in final_ids
     # each document's content appears exactly once corpus-wide
     assert (
         final.select("text").distinct().count() == final.count()
