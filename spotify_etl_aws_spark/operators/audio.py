@@ -1,0 +1,225 @@
+"""Audio (binary) column operators (north-star, SURVEY.md §2.11d) —
+the audio half of the multimodal lane.
+
+Same design as the image codecs in ``operators/multimodal.py``: a REAL
+stdlib codec (RIFF/WAVE PCM — ``struct`` only, bit-exact round trips,
+closed-form file size for the analytic-oracle pattern), mapInPandas
+kernels for encode / metadata / feature extraction / resampling, and
+the same scale rules: bytes flow scan -> kernel -> sink, never through
+a shuffle; aggregate on the extracted METADATA frames.
+
+Compressed codecs (MP3/AAC/Opus) need libraries this container lacks —
+``decode_audio`` raises ``NotImplementedError`` at the same seam where
+a real deployment would call ffmpeg/soundfile.
+
+The reference's domain is literally audio metadata (Spotify tracks:
+``duration_ms`` at `/root/reference/ingestion/ingestion/bronze/
+bronze.py:141`, preview/track URLs in ``models/model.py``) but it never
+touches samples; this lane is what carrying the media itself looks
+like.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WAV_HEADER_BYTES = 44  # RIFF(12) + fmt chunk(24) + data header(8)
+
+
+def wav_n_bytes(n_samples: int, channels: int = 1) -> int:
+    """Exact byte size of ``encode_wav`` output: 44-byte canonical
+    header + 2 bytes per 16-bit sample per channel."""
+    return WAV_HEADER_BYTES + 2 * n_samples * channels
+
+
+class DecodedAudio(NamedTuple):
+    n_samples: int
+    sample_rate: int
+    channels: int
+    samples: bytes  # interleaved int16 little-endian
+
+
+def encode_wav(
+    n_samples: int,
+    sample_rate: int,
+    payload: bytes,
+    channels: int = 1,
+) -> bytes:
+    """A REAL RIFF/WAVE file: canonical 44-byte header + 16-bit PCM
+    little-endian samples. ``payload`` fills the sample buffer
+    (repeated / truncated — same convention as the image encoders), so
+    an exactly-sized buffer round-trips bit-for-bit."""
+    if n_samples <= 0 or sample_rate <= 0 or channels <= 0:
+        raise ValueError(
+            f"invalid WAV shape: {n_samples} samples @ {sample_rate} Hz "
+            f"x {channels} ch"
+        )
+    if not payload:
+        raise ValueError("WAV payload must be non-empty")
+    nbytes = 2 * n_samples * channels
+    data = (payload * (nbytes // len(payload) + 1))[:nbytes]
+    byte_rate = sample_rate * channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + nbytes) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", nbytes)
+    return hdr + data
+
+
+def decode_audio(data: bytes) -> DecodedAudio:
+    """RIFF/WAVE PCM-16 decode: walks the chunk list (fmt/data in any
+    order, unknown chunks skipped per spec). Float/ADPCM/24-bit WAVs and
+    compressed formats (MP3/AAC/...) raise at this seam."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "decode_audio implements RIFF/WAVE PCM-16; compressed audio "
+            "(MP3/AAC/Opus/...) needs a library not present in this "
+            "container"
+        )
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            samples = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"decode_audio supports PCM-16 only (got format={audio_format}, "
+            f"bits={bits})"
+        )
+    n = len(samples) // (2 * channels)
+    return DecodedAudio(n, sample_rate, channels, samples[: 2 * n * channels])
+
+
+def encode_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples_col: str = "n_samples",
+    rate_col: str = "sample_rate",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, n_samples, sample_rate, payload) -> (id, audio binary):
+    the Arrow-batched encode kernel, mono PCM-16."""
+    schema = f"{id_col} bigint, audio binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "audio": [
+                        encode_wav(int(n), int(r), bytes(p))
+                        for n, r, p in zip(
+                            pdf[n_samples_col], pdf[rate_col], pdf[payload_col]
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, n_samples_col, rate_col, payload_col).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def with_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio"
+) -> DataFrame:
+    """Decode metadata + signal features out of the binary column in one
+    Arrow pass: (id, n_samples, sample_rate, channels, n_bytes,
+    duration_s, rms, peak). The binary column is dropped on the way out
+    so downstream shuffles never carry samples."""
+    schema = (
+        f"{id_col} bigint, n_samples bigint, sample_rate int, channels int, "
+        "n_bytes int, duration_s double, rms double, peak int"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[audio_col]):
+                d = decode_audio(bytes(b))
+                x = np.frombuffer(d.samples, dtype="<i2").astype(np.float64)
+                rows.append(
+                    (
+                        int(i),
+                        d.n_samples,
+                        d.sample_rate,
+                        d.channels,
+                        len(b),
+                        d.n_samples / d.sample_rate,
+                        float(np.sqrt((x**2).mean())) if len(x) else 0.0,
+                        int(np.abs(x).max()) if len(x) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_samples", "sample_rate", "channels",
+                    "n_bytes", "duration_s", "rms", "peak",
+                ],
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(gen, schema=schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "doc_id",
+    audio_col: str = "audio",
+) -> DataFrame:
+    """Nearest-sample resampling to ``target_rate`` (the audio analogue
+    of the image lane's nearest-neighbor resize): decode -> index-map ->
+    re-encode PCM-16 at the target rate. Binary in, binary out, through
+    the same codec seam."""
+    if target_rate <= 0:
+        raise ValueError(f"target_rate must be positive, got {target_rate}")
+    schema = f"{id_col} bigint, {audio_col} binary"
+
+    def one(b: bytes) -> bytes:
+        d = decode_audio(bytes(b))
+        x = np.frombuffer(d.samples, dtype="<i2").reshape(d.n_samples, d.channels)
+        n_out = max(1, (d.n_samples * target_rate) // d.sample_rate)
+        idx = (np.arange(n_out) * d.n_samples) // n_out
+        out = x[idx]
+        return encode_wav(
+            n_out, target_rate, out.astype("<i2").tobytes(), channels=d.channels
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], audio_col: pdf[audio_col].map(one)}
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(gen, schema=schema)
+
+
+def audio_quality_gate(
+    meta: DataFrame,
+    min_duration_s: float = 0.1,
+    min_rms: float = 1.0,
+) -> DataFrame:
+    """Filter decoded-audio metadata to clips that are long enough and
+    not digital silence — the audio analogue of the text quality gate.
+    Pure JVM expressions over the metadata frame."""
+    return meta.filter(
+        (F.col("duration_s") >= min_duration_s) & (F.col("rms") >= min_rms)
+    )
