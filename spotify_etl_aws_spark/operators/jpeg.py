@@ -166,11 +166,6 @@ def build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int
     return codes
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for canonical decode."""
-    return {(ln, c): s for s, (c, ln) in build_huffman_codes(bits, vals).items()}
-
-
 # ---------------------------------------------- vectorized entropy coder
 #
 # The whole entropy stage is numpy: per-component token streams (Huffman
@@ -547,71 +542,96 @@ class _Component(NamedTuple):
     qid: int
 
 
-class _BitReader:
-    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers,
-    and resyncs past RSTn on demand."""
+def _split_entropy(data: bytes, pos: int) -> list[bytes]:
+    """Slice the entropy-coded data into restart segments, unstuffing
+    0xFF00 -> 0xFF as it goes; stops at the first non-RST marker."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = pos, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or any other marker: end of scan
+            break
+    segs.append(bytes(cur))
+    return segs
 
-    __slots__ = ("data", "pos", "acc", "nbits")
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
+class _SegReader:
+    """Bit reader over one unstuffed restart segment: a precomputed
+    32-bit byte-window array makes every 16-bit peek O(1), so Huffman
+    decode is one LUT gather per SYMBOL instead of a per-bit loop."""
 
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
+    __slots__ = ("win", "bitpos", "nbits")
+
+    def __init__(self, seg: bytes) -> None:
+        # pad with 1-bits: peeks past the segment end read the spec's
+        # fill bits, and a malformed stream fails the LUT check instead
+        # of indexing out of range
+        buf = np.frombuffer(seg + b"\xff\xff\xff\xff", dtype=np.uint8).astype(
+            np.int64
+        )
+        self.win = (buf[:-3] << 24) | (buf[1:-2] << 16) | (buf[2:-1] << 8) | buf[3:]
+        self.bitpos = 0
+        self.nbits = len(seg) * 8
+
+    def peek16(self) -> int:
+        byte, sh = self.bitpos >> 3, self.bitpos & 7
+        return (int(self.win[byte]) >> (16 - sh)) & 0xFFFF
+
+    def take(self, n: int) -> int:
+        if self.bitpos + n > self.nbits:
             raise ValueError("truncated JPEG entropy stream")
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                # marker reached: feed 1-bits so a well-formed stream's
-                # trailing EOB decodes; actual resync is via restart()
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        v = self.peek16() >> (16 - n)
+        self.bitpos += n
         return v
 
-    def restart(self) -> None:
-        """Byte-align and consume an RSTn marker."""
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("expected restart marker, hit end of stream")
+
+_LUT_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
 
 
-def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+def _build_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-peek decode tables: for every 16-bit window, the symbol
+    whose canonical code prefixes it and that code's length (0 = no
+    valid code — corrupt stream). Cached by table content — nearly
+    every real JPEG ships the Annex K tables, so a decode stream pays
+    the 64K fill once per process, not once per image."""
+    key = bytes(bits) + bytes(vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for s, (code, length) in build_huffman_codes(bits, vals).items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    _LUT_CACHE[key] = (sym, ln)
+    return sym, ln
+
+
+def _decode_huff(reader: _SegReader, table: tuple[np.ndarray, np.ndarray]) -> int:
+    sym, ln = table
+    p = reader.peek16()
+    length = int(ln[p])
+    if length == 0:
+        raise ValueError("invalid Huffman code in JPEG stream")
+    if reader.bitpos + length > reader.nbits:
+        raise ValueError("truncated JPEG entropy stream")
+    reader.bitpos += length
+    return int(sym[p])
 
 
 def _extend(v: int, size: int) -> int:
@@ -679,7 +699,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 bits = list(body[off + 1 : off + 17])
                 n = sum(bits)
                 vals = list(body[off + 17 : off + 17 + n])
-                htables[(cls, tid)] = _build_decode_table(bits, vals)
+                htables[(cls, tid)] = _build_lut(bits, vals)
                 off += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -712,13 +732,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     by_cid = {c.cid: i for i, c in enumerate(comps)}
     scan = [(by_cid[cid], dc, ac) for cid, dc, ac in scan_comps]
 
-    reader = _BitReader(data, pos)
+    segments = _split_entropy(data, pos)
+    seg_idx = 0
+    reader = _SegReader(segments[0])
     preds = [0] * len(comps)
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.restart()
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("expected restart marker, hit end of stream")
+                reader = _SegReader(segments[seg_idx])
                 preds = [0] * len(comps)
             for ci, dc_id, ac_id in scan:
                 c = comps[ci]
@@ -729,7 +754,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                     for bx in range(c.h):
                         zz = np.zeros(64, dtype=np.int32)
                         size = _decode_huff(reader, dc_tbl)
-                        diff = _extend(reader.receive(size), size) if size else 0
+                        diff = _extend(reader.take(size), size) if size else 0
                         preds[ci] += diff
                         zz[0] = preds[ci]
                         k = 1
@@ -746,7 +771,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                             k += run
                             if k > 63:
                                 raise ValueError("AC coefficient index overflow")
-                            zz[k] = _extend(reader.receive(size), size)
+                            zz[k] = _extend(reader.take(size), size)
                             k += 1
                         block = (zz * q)[UNZIGZAG].reshape(8, 8).astype(np.float64)
                         planes[ci][my * c.v + by, mx * c.h + bx] = block
