@@ -416,7 +416,17 @@ def label_propagation(
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    # Iterate ONLY over edge-incident nodes: an isolated node's label is
+    # trivially itself, and on a near-dup graph the duplicate clusters
+    # are a sliver of the corpus — every round's joins then scale with
+    # |V_edges|, not |V|. The full node set comes back via one left
+    # join after convergence.
+    labels = (
+        sym.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
     changed = 0
     for _ in range(max_iters):
         neigh = (
@@ -475,7 +485,12 @@ def label_propagation(
                 f"({still} labels still changing); a component's diameter "
                 "exceeds the iteration bound — raise max_iters"
             )
-    return labels
+    prop = labels.select(
+        F.col("node").alias("enode"), F.col("label").alias("elabel")
+    )
+    return nodes.select("node").join(
+        prop, nodes["node"] == prop["enode"], "left"
+    ).select("node", F.coalesce("elabel", "node").alias("label"))
 
 
 def lsh_verified_pairs(
