@@ -146,8 +146,21 @@ def incremental_bronze(
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.drift import drift_gate
+
         for table, df in shred(batch_df).items():
-            df.write.mode("append").parquet(f"{out_dir}/{table}")
+            path = f"{out_dir}/{table}"
+            try:
+                landed = batch_df.sparkSession.read.parquet(path)
+            except Exception:
+                landed = None  # first batch: nothing landed yet
+            if landed is not None:
+                # refuse to append a structurally drifted batch — the
+                # ingestion-QA boundary (operators/drift.py); shred()'s
+                # output schema is stable, so this only fires if the
+                # shredder or the raw contract changes under us
+                drift_gate(batch_df.sparkSession, path, df)
+            df.write.mode("append").parquet(path)
 
     q = (
         raw.writeStream.foreachBatch(write_batch)
