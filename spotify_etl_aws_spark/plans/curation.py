@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, tokens
+from ..operators.bpe import BpeModel, encode_bpe
 from ..operators.decontaminate import decontaminate
 from ..operators.dedup import (
     minhash_signatures,
@@ -38,8 +39,10 @@ from ..operators.dedup import (
     neardup_clusters,
 )
 from ..operators.heuristics import repetition_gate, repetition_stats, scrub_pii
+from ..operators.lm import CharLmModel, perplexity_gate, score_perplexity
 from ..operators.packing import pack_sequences
 from ..operators.splits import assign_split
+from ..operators.unigram import UnigramModel, encode_unigram
 
 
 def build_training_corpus(
@@ -57,12 +60,28 @@ def build_training_corpus(
     decon_shingle_n: int = 8,
     pii_scrub: bool = True,
     repetition_filter: bool = True,
+    lm_model: CharLmModel | None = None,
+    lm_max_log_ppl: float = 8.0,
+    tokenizer: BpeModel | UnigramModel | None = None,
 ) -> DataFrame:
     """Run the ladder over ``docs`` (doc_id, text) and write the packed
     corpus partitioned by split. Returns the re-read result frame.
     ``pii_scrub`` / ``repetition_filter`` toggle the C4-style redaction
     and the Gopher-style repetition gate (thresholds:
-    ``operators.heuristics.repetition_gate`` defaults)."""
+    ``operators.heuristics.repetition_gate`` defaults).
+
+    ``lm_model`` adds the CCNet-style perplexity gate next to the
+    heuristic quality cutoff: documents scoring above
+    ``lm_max_log_ppl`` bits/char under the (clean-corpus-trained)
+    char LM are dropped — the model-based filter that catches fluent-
+    looking junk the surface heuristics pass.
+
+    ``tokenizer`` (a trained ``BpeModel`` or ``UnigramModel``) switches
+    packing to REAL tokenizer counts: ``n_tokens`` becomes the length
+    of the learned-subword encoding (carried in the output as
+    ``tokens``), so pack budgets line up with what the trainer's
+    tokenizer will actually produce instead of the whitespace
+    estimate."""
     weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
 
     stage = docs.select("doc_id", "text")
@@ -85,10 +104,25 @@ def build_training_corpus(
             repetition_stats(stage, extra_cols=("text",))
         ).select("doc_id", "text")
 
+    if lm_model is not None:
+        stage = perplexity_gate(
+            score_perplexity(lm_model, stage), lm_max_log_ppl
+        ).drop("log_ppl")
+
+    if tokenizer is not None:
+        if isinstance(tokenizer, BpeModel):
+            stage = encode_bpe(tokenizer, stage, out_col="tokens")
+        else:
+            stage = encode_unigram(tokenizer, stage, out_col="tokens")
+        n_tokens = F.size("tokens")
+        carry = ["doc_id", "text", "tokens"]
+    else:
+        n_tokens = F.size(tokens("text"))
+        carry = ["doc_id", "text"]
+
     scored = stage.select(
-        "doc_id",
-        "text",
-        F.size(tokens("text")).alias("n_tokens"),
+        *carry,
+        n_tokens.alias("n_tokens"),
         F.round(quality_score("text"), 4).alias("quality_score"),
     ).filter(F.col("quality_score") >= quality_cutoff)
 

@@ -182,3 +182,52 @@ def test_packs_respect_split_and_budget(built):
     for r in rows:
         pack_splits.setdefault(r.pack_id, set()).add(r.split)
     assert all(len(s) == 1 for s in pack_splits.values())
+
+
+def test_lm_gate_and_real_tokenizer_packing(spark, sf_dir, tmp_path):
+    """The model-based stages: a gibberish doc that clears the surface
+    heuristics dies at the perplexity gate, and with a trained BPE
+    tokenizer the packer budgets on REAL subword counts (n_tokens ==
+    len(tokens))."""
+    from spotify_etl_aws_spark.operators.bpe import train_bpe
+    from spotify_etl_aws_spark.operators.lm import train_char_lm
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    GIBBERISH_ID = 900003
+    gib = spark.createDataFrame(
+        [
+            (
+                GIBBERISH_ID,
+                "qzxv jkqp wvxz bqjk zzqx vkjp xqzw pqvz kxjq wqzv "
+                "zjqk xvpq qwzx jkvq zpxw qkvj xwzq vpqk jzqx wkvp",
+            )
+        ],
+        "doc_id bigint, text string",
+    )
+    cand = docs.unionByName(gib)
+    # train both models on the CLEAN fixture corpus only
+    lm = train_char_lm(docs, order=3)
+    bpe = train_bpe(docs, num_merges=60)
+
+    out = build_training_corpus(
+        spark,
+        cand,
+        None,
+        str(tmp_path / "corpus_lm"),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=512,
+        lm_model=lm,
+        lm_max_log_ppl=6.0,
+        tokenizer=bpe,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert GIBBERISH_ID not in kept
+    assert len(kept) > 100  # the fixture corpus itself passes
+    # n_tokens is the real subword count, and the token stream rides
+    # along in the output
+    sample = out.select("n_tokens", "tokens").limit(50).collect()
+    for r in sample:
+        assert r.n_tokens == len(r.tokens) > 0
