@@ -187,6 +187,14 @@ def parse_avi(data: bytes, use_index: bool = True) -> VideoMeta:
             if ckid[2:4] in (b"dc", b"db"):
                 # rel points at the chunk header, relative to 'movi'
                 frame_index.append((movi_start + rel + 8, size))
+        # sanity-probe the offset convention: some writers store
+        # FILE-absolute offsets instead of movi-relative ones. If the
+        # first entry doesn't land on a video chunk header under our
+        # interpretation, discard the index and use the scan fallback.
+        if frame_index:
+            hdr = frame_index[0][0] - 8
+            if data[hdr + 2 : hdr + 4] not in (b"dc", b"db"):
+                frame_index = []
     if not frame_index:  # no/odd index -> scan movi (mandatory fallback)
         pos = movi_start + 4
         while pos + 8 <= movi_end:

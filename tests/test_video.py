@@ -132,3 +132,23 @@ def test_sampled_frame_pixels_match_direct_decode():
     w, h, rgb = decode_jpeg(extract_frame(avi, m, 0))
     w2, h2, rgb2 = decode_jpeg(jpg)
     assert (w, h, rgb) == (w2, h2, rgb2)
+
+
+def test_absolute_offset_index_falls_back_to_scan():
+    """idx1 offsets in the wild are sometimes file-absolute, not
+    movi-relative; the parser must detect the convention mismatch and
+    recover via the movi scan instead of slicing garbage."""
+    import struct
+
+    frames = _frames(3)
+    avi = bytearray(encode_avi_mjpeg(frames, fps=10, width=16, height=16))
+    m_good = parse_avi(bytes(avi))
+    # rewrite every idx1 entry to a file-absolute offset (header pos)
+    idx_at = bytes(avi).rfind(b"idx1")
+    body_at = idx_at + 8
+    for i, (payload_abs, _size) in enumerate(m_good.frame_index):
+        struct.pack_into("<I", avi, body_at + 16 * i + 8, payload_abs - 8)
+    m = parse_avi(bytes(avi))
+    assert m.frame_index == m_good.frame_index  # recovered via scan
+    for i, f in enumerate(frames):
+        assert extract_frame(bytes(avi), m, i) == f
