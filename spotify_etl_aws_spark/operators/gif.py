@@ -1,0 +1,247 @@
+"""GIF codec (north-star, SURVEY.md §2.11d) — the fourth REAL image
+format in the multimodal lane, stdlib-only like the others: GIF89a
+with a fixed 6x6x6 web-safe palette and a full variable-width LZW
+implementation (both directions, dictionary resets at 4096, the
+spec's code-size growth schedule).
+
+Like JPEG, GIF here is lossy at encode time (RGB quantizes onto the
+216-color cube, max per-channel error 25) and exact at decode time;
+pixels already on the cube round-trip bit-for-bit — that is what the
+tests pin. Compressed size has no closed form (same note as JPEG's
+``n_bytes``).
+
+Seam (consistent with the other codecs): interlaced images and
+animations (multiple image descriptors) raise ``NotImplementedError``
+— single-frame, non-interlaced GIF87a/89a with global or local color
+tables decode fully, including skipping any extension blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_SIG = b"GIF8"  # followed by "7a" or "9a"
+
+_LEVELS = np.array([0, 51, 102, 153, 204, 255], dtype=np.uint8)
+
+
+def _palette() -> bytes:
+    """The 6x6x6 cube in index order 36*r + 6*g + b, padded to 256
+    entries (min LZW code size 8 needs a 256-slot table)."""
+    out = bytearray()
+    for r in _LEVELS:
+        for g in _LEVELS:
+            for b in _LEVELS:
+                out += bytes((r, g, b))
+    out += b"\x00" * (3 * (256 - 216))
+    return bytes(out)
+
+
+_PALETTE = _palette()
+
+
+def quantize_rgb(rgb: np.ndarray) -> np.ndarray:
+    """Nearest 6-level value per channel (uint8 in, uint8 out)."""
+    return _LEVELS[((rgb.astype(np.uint16) + 25) // 51).clip(0, 5)]
+
+
+def _rgb_to_indices(rgb: np.ndarray) -> np.ndarray:
+    q = ((rgb.astype(np.uint16) + 25) // 51).clip(0, 5)
+    return (36 * q[..., 0] + 6 * q[..., 1] + q[..., 2]).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, size: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += size
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _BitWriter()
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, nxt, size = fresh()
+    w.put(clear, size)
+    run = b""
+    for sym in indices:
+        cand = run + bytes([sym])
+        if cand in table:
+            run = cand
+            continue
+        w.put(table[run], size)
+        if nxt < 4096:
+            table[cand] = nxt
+            # grow AFTER assigning the code that first needs the wider
+            # width: the decoder (which lags one entry) grows in
+            # lockstep — see the paired rule in _lzw_decode
+            if nxt == (1 << size) and size < 12:
+                size += 1
+            nxt += 1
+        else:
+            w.put(clear, size)
+            table, nxt, size = fresh()
+        run = bytes([sym])
+    if run:
+        w.put(table[run], size)
+    w.put(eoi, size)
+    return w.flush()
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    size = min_code_size + 1
+    nxt = eoi + 1
+    prev: int | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < size:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            size = min_code_size + 1
+            nxt = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == nxt:
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code} > {nxt}")
+            if nxt < 4096:
+                table[nxt] = table[prev] + entry[:1]
+                nxt += 1
+                if nxt == (1 << size) and size < 12:
+                    size += 1
+        out += entry
+        prev = code
+
+
+def _sub_blocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, payload: bytes) -> bytes:
+    """A REAL single-frame GIF89a. Same payload convention as the
+    other encoders: ``payload`` fills the 3*width*height RGB buffer
+    (repeated / truncated), quantized onto the web-safe cube."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid GIF dimensions {width}x{height}")
+    if not payload:
+        raise ValueError("GIF payload must be non-empty")
+    nbytes = 3 * width * height
+    buf = (payload * (nbytes // len(payload) + 1))[:nbytes]
+    rgb = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+    indices = _rgb_to_indices(rgb).reshape(-1).tobytes()
+
+    head = b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    # 0xF7: global table present, 8-bit color resolution, 256 entries
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_encode(indices)
+    return head + _PALETTE + img + b"\x08" + _sub_blocks(lzw) + b"\x3b"
+
+
+def decode_gif(data: bytes) -> tuple[int, int, bytes]:
+    """Single-frame GIF decode -> (width, height, RGB bytes):
+    chunk-walks the block stream (extensions skipped per spec), global
+    or local color table, full LZW. Interlaced frames and second image
+    descriptors raise at the seam."""
+    if data[:4] != GIF_SIG or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF: missing GIF87a/GIF89a signature")
+    width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
+        _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        if ipacked & 0x40:
+            raise NotImplementedError(
+                "decode_gif supports non-interlaced frames only"
+            )
+        if ipacked & 0x80:  # local color table wins
+            n = 2 << (ipacked & 0x07)
+            palette = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if not palette:
+            raise ValueError("GIF image without any color table")
+        min_code = data[pos]
+        pos += 1
+        payload = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            payload += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _lzw_decode(bytes(payload), min_code)
+        if len(indices) < iw * ih:
+            raise ValueError(
+                f"GIF pixel data short: {len(indices)} < {iw * ih}"
+            )
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        idx = np.frombuffer(indices[: iw * ih], dtype=np.uint8)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("GIF index outside color table")
+        return iw, ih, pal[idx].tobytes()
+    raise ValueError("truncated GIF: no trailer")

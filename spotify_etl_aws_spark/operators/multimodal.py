@@ -270,11 +270,17 @@ def decode_image(data: bytes) -> DecodedImage:
 
         w, h, pixels = decode_jpeg(data)
         return DecodedImage(w, h, "RGB", pixels)
+    if data[:4] == b"GIF8":
+        from spotify_etl_aws_spark.operators.gif import decode_gif
+
+        w, h, pixels = decode_gif(data)
+        return DecodedImage(w, h, "RGB", pixels)
     if len(data) < 2 or data[:2] != b"BM":
         raise NotImplementedError(
             "decode_image implements uncompressed 24-bit BMP, truecolor "
-            "8-bit PNG, and baseline JPEG; other formats need an "
-            "imaging library (e.g. PIL) not present in this container"
+            "8-bit PNG, baseline JPEG, and single-frame GIF; other "
+            "formats need an imaging library (e.g. PIL) not present in "
+            "this container"
         )
     if len(data) < BMP_HEADER_BYTES:
         raise ValueError("truncated BMP: missing headers")
@@ -320,6 +326,9 @@ def _parse_one(b: bytes) -> tuple[str, int, int, int]:
 
         width, height = jpeg_dimensions(b)
         return "jpeg", width, height, len(b)
+    if b[:4] == b"GIF8":
+        width, height = struct.unpack_from("<HH", b, 6)
+        return "gif", width, height, len(b)
     magic, w, h, _ = b.split(b":", 3)
     return magic.decode("ascii").lower(), int(w), int(h), len(b)
 

@@ -1,0 +1,93 @@
+"""GIF codec (operators/gif.py): LZW encode/decode lockstep across
+size growth and dictionary resets, palette quantization bounds,
+extension skipping, and dispatch through decode_image."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spotify_etl_aws_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+    quantize_rgb,
+)
+
+
+def test_lzw_roundtrip_small():
+    for payload in [b"\x00", b"\x01\x01\x01\x01", bytes(range(256)), b"abcabcabcabc"]:
+        assert _lzw_decode(_lzw_encode(payload), 8) == payload
+
+
+def test_lzw_roundtrip_forces_size_growth_and_reset():
+    """> 3838 dictionary entries forces 9->12-bit growth AND a mid-
+    stream clear/reset; random bytes maximize new-entry rate."""
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes()
+    enc = _lzw_encode(payload)
+    assert _lzw_decode(enc, 8) == payload
+    # and a highly repetitive stream (deep dictionary chains)
+    rep = (b"\x03\x07" * 4000) + (b"\x03" * 4000)
+    assert _lzw_decode(_lzw_encode(rep), 8) == rep
+
+
+def test_gif_roundtrip_on_cube_is_exact():
+    """Pixels already on the 6x6x6 cube survive encode->decode
+    bit-for-bit (quantization is the identity there)."""
+    rng = np.random.default_rng(9)
+    rgb = quantize_rgb(rng.integers(0, 256, (12, 17, 3), dtype=np.uint8))
+    gif = encode_gif(17, 12, rgb.tobytes())
+    assert gif[:6] == b"GIF89a" and gif[-1:] == b"\x3b"
+    w, h, out = decode_gif(gif)
+    assert (w, h) == (17, 12)
+    assert out == rgb.tobytes()
+
+
+def test_gif_quantization_error_bounded():
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    w, h, out = decode_gif(encode_gif(8, 8, rgb.tobytes()))
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int) - rgb.reshape(-1).astype(int)
+    )
+    assert err.max() <= 25
+    # and decode equals the analytic quantizer exactly
+    assert out == quantize_rgb(rgb).tobytes()
+
+
+def test_gif_extension_blocks_skipped_and_rejects():
+    gif = bytearray(encode_gif(4, 4, b"\x33\x66\x99"))
+    # splice a Graphic Control Extension before the image descriptor
+    at = gif.index(0x2C, 13 + 768)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = bytes(gif[:at]) + gce + bytes(gif[at:])
+    assert decode_gif(with_ext)[2] == decode_gif(bytes(gif))[2]
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTAGIF!")
+    with pytest.raises(ValueError):
+        encode_gif(0, 4, b"x")
+    # interlace flag -> seam
+    bad = bytearray(encode_gif(4, 4, b"\x33"))
+    at = bad.index(0x2C, 13 + 768)
+    bad[at + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="non-interlaced"):
+        decode_gif(bytes(bad))
+
+
+def test_gif_dispatch_through_decode_image_and_meta():
+    from spotify_etl_aws_spark.operators.multimodal import (
+        _parse_one,
+        decode_image,
+    )
+
+    rgb = quantize_rgb(
+        np.random.default_rng(21).integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    )
+    gif = encode_gif(9, 6, rgb.tobytes())
+    img = decode_image(gif)
+    assert (img.width, img.height, img.mode) == (9, 6, "RGB")
+    assert img.pixels == rgb.tobytes()
+    assert _parse_one(gif) == ("gif", 9, 6, len(gif))

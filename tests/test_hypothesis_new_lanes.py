@@ -128,3 +128,11 @@ def test_lm_score_bounds(text, alpha):
         assert s is None
     else:
         assert s is not None and math.isfinite(s) and s > 0.0
+
+
+@settings(**_SETTINGS)
+@given(payload=st.binary(min_size=0, max_size=3000))
+def test_gif_lzw_roundtrip_any_bytes(payload):
+    from spotify_etl_aws_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(payload), 8) == payload
