@@ -99,10 +99,21 @@ def decode_audio(data: bytes) -> DecodedAudio:
     if fmt is None or samples is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 3 and bits == 32:
+        # IEEE-float WAV: normalize [-1, 1] floats onto the int16 grid
+        # (clipped) so every downstream kernel sees one sample type —
+        # the same convert-on-ingest posture soundfile's int16 mode has
+        x = np.frombuffer(
+            samples[: (len(samples) // (4 * channels)) * 4 * channels], "<f4"
+        )
+        pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+        return DecodedAudio(
+            len(pcm) // channels, sample_rate, channels, pcm.tobytes()
+        )
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"decode_audio supports PCM-16 only (got format={audio_format}, "
-            f"bits={bits})"
+            f"decode_audio supports PCM-16 and IEEE-float-32 only (got "
+            f"format={audio_format}, bits={bits})"
         )
     n = len(samples) // (2 * channels)
     return DecodedAudio(n, sample_rate, channels, samples[: 2 * n * channels])

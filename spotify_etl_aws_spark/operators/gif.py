@@ -10,10 +10,11 @@ pixels already on the cube round-trip bit-for-bit — that is what the
 tests pin. Compressed size has no closed form (same note as JPEG's
 ``n_bytes``).
 
-Seam (consistent with the other codecs): interlaced images and
-animations (multiple image descriptors) raise ``NotImplementedError``
-— single-frame, non-interlaced GIF87a/89a with global or local color
-tables decode fully, including skipping any extension blocks.
+Decode handles global or local color tables, extension-block
+skipping, and interlaced frames (four-pass row scatter). Seam
+(consistent with the other codecs): animations decode their FIRST
+frame; full multi-frame sampling belongs to the video lane's
+container pattern.
 """
 
 from __future__ import annotations
@@ -217,10 +218,7 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
         _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
         pos += 10
-        if ipacked & 0x40:
-            raise NotImplementedError(
-                "decode_gif supports non-interlaced frames only"
-            )
+        interlaced = bool(ipacked & 0x40)
         if ipacked & 0x80:  # local color table wins
             n = 2 << (ipacked & 0x07)
             palette = data[pos : pos + 3 * n]
@@ -243,5 +241,15 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
         idx = np.frombuffer(indices[: iw * ih], dtype=np.uint8)
         if idx.max(initial=0) >= len(pal):
             raise ValueError("GIF index outside color table")
+        if interlaced:
+            # rows arrive in the four spec passes (0::8, 4::8, 2::4,
+            # 1::2); scatter them back to their display positions
+            rows = idx.reshape(ih, iw)
+            order = np.concatenate(
+                [np.arange(s, ih, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            out = np.empty_like(rows)
+            out[order] = rows
+            idx = out.reshape(-1)
         return iw, ih, pal[idx].tobytes()
     raise ValueError("truncated GIF: no trailer")

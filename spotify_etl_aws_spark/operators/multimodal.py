@@ -140,17 +140,18 @@ def encode_png(width: int, height: int, payload: bytes) -> bytes:
     )
 
 
-def _png_unfilter(raw: bytes, width: int, height: int) -> bytes:
-    """Reverse PNG scanline filtering (all five filter types, bpp=3).
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytes:
+    """Reverse PNG scanline filtering (all five filter types) for
+    ``bpp`` bytes per pixel (3 = truecolor, 1 = palette indices).
 
     Filter 0 (what ``encode_png`` writes) is the vectorized fast path;
     Sub/Up/Average/Paeth reconstruct per the spec for externally
     produced files. Up is vectorized; Sub/Average/Paeth carry an
-    in-row sequential dependency, so they run as scalar loops — decode
+    in-row sequential dependency, so they run as scalar loops - decode
     of foreign filtered files, not the hot lane."""
     import numpy as np
 
-    stride = 3 * width
+    stride = bpp * width
     if len(raw) != height * (1 + stride):
         raise ValueError("PNG pixel stream length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
@@ -164,19 +165,19 @@ def _png_unfilter(raw: bytes, width: int, height: int) -> bytes:
         if ft == 0:
             pass
         elif ft == 1:  # Sub
-            for i in range(3, stride):
-                line[i] = (line[i] + line[i - 3]) & 255
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 255
         elif ft == 2:  # Up
             line = (line + prev) & 255
         elif ft == 3:  # Average
             for i in range(stride):
-                a = line[i - 3] if i >= 3 else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
         elif ft == 4:  # Paeth
             for i in range(stride):
-                a = line[i - 3] if i >= 3 else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - 3]) if i >= 3 else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -197,6 +198,7 @@ def decode_png(data: bytes) -> "DecodedImage":
     if data[: len(PNG_SIG)] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, width, height, idat = len(PNG_SIG), 0, 0, []
+    ctype, plte = 2, b""
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -207,16 +209,18 @@ def decode_png(data: bytes) -> "DecodedImage":
             width, height, depth, ctype, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or ctype != 2:
+            if depth != 8 or ctype not in (2, 3):
                 raise NotImplementedError(
-                    f"decode_png supports 8-bit truecolor only "
-                    f"(got depth={depth}, color_type={ctype})"
+                    f"decode_png supports 8-bit truecolor and 8-bit "
+                    f"palette only (got depth={depth}, color_type={ctype})"
                 )
             if comp != 0 or filt != 0 or ilace != 0:
                 raise NotImplementedError(
                     "decode_png: compression/filter method 0, "
                     "non-interlaced only"
                 )
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -225,6 +229,18 @@ def decode_png(data: bytes) -> "DecodedImage":
     if not width or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     raw = zlib.decompress(b"".join(idat))
+    if ctype == 3:
+        import numpy as np
+
+        if not plte or len(plte) % 3:
+            raise ValueError("palette PNG missing/odd PLTE chunk")
+        idx = np.frombuffer(
+            _png_unfilter(raw, width, height, bpp=1), dtype=np.uint8
+        )
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return DecodedImage(width, height, "RGB", pal[idx].tobytes())
     return DecodedImage(width, height, "RGB", _png_unfilter(raw, width, height))
 
 

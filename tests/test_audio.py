@@ -114,3 +114,19 @@ def test_spark_audio_lane(spark):
 
 def test_header_constant_consistency():
     assert wav_n_bytes(1) == WAV_HEADER_BYTES + 2
+
+
+def test_float32_wav_decodes_to_int16_grid():
+    """IEEE-float WAV (format code 3): [-1, 1] floats land on the
+    int16 grid exactly (clipped), so the feature kernels see one
+    sample type regardless of source encoding."""
+    x = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0], dtype="<f4")
+    body = (
+        b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", x.nbytes) + x.tobytes()
+    )
+    raw = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    d = decode_audio(raw)
+    assert (d.n_samples, d.sample_rate, d.channels) == (7, 8000, 1)
+    got = np.frombuffer(d.samples, "<i2").tolist()
+    assert got == [0, 16384, -16384, 32767, -32767, 32767, -32768]

@@ -69,12 +69,23 @@ def test_gif_extension_blocks_skipped_and_rejects():
         decode_gif(b"NOTAGIF!")
     with pytest.raises(ValueError):
         encode_gif(0, 4, b"x")
-    # interlace flag -> seam
-    bad = bytearray(encode_gif(4, 4, b"\x33"))
-    at = bad.index(0x2C, 13 + 768)
-    bad[at + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="non-interlaced"):
-        decode_gif(bytes(bad))
+
+def test_interlaced_gif_deinterlaces():
+    """Store rows in the spec's four pass order + set the interlace
+    flag: decode must scatter them back to display order."""
+    rng = np.random.default_rng(31)
+    h, w = 11, 5
+    rgb = quantize_rgb(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    order = np.concatenate(
+        [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    stored = rgb[order]  # what an interlaced writer lays down
+    gif = bytearray(encode_gif(w, h, stored.tobytes()))
+    at = gif.index(0x2C, 13 + 768)
+    gif[at + 9] |= 0x40
+    gw, gh, out = decode_gif(bytes(gif))
+    assert (gw, gh) == (w, h)
+    assert out == rgb.tobytes()
 
 
 def test_gif_dispatch_through_decode_image_and_meta():

@@ -150,3 +150,47 @@ def test_save_as_table_catalog_roundtrip(spark, sf_dir):
     back = spark.table("gold_region")
     assert sorted(back.collect()) == sorted(region.collect())
     assert "gold_region" in [t.name for t in spark.catalog.listTables()]
+
+
+def test_palette_png_decodes_with_filters():
+    """8-bit palette PNG (color type 3): PLTE mapping + bpp=1
+    unfiltering (Sub/Up exercise the generalized filter walk)."""
+    import struct, zlib
+
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(17)
+    w, h = 7, 5
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    # scanlines: row 0 filter None, row 1 Sub, row 2 Up, rest None
+    lines = bytearray()
+    for y in range(h):
+        row = idx[y]
+        if y == 1:
+            enc = np.empty_like(row)
+            enc[0] = row[0]
+            enc[1:] = (row[1:].astype(int) - row[:-1].astype(int)) & 255
+            lines += b"\x01" + enc.tobytes()
+        elif y == 2:
+            enc = (row.astype(int) - idx[y - 1].astype(int)) & 255
+            lines += b"\x02" + np.asarray(enc, np.uint8).tobytes()
+        else:
+            lines += b"\x00" + row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    img = decode_png(png)
+    assert (img.width, img.height) == (w, h)
+    assert img.pixels == pal[idx.reshape(-1)].tobytes()
