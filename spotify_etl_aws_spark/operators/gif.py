@@ -11,10 +11,11 @@ tests pin. Compressed size has no closed form (same note as JPEG's
 ``n_bytes``).
 
 Decode handles global or local color tables, extension-block
-skipping, and interlaced frames (four-pass row scatter). Seam
-(consistent with the other codecs): animations decode their FIRST
-frame; full multi-frame sampling belongs to the video lane's
-container pattern.
+skipping, and interlaced frames (four-pass row scatter).
+``encode_gif_animation`` / ``gif_frames`` cover the animated case
+(NETSCAPE loop, per-frame GCE delays, sub-rectangle delta frames
+composited per disposal 0/1/2); disposal 3 (restore-previous) raises
+at the seam.
 """
 
 from __future__ import annotations
@@ -191,10 +192,10 @@ def encode_gif(width: int, height: int, payload: bytes) -> bytes:
 
 
 def decode_gif(data: bytes) -> tuple[int, int, bytes]:
-    """Single-frame GIF decode -> (width, height, RGB bytes):
+    """FIRST-frame GIF decode -> (width, height, RGB bytes):
     chunk-walks the block stream (extensions skipped per spec), global
-    or local color table, full LZW. Interlaced frames and second image
-    descriptors raise at the seam."""
+    or local color table, full LZW, interlace-aware. For every frame
+    of an animation use ``gif_frames``."""
     if data[:4] != GIF_SIG or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF: missing GIF87a/GIF89a signature")
     width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -253,3 +254,169 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
             idx = out.reshape(-1)
         return iw, ih, pal[idx].tobytes()
     raise ValueError("truncated GIF: no trailer")
+
+
+# ---------------------------------------------------------- animation
+
+
+def encode_gif_animation(
+    frames_rgb: list[bytes],
+    width: int,
+    height: int,
+    delay_cs: int = 10,
+) -> bytes:
+    """A REAL animated GIF89a: NETSCAPE2.0 loop extension, one Graphic
+    Control Extension (delay, disposal=do-not-dispose) + full-canvas
+    image descriptor per frame, shared global palette. Each element of
+    ``frames_rgb`` is a 3*width*height RGB buffer (quantized onto the
+    web-safe cube like ``encode_gif``)."""
+    if not frames_rgb:
+        raise ValueError("animation needs at least one frame")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid GIF dimensions {width}x{height}")
+    nbytes = 3 * width * height
+    head = b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    netscape = (
+        b"\x21\xff\x0bNETSCAPE2.0" + b"\x03\x01\x00\x00" + b"\x00"
+    )  # loop forever
+    out = bytearray(head + _PALETTE + netscape)
+    for buf in frames_rgb:
+        if len(buf) != nbytes:
+            raise ValueError(
+                f"frame buffer must be exactly {nbytes} bytes, got {len(buf)}"
+            )
+        rgb = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+        indices = _rgb_to_indices(rgb).reshape(-1).tobytes()
+        gce = b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_cs, 0) + b"\x00"
+        img = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += gce + img + b"\x08" + _sub_blocks(_lzw_encode(indices))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frames(data: bytes) -> list[tuple[int, bytes]]:
+    """ALL frames of a (possibly animated) GIF as (delay_cs,
+    full-canvas RGB bytes), composited per the disposal model:
+    disposal 0/1 paint onto the previous canvas, disposal 2 clears the
+    painted region to the background color first-frame style; disposal
+    3 (restore-previous) raises at the seam. Sub-rectangle frames are
+    pasted at their (left, top) offsets — the delta-frame optimization
+    real encoders emit."""
+    if data[:4] != GIF_SIG or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF: missing GIF87a/GIF89a signature")
+    width, height, packed, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gpal = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gpal = data[pos : pos + 3 * n]
+        pos += 3 * n
+    canvas = None
+    delay = 0
+    disposal = 0
+    frames: list[tuple[int, bytes]] = []
+    prev_rect = None
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                flags, delay = struct.unpack_from("<BH", data, pos + 1)
+                disposal = (flags >> 2) & 0x07
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "gif_frames: disposal method 3 (restore previous) "
+                        "is unsupported"
+                    )
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        interlaced = bool(ipacked & 0x40)
+        pal = gpal
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if not pal:
+            raise ValueError("GIF frame without any color table")
+        min_code = data[pos]
+        pos += 1
+        payload = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            payload += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = np.frombuffer(
+            _lzw_decode(bytes(payload), min_code)[: iw * ih], dtype=np.uint8
+        ).reshape(ih, iw)
+        if interlaced:
+            order = np.concatenate(
+                [np.arange(s, ih, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            full = np.empty_like(idx)
+            full[order] = idx
+            idx = full
+        p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if canvas is None:
+            bg_rgb = p[bg] if bg < len(p) else np.zeros(3, np.uint8)
+            canvas = np.tile(bg_rgb, (height, width, 1)).astype(np.uint8)
+        elif disposal == 2 and prev_rect is not None:
+            pl, pt, pw, ph = prev_rect
+            bg_rgb = p[bg] if bg < len(p) else np.zeros(3, np.uint8)
+            canvas[pt : pt + ph, pl : pl + pw] = bg_rgb
+        canvas[top : top + ih, left : left + iw] = p[idx]
+        frames.append((delay, canvas.tobytes()))
+        prev_rect = (left, top, iw, ih)
+        delay = 0  # a GCE governs only the single following image
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def gif_scan_meta(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, total_delay_cs) by walking block
+    headers ONLY — no LZW decode, the GIF analogue of the AVI header +
+    idx1 fast path."""
+    if data[:4] != GIF_SIG or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF: missing GIF87a/GIF89a signature")
+    width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    total_delay = 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if data[pos + 1] == 0xF9:
+                (delay,) = struct.unpack_from("<H", data, pos + 4)
+                total_delay += delay
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
+        _l, _t, _iw, _ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW min code size
+        while data[pos]:  # skip data sub-blocks without decoding
+            pos += 1 + data[pos]
+        pos += 1
+        n_frames += 1
+    return width, height, n_frames, total_delay

@@ -279,10 +279,21 @@ def with_video_meta(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spotify_etl_aws_spark.operators.gif import gif_scan_meta
+
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[video_col]):
                 b = bytes(b)
+                if b[:4] == b"GIF8":
+                    # animated-GIF dispatch: header + block walk only,
+                    # no LZW decode (the same header-only posture)
+                    w, h, nf, delay_cs = gif_scan_meta(b)
+                    dur = delay_cs / 100.0
+                    rows.append(
+                        (int(i), w, h, nf / dur if dur else 0.0, nf, dur, len(b))
+                    )
+                    continue
                 m = parse_avi(b)
                 rows.append(
                     (
@@ -321,21 +332,47 @@ def sample_frames(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spotify_etl_aws_spark.operators.gif import gif_frames
+
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[video_col]):
                 b = bytes(b)
-                m = parse_avi(b)
-                for k in range(0, len(m.frame_index), every):
-                    jpg = extract_frame(b, m, k)
-                    w, h, rgb = decode_jpeg(jpg)
+                if b[:4] == b"GIF8":
+                    # animated-GIF dispatch: frame k is composited RGB
+                    # already; frame_bytes reports the canvas size
+                    all_frames = gif_frames(b)
+                    samples = [
+                        (k, None, f)
+                        for k, (_d, f) in enumerate(all_frames)
+                        if k % every == 0
+                    ]
+                else:
+                    m = parse_avi(b)
+                    samples = [
+                        (k, extract_frame(b, m, k), None)
+                        for k in range(0, len(m.frame_index), every)
+                    ]
+                for k, jpg, raw in samples:
+                    if jpg is not None:
+                        w, h, rgb = decode_jpeg(jpg)
+                        nb = len(jpg)
+                    else:
+                        rgb = raw
+                        nb = len(raw)
+                        px_n = len(raw) // 3
+                        # canvas geometry from the GIF header
+                        import struct as _s
+
+                        w, h = _s.unpack_from("<HH", b, 6)
+                        assert px_n == w * h
                     px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
                     luma = (
                         0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2]
                     )
                     rows.append(
                         (
-                            int(i), k, w, h, len(jpg),
+                            int(i), k, w, h, nb,
                             float(luma.mean()), float(luma.max()),
                         )
                     )

@@ -102,3 +102,102 @@ def test_gif_dispatch_through_decode_image_and_meta():
     assert (img.width, img.height, img.mode) == (9, 6, "RGB")
     assert img.pixels == rgb.tobytes()
     assert _parse_one(gif) == ("gif", 9, 6, len(gif))
+
+
+def test_animation_roundtrip_and_meta():
+    from spotify_etl_aws_spark.operators.gif import (
+        encode_gif_animation,
+        gif_frames,
+        gif_scan_meta,
+    )
+
+    rng = np.random.default_rng(41)
+    w, h = 8, 6
+    frames = [
+        quantize_rgb(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)).tobytes()
+        for _ in range(4)
+    ]
+    gif = encode_gif_animation(frames, w, h, delay_cs=7)
+    out = gif_frames(gif)
+    assert len(out) == 4
+    for (delay, got), want in zip(out, frames):
+        assert delay == 7
+        assert got == want  # full-canvas frames: composite == stored
+    # header-only scan agrees without any LZW decode
+    assert gif_scan_meta(gif) == (w, h, 4, 28)
+
+
+def test_animation_delta_frames_composite():
+    """A sub-rectangle frame paints onto the previous canvas
+    (disposal 0/1) — the delta-frame layout real encoders emit."""
+    import struct as s
+
+    from spotify_etl_aws_spark.operators.gif import (
+        _PALETTE,
+        _lzw_encode,
+        _rgb_to_indices,
+        _sub_blocks,
+        gif_frames,
+    )
+
+    w, h = 6, 4
+    base = quantize_rgb(
+        np.random.default_rng(43).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    )
+    patch = quantize_rgb(
+        np.full((2, 3, 3), 204, dtype=np.uint8)
+    )
+    head = b"GIF89a" + s.pack("<HHBBB", w, h, 0xF7, 0, 0) + _PALETTE
+    f1 = b"\x2c" + s.pack("<HHHHB", 0, 0, w, h, 0) + b"\x08" + _sub_blocks(
+        _lzw_encode(_rgb_to_indices(base).reshape(-1).tobytes())
+    )
+    # frame 2: 3x2 patch at (left=2, top=1)
+    f2 = b"\x2c" + s.pack("<HHHHB", 2, 1, 3, 2, 0) + b"\x08" + _sub_blocks(
+        _lzw_encode(_rgb_to_indices(patch).reshape(-1).tobytes())
+    )
+    out = gif_frames(head + f1 + f2 + b"\x3b")
+    assert len(out) == 2
+    want = base.copy()
+    want[1:3, 2:5] = patch
+    assert out[1][1] == want.tobytes()
+
+
+def test_video_lane_dispatches_gif(spark):
+    """with_video_meta / sample_frames accept animated GIFs alongside
+    AVI — one binary column, per-row container dispatch."""
+    from spotify_etl_aws_spark.operators.gif import encode_gif_animation
+    from spotify_etl_aws_spark.operators.jpeg import encode_jpeg
+    from spotify_etl_aws_spark.operators.video import (
+        encode_avi_mjpeg,
+        sample_frames,
+        with_video_meta,
+    )
+
+    rng = np.random.default_rng(47)
+    gif = encode_gif_animation(
+        [
+            quantize_rgb(rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)).tobytes()
+            for _ in range(5)
+        ],
+        6, 4, delay_cs=10,
+    )
+    avi = encode_avi_mjpeg(
+        [encode_jpeg(6, 4, rng.integers(0, 256, 72, dtype=np.uint8).tobytes())
+         for _ in range(3)],
+        fps=10, width=6, height=4,
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(gif)), (1, bytearray(avi))], "doc_id long, video binary"
+    )
+    meta = {r.doc_id: r for r in with_video_meta(df).collect()}
+    assert (meta[0].width, meta[0].height, meta[0].n_frames) == (6, 4, 5)
+    assert meta[0].duration_s == pytest.approx(0.5)
+    assert meta[0].fps == pytest.approx(10.0)
+    assert (meta[1].width, meta[1].height, meta[1].n_frames) == (6, 4, 3)
+
+    sampled = sample_frames(df, every=2).collect()
+    got = {(r.doc_id, r.frame_idx) for r in sampled}
+    assert got == {(0, 0), (0, 2), (0, 4), (1, 0), (1, 2)}
+    for r in sampled:
+        assert (r.width, r.height) == (6, 4)
+        assert 0.0 <= r.mean_luma <= r.max_luma <= 255.0
