@@ -296,12 +296,13 @@ def encode_gif_animation(
 
 def gif_frames(data: bytes) -> list[tuple[int, bytes]]:
     """ALL frames of a (possibly animated) GIF as (delay_cs,
-    full-canvas RGB bytes), composited per the disposal model:
-    disposal 0/1 paint onto the previous canvas, disposal 2 clears the
-    painted region to the background color first-frame style; disposal
-    3 (restore-previous) raises at the seam. Sub-rectangle frames are
-    pasted at their (left, top) offsets — the delta-frame optimization
-    real encoders emit."""
+    full-canvas RGB bytes), composited per the GIF89a disposal model:
+    a frame's own GCE disposal governs its region AFTER it is shown
+    (0/1 = leave in place, 2 = restore the region to background before
+    the next frame; 3 = restore-previous raises at the seam), and the
+    GCE transparent index leaves underlying canvas pixels intact.
+    Sub-rectangle frames are pasted at their (left, top) offsets — the
+    delta-frame optimization real encoders emit."""
     if data[:4] != GIF_SIG or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF: missing GIF87a/GIF89a signature")
     width, height, packed, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -311,11 +312,18 @@ def gif_frames(data: bytes) -> list[tuple[int, bytes]]:
         n = 2 << (packed & 0x07)
         gpal = data[pos : pos + 3 * n]
         pos += 3 * n
+    # background color comes from the GLOBAL table (the bg index is
+    # only meaningful with one, per spec)
+    if gpal and bg < len(gpal) // 3:
+        bg_rgb = np.frombuffer(gpal, dtype=np.uint8)[3 * bg : 3 * bg + 3]
+    else:
+        bg_rgb = np.zeros(3, np.uint8)
     canvas = None
     delay = 0
-    disposal = 0
+    disposal = 0  # the CURRENT frame's disposal, applied after display
+    transparent = -1
+    pending: tuple[int, tuple[int, int, int, int]] | None = None
     frames: list[tuple[int, bytes]] = []
-    prev_rect = None
     while pos < len(data):
         block = data[pos]
         if block == 0x3B:
@@ -326,6 +334,7 @@ def gif_frames(data: bytes) -> list[tuple[int, bytes]]:
             if label == 0xF9:  # Graphic Control Extension
                 flags, delay = struct.unpack_from("<BH", data, pos + 1)
                 disposal = (flags >> 2) & 0x07
+                transparent = data[pos + 4] if flags & 0x01 else -1
                 if disposal == 3:
                     raise NotImplementedError(
                         "gif_frames: disposal method 3 (restore previous) "
@@ -367,17 +376,23 @@ def gif_frames(data: bytes) -> list[tuple[int, bytes]]:
             idx = full
         p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
         if canvas is None:
-            bg_rgb = p[bg] if bg < len(p) else np.zeros(3, np.uint8)
             canvas = np.tile(bg_rgb, (height, width, 1)).astype(np.uint8)
-        elif disposal == 2 and prev_rect is not None:
-            pl, pt, pw, ph = prev_rect
-            bg_rgb = p[bg] if bg < len(p) else np.zeros(3, np.uint8)
+        elif pending is not None and pending[0] == 2:
+            # the PREVIOUS frame asked for restore-to-background of its
+            # own region once its display time ended
+            pl, pt, pw, ph = pending[1]
             canvas[pt : pt + ph, pl : pl + pw] = bg_rgb
-        canvas[top : top + ih, left : left + iw] = p[idx]
+        region = canvas[top : top + ih, left : left + iw]
+        if 0 <= transparent < len(p):
+            mask = idx != transparent
+            region[mask] = p[idx][mask]
+        else:
+            region[:] = p[idx]
         frames.append((delay, canvas.tobytes()))
-        prev_rect = (left, top, iw, ih)
+        pending = (disposal, (left, top, iw, ih))
         delay = 0  # a GCE governs only the single following image
         disposal = 0
+        transparent = -1
     if not frames:
         raise ValueError("GIF contains no image data")
     return frames

@@ -716,6 +716,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
 
     if not comps or not width:
         raise ValueError("JPEG missing SOF0 before SOS")
+    if len(scan_comps) < len(comps):
+        # spec-legal baseline can carry one scan per component; this
+        # decoder implements the single interleaved scan every common
+        # encoder emits — raise the precise seam error, not a
+        # misleading "truncated stream" further down
+        raise NotImplementedError(
+            f"decode_jpeg supports a single interleaved scan (got scan "
+            f"with {len(scan_comps)} of {len(comps)} components; "
+            "multi-scan / non-interleaved baseline is unsupported)"
+        )
+    if len(comps) == 1 and (comps[0].h != 1 or comps[0].v != 1):
+        # a single-component scan is non-interleaved by definition:
+        # its data units are plain 8x8 blocks, sampling factors do not
+        # apply (T.81 A.2.2) — normalize so the MCU grid is per-block
+        comps = [comps[0]._replace(h=1, v=1)]
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)

@@ -126,7 +126,11 @@ def score_perplexity(
 
     @F.pandas_udf("double")
     def ppl(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _doc_log_ppl(t, model))
+        # NULL text scores NULL (and the gate drops it), like the
+        # other text gates — not a task-killing TypeError
+        return texts.map(
+            lambda t: None if t is None else _doc_log_ppl(t, model)
+        )
 
     return docs.withColumn(out_col, ppl(_norm_text(text_col)))
 

@@ -466,7 +466,8 @@ def resize_media(
     media_col: str = "media",
 ) -> DataFrame:
     """Resize the media column to (width, height) — binary in, binary
-    out, through the same codec seam as decode. BMP and PNG bytes get a
+    out, through the same codec seam as decode. BMP, PNG, JPEG, and
+    GIF bytes get a
     REAL resize: decode -> nearest-neighbor resample over the pixel
     grid (numpy fancy indexing, the same arithmetic PIL's NEAREST
     uses) -> re-encode in the SOURCE format, so the output is a genuine
@@ -505,6 +506,10 @@ def resize_media(
                     return _resize_real(b, encode_png)
                 if b[:2] == JPEG_SIG:
                     return _resize_real(b, _encode_jpeg)
+                if b[:4] == b"GIF8":
+                    from spotify_etl_aws_spark.operators.gif import encode_gif
+
+                    return _resize_real(b, encode_gif)
                 _, _, _, payload = b.split(b":", 3)
                 return header + hashlib.md5(payload + suffix).digest()
 

@@ -360,12 +360,13 @@ def sample_frames(
                     else:
                         rgb = raw
                         nb = len(raw)
-                        px_n = len(raw) // 3
                         # canvas geometry from the GIF header
-                        import struct as _s
-
-                        w, h = _s.unpack_from("<HH", b, 6)
-                        assert px_n == w * h
+                        w, h = struct.unpack_from("<HH", b, 6)
+                        if len(raw) != 3 * w * h:
+                            raise ValueError(
+                                f"GIF frame buffer {len(raw)} bytes does "
+                                f"not match canvas {w}x{h}"
+                            )
                     px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
                     luma = (
                         0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2]

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -251,11 +252,19 @@ def incremental_curation(
         ).localCheckpoint(eager=True)
         spark = batch_df.sparkSession
         try:
-            stored = spark.read.option("recursiveFileLookup", "true").parquet(
-                sig_store
+            # partition-discovered read (epoch is a column) so THIS
+            # epoch's own partition can be excluded: a foreachBatch
+            # replay (or a fresh-checkpoint reprocess reusing epoch
+            # ids) must not match the batch against its own previously
+            # written signatures — that self-match would anti-join the
+            # whole batch away and overwrite its partition EMPTY.
+            stored = (
+                spark.read.parquet(sig_store)
+                .filter(F.col("epoch") != epoch_id)
+                .drop("epoch")
             )
-        except Exception:
-            stored = None
+        except AnalysisException:
+            stored = None  # first batch: no store yet
         if stored is not None and not stored.isEmpty():
             hits = neardup_against_store(
                 sigs,

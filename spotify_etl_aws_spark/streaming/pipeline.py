@@ -146,20 +146,30 @@ def incremental_bronze(
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..operators.drift import drift_gate
+        from pyspark.errors import AnalysisException
+
+        from ..operators.drift import (
+            _nullable_everywhere,
+            assert_no_breaking_drift,
+        )
 
         for table, df in shred(batch_df).items():
             path = f"{out_dir}/{table}"
             try:
-                landed = batch_df.sparkSession.read.parquet(path)
-            except Exception:
-                landed = None  # first batch: nothing landed yet
-            if landed is not None:
+                landed_schema = batch_df.sparkSession.read.parquet(path).schema
+            except AnalysisException:
+                landed_schema = None  # first batch: nothing landed yet
+            if landed_schema is not None:
                 # refuse to append a structurally drifted batch — the
-                # ingestion-QA boundary (operators/drift.py); shred()'s
-                # output schema is stable, so this only fires if the
-                # shredder or the raw contract changes under us
-                drift_gate(batch_df.sparkSession, path, df)
+                # ingestion-QA boundary (operators/drift.py, same
+                # normalization as drift_gate but reusing the one
+                # footer read); shred()'s output schema is stable, so
+                # this only fires if the shredder or the raw contract
+                # changes under us
+                assert_no_breaking_drift(
+                    _nullable_everywhere(landed_schema),
+                    _nullable_everywhere(df.schema),
+                )
             df.write.mode("append").parquet(path)
 
     q = (

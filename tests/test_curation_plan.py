@@ -231,3 +231,35 @@ def test_lm_gate_and_real_tokenizer_packing(spark, sf_dir, tmp_path):
     sample = out.select("n_tokens", "tokens").limit(50).collect()
     for r in sample:
         assert r.n_tokens == len(r.tokens) > 0
+
+
+def test_incremental_reprocess_does_not_self_match(spark, sf_dir, tmp_path):
+    """Epoch-id reuse (foreachBatch replay, or a fresh-checkpoint
+    reprocess) must NOT match a batch against its own previously
+    written signatures — the self-match would anti-join the whole
+    batch away and overwrite its partition empty."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.plans.curation import incremental_curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    wave = docs.filter(F.col("doc_id") < 80)
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    wave.write.parquet(str(land / "wave1.parquet"))
+
+    incremental_curation(
+        spark, str(land), None, out, str(tmp_path / "ckpt1"), quality_cutoff=0.2
+    )
+    path = f"{out}/corpus_incremental"
+    n1 = spark.read.parquet(path).count()
+    assert n1 > 0
+    # fresh checkpoint -> the stream replays the same files as epoch 0
+    # again, with the old epoch=0 signature partition already on disk
+    incremental_curation(
+        spark, str(land), None, out, str(tmp_path / "ckpt2"), quality_cutoff=0.2
+    )
+    after = spark.read.parquet(path)
+    assert after.count() == n1  # identical corpus, not emptied
+    assert after.select("doc_id").distinct().count() == n1

@@ -201,3 +201,94 @@ def test_video_lane_dispatches_gif(spark):
     for r in sampled:
         assert (r.width, r.height) == (6, 4)
         assert 0.0 <= r.mean_luma <= r.max_luma <= 255.0
+
+
+def test_animation_transparency_preserves_canvas():
+    """GCE transparent index: delta-frame pixels carrying the
+    transparent color must leave the underlying canvas intact."""
+    import struct as s
+
+    from spotify_etl_aws_spark.operators.gif import (
+        _PALETTE,
+        _lzw_encode,
+        _rgb_to_indices,
+        _sub_blocks,
+        gif_frames,
+    )
+
+    w, h = 4, 2
+    base = quantize_rgb(
+        np.random.default_rng(51).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    )
+    head = b"GIF89a" + s.pack("<HHBBB", w, h, 0xF7, 0, 0) + _PALETTE
+    f1 = b"\x2c" + s.pack("<HHHHB", 0, 0, w, h, 0) + b"\x08" + _sub_blocks(
+        _lzw_encode(_rgb_to_indices(base).reshape(-1).tobytes())
+    )
+    # frame 2 covers the full canvas: index 7 everywhere except one
+    # pixel of transparent index 5 at (0,1)
+    idx2 = np.full((h, w), 7, dtype=np.uint8)
+    idx2[0, 1] = 5
+    gce = b"\x21\xf9\x04" + s.pack("<BHB", 0x01, 3, 5) + b"\x00"  # transp=5
+    f2 = b"\x2c" + s.pack("<HHHHB", 0, 0, w, h, 0) + b"\x08" + _sub_blocks(
+        _lzw_encode(idx2.tobytes())
+    )
+    out = gif_frames(head + f1 + gce + f2 + b"\x3b")
+    assert len(out) == 2 and out[1][0] == 3
+    got = np.frombuffer(out[1][1], np.uint8).reshape(h, w, 3)
+    pal7 = np.frombuffer(_PALETTE, np.uint8)[21:24]
+    assert (got[0, 0] == pal7).all()
+    assert (got[0, 1] == base[0, 1]).all()  # transparent -> canvas kept
+
+
+def test_animation_disposal_applies_to_own_frame():
+    """A frame's OWN disposal=2 clears its region before the NEXT
+    frame, regardless of what the next frame's GCE says."""
+    import struct as s
+
+    from spotify_etl_aws_spark.operators.gif import (
+        _PALETTE,
+        _lzw_encode,
+        _sub_blocks,
+        gif_frames,
+    )
+
+    w, h = 4, 2
+    head = b"GIF89a" + s.pack("<HHBBB", w, h, 0xF7, 0, 0) + _PALETTE
+    full = np.full((h, w), 7, dtype=np.uint8)
+    patch = np.full((1, 2), 13, dtype=np.uint8)
+    # frame1: full canvas of idx 7, GCE disposal=2 (clear own region
+    # after display); frame2: small patch, GCE disposal=0
+    gce_d2 = b"\x21\xf9\x04" + s.pack("<BHB", 2 << 2, 1, 0) + b"\x00"
+    f1 = b"\x2c" + s.pack("<HHHHB", 0, 0, w, h, 0) + b"\x08" + _sub_blocks(
+        _lzw_encode(full.tobytes())
+    )
+    gce_d0 = b"\x21\xf9\x04" + s.pack("<BHB", 0, 1, 0) + b"\x00"
+    f2 = b"\x2c" + s.pack("<HHHHB", 1, 0, 2, 1, 0) + b"\x08" + _sub_blocks(
+        _lzw_encode(patch.tobytes())
+    )
+    out = gif_frames(head + gce_d2 + f1 + gce_d0 + f2 + b"\x3b")
+    got = np.frombuffer(out[1][1], np.uint8).reshape(h, w, 3)
+    pal = np.frombuffer(_PALETTE, np.uint8).reshape(-1, 3)
+    # frame1's region was restored to background (index 0 = black)
+    # before frame2 painted its 2-wide patch at (1,0)
+    assert (got[1] == pal[0]).all(axis=-1).all()  # bottom row cleared
+    assert (got[0, 1] == pal[13]).all() and (got[0, 2] == pal[13]).all()
+    assert (got[0, 0] == pal[0]).all() and (got[0, 3] == pal[0]).all()
+
+
+def test_resize_media_handles_gif(spark):
+    from spotify_etl_aws_spark.operators.gif import decode_gif, encode_gif
+    from spotify_etl_aws_spark.operators.multimodal import resize_media
+
+    rng = np.random.default_rng(61)
+    rgb = quantize_rgb(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_gif(8, 8, rgb.tobytes())))],
+        "doc_id long, media binary",
+    )
+    (row,) = resize_media(df, 4, 4).collect()
+    w, h, out = decode_gif(bytes(row.media))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor on an already-quantized source: exact pixels
+    yi = (np.arange(4) * 8) // 4
+    assert out == rgb[yi][:, yi].tobytes()

@@ -217,3 +217,35 @@ def test_jpeg_through_spark_media_lane(spark):
         assert (img.width, img.height) == (5, 4)
         if fmts[i % 3] == "jpeg":
             assert resized[i][:2] == JPEG_SIG  # re-encoded in source format
+
+
+def test_partial_scan_raises_precise_seam_error():
+    """A baseline file whose first scan covers fewer than all SOF
+    components (legal multi-scan layout) must raise the seam error,
+    not a misleading truncated-stream ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spotify_etl_aws_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    jpg = encode_jpeg(
+        16, 16, np.random.default_rng(3).integers(0, 256, 768, dtype=np.uint8).tobytes()
+    )
+    # find the SOS marker and rewrite its header to a 1-component scan
+    at = jpg.find(b"\xff\xda")
+    (seglen,) = struct.unpack_from(">H", jpg, at + 2)
+    body = jpg[at + 4 : at + 2 + seglen]
+    ns = body[0]
+    assert ns == 3
+    one_comp = bytes([1]) + body[1:3] + body[1 + 2 * ns :]
+    patched = (
+        jpg[:at]
+        + b"\xff\xda"
+        + struct.pack(">H", 2 + len(one_comp))
+        + one_comp
+        + jpg[at + 2 + seglen :]
+    )
+    with pytest.raises(NotImplementedError, match="single interleaved scan"):
+        decode_jpeg(patched)

@@ -125,3 +125,15 @@ def test_top_k_cap_and_validation(spark):
     assert all(v <= kept_min for v in dropped)
     with pytest.raises(ValueError, match="order"):
         train_char_lm(df, order=1)
+
+
+def test_null_text_scores_null_and_is_gated(spark):
+    train = spark.createDataFrame([(t,) for t in CLEAN], "text string")
+    m = train_char_lm(train, order=3)
+    cand = spark.createDataFrame(
+        [(0, CLEAN[0]), (1, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.log_ppl for r in score_perplexity(m, cand).collect()}
+    assert rows[1] is None and rows[0] is not None
+    kept = {r.doc_id for r in perplexity_gate(score_perplexity(m, cand), 10.0).collect()}
+    assert kept == {0}
