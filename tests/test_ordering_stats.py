@@ -104,3 +104,35 @@ def test_corpus_stats_hand_checked(spark):
     # no-lang variant drops the map
     (bare,) = corpus_stats(df, lang_col=None).collect()
     assert "lang_counts" not in bare.asDict()
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """Tokenizer/LM artifacts persist and reload equivalently (the
+    train-once, encode-forever contract)."""
+    import pytest
+
+    from spotify_etl_aws_spark.operators.bpe import train_bpe
+    from spotify_etl_aws_spark.operators.lm import train_char_lm
+    from spotify_etl_aws_spark.operators.model_io import load_model, save_model
+    from spotify_etl_aws_spark.operators.unigram import train_unigram
+
+    texts = ["low lower lowest low low", "new newer newest new newer"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    models = [
+        train_bpe(df, num_merges=10),
+        train_unigram(df, vocab_size=40, seed_size=500),
+        train_char_lm(df, order=3),
+    ]
+    for i, m in enumerate(models):
+        p = str(tmp_path / f"model{i}.json")
+        save_model(m, p)
+        back = load_model(p)
+        assert back == m
+    with pytest.raises(TypeError):
+        save_model(object(), str(tmp_path / "bad.json"))  # type: ignore[arg-type]
+    with pytest.raises(ValueError, match="unknown model kind"):
+        import json
+
+        p = str(tmp_path / "weird.json")
+        open(p, "w").write(json.dumps({"kind": "nope"}))
+        load_model(p)
