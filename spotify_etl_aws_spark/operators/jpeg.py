@@ -14,9 +14,15 @@ public spec with stdlib + numpy only:
   4:4:4 or 4:2:0 chroma subsampling, optional restart intervals.
 - ``decode_jpeg``: baseline sequential decode — marker parse, Huffman
   entropy decode (with byte-unstuffing and restart-marker resync),
-  dequantize, de-zigzag, IDCT, chroma upsample, YCbCr→RGB. Progressive
-  (SOF2) / arithmetic / 12-bit inputs raise ``NotImplementedError`` with
-  a precise message.
+  dequantize, de-zigzag, IDCT, chroma upsample, YCbCr→RGB. SOF2 files
+  route to the PROGRESSIVE decoder (full scan model: spectral
+  selection, successive approximation incl. DC/AC refinement, EOBn
+  runs, interleaved DC scans, restart intervals). Arithmetic / 12-bit
+  inputs raise ``NotImplementedError`` with a precise message.
+- ``encode_jpeg_progressive``: progressive (SOF2) encode with a
+  spectral-selection scan script (interleaved DC scan + one AC band
+  scan per component) — quantizes identically to ``encode_jpeg``, so
+  both encodings decode pixel-identically.
 
 Scale shape: this codec runs inside the same Arrow-batched
 ``mapInPandas`` seam as the BMP/PNG codecs — per-item Python cost on
@@ -545,6 +551,12 @@ class _Component(NamedTuple):
 def _split_entropy(data: bytes, pos: int) -> list[bytes]:
     """Slice the entropy-coded data into restart segments, unstuffing
     0xFF00 -> 0xFF as it goes; stops at the first non-RST marker."""
+    return _split_entropy_at(data, pos)[0]
+
+
+def _split_entropy_at(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """``_split_entropy`` plus the byte offset of the marker that ended
+    the scan — progressive decode resumes the marker walk there."""
     segs: list[bytes] = []
     cur = bytearray()
     i, n = pos, len(data)
@@ -565,7 +577,7 @@ def _split_entropy(data: bytes, pos: int) -> list[bytes]:
         else:  # EOI or any other marker: end of scan
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 class _SegReader:
@@ -640,12 +652,14 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Baseline sequential JFIF decode → (width, height, RGB bytes).
+    """JFIF decode → (width, height, RGB bytes).
 
-    Supports: 8-bit baseline (SOF0), 1 or 3 components, sampling
+    Supports: 8-bit baseline (SOF0) — 1 or 3 components, sampling
     factors 1-2 (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments,
-    restart intervals. Progressive (SOF2), arithmetic coding, and
-    12-bit precision raise ``NotImplementedError``."""
+    restart intervals — and 8-bit progressive (SOF2), which routes to
+    ``_decode_progressive`` (spectral selection + successive
+    approximation). Arithmetic coding and 12-bit precision raise
+    ``NotImplementedError``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI marker")
     pos = 2
@@ -675,10 +689,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 )
                 qtables[tq] = zz[UNZIGZAG]  # store row-major
                 off += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: hand off to the progressive path
+            return _decode_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential (SOF0) is supported, got SOF marker "
-                f"0xFF{marker:02X} (progressive/arithmetic/lossless)"
+                f"only baseline sequential (SOF0) and progressive (SOF2) "
+                f"are supported, got SOF marker 0xFF{marker:02X} "
+                f"(extended/arithmetic/lossless)"
             )
         elif marker == 0xC0:  # SOF0
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -788,7 +805,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                                 raise ValueError("AC coefficient index overflow")
                             zz[k] = _extend(reader.take(size), size)
                             k += 1
-                        block = (zz * q)[UNZIGZAG].reshape(8, 8).astype(np.float64)
+                        # un-zigzag FIRST, then dequantize row-major:
+                        # (zz*q)[UNZIGZAG] would pair coefficient p
+                        # with q[UNZIGZAG[p]] — a permuted table,
+                        # invisible at q100 (all-ones table) but wrong
+                        # for every q<100 file
+                        block = (
+                            (zz[UNZIGZAG] * q).reshape(8, 8).astype(np.float64)
+                        )
                         planes[ci][my * c.v + by, mx * c.h + bx] = block
             mcu_count += 1
 
@@ -809,3 +833,495 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     else:
         rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
     return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------- progressive (SOF2)
+
+
+class _ProgBitWriter:
+    """Scalar MSB-first bit writer with 0xFF byte stuffing — the
+    encode-side mirror of _SegReader (progressive scans are small and
+    per-band, so scalar is fine; the vectorized packer stays on the
+    baseline hot path)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _comp_block_grid(
+    width: int, height: int, c: "_Component", hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Non-interleaved block grid of a component (T.81 A.2.2): blocks
+    cover ceil(width*h/hmax) x ceil(height*v/vmax) samples — NOT the
+    padded MCU grid interleaved scans use."""
+    cw = -(-width * c.h // hmax)
+    ch = -(-height * c.v // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_progressive(data: bytes) -> tuple[int, int, bytes]:
+    """Progressive JFIF decode (SOF2) → (width, height, RGB bytes).
+
+    Full scan model: spectral selection (Ss..Se bands), successive
+    approximation (Ah/Al bit planes, DC and AC refinement), EOBn run
+    codes, interleaved DC scans, non-interleaved per-component scans,
+    restart intervals, tables redefined between scans. Arithmetic
+    coding and 12-bit precision still raise."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    comps: list[_Component] = []
+    width = height = 0
+    restart_interval = 0
+    coef: list[np.ndarray] = []  # per comp: (bh_pad, bw_pad, 64) zigzag ints
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8).astype(
+                    np.int32
+                )
+                qtables[tq] = zz[UNZIGZAG]
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htables[(cls, tid)] = _build_lut(bits, vals)
+                off += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xC2:
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            for i in range(ncomp):
+                cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                h, v = samp >> 4, samp & 0xF
+                if h not in (1, 2) or v not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {h}x{v} unsupported (1-2 only)"
+                    )
+                comps.append(_Component(cid, h, v, qid))
+            if ncomp == 1 and (comps[0].h != 1 or comps[0].v != 1):
+                comps = [comps[0]._replace(h=1, v=1)]
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            coef = [
+                np.zeros((mcus_y * c.v, mcus_x * c.h, 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3):
+            raise ValueError("mixed SOF markers in progressive stream")
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = body[0]
+            scan = []
+            by_cid = {c.cid: i for i, c in enumerate(comps)}
+            for i in range(ns):
+                cid, tbl = body[1 + 2 * i : 3 + 2 * i]
+                scan.append((by_cid[cid], tbl >> 4, tbl & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            segments, endpos = _split_entropy_at(data, pos + 2 + seglen)
+            _decode_prog_scan(
+                segments, scan, ss, se, ah, al, comps, coef,
+                htables, restart_interval, width, height, hmax, vmax,
+                mcus_x, mcus_y,
+            )
+            pos = endpos
+            continue
+        pos += 2 + seglen
+
+    if not comps or not width:
+        raise ValueError("progressive JPEG missing SOF2")
+
+    # dequantize + IDCT the accumulated coefficient planes
+    full = []
+    for ci, c in enumerate(comps):
+        q = qtables[c.qid]
+        zz = coef[ci]  # (bh, bw, 64) zigzag order
+        blocks = (zz[:, :, UNZIGZAG] * q).astype(np.float64).reshape(
+            zz.shape[0], zz.shape[1], 8, 8
+        )
+        spatial = DCT_M.T @ blocks @ DCT_M + 128.0
+        br, bc = spatial.shape[0], spatial.shape[1]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(br * 8, bc * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c.v, axis=0), hmax // c.h, axis=1)
+        full.append(plane[:height, :width])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
+    return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+def _decode_prog_scan(
+    segments: list[bytes],
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps: list["_Component"],
+    coef: list[np.ndarray],
+    htables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]],
+    restart_interval: int,
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    """One progressive scan into the coefficient store (T.81 G.2)."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+
+    seg_idx = 0
+    reader = _SegReader(segments[0])
+    preds = [0] * len(comps)
+    eobrun = 0
+
+    def next_segment() -> "_SegReader":
+        nonlocal seg_idx, preds, eobrun
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("expected restart marker, hit end of stream")
+        preds = [0] * len(comps)
+        eobrun = 0
+        return _SegReader(segments[seg_idx])
+
+    def dc_first(ci: int, dc_tbl, by: int, bx: int) -> None:
+        size = _decode_huff(reader, dc_tbl)
+        diff = _extend(reader.take(size), size) if size else 0
+        preds[ci] += diff
+        coef[ci][by, bx, 0] = preds[ci] << al
+
+    def dc_refine(ci: int, by: int, bx: int) -> None:
+        if reader.take(1):
+            coef[ci][by, bx, 0] |= 1 << al
+
+    def ac_first(ci: int, ac_tbl, by: int, bx: int) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        blk = coef[ci][by, bx]
+        k = ss
+        while k <= se:
+            sym = _decode_huff(reader, ac_tbl)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.take(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index past Se")
+            blk[k] = _extend(reader.take(s), s) << al
+            k += 1
+
+    def _refine_nonzero(blk: np.ndarray, k: int) -> None:
+        if reader.take(1) and (blk[k] & (1 << al)) == 0:
+            blk[k] += (1 << al) if blk[k] > 0 else -(1 << al)
+
+    def ac_refine(ci: int, ac_tbl, by: int, bx: int) -> None:
+        nonlocal eobrun
+        blk = coef[ci][by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _decode_huff(reader, ac_tbl)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r < 15:
+                        # EOBn covers (1<<r)+bits blocks INCLUDING this
+                        # one: the shared tail below reads this block's
+                        # remaining correction bits, then decrements
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.take(r)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude in AC scan")
+                    newval = (1 << al) if reader.take(1) else -(1 << al)
+                # advance past r zero-history coefficients, emitting
+                # correction bits for nonzero-history ones on the way
+                while k <= se:
+                    if blk[k] != 0:
+                        _refine_nonzero(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(blk, k)
+                k += 1
+            eobrun -= 1
+
+    if len(scan) > 1 or (ss == 0 and len(scan) == len(comps) and len(comps) > 1):
+        # interleaved (DC) scan over the MCU grid
+        count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader = next_segment()
+                for ci, dc_id, _ac_id in scan:
+                    c = comps[ci]
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            row, col = my * c.v + by, mx * c.h + bx
+                            if ah == 0:
+                                dc_first(ci, htables[(0, dc_id)], row, col)
+                            else:
+                                dc_refine(ci, row, col)
+                count += 1
+    else:
+        ci, dc_id, ac_id = scan[0]
+        c = comps[ci]
+        bw, bh = _comp_block_grid(width, height, c, hmax, vmax)
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader = next_segment()
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(ci, htables[(0, dc_id)], by, bx)
+                    else:
+                        dc_refine(ci, by, bx)
+                else:
+                    if ah == 0:
+                        ac_first(ci, htables[(1, ac_id)], by, bx)
+                    else:
+                        ac_refine(ci, htables[(1, ac_id)], by, bx)
+                count += 1
+
+
+def _enc_zz_block(
+    w: "_ProgBitWriter",
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    emit_dc: bool,
+    emit_ac: bool,
+) -> int:
+    """Scalar baseline-style coding of one zigzag block into ``w`` —
+    DC band, AC band 1..63, or both (the progressive encoder calls it
+    per scan with one band enabled)."""
+    if emit_dc:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        mag = abs(diff)
+        size = mag.bit_length()
+        code, ln = dc_codes[size]
+        w.put(code, ln)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            w.put(amp, size)
+    if emit_ac:
+        run = 0
+        last = 63
+        while last >= 1 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            size = abs(v).bit_length()
+            code, ln = ac_codes[(run << 4) | size]
+            w.put(code, ln)
+            amp = v if v >= 0 else v + (1 << size) - 1
+            w.put(amp, size)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB (eobrun of exactly 1)
+            w.put(code, ln)
+    return pred
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    payload: bytes,
+    quality: int = 90,
+    subsampling: str = "444",
+) -> bytes:
+    """A REAL progressive JFIF file (SOF2), spectral-selection scan
+    script: one interleaved DC scan, then one full-band AC scan per
+    component (Ss=1..63, Ah=Al=0, EOB runs of length 1 so the Annex K
+    baseline Huffman tables apply verbatim). Quantized coefficients
+    are IDENTICAL to ``encode_jpeg`` at the same settings, so both
+    encodings of the same pixels must decode pixel-identically — the
+    round-trip test's invariant."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid JPEG dimensions {width}x{height}")
+    if not payload:
+        raise ValueError("JPEG payload must be non-empty")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+
+    stride = 3 * width
+    pix = (payload * (stride * height // len(payload) + 1))[: stride * height]
+    rgb = np.frombuffer(pix, dtype=np.uint8).reshape(height, width, 3)
+    ycc = rgb_to_ycbcr(rgb.astype(np.float64))
+    qlum = scale_qtable(QTBL_LUM, quality)
+    qchrom = scale_qtable(QTBL_CHROM, quality)
+
+    if subsampling == "444":
+        hmax = vmax = 1
+        planes = [
+            _pad_to(ycc[..., 0], 8, 8),
+            _pad_to(ycc[..., 1], 8, 8),
+            _pad_to(ycc[..., 2], 8, 8),
+        ]
+    else:
+        hmax = vmax = 2
+        y_plane = _pad_to(ycc[..., 0], 16, 16)
+        ph, pw = y_plane.shape
+        cb_full = _pad_to(ycc[..., 1], ph, pw)[:ph, :pw]
+        cr_full = _pad_to(ycc[..., 2], ph, pw)[:ph, :pw]
+        planes = [
+            y_plane,
+            cb_full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)),
+            cr_full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)),
+        ]
+    samps = [(hmax, vmax), (1, 1), (1, 1)]
+    qts = [qlum, qchrom, qchrom]
+    zzs = [_fdct_quant(p, q) for p, q in zip(planes, qts)]
+    grids = [(p.shape[1] // 8, p.shape[0] // 8) for p in planes]  # (bw_pad, bh_pad)
+
+    tbl = {
+        "dc_l": build_huffman_codes(DC_LUM_BITS, DC_LUM_VALS),
+        "ac_l": build_huffman_codes(AC_LUM_BITS, AC_LUM_VALS),
+        "dc_c": build_huffman_codes(DC_CHROM_BITS, DC_CHROM_VALS),
+        "ac_c": build_huffman_codes(AC_CHROM_BITS, AC_CHROM_VALS),
+    }
+
+    # ---- container head (mirrors encode_jpeg, SOF2 instead of SOF0)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        (1, 1, 0)
+    ) + struct.pack(">HH", 1, 1) + bytes((0, 0))
+    for tid, qt in ((0, qlum), (1, qchrom)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes((tid,))
+        out += bytes(int(v) for v in qt[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes((1, (hmax << 4) | vmax, 0))
+    out += bytes((2, 0x11, 1))
+    out += bytes((3, 0x11, 1))
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+        (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+        (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes((cls << 4 | tid,)) + bytes(bits) + bytes(vals)
+
+    # ---- scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        (3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0)
+    )
+    w = _ProgBitWriter()
+    mcus_x = planes[0].shape[1] // (8 * hmax)
+    mcus_y = planes[0].shape[0] // (8 * vmax)
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                h, v = samps[ci]
+                bw_pad = grids[ci][0]
+                dc = tbl["dc_l"] if ci == 0 else tbl["dc_c"]
+                for by in range(v):
+                    for bx in range(h):
+                        bi = (my * v + by) * bw_pad + (mx * h + bx)
+                        preds[ci] = _enc_zz_block(
+                            w, zzs[ci][bi], preds[ci], dc, {}, True, False
+                        )
+    out += w.flush()
+
+    # ---- scans 2-4: per-component AC band 1..63
+    comps_meta = [(1, 0), (2, 1), (3, 1)]  # (component id, AC table id)
+    for ci, (cid, tid) in enumerate(comps_meta):
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes(
+            (1, cid, tid, 1, 63, 0)
+        )
+        w = _ProgBitWriter()
+        h, v = samps[ci]
+        bw_pad, _bh_pad = grids[ci]
+        c = _Component(cid, h, v, 0)
+        bw, bh = _comp_block_grid(width, height, c, hmax, vmax)
+        ac = tbl["ac_l"] if ci == 0 else tbl["ac_c"]
+        for by in range(bh):
+            for bx in range(bw):
+                _enc_zz_block(
+                    w, zzs[ci][by * bw_pad + bx], 0, {}, ac, False, True
+                )
+        out += w.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -167,12 +167,12 @@ def test_restart_markers_roundtrip():
     assert decode_jpeg(b)[2] == plain
 
 
-def test_progressive_and_malformed_rejected():
+def test_unsupported_sof_and_malformed_rejected():
     img = _gradient(8, 8)
     b = bytearray(encode_jpeg(8, 8, img.tobytes()))
     sof = b.find(b"\xff\xc0")
-    b[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="SOF0"):
+    b[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="SOF0.*SOF2"):
         decode_jpeg(bytes(b))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
@@ -180,6 +180,31 @@ def test_progressive_and_malformed_rejected():
         encode_jpeg(0, 8, b"x")
     with pytest.raises(ValueError):
         encode_jpeg(8, 8, b"x", quality=0)
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """encode_jpeg_progressive quantizes identically to encode_jpeg,
+    so decoding either file must give the SAME pixels — across
+    subsamplings, odd dimensions, and qualities (the q<100 cases
+    exercise real dequantization)."""
+    from spotify_etl_aws_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+        jpeg_dimensions,
+    )
+
+    rng = np.random.default_rng(9)
+    for w, h, sub, q in [
+        (24, 16, "444", 90),
+        (56, 40, "420", 75),
+        (17, 9, "444", 100),
+        (40, 24, "420", 90),
+    ]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        prog = encode_jpeg_progressive(w, h, px, quality=q, subsampling=sub)
+        base = encode_jpeg(w, h, px, quality=q, subsampling=sub)
+        assert prog.find(b"\xff\xc2") > 0 and prog.count(b"\xff\xda") == 4
+        assert jpeg_dimensions(prog) == (w, h)
+        assert decode_jpeg(prog) == decode_jpeg(base)
 
 
 def test_jpeg_through_spark_media_lane(spark):
@@ -249,3 +274,99 @@ def test_partial_scan_raises_precise_seam_error():
     )
     with pytest.raises(NotImplementedError, match="single interleaved scan"):
         decode_jpeg(patched)
+
+
+def test_decode_matches_independent_reconstruction_q75():
+    """Exact coefficient-level parity at quality 75: decode must equal
+    dequant(row-major) -> IDCT -> color-convert computed independently.
+    Quality 100's all-ones table cannot catch a dequant-order bug —
+    this q<100 check can (it found one)."""
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.jpeg import (
+        DCT_M,
+        QTBL_CHROM,
+        QTBL_LUM,
+        UNZIGZAG,
+        _fdct_quant,
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        scale_qtable,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(5)
+    # low-amplitude noise: no gamut clipping, so the reference is exact
+    px = rng.integers(108, 148, (16, 8, 3)).astype(np.uint8)
+    out = np.frombuffer(
+        decode_jpeg(encode_jpeg(8, 16, px.tobytes(), quality=75))[2], np.uint8
+    ).reshape(16, 8, 3)
+
+    ycc = rgb_to_ycbcr(px.astype(np.float64))
+    ql, qc = scale_qtable(QTBL_LUM, 75), scale_qtable(QTBL_CHROM, 75)
+    planes = []
+    for ch, q in ((0, ql), (1, qc), (2, qc)):
+        zz = _fdct_quant(ycc[..., ch], q)
+        blocks = [
+            (DCT_M.T @ (z[UNZIGZAG] * q).reshape(8, 8) @ DCT_M) + 128.0
+            for z in zz
+        ]
+        planes.append(np.vstack(blocks))
+    ref = np.clip(np.round(ycbcr_to_rgb(np.stack(planes, axis=-1))), 0, 255)
+    assert np.array_equal(ref.astype(np.uint8), out)
+
+
+def test_progressive_successive_approximation_hand_stream():
+    """A four-scan successive-approximation grayscale file whose
+    entropy bits are derived BY HAND from T.81 G.1.2 (trivial custom
+    Huffman tables, identity quant): DC first Al=1 -> DC refine ->
+    AC first Al=1 -> AC refine with a newly-nonzero negative coef, a
+    correction bit, and an EOB covering the band tail. Decode must
+    reproduce the exact coefficient block [11, 3, -1, 0...]."""
+    import struct
+
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.jpeg import (
+        DCT_M,
+        UNZIGZAG,
+        decode_jpeg,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    # DQT id 0: all-ones table (identity dequant)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    # SOF2: 8x8 grayscale
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += bytes((1, 0x11, 0))
+    # DHT DC0: single symbol 3 -> code "0"
+    out += b"\xff\xc4" + struct.pack(">H", 20) + b"\x00"
+    out += bytes([1] + [0] * 15) + bytes([3])
+    # DHT AC0: 0x01 -> "0", 0x00 (EOB) -> "10"
+    out += b"\xff\xc4" + struct.pack(">H", 21) + b"\x10"
+    out += bytes([1, 1] + [0] * 14) + bytes([0x01, 0x00])
+
+    def sos(ss, se, ahal):
+        return b"\xff\xda" + struct.pack(">H", 8) + bytes((1, 1, 0x00, ss, se, ahal))
+
+    # scan 1 — DC first, Al=1: diff 5 = "0"(size 3) + "101"; pad -> 0x5F
+    out += sos(0, 0, 0x01) + bytes([0x5F])
+    # scan 2 — DC refine: bit 1 (11 & 1); pad -> 0xFF, stuffed
+    out += sos(0, 0, 0x10) + bytes([0xFF, 0x00])
+    # scan 3 — AC first, Al=1: (0,1)"0" + amp"1", EOB "10"; pad -> 0x6F
+    out += sos(1, 63, 0x01) + bytes([0x6F])
+    # scan 4 — AC refine: (0,1)"0" + sign"0"(neg) + corr"1"(3&1) +
+    # EOB "10" covering the tail; pad -> 0x37
+    out += sos(1, 63, 0x10) + bytes([0x37])
+    out += b"\xff\xd9"
+
+    w, h, rgb = decode_jpeg(bytes(out))
+    assert (w, h) == (8, 8)
+    zz = np.zeros(64, dtype=np.int32)
+    zz[0], zz[1], zz[2] = 11, 3, -1
+    spatial = DCT_M.T @ zz[UNZIGZAG].reshape(8, 8).astype(float) @ DCT_M + 128.0
+    want = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+    got = np.frombuffer(rgb, np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(got[..., 0], want)
+    assert np.array_equal(got[..., 0], got[..., 1])
