@@ -51,6 +51,7 @@ def main() -> int:
             )
         docs = docs.localCheckpoint(eager=True)  # isolate build cost
 
+        word_frequencies(docs)  # JVM/codegen warmup off the timers
         t0 = time.perf_counter()
         wf = word_frequencies(docs)
         t_job = time.perf_counter() - t0
@@ -66,7 +67,7 @@ def main() -> int:
         print(
             f"R={r:2d} docs={n_base * r:7d} distinct_words={len(wf):6d} "
             f"word_job={t_job:6.2f}s bpe_total={t_bpe:6.2f}s "
-            f"(driver={t_bpe - t_job:6.2f}s est) uni_total={t_uni:6.2f}s "
+            f"uni_total={t_uni:6.2f}s "
             f"merges={len(bpe.merges)} vocab={len(uni.log_probs)}"
         )
     return 0
