@@ -388,7 +388,20 @@ def _encode_jpeg(width: int, height: int, payload: bytes) -> bytes:
     return encode_jpeg(width, height, payload)
 
 
-_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "jpeg": _encode_jpeg}
+def _encode_jpeg_prog(width: int, height: int, payload: bytes) -> bytes:
+    from spotify_etl_aws_spark.operators.jpeg import encode_jpeg_progressive
+
+    return encode_jpeg_progressive(width, height, payload)
+
+
+_ENCODERS = {
+    "bmp": encode_bmp,
+    "png": encode_png,
+    "jpeg": _encode_jpeg,
+    # progressive files still parse/report as media_type 'jpeg' — the
+    # staged fmt only picks the encoder
+    "jpeg_prog": _encode_jpeg_prog,
+}
 
 
 def encode_media(

@@ -4,9 +4,11 @@
 codecs over a MIXED-format corpus: a mapInPandas encode kernel writes
 genuine uncompressed 24-bit BMP files (doc_id % 3 == 0, stdlib
 ``struct``), genuine truecolor 8-bit PNG files (% 3 == 1, stdlib
-``zlib`` — real chunk CRCs and DEFLATE stream), and genuine baseline
-JPEG files (% 3 == 2, the pure-numpy T.81 codec in
-``operators/jpeg.py``), a mapInPandas decode kernel parses the actual
+``zlib`` — real chunk CRCs and DEFLATE stream), and genuine JPEG
+files (% 3 == 2, the pure-numpy T.81 codec in ``operators/jpeg.py`` —
+baseline at doc_id % 6 == 2, PROGRESSIVE SOF2 at % 6 == 5, both
+reporting media_type 'jpeg' with dims from the real SOF header), a
+mapInPandas decode kernel parses the actual
 file headers back out of the bytes, then
 JVM-side feature derivation and video-style frame sampling plumbing —
 per-item frame counts expanded to sampled frame indices with
@@ -58,9 +60,15 @@ def multimodal_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("height"),
         # pixel seed: md5(text) digest, computed JVM-side
         F.unhex(F.md5(F.col("text"))).alias("payload"),
-        # mixed-format corpus: doc_id % 3 -> bmp / png / jpeg
+        # mixed-format corpus: doc_id % 3 -> bmp / png / jpeg, with the
+        # jpeg third split between REAL baseline (doc_id % 6 == 2) and
+        # REAL progressive SOF2 (doc_id % 6 == 5) encodings — both
+        # parse back as media_type 'jpeg' (dims from the actual SOF /
+        # SOF2 header), so the metadata contract and oracle are
+        # untouched while the corpus carries both profiles
         F.when(F.col("doc_id") % 3 == 0, F.lit("bmp"))
         .when(F.col("doc_id") % 3 == 1, F.lit("png"))
+        .when(F.col("doc_id") % 6 == 5, F.lit("jpeg_prog"))
         .otherwise(F.lit("jpeg"))
         .alias("fmt"),
     )
