@@ -1,0 +1,187 @@
+"""Exact-substring deduplication (north-star, SURVEY.md §2.11a) — the
+span-level complement of the document-level ladder in
+``operators/dedup.py``.
+
+Document-level dedup (exact hash / MinHash / SimHash) keeps or drops
+WHOLE documents; real web corpora additionally repeat long *spans*
+inside otherwise-distinct documents (boilerplate headers, licenses,
+quoted articles). Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better", remove every substring of >= k tokens that
+occurs more than once in the corpus, keeping one canonical occurrence.
+Their single-node implementation builds a corpus suffix array; that
+does not distribute. The standard cluster formulation (used by the
+open Dolma/RedPajama-class pipelines) is the one here:
+
+1. hash every k-token window of every document (map-side: one
+   ``sequence`` of starts + ``transform`` + ``posexplode`` — no UDF);
+2. one partial-aggregating shuffle on the window hash finds hashes
+   with >1 occurrence and elects the canonical (minimal
+   ``(doc_id, pos)``) occurrence;
+3. every NON-canonical occurrence of a duplicated window marks its
+   ``[pos, pos+k)`` token range; ranges are unioned per document
+   (sorted starts -> merged disjoint intervals, a pure-JVM
+   ``aggregate``) and the covered tokens are dropped with an
+   index-aware ``filter``.
+
+A duplicated span of length L >= k produces L-k+1 duplicated windows
+whose union is exactly the span, so the non-canonical occurrence loses
+the whole span while the canonical occurrence survives intact —
+per-window minimal-occurrence election is consistent across the span
+because the occurrence order of shifted windows equals the occurrence
+order of their spans.
+
+Scale: the window table has one row per corpus token (linear, never
+quadratic); both shuffles (the groupBy and the join back) key on the
+8-byte xxhash64, so document text never shuffles. The per-document
+interval merge and token filter are map-side higher-order functions;
+merged intervals are disjoint so the filter does at most
+``n_tokens/k`` interval probes per token.
+
+Tokens are whitespace tokens (``functions.text.tokens``), matching the
+rest of the text lane; ``text_deduped`` is the space-join of surviving
+tokens, i.e. whitespace-normalized — the same contract every pipeline
+that operates on a token stream (including the reference
+implementation's byte-level variant) accepts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _window_hash(win: Column) -> Column:
+    # \x1f joiner cannot occur inside a whitespace token, so distinct
+    # windows can never collide by concatenation ambiguity
+    return F.xxhash64(F.concat_ws("\x1f", win))
+
+
+def window_table(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, wh): one row per k-token window, ``wh`` the xxhash64
+    of the window. Documents shorter than k tokens emit no rows.
+    Entirely map-side (Generate over a ``sequence`` of starts)."""
+    if k < 2:
+        raise ValueError(f"window size k must be >= 2, got {k}")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # sequence(0, n-k) DESCENDS when n-k < 0 — guard short docs to an
+    # empty start list instead
+    starts = F.when(
+        n >= k, F.sequence(F.lit(0), n - k)
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(starts, lambda s: _window_hash(F.slice(toks, s + 1, k)))
+    return docs.select(
+        F.col(id_col), F.posexplode(hashes).alias("pos", "wh")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, dup_starts): per document, the sorted window-start
+    positions whose k-token window also occurs elsewhere in the corpus
+    at a smaller (doc_id, pos) — i.e. every non-canonical occurrence.
+    Documents with no duplicated windows are absent."""
+    win = window_table(docs, k, id_col, text_col)
+    # count + min(struct) both partial-aggregate, so the shuffle moves
+    # one pre-combined row per (map partition, hash)
+    canon = win.groupBy("wh").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct(id_col, "pos")).alias("first_occ"),
+    )
+    dup = (
+        win.join(canon.filter(F.col("n_occ") > 1), "wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"first_occ.{id_col}"))
+                & (F.col("pos") == F.col("first_occ.pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("dup_starts"))
+    )
+    return dup
+
+
+def _merge_starts(starts: Column, k: int) -> Column:
+    """Sorted window starts -> disjoint merged [lo, hi) intervals
+    (array<struct<lo,hi>>), a pure-JVM ``aggregate``: a start within
+    the last interval's reach extends it, otherwise opens a new one."""
+    empty = F.array().cast("array<struct<lo:int,hi:int>>")
+
+    def step(acc: Column, s: Column) -> Column:
+        last = F.element_at(acc, -1)
+        extend = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["lo"].alias("lo"),
+                    F.greatest(last["hi"], s + k).alias("hi"),
+                )
+            ),
+        )
+        fresh = F.concat(
+            acc, F.array(F.struct(s.alias("lo"), (s + k).alias("hi")))
+        )
+        # CaseWhen branches evaluate lazily in order: the empty case
+        # exits first so element_at(acc, -1) never sees an empty array
+        return (
+            F.when(F.size(acc) == 0, fresh)
+            .when(s <= last["hi"], extend)
+            .otherwise(fresh)
+        )
+
+    return F.aggregate(starts, empty, step)
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup: every >= k-token span that
+    occurs more than once keeps its first (minimal ``(doc_id, pos)``)
+    occurrence; all other occurrences are cut from the text.
+
+    Returns every input document as (id, text, n_tokens, dup_tokens,
+    text_deduped, n_tokens_deduped); untouched documents have
+    ``dup_tokens == 0`` and ``text_deduped`` == whitespace-normalized
+    ``text``.
+    """
+    spans = duplicated_spans(docs, k, id_col, text_col)
+    toks = tokens(text_col)
+    joined = docs.join(spans, id_col, "left").withColumn(
+        "__iv",
+        _merge_starts(
+            F.coalesce(F.col("dup_starts"), F.array().cast("array<int>")), k
+        ),
+    )
+    iv = F.col("__iv")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            iv, lambda r: (r["lo"] <= i) & (i < r["hi"])
+        ),
+    )
+    dup_tokens = F.aggregate(
+        iv, F.lit(0), lambda acc, r: acc + (r["hi"] - r["lo"])
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(toks).alias("n_tokens"),
+        dup_tokens.alias("dup_tokens"),
+        F.concat_ws(" ", kept).alias("text_deduped"),
+        F.size(kept).alias("n_tokens_deduped"),
+    )
