@@ -74,6 +74,77 @@ def encode_wav(
     return hdr + data
 
 
+# IMA/DVI ADPCM tables (interchange spec values, public domain)
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def _decode_ima_adpcm(samples: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA-ADPCM data chunk -> int16 sample vector.
+
+    Blocks are independent (each opens with its own predictor/step
+    header), so the inherently sequential nibble recurrence runs as a
+    loop over nibble POSITIONS vectorized ACROSS blocks — numpy does
+    nblocks decodes per step instead of one.
+    """
+    if block_align < 5:
+        raise ValueError(f"IMA-ADPCM block_align too small: {block_align}")
+    raw = np.frombuffer(samples, dtype=np.uint8)
+    # drop a trailing fragment too short to hold a block header
+    nblocks = len(raw) // block_align
+    tail = raw[nblocks * block_align :]
+    if len(tail) >= 4:
+        nblocks += 1
+    if nblocks == 0:
+        return np.zeros(0, dtype="<i2")
+    raw = raw[: nblocks * block_align]  # the dropped fragment, if any
+    buf = np.zeros(nblocks * block_align, dtype=np.uint8)
+    buf[: len(raw)] = raw
+    blocks = buf.reshape(nblocks, block_align)
+    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+    idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    data = blocks[:, 4:]
+    nib = np.empty((nblocks, data.shape[1] * 2), dtype=np.uint8)
+    nib[:, 0::2] = data & 0x0F  # low nibble first, per spec
+    nib[:, 1::2] = data >> 4
+    out = np.empty((nblocks, 1 + nib.shape[1]), dtype="<i2")
+    out[:, 0] = np.clip(pred, -32768, 32767).astype("<i2")
+    for t in range(nib.shape[1]):
+        n = nib[:, t].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        pred = np.clip(np.where(n & 8, pred - diff, pred + diff), -32768, 32767)
+        out[:, t + 1] = pred.astype("<i2")
+        idx = np.clip(idx + _IMA_INDEX[n], 0, 88)
+    # per-block valid sample counts (the padded final block only
+    # contributes samples its real bytes encode)
+    full_count = 1 + 2 * data.shape[1]
+    last_bytes = len(raw) - (nblocks - 1) * block_align
+    last_count = 1 + 2 * max(0, min(block_align, last_bytes) - 4)
+    if last_count == full_count:
+        return out.reshape(-1)
+    return np.concatenate([out[:-1].reshape(-1), out[-1, :last_count]])
+
+
 def decode_audio(data: bytes) -> DecodedAudio:
     """RIFF/WAVE PCM-16 decode: walks the chunk list (fmt/data in any
     order, unknown chunks skipped per spec). Float/ADPCM/24-bit WAVs and
@@ -110,10 +181,21 @@ def decode_audio(data: bytes) -> DecodedAudio:
         return DecodedAudio(
             len(pcm) // channels, sample_rate, channels, pcm.tobytes()
         )
+    if audio_format == 17 and bits == 4:
+        # IMA/DVI ADPCM (format 0x11): mono only here; stereo keeps the
+        # channel-interleaved seam. block_align is fmt word 5.
+        if channels != 1:
+            raise NotImplementedError(
+                "decode_audio supports mono IMA-ADPCM only "
+                f"(got {channels} channels)"
+            )
+        block_align = fmt[4]
+        pcm = _decode_ima_adpcm(samples, block_align)
+        return DecodedAudio(len(pcm), sample_rate, 1, pcm.tobytes())
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"decode_audio supports PCM-16 and IEEE-float-32 only (got "
-            f"format={audio_format}, bits={bits})"
+            f"decode_audio supports PCM-16, IEEE-float-32 and mono "
+            f"IMA-ADPCM only (got format={audio_format}, bits={bits})"
         )
     n = len(samples) // (2 * channels)
     return DecodedAudio(n, sample_rate, channels, samples[: 2 * n * channels])

@@ -190,15 +190,16 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytes:
 
 def decode_png(data: bytes) -> "DecodedImage":
     """REAL PNG decode (stdlib ``zlib``): walks the chunk stream,
-    validates the IHDR contract (8-bit truecolor, non-interlaced),
-    inflates the concatenated IDAT zlib stream, and reverses scanline
-    filtering. Palette/alpha/16-bit/interlaced variants raise — the
-    supported profile matches what ``encode_png`` and common training
-    corpus thumbnails emit."""
+    validates the IHDR contract, inflates the concatenated IDAT zlib
+    stream, and reverses scanline filtering — all five filter types,
+    every 8-bit color type (gray, gray+alpha, truecolor, truecolor+
+    alpha, palette), both progressive layouts (sequential and Adam7
+    interlaced). Alpha is dropped on decode (PIL ``convert("RGB")``
+    semantics); 16-bit and sub-8-bit depths raise at the seam."""
     if data[: len(PNG_SIG)] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, width, height, idat = len(PNG_SIG), 0, 0, []
-    ctype, plte = 2, b""
+    ctype, plte, ilace = 2, b"", 0
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -209,15 +210,14 @@ def decode_png(data: bytes) -> "DecodedImage":
             width, height, depth, ctype, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or ctype not in (2, 3):
+            if depth != 8 or ctype not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(
-                    f"decode_png supports 8-bit truecolor and 8-bit "
-                    f"palette only (got depth={depth}, color_type={ctype})"
+                    f"decode_png supports 8-bit gray/truecolor/palette/"
+                    f"alpha only (got depth={depth}, color_type={ctype})"
                 )
-            if comp != 0 or filt != 0 or ilace != 0:
+            if comp != 0 or filt != 0 or ilace not in (0, 1):
                 raise NotImplementedError(
-                    "decode_png: compression/filter method 0, "
-                    "non-interlaced only"
+                    "decode_png: compression/filter method 0 only"
                 )
         elif tag == b"PLTE":
             plte = body
@@ -228,20 +228,60 @@ def decode_png(data: bytes) -> "DecodedImage":
         pos += 12 + ln
     if not width or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(b"".join(idat))
-    if ctype == 3:
-        import numpy as np
+    import numpy as np
 
+    raw = zlib.decompress(b"".join(idat))
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if ilace:
+        px = _png_deinterlace(raw, width, height, bpp)
+    else:
+        px = _png_unfilter(raw, width, height, bpp)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, bpp)
+    if ctype == 3:
         if not plte or len(plte) % 3:
             raise ValueError("palette PNG missing/odd PLTE chunk")
-        idx = np.frombuffer(
-            _png_unfilter(raw, width, height, bpp=1), dtype=np.uint8
-        )
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = arr[:, 0]
         if idx.max(initial=0) >= len(pal):
             raise ValueError("PNG palette index out of range")
         return DecodedImage(width, height, "RGB", pal[idx].tobytes())
-    return DecodedImage(width, height, "RGB", _png_unfilter(raw, width, height))
+    if ctype in (0, 4):  # grayscale (+alpha): replicate luma
+        rgb = np.repeat(arr[:, :1], 3, axis=1)
+    elif ctype == 6:  # truecolor+alpha: drop A
+        rgb = arr[:, :3].copy()
+    else:
+        rgb = arr
+    return DecodedImage(width, height, "RGB", rgb.tobytes())
+
+
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Adam7: the stream is 7 independently-filtered sub-images;
+    unfilter each pass and scatter its pixels onto the full grid
+    (vectorized numpy fancy-index per pass)."""
+    import numpy as np
+
+    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (1 + pw * bpp)
+        sub = _png_unfilter(raw[pos : pos + nbytes], pw, ph, bpp)
+        pos += nbytes
+        pix = np.frombuffer(sub, dtype=np.uint8).reshape(ph, pw, bpp)
+        out[y0::dy, x0::dx] = pix
+    if pos != len(raw):
+        raise ValueError("Adam7 PNG pixel stream length mismatch")
+    return out.tobytes()
 
 
 class DecodedImage(NamedTuple):

@@ -194,3 +194,81 @@ def test_palette_png_decodes_with_filters():
     img = decode_png(png)
     assert (img.width, img.height) == (w, h)
     assert img.pixels == pal[idx.reshape(-1)].tobytes()
+
+
+def test_png_alpha_and_gray_color_types():
+    """8-bit RGBA / grayscale / gray+alpha PNGs decode to RGB (alpha
+    dropped, luma replicated) — PIL convert('RGB') semantics."""
+    import struct, zlib
+
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(23)
+    w, h = 6, 4
+
+    def build(ctype, chan):
+        pix = rng.integers(0, 256, (h, w, chan), dtype=np.uint8)
+        lines = b"".join(b"\x00" + pix[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        png = (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(lines))
+            + _png_chunk(b"IEND", b"")
+        )
+        return pix, decode_png(png)
+
+    rgba, img = build(6, 4)
+    assert img.pixels == rgba[:, :, :3].tobytes()
+    gray, img = build(0, 1)
+    assert img.pixels == np.repeat(gray, 3, axis=2).tobytes()
+    ga, img = build(4, 2)
+    assert img.pixels == np.repeat(ga[:, :, :1], 3, axis=2).tobytes()
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 PNG: 7 independently-filtered sub-images scatter back to
+    the exact sequential image; one pass uses the Up filter so
+    interlacing composes with unfiltering."""
+    import struct, zlib
+
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.multimodal import (
+        _ADAM7,
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(29)
+    w, h = 13, 9  # not multiples of 8: exercises partial passes
+    pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stream = bytearray()
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = pix[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for y in range(ph):
+            if p == 4 and y > 0:  # Up filter on one mid pass
+                enc = (sub[y].astype(int) - sub[y - 1].astype(int)) & 255
+                stream += b"\x02" + np.asarray(enc, np.uint8).tobytes()
+            else:
+                stream += b"\x00" + sub[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    png = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+    img = decode_png(png)
+    assert (img.width, img.height) == (w, h)
+    assert img.pixels == pix.tobytes()
