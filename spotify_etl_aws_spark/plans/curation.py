@@ -43,6 +43,7 @@ from ..operators.heuristics import repetition_gate, repetition_stats, scrub_pii
 from ..operators.lm import CharLmModel, perplexity_gate, score_perplexity
 from ..operators.packing import pack_sequences
 from ..operators.splits import assign_split
+from ..operators.substring_dedup import dedup_substrings
 from ..operators.unigram import UnigramModel, encode_unigram
 
 
@@ -64,6 +65,7 @@ def build_training_corpus(
     lm_model: CharLmModel | None = None,
     lm_max_log_ppl: float = 8.0,
     tokenizer: BpeModel | UnigramModel | None = None,
+    substring_dedup_k: int | None = None,
 ) -> DataFrame:
     """Run the ladder over ``docs`` (doc_id, text) and write the packed
     corpus partitioned by split. Returns the re-read result frame.
@@ -76,6 +78,11 @@ def build_training_corpus(
     ``lm_max_log_ppl`` bits/char under the (clean-corpus-trained)
     char LM are dropped — the model-based filter that catches fluent-
     looking junk the surface heuristics pass.
+
+    ``substring_dedup_k`` adds the Lee-et-al span-level pass after the
+    document-level near-dedup: every >= k-token span repeated anywhere
+    in the surviving corpus keeps only its first occurrence (the cut
+    text continues down the ladder; husks die at the quality gate).
 
     ``tokenizer`` (a trained ``BpeModel`` or ``UnigramModel``) switches
     packing to REAL tokenizer counts: ``n_tokens`` becomes the length
@@ -97,6 +104,14 @@ def build_training_corpus(
         threshold=dup_threshold,
     ).filter(F.col("doc_id") == F.col("cluster_rep"))
     stage = stage.join(reps.select("doc_id"), "doc_id", "left_semi")
+
+    # span-level pass AFTER document-level dedup: whole-doc drops are
+    # cheaper, so only survivors pay the window-hash shuffle; the cut
+    # text flows on as `text` (empty husks die at the quality gate)
+    if substring_dedup_k is not None:
+        stage = dedup_substrings(stage, k=substring_dedup_k).select(
+            "doc_id", F.col("text_deduped").alias("text")
+        )
 
     if pii_scrub:
         stage = scrub_pii(stage).select("doc_id", "text")

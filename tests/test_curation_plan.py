@@ -263,3 +263,50 @@ def test_incremental_reprocess_does_not_self_match(spark, sf_dir, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == n1  # identical corpus, not emptied
     assert after.select("doc_id").distinct().count() == n1
+
+
+def test_substring_dedup_stage_cuts_repeated_span(spark, sf_dir, tmp_path):
+    """substring_dedup_k: a long span copied between two otherwise
+    distinct documents survives once — the canonical doc keeps it, the
+    copy loses exactly that span and continues down the ladder."""
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    span = (
+        "shared boilerplate license header granting permission to use "
+        "copy modify merge publish distribute sublicense and sell"
+    )
+    A_ID, B_ID = 900010, 900011
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    body_a = (
+        "alpha document body discussing storage engines compaction "
+        "strategies write amplification bloom filters leveled tiering "
+        "manifest snapshots checkpoint recovery concurrent readers"
+    )
+    body_b = (
+        "beta document body discussing query planners cardinality "
+        "estimation join ordering predicate pushdown column pruning "
+        "adaptive execution runtime statistics partition elimination"
+    )
+    planted = spark.createDataFrame(
+        [(A_ID, f"{span} {body_a}"), (B_ID, f"{span} {body_b}")],
+        "doc_id bigint, text string",
+    )
+    out = build_training_corpus(
+        spark,
+        docs.unionByName(planted),
+        None,
+        str(tmp_path / "corpus_ss"),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=512,
+        substring_dedup_k=8,
+    )
+    got = {
+        r.doc_id: r.text
+        for r in out.filter(F.col("doc_id").isin(A_ID, B_ID)).collect()
+    }
+    assert set(got) == {A_ID, B_ID}
+    assert "shared boilerplate" in got[A_ID]
+    assert "shared boilerplate" not in got[B_ID]
+    assert "beta document body" in got[B_ID]
