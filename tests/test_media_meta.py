@@ -1,0 +1,154 @@
+"""Compressed-container metadata (operators/media_meta.py): synthetic
+MP3 frame walks (CBR/VBR, ID3 tags) and ISO-BMFF box trees (64-bit
+boxes, multi-track), plus the Spark dispatch lane."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from spotify_etl_aws_spark.operators.media_meta import (
+    parse_mp3_meta,
+    parse_mp4_meta,
+    with_container_meta,
+)
+
+
+# ---- synthetic MP3 ----
+
+_V1_BR = {32: 1, 40: 2, 48: 3, 56: 4, 64: 5, 80: 6, 96: 7, 112: 8,
+          128: 9, 160: 10, 192: 11, 224: 12, 256: 13, 320: 14}
+
+
+def _mp3_frame(kbps: int, rate: int = 44100, mono: bool = False) -> bytes:
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+    h = bytes([
+        0xFF,
+        0xFB,  # sync + MPEG1 + Layer III + no CRC
+        (_V1_BR[kbps] << 4) | (sr_idx << 2),
+        0xC0 if mono else 0x00,
+    ])
+    frame_len = (1152 // 8) * kbps * 1000 // rate
+    return h + b"\x00" * (frame_len - 4)
+
+
+def _id3v2(payload_len: int = 200) -> bytes:
+    size = payload_len
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3\x04\x00\x00" + ss + b"\x00" * payload_len
+
+
+def test_mp3_cbr_walk():
+    data = _id3v2() + _mp3_frame(128) * 40 + b"TAG" + b"\x00" * 125
+    m = parse_mp3_meta(data)
+    assert (m.version, m.sample_rate, m.channels) == ("1", 44100, 2)
+    assert m.n_frames == 40 and not m.vbr
+    assert m.duration_ms == pytest.approx(40 * 1152 / 44100 * 1000)
+    assert m.bitrate_kbps == pytest.approx(128, rel=0.02)
+
+
+def test_mp3_vbr_exact_average():
+    frames = [_mp3_frame(64), _mp3_frame(192)] * 10
+    m = parse_mp3_meta(b"".join(frames))
+    assert m.vbr and m.n_frames == 20
+    total_bits = sum(len(f) * 8 for f in frames)
+    assert m.bitrate_kbps == pytest.approx(total_bits / m.duration_ms)
+
+
+def test_mp3_mono_and_rejects():
+    m = parse_mp3_meta(_mp3_frame(128, mono=True) * 3)
+    assert m.channels == 1
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        parse_mp3_meta(b"\x00" * 64)
+    # Layer II header (layer bits = 2)
+    bad = bytes([0xFF, 0xFD, 0x90, 0x00]) + b"\x00" * 100
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        parse_mp3_meta(bad)
+
+
+# ---- synthetic MP4 ----
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _mvhd(timescale: int, duration: int, v1: bool = False) -> bytes:
+    if v1:
+        body = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, duration
+        ) + b"\x00" * 80
+    else:
+        body = b"\x00" * 12 + struct.pack(">II", timescale, duration) + b"\x00" * 80
+    return _box(b"mvhd", body)
+
+
+def _trak(kind: bytes, codec: bytes, w: int, h: int, ts: int, dur: int,
+          n_samples: int) -> bytes:
+    tkhd = _box(b"tkhd", b"\x00" * 76 + struct.pack(">II", w << 16, h << 16))
+    mdhd = _box(b"mdhd", b"\x00" * 12 + struct.pack(">II", ts, dur) + b"\x00" * 4)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + kind + b"\x00" * 12)
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + struct.pack(">I", 16) + codec + b"\x00" * 8)
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, n_samples))
+    stbl = _box(b"stbl", stsd + stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
+
+
+def _mp4(v1_mvhd: bool = False, large_mdat: bool = False) -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isomavc1")
+    moov = _box(
+        b"moov",
+        _mvhd(1000, 90_000, v1=v1_mvhd)
+        + _trak(b"vide", b"avc1", 640, 360, 30_000, 2_700_000, 2700)
+        + _trak(b"soun", b"mp4a", 0, 0, 48_000, 4_320_000, 4219),
+    )
+    payload = b"\x00" * 32
+    if large_mdat:
+        mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(
+            ">Q", 16 + len(payload)
+        ) + payload
+    else:
+        mdat = _box(b"mdat", payload)
+    return ftyp + moov + mdat
+
+
+@pytest.mark.parametrize("v1,large", [(False, False), (True, True)])
+def test_mp4_box_tree(v1, large):
+    m = parse_mp4_meta(_mp4(v1_mvhd=v1, large_mdat=large))
+    assert m.brand == "isom"
+    assert m.duration_ms == pytest.approx(90_000)
+    assert len(m.tracks) == 2
+    vid, aud = m.tracks
+    assert (vid.kind, vid.codec, vid.width, vid.height) == (
+        "vide", "avc1", 640, 360
+    )
+    assert vid.n_samples == 2700
+    assert vid.duration_ms == pytest.approx(90_000)
+    assert (aud.kind, aud.codec, aud.n_samples) == ("soun", "mp4a", 4219)
+
+
+def test_mp4_rejects_non_bmff():
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_meta(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_spark_container_meta_lane(spark):
+    rows = [
+        (1, _id3v2() + _mp3_frame(128) * 20),
+        (2, b"".join([_mp3_frame(64), _mp3_frame(192)] * 5)),
+        (3, _mp4()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    got = {r.doc_id: r for r in with_container_meta(df).collect()}
+    assert got[1].container == "mp3/v1" and got[1].sample_rate == 44100
+    assert got[2].bitrate_kbps > got[1].bitrate_kbps - 64  # vbr average sane
+    assert got[3].container == "mp4/isom" and got[3].codec == "avc1"
+    assert got[3].width == 640 and got[3].height == 360
+    assert got[3].duration_ms == pytest.approx(90_000)
+    # media bytes are gone from the output schema
+    assert "media" not in with_container_meta(df).columns
