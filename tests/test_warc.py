@@ -1,0 +1,122 @@
+"""WARC source (sources/warc.py): record framing, multi-member gzip,
+HTTP envelope split, HTML text extraction, and the Spark binaryFile
+lane end-to-end on synthetic crawl files."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from spotify_etl_aws_spark.sources.warc import (
+    html_text,
+    iter_warc_records,
+    read_warc,
+    split_http_response,
+)
+
+
+def _record(wtype: str, body: bytes, url: str | None = None) -> bytes:
+    heads = [
+        "WARC/1.0",
+        f"WARC-Type: {wtype}",
+        "WARC-Date: 2026-08-14T00:00:00Z",
+        "WARC-Record-ID: <urn:uuid:0000>",
+    ]
+    if url:
+        heads.append(f"WARC-Target-URI: {url}")
+    heads.append(f"Content-Length: {len(body)}")
+    return "\r\n".join(heads).encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _http(payload: bytes, ctype: str = "text/html", status: int = 200) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload
+
+
+_HTML = (
+    b"<html><head><title>T</title><style>p{color:red}</style>"
+    b"<script>var x = '<p>not text</p>';</script></head>"
+    b"<body><h1>Hello &amp; welcome</h1><p>to the crawl</p></body></html>"
+)
+
+
+def _warc_bytes() -> bytes:
+    return (
+        _record("warcinfo", b"software: test\r\n")
+        + _record("request", b"GET / HTTP/1.1\r\n\r\n", "http://a.example/")
+        + _record("response", _http(_HTML), "http://a.example/")
+        + _record(
+            "response",
+            _http(b"plain words only", "text/plain"),
+            "http://b.example/p",
+        )
+    )
+
+
+def test_record_framing_and_multimember_gzip():
+    raw = _warc_bytes()
+    recs = list(iter_warc_records(raw))
+    assert [h["WARC-Type"] for h, _ in recs] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    # one gzip member per record — CommonCrawl's layout
+    members = b"".join(
+        gzip.compress(_record("response", _http(_HTML), f"http://m{i}/"))
+        for i in range(3)
+    )
+    got = list(iter_warc_records(members))
+    assert len(got) == 3
+    assert got[2][0]["WARC-Target-URI"] == "http://m2/"
+
+
+def test_http_split_and_html_text():
+    status, ctype, payload = split_http_response(_http(_HTML))
+    assert (status, ctype) == (200, "text/html")
+    text = html_text(payload)
+    assert text == "T Hello & welcome to the crawl"
+    assert "not text" not in text and "color:red" not in text
+    # non-HTTP body passes through
+    assert split_http_response(b"abc") == (0, "", b"abc")
+
+
+def test_truncated_records_raise():
+    with pytest.raises(ValueError, match="truncated WARC header"):
+        list(iter_warc_records(b"WARC/1.0\r\nWARC-Type: x"))
+    bad = _record("response", b"12345")[:-9]  # cut into the body
+    with pytest.raises(ValueError, match="exceeds stream length"):
+        list(iter_warc_records(bad))
+
+
+def test_spark_warc_lane(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "part-0.warc.gz").write_bytes(gzip.compress(_warc_bytes()))
+    # second shard: two single-record gzip members
+    (d / "part-1.warc.gz").write_bytes(
+        gzip.compress(
+            _record("response", _http(_HTML), "http://c.example/x")
+        )
+        + gzip.compress(
+            _record(
+                "response",
+                _http(b"<html><body>short</body></html>"),
+                "http://d.example/y",
+            )
+        )
+    )
+    df = read_warc(spark, str(d / "*.warc.gz"))
+    rows = {r.url: r for r in df.collect()}
+    assert set(rows) == {
+        "http://a.example/", "http://b.example/p",
+        "http://c.example/x", "http://d.example/y",
+    }
+    assert rows["http://a.example/"].text == "T Hello & welcome to the crawl"
+    assert rows["http://b.example/p"].text == "plain words only"
+    assert rows["http://d.example/y"].text == "short"
+    assert rows["http://a.example/"].http_status == 200
+    assert all(r.warc_file for r in rows.values())
+    # request/warcinfo records were filtered inside the kernel
+    assert df.count() == 4
