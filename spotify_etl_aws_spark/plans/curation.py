@@ -47,6 +47,37 @@ from ..operators.substring_dedup import dedup_substrings
 from ..operators.unigram import UnigramModel, encode_unigram
 
 
+def curation_audit(
+    docs: DataFrame, trail: list[tuple[str, DataFrame]]
+) -> DataFrame:
+    """Per-document drop attribution: (doc_id, status) for every INPUT
+    document, where ``status`` is the first ladder stage that dropped
+    it ('contaminated', 'near_duplicate', 'repetition', 'perplexity',
+    'quality') or 'kept'.
+
+    ``trail`` holds (stage_name, frame-with-ids-surviving-that-stage)
+    in ladder order; survivors of stage i are a subset of stage i-1's,
+    so each stage's casualties are one id-only anti-join — document
+    text is never shuffled, and the whole audit is a union of narrow
+    id frames.
+    """
+    remaining = docs.select("doc_id")
+    parts: list[DataFrame] = []
+    for name, survivors in trail:
+        ids = survivors.select("doc_id")
+        parts.append(
+            remaining.join(ids, "doc_id", "left_anti").withColumn(
+                "status", F.lit(name)
+            )
+        )
+        remaining = ids
+    parts.append(remaining.withColumn("status", F.lit("kept")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build_training_corpus(
     spark: SparkSession,
     docs: DataFrame,
@@ -66,6 +97,7 @@ def build_training_corpus(
     lm_max_log_ppl: float = 8.0,
     tokenizer: BpeModel | UnigramModel | None = None,
     substring_dedup_k: int | None = None,
+    audit: bool = False,
 ) -> DataFrame:
     """Run the ladder over ``docs`` (doc_id, text) and write the packed
     corpus partitioned by split. Returns the re-read result frame.
@@ -79,6 +111,11 @@ def build_training_corpus(
     char LM are dropped — the model-based filter that catches fluent-
     looking junk the surface heuristics pass.
 
+    ``audit=True`` additionally writes ``<out_dir>/audit`` — one row
+    per INPUT document with the stage that dropped it (or ``kept``),
+    the per-doc attribution file production pipelines publish next to
+    the corpus (see ``curation_audit``).
+
     ``substring_dedup_k`` adds the Lee-et-al span-level pass after the
     document-level near-dedup: every >= k-token span repeated anywhere
     in the surviving corpus keeps only its first occurrence (the cut
@@ -91,10 +128,14 @@ def build_training_corpus(
     tokenizer will actually produce instead of the whitespace
     estimate."""
     weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    # (stage_name, ids-after-stage) checkpoints for the audit trail —
+    # all lazy DataFrames: with audit off they are never executed
+    trail: list[tuple[str, DataFrame]] = []
 
     stage = docs.select("doc_id", "text")
     if bench is not None:
         stage = decontaminate(stage, bench, shingle_n=decon_shingle_n)
+        trail.append(("contaminated", stage))
 
     reps = neardup_clusters(
         stage,
@@ -104,6 +145,7 @@ def build_training_corpus(
         threshold=dup_threshold,
     ).filter(F.col("doc_id") == F.col("cluster_rep"))
     stage = stage.join(reps.select("doc_id"), "doc_id", "left_semi")
+    trail.append(("near_duplicate", stage))
 
     # span-level pass AFTER document-level dedup: whole-doc drops are
     # cheaper, so only survivors pay the window-hash shuffle; the cut
@@ -119,11 +161,13 @@ def build_training_corpus(
         stage = repetition_gate(
             repetition_stats(stage, extra_cols=("text",))
         ).select("doc_id", "text")
+        trail.append(("repetition", stage))
 
     if lm_model is not None:
         stage = perplexity_gate(
             score_perplexity(lm_model, stage), lm_max_log_ppl
         ).drop("log_ppl")
+        trail.append(("perplexity", stage))
 
     if tokenizer is not None:
         if isinstance(tokenizer, BpeModel):
@@ -141,6 +185,11 @@ def build_training_corpus(
         n_tokens.alias("n_tokens"),
         F.round(quality_score("text"), 4).alias("quality_score"),
     ).filter(F.col("quality_score") >= quality_cutoff)
+    trail.append(("quality", scored))
+
+    if audit:
+        audit_path = os.path.join(out_dir, "audit")
+        curation_audit(docs, trail).write.mode("overwrite").parquet(audit_path)
 
     split_docs = assign_split(scored, weights)
 

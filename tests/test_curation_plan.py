@@ -310,3 +310,53 @@ def test_substring_dedup_stage_cuts_repeated_span(spark, sf_dir, tmp_path):
     assert "shared boilerplate" in got[A_ID]
     assert "shared boilerplate" not in got[B_ID]
     assert "beta document body" in got[B_ID]
+
+
+def test_curation_audit_attributes_every_drop(spark, sf_dir, tmp_path):
+    """audit=True: every INPUT doc appears exactly once in the audit
+    file, attributed to the first ladder stage that dropped it."""
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    DUP_A, DUP_B, SPAM, SHORT = 900021, 900022, 900023, 900024
+    dup_text = (
+        "the storage engine compacts its levels on a schedule. it keeps "
+        "bloom filters for each file, and the manifest records every "
+        "snapshot so that checkpoint recovery can replay the latest state "
+        "without losing any of the committed writes in the meantime."
+    )
+    planted = spark.createDataFrame(
+        [
+            (DUP_A, dup_text),
+            (DUP_B, dup_text),
+            (SPAM, "buy now " * 60),
+            (SHORT, "x"),
+        ],
+        "doc_id bigint, text string",
+    )
+    cand = docs.unionByName(planted)
+    bench = docs.filter(F.col("doc_id").isin(1, 2)).select("text")
+    out_dir = tmp_path / "corpus_audit"
+    out = build_training_corpus(
+        spark,
+        cand,
+        bench,
+        str(out_dir),
+        quality_cutoff=0.2,
+        pack_budget=512,
+        audit=True,
+    )
+    audit = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(str(out_dir / "audit")).collect()
+    }
+    # total coverage, one row per input doc
+    assert len(audit) == cand.count()
+    assert audit[1] == "contaminated" and audit[2] == "contaminated"
+    assert audit[DUP_A] == "kept"
+    assert audit[DUP_B] == "near_duplicate"
+    assert audit[SPAM] == "repetition"
+    assert audit[SHORT] == "quality"
+    # audit 'kept' set == the written corpus
+    kept_ids = {k for k, v in audit.items() if v == "kept"}
+    assert kept_ids == {r.doc_id for r in out.select("doc_id").collect()}
