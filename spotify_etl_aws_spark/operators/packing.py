@@ -16,9 +16,11 @@ The distributed shape used here is the one real pipelines use:
    (applyInPandas — shards pack in parallel, each is sequential
    internally, exactly like per-worker packing in a training data
    loader);
-3. pack ids are globally unique by construction:
-   ``shard * shard_span + local`` (a shard spans ≤ shard_span ids, so
-   it can never open more than shard_span packs).
+3. pack ids are globally unique by construction: a pack's id is the
+   doc_id of its FIRST document — every document lives in exactly one
+   pack, so first-doc ids can never collide, for any id distribution
+   (dense synthetic ids, signed 64-bit content hashes, per-group
+   packing) and with no stride arithmetic to overflow.
 
 Waste is bounded: at most ONE partial pack per shard (the last), so
 the pad fraction is ≤ shard_count/pack_count — driven toward zero by
@@ -41,9 +43,6 @@ from pyspark.sql import functions as F
 PACK_SCHEMA = "doc_id bigint, pack_id bigint, pack_pos int, n_tokens bigint"
 
 
-GROUP_STRIDE = 1 << 44  # pack-id namespace width per group
-
-
 def pack_sequences(
     docs: DataFrame,
     budget: int,
@@ -55,16 +54,16 @@ def pack_sequences(
     """Assign each document to a training pack of at most ``budget``
     tokens. Returns (doc_id, pack_id, pack_pos, n_tokens): ``pack_pos``
     is the document's position within its pack. Deterministic — same
-    input, same packing. Ids must be non-negative (standard for
-    synthetic doc ids; shift upstream otherwise).
+    input, same packing. A pack's id is the doc_id of its first
+    document, so any 64-bit id space works (dense synthetic ids or
+    signed content hashes alike) and uniqueness needs no namespace
+    arithmetic.
 
     ``group_col`` (an integer group-index column, e.g. a split index)
     packs each group independently in the SAME job: grouping is
-    (group, shard), so no pack ever straddles a group, and pack ids are
-    namespaced per group (``group * GROUP_STRIDE + shard*span + local``)
-    — globally unique across groups, one exchange regardless of group
-    count. The kernel validates its shard's id range fits the stride so
-    an id-space overflow fails loudly instead of colliding."""
+    (group, shard), so no pack ever straddles a group, and pack ids
+    stay globally unique across groups (a doc is in one group only) —
+    one exchange regardless of group count."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if shard_span <= 0:
@@ -72,23 +71,15 @@ def pack_sequences(
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id")
-        base = int(pdf["__shard"].iloc[0]) * shard_span
-        if group_col is not None:
-            if base + shard_span > GROUP_STRIDE:
-                raise ValueError(
-                    f"doc id space overflows the per-group pack-id "
-                    f"stride: shard base {base} + span {shard_span} > "
-                    f"{GROUP_STRIDE}"
-                )
-            base += int(pdf["__grp"].iloc[0]) * GROUP_STRIDE
-        pack_local, pos, used = 0, 0, 0
+        pos, used = 0, 0
+        pack_head, in_pack = 0, False
         packs, positions = [], []
-        for tok in pdf["__tok"]:
-            tok = int(tok)
-            if used > 0 and used + tok > budget:
-                pack_local += 1
+        for doc, tok in zip(pdf["__id"], pdf["__tok"]):
+            doc, tok = int(doc), int(tok)
+            if not in_pack or (used > 0 and used + tok > budget):
+                pack_head, in_pack = doc, True
                 pos, used = 0, 0
-            packs.append(base + pack_local)
+            packs.append(pack_head)
             positions.append(pos)
             used += tok
             pos += 1

@@ -12,13 +12,13 @@ from spotify_etl_aws_spark.sources.readers import load_table
 
 
 def _greedy_reference(items: list[tuple[int, int]], budget: int) -> dict[int, int]:
-    """Driver-side exact greedy packer: id-ordered, local pack index."""
-    out, pack, used = {}, 0, 0
+    """Driver-side exact greedy packer: id-ordered; pack id = the id
+    of the pack's first document."""
+    out, head, used = {}, None, 0
     for doc_id, tok in sorted(items):
-        if used > 0 and used + tok > budget:
-            pack += 1
-            used = 0
-        out[doc_id] = pack
+        if head is None or (used > 0 and used + tok > budget):
+            head, used = doc_id, 0
+        out[doc_id] = head
         used += tok
     return out
 
@@ -31,6 +31,40 @@ def test_single_shard_matches_exact_greedy(spark):
         for r in pack_sequences(docs, budget=256, shard_span=1000).collect()
     }
     assert got == _greedy_reference(rows, 256)
+
+
+def test_hash_id_space_packs_without_overflow(spark):
+    """Signed 64-bit content-hash doc ids (the realistic id space for
+    a crawled corpus) pack fine: pack id = first doc id, so no stride
+    arithmetic exists to overflow, and grouped packing stays unique."""
+    rows = [
+        ((i * 0x9E3779B97F4A7C15) % (1 << 63) - (1 << 62), 100 + i % 50, i % 3)
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint, grp int")
+    packed = pack_sequences(docs, budget=512, group_col="grp").collect()
+    assert len(packed) == 500
+    assert len({r.doc_id for r in packed}) == 500
+    # ungrouped parity against the driver reference, same id space:
+    # the reference packs each id-range shard independently, exactly
+    # like the operator
+    flat = [(d, t) for d, t, _ in rows]
+    span = 1 << 40
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for d, t in flat:
+        shards.setdefault(d // span, []).append((d, t))
+    want: dict[int, int] = {}
+    for part in shards.values():
+        want.update(_greedy_reference(part, 512))
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(
+            spark.createDataFrame(flat, "doc_id bigint, n_tokens bigint"),
+            budget=512,
+            shard_span=span,
+        ).collect()
+    }
+    assert got == want
 
 
 def test_packing_invariants_on_documents(spark, sf_dir):

@@ -120,3 +120,64 @@ def test_spark_warc_lane(spark, tmp_path):
     assert all(r.warc_file for r in rows.values())
     # request/warcinfo records were filtered inside the kernel
     assert df.count() == 4
+
+
+def test_warc_to_curation_pipeline(spark, tmp_path):
+    """Crawl shards -> read_warc -> build_training_corpus: the
+    ingestion seam feeds the ladder directly (url becomes the doc id
+    domain; a duplicated page across shards dies at near-dedup)."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.plans.curation import build_training_corpus
+
+    topics = [
+        "storage engines and compaction", "query planning and join order",
+        "vector search and quantization", "stream processing watermarks",
+        "tokenizer training and merges", "parquet footers and pruning",
+        "shuffle partitioning and skew",
+    ]
+
+    def page_http(i: int) -> bytes:
+        words = " ".join(
+            f"{(tw := topics[(i + j) % len(topics)].split())[j % len(tw)]}"
+            f"{(i * 7 + j * 13) % 97}"
+            for j in range(25)
+        )
+        body = (
+            f"<html><body><p>the crawl page number {i} talks about "
+            f"{topics[i % len(topics)]}. {words}.</p></body></html>"
+        ).encode()
+        return _http(body)
+
+    def page(i: int) -> bytes:
+        return _record(
+            "response", page_http(i), f"http://site{i % 7}.example/p{i}"
+        )
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "s0.warc.gz").write_bytes(
+        gzip.compress(b"".join(page(i) for i in range(30)))
+    )
+    # shard 1 re-crawls page 3's exact content under a different URL
+    (d / "s1.warc.gz").write_bytes(
+        gzip.compress(
+            b"".join(page(i) for i in range(30, 50))
+            + _record(
+                "response", page_http(3), "http://mirror.example/copy-of-3"
+            )
+        )
+    )
+    pages = read_warc(spark, str(d / "*.warc.gz"))
+    docs = pages.select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
+    out = build_training_corpus(
+        spark, docs, None, str(tmp_path / "warc_corpus"),
+        quality_cutoff=0.1, pack_budget=512,
+    )
+    kept = out.select("doc_id").count()
+    assert 0 < kept <= 51
+    # the mirrored page and its original collapse to one representative
+    texts = [r.text for r in out.collect()]
+    assert sum("page number 3 " in t for t in texts) == 1
