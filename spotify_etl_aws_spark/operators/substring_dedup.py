@@ -31,11 +31,13 @@ because the occurrence order of shifted windows equals the occurrence
 order of their spans.
 
 Scale: the window table has one row per corpus token (linear, never
-quadratic); both shuffles (the groupBy and the join back) key on the
-8-byte xxhash64, so document text never shuffles. The per-document
-interval merge and token filter are map-side higher-order functions;
-merged intervals are disjoint so the filter does at most
-``n_tokens/k`` interval probes per token.
+quadratic), and it shuffles ONCE, keyed on the 8-byte xxhash64 —
+canonical election and the non-canonical remainder come out of the
+same aggregation (occurrence lists per hash are duplicate-count-sized,
+tiny by construction). Document text never shuffles. The per-document
+interval merge and the token cutting are linear map-side higher-order
+functions (shifted-compare boundary detection + gap slices — no
+sequential accumulator, no per-token lambda).
 
 Tokens are whitespace tokens (``functions.text.tokens``), matching the
 rest of the text lane; ``text_deduped`` is the space-join of surviving
@@ -50,6 +52,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .dedup import spread_narrow_scan
 
 
 def _window_hash(win: Column) -> Column:
@@ -77,7 +80,9 @@ def window_table(
         n >= k, F.sequence(F.lit(0), n - k)
     ).otherwise(F.array().cast("array<int>"))
     hashes = F.transform(starts, lambda s: _window_hash(F.slice(toks, s + 1, k)))
-    return docs.select(
+    # a compact single-file corpus arrives as one task; the window
+    # derivation is the CPU-heavy map work, so spread the raw rows first
+    return spread_narrow_scan(docs).select(
         F.col(id_col), F.posexplode(hashes).alias("pos", "wh")
     )
 
@@ -93,20 +98,22 @@ def duplicated_spans(
     at a smaller (doc_id, pos) — i.e. every non-canonical occurrence.
     Documents with no duplicated windows are absent."""
     win = window_table(docs, k, id_col, text_col)
-    # count + min(struct) both partial-aggregate, so the shuffle moves
-    # one pre-combined row per (map partition, hash)
-    canon = win.groupBy("wh").agg(
-        F.count("*").alias("n_occ"),
-        F.min(F.struct(id_col, "pos")).alias("first_occ"),
-    )
+    # ONE shuffle elects canonicals AND yields the non-canonical
+    # occurrences: collect the (tiny) occurrence list per hash, drop
+    # the minimal element, explode the rest. The join-back formulation
+    # (groupBy wh + equi-join win on wh) would shuffle the window
+    # table a second time for the same answer.
+    occs = F.col("occs")
     dup = (
-        win.join(canon.filter(F.col("n_occ") > 1), "wh")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col(f"first_occ.{id_col}"))
-                & (F.col("pos") == F.col("first_occ.pos"))
-            )
+        win.groupBy("wh")
+        .agg(F.collect_list(F.struct(id_col, "pos")).alias("occs"))
+        .filter(F.size(occs) > 1)
+        .select(
+            F.explode(
+                F.array_remove(occs, F.array_min(occs))
+            ).alias("occ")
         )
+        .select(F.col(f"occ.{id_col}").alias(id_col), F.col("occ.pos"))
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("dup_starts"))
     )
@@ -115,33 +122,36 @@ def duplicated_spans(
 
 def _merge_starts(starts: Column, k: int) -> Column:
     """Sorted window starts -> disjoint merged [lo, hi) intervals
-    (array<struct<lo,hi>>), a pure-JVM ``aggregate``: a start within
-    the last interval's reach extends it, otherwise opens a new one."""
-    empty = F.array().cast("array<struct<lo:int,hi:int>>")
-
-    def step(acc: Column, s: Column) -> Column:
-        last = F.element_at(acc, -1)
-        extend = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1),
-            F.array(
-                F.struct(
-                    last["lo"].alias("lo"),
-                    F.greatest(last["hi"], s + k).alias("hi"),
-                )
-            ),
-        )
-        fresh = F.concat(
-            acc, F.array(F.struct(s.alias("lo"), (s + k).alias("hi")))
-        )
-        # CaseWhen branches evaluate lazily in order: the empty case
-        # exits first so element_at(acc, -1) never sees an empty array
-        return (
-            F.when(F.size(acc) == 0, fresh)
-            .when(s <= last["hi"], extend)
-            .otherwise(fresh)
-        )
-
-    return F.aggregate(starts, empty, step)
+    (array<struct<lo,hi>>). Because every span has width k and starts
+    are sorted, a start opens a new interval iff its gap to the
+    previous start exceeds k, and closes one iff the gap to the NEXT
+    start does — so the merge is two shifted-compare filters (O(n),
+    no sequential accumulator whose array-copy would go quadratic on
+    densely duplicated documents)."""
+    n = F.size(starts)
+    m1 = F.greatest(n - 1, F.lit(0))
+    null1 = F.array(F.lit(None).cast("int"))
+    prev = F.when(n == F.lit(0), starts).otherwise(
+        F.concat(null1, F.slice(starts, 1, m1))
+    )
+    nxt = F.when(n == F.lit(0), starts).otherwise(
+        F.concat(F.slice(starts, 2, m1), null1)
+    )
+    los = F.filter(
+        F.zip_with(starts, prev, lambda s, p: F.when(
+            p.isNull() | (s - p > k), s
+        )),
+        lambda x: x.isNotNull(),
+    )
+    his = F.filter(
+        F.zip_with(starts, nxt, lambda s, x: F.when(
+            x.isNull() | (x - s > k), s + k
+        )),
+        lambda x: x.isNotNull(),
+    )
+    return F.zip_with(
+        los, his, lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))
+    )
 
 
 def dedup_substrings(
@@ -161,18 +171,27 @@ def dedup_substrings(
     """
     spans = duplicated_spans(docs, k, id_col, text_col)
     toks = tokens(text_col)
-    joined = docs.join(spans, id_col, "left").withColumn(
+    joined = spread_narrow_scan(docs).join(spans, id_col, "left").withColumn(
         "__iv",
         _merge_starts(
             F.coalesce(F.col("dup_starts"), F.array().cast("array<int>")), k
         ),
     )
     iv = F.col("__iv")
-    kept = F.filter(
-        toks,
-        lambda t, i: ~F.exists(
-            iv, lambda r: (r["lo"] <= i) & (i < r["hi"])
-        ),
+    # surviving tokens = the GAPS between merged intervals, materialized
+    # as O(#intervals) native array slices (never a per-token lambda)
+    gap_los = F.concat(
+        F.array(F.lit(0)), F.transform(iv, lambda r: r["hi"])
+    )
+    gap_his = F.concat(
+        F.transform(iv, lambda r: r["lo"]), F.array(F.size(toks))
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_los,
+            gap_his,
+            lambda a, b: F.slice(toks, a + 1, F.greatest(b - a, F.lit(0))),
+        )
     )
     dup_tokens = F.aggregate(
         iv, F.lit(0), lambda acc, r: acc + (r["hi"] - r["lo"])

@@ -143,10 +143,16 @@ def test_fixture_documents_sane(spark, sf_dir):
         assert r.n_tokens_deduped == r.n_tokens - r.dup_tokens
 
 
-def test_window_count_shuffle_is_partial_agg(spark):
+def test_window_table_shuffles_once(spark):
+    """Plan pin: canonical election + non-canonical remainder come out
+    of ONE window-table shuffle (no join-back), so the plan has no
+    join and at most two Exchanges (wh, then doc_id) plus AQE reads."""
     docs = spark.createDataFrame(
         [(0, "a b c d e f g h i j")], "doc_id bigint, text string"
     )
     plan = duplicated_spans(docs, k=8)._jdf.queryExecution().executedPlan().toString()
-    # the canonical-election groupBy must pre-combine map-side
-    assert "partial_count" in plan or "partial(count" in plan.lower() or "Partial" in plan
+    assert "Join" not in plan
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n_exchanges <= 2, plan
