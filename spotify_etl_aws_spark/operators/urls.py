@@ -1,0 +1,147 @@
+"""URL/domain curation operators (north-star, SURVEY.md §2.11c) — the
+crawl-side hygiene steps between WARC ingestion (``sources/warc.py``)
+and the text ladder, as run by the C4/RefinedWeb-class pipelines:
+
+- ``with_url_parts``: canonicalized URL + host + registrable domain +
+  path, all JVM-side (``parse_url`` + array ops over host labels).
+  Canonicalization lowercases scheme/host, drops fragments, default
+  ports, and tracking query parameters (utm_* / fbclid / gclid) — so
+  the same page crawled via different share links dedups exactly.
+- ``domain_caps``: at most N documents per registrable domain
+  (deterministic hash order), the anti-boilerplate cap every web
+  corpus applies so a single forum cannot dominate training.
+- ``blocklist_filter``: drop blocked registrable domains via a
+  broadcast anti-join — document rows never shuffle.
+
+The registrable-domain split uses the structural public-suffix rule
+(one label of suffix, or two where the TLD runs a second-level
+registry: co.uk, com.au, ...) with the common two-part suffixes
+embedded. The full Public Suffix List is a data swap at the marked
+seam, not a code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# common second-level registry suffixes; swap in the full Public
+# Suffix List here for production coverage (it is pure data)
+TWO_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "gen.in",
+    "com.mx", "org.mx", "com.tr", "com.ar", "com.sg", "com.hk",
+    "co.za", "co.kr", "co.nz", "co.il", "com.tw",
+)
+
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid)="
+
+
+def registrable_domain(host: Column) -> Column:
+    """Host -> registrable domain ('a.b.co.uk' -> 'b.co.uk',
+    'x.example.com' -> 'example.com'). Hosts with one label (or IPs,
+    which have no registry semantics) pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*TWO_PART_SUFFIXES) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def _clean_query(query: Column) -> Column:
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    return F.when(
+        query.isNull() | (F.size(kept) == 0), F.lit(None)
+    ).otherwise(F.concat_ws("&", kept))
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add (host, domain, path, url_canonical) columns. Rows whose URL
+    does not parse get NULL parts (callers filter on host IS NOT NULL
+    as the validity gate)."""
+    url = F.col(url_col)
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.parse_url(url, F.lit("PATH"))
+    query = _clean_query(F.parse_url(url, F.lit("QUERY")))
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    canonical = F.when(
+        host.isNull(), F.lit(None)
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            # strip default ports; other ports survive inside HOST? no —
+            # parse_url HOST excludes the port, which is what we want
+            host,
+            # parse_url yields "" (not NULL) for a missing path
+            F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path),
+            F.coalesce(F.concat(F.lit("?"), query), F.lit("")),
+        )
+    )
+    return df.withColumns(
+        {
+            "host": host,
+            "domain": registrable_domain(host),
+            "path": path,
+            "url_canonical": canonical,
+        }
+    )
+
+
+def domain_caps(
+    df: DataFrame,
+    max_per_domain: int,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per domain, chosen by
+    deterministic hash order (stable under retries AND corpus growth
+    for the kept side: a doc is evicted only when enough lower-hash
+    docs exist, never because of arrival order).
+
+    One window shuffle on the domain key. A single mega-domain makes
+    that key hot; with a small cap the standard mitigation is a
+    two-phase cap (cap within (domain, salt-bucket), then re-cap per
+    domain) — compose this operator twice with a salted column for
+    that shape."""
+    if max_per_domain <= 0:
+        raise ValueError(f"max_per_domain must be positive, got {max_per_domain}")
+    from pyspark.sql.window import Window
+
+    order = [F.xxhash64(F.lit(salt), F.col(id_col)).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_domain)
+        .drop("__rn")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame | list[str],
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose registrable domain is on the blocklist — a
+    broadcast LEFT ANTI join, so the (small) blocklist ships to the
+    scan and corpus rows never move."""
+    spark = df.sparkSession
+    if isinstance(blocked, list):
+        blocked_df = spark.createDataFrame(
+            [(d.lower(),) for d in blocked], f"{domain_col} string"
+        )
+    else:
+        blocked_df = blocked.select(F.lower(F.col(domain_col)).alias(domain_col))
+    return df.join(F.broadcast(blocked_df), domain_col, "left_anti")
