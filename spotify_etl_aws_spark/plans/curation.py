@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, tokens
 from ..operators.bpe import BpeModel, encode_bpe
+from ..operators.classifier import (
+    LinearQualityModel,
+    classifier_gate,
+    score_quality,
+)
 from ..operators.decontaminate import decontaminate
 from ..operators.dedup import (
     minhash_signatures,
@@ -95,6 +100,8 @@ def build_training_corpus(
     repetition_filter: bool = True,
     lm_model: CharLmModel | None = None,
     lm_max_log_ppl: float = 8.0,
+    quality_model: LinearQualityModel | None = None,
+    quality_model_min: float = 0.5,
     tokenizer: BpeModel | UnigramModel | None = None,
     substring_dedup_k: int | None = None,
     audit: bool = False,
@@ -115,6 +122,12 @@ def build_training_corpus(
     per INPUT document with the stage that dropped it (or ``kept``),
     the per-doc attribution file production pipelines publish next to
     the corpus (see ``curation_audit``).
+
+    ``quality_model`` adds the FineWeb-style model-based filter: a
+    ``LinearQualityModel`` (trained in-engine on reference-vs-raw
+    corpora, ``operators/classifier.py``) scores each doc and those
+    below ``quality_model_min`` drop — the learned complement of the
+    heuristic cutoff and the LM-perplexity gate.
 
     ``substring_dedup_k`` adds the Lee-et-al span-level pass after the
     document-level near-dedup: every >= k-token span repeated anywhere
@@ -168,6 +181,12 @@ def build_training_corpus(
             score_perplexity(lm_model, stage), lm_max_log_ppl
         ).drop("log_ppl")
         trail.append(("perplexity", stage))
+
+    if quality_model is not None:
+        stage = classifier_gate(
+            score_quality(quality_model, stage), quality_model_min
+        ).drop("quality_prob")
+        trail.append(("classifier", stage))
 
     if tokenizer is not None:
         if isinstance(tokenizer, BpeModel):

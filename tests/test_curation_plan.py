@@ -360,3 +360,60 @@ def test_curation_audit_attributes_every_drop(spark, sf_dir, tmp_path):
     # audit 'kept' set == the written corpus
     kept_ids = {k for k, v in audit.items() if v == "kept"}
     assert kept_ids == {r.doc_id for r in out.select("doc_id").collect()}
+
+
+def test_classifier_gate_in_ladder(spark, sf_dir, tmp_path):
+    """quality_model: spam that a classifier (trained in-engine on
+    fixture-vs-spam corpora) rejects dies at the 'classifier' stage,
+    attributed in the audit file."""
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rng = np.random.default_rng(31)
+    spam_words = (
+        "click buy cheap winner prize casino bonus free offer deal "
+        "urgent limited guarantee cash"
+    ).split()
+    spam = spark.createDataFrame(
+        [
+            (900100 + i, " ".join(rng.choice(spam_words, size=25)))
+            for i in range(40)
+        ],
+        "doc_id bigint, text string",
+    )
+    model = train_quality_classifier(
+        docs.limit(200), spam.limit(30), dim=64, iters=20
+    )
+    SPAMMY = 900199
+    cand = docs.unionByName(
+        spark.createDataFrame(
+            [(SPAMMY, " ".join(rng.choice(spam_words, size=25)))],
+            "doc_id bigint, text string",
+        )
+    )
+    out_dir = tmp_path / "corpus_clf"
+    out = build_training_corpus(
+        spark,
+        cand,
+        None,
+        str(out_dir),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=512,
+        quality_model=model,
+        audit=True,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert SPAMMY not in kept
+    assert len(kept) > 100
+    audit = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(str(out_dir / "audit")).collect()
+    }
+    assert audit[SPAMMY] == "classifier"
