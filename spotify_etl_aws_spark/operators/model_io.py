@@ -17,10 +17,11 @@ import json
 import os
 
 from spotify_etl_aws_spark.operators.bpe import BpeModel
+from spotify_etl_aws_spark.operators.classifier import LinearQualityModel
 from spotify_etl_aws_spark.operators.lm import CharLmModel
 from spotify_etl_aws_spark.operators.unigram import UnigramModel
 
-Model = BpeModel | UnigramModel | CharLmModel
+Model = BpeModel | UnigramModel | CharLmModel | LinearQualityModel
 
 
 def save_model(model: Model, path: str) -> None:
@@ -46,6 +47,14 @@ def save_model(model: Model, path: str) -> None:
             "context_counts": model.context_counts,
             "n_chars": model.n_chars,
             "alpha": model.alpha,
+        }
+    elif isinstance(model, LinearQualityModel):
+        doc = {
+            "kind": "linear_quality",
+            "dim": model.dim,
+            "shingle_n": model.shingle_n,
+            "bias": model.bias,
+            "weights": list(model.weights),
         }
     else:
         raise TypeError(f"unsupported model type {type(model).__name__}")
@@ -74,5 +83,9 @@ def load_model(path: str) -> Model:
             doc["context_counts"],
             doc["n_chars"],
             doc["alpha"],
+        )
+    if kind == "linear_quality":
+        return LinearQualityModel(
+            doc["dim"], doc["shingle_n"], doc["bias"], tuple(doc["weights"])
         )
     raise ValueError(f"unknown model kind {kind!r} in {path}")

@@ -118,10 +118,18 @@ def test_model_save_load_roundtrip(spark, tmp_path):
 
     texts = ["low lower lowest low low", "new newer newest new newer"]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
+    from spotify_etl_aws_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    neg = spark.createDataFrame(
+        [("spam click buy now",), ("cheap prize winner",)], "text string"
+    )
     models = [
         train_bpe(df, num_merges=10),
         train_unigram(df, vocab_size=40, seed_size=500),
         train_char_lm(df, order=3),
+        train_quality_classifier(df, neg, dim=16, iters=3),
     ]
     for i, m in enumerate(models):
         p = str(tmp_path / f"model{i}.json")
