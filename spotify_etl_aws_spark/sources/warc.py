@@ -101,10 +101,16 @@ def split_http_response(body: bytes) -> tuple[int, str, bytes]:
 
 
 _SCRIPT_RE = re.compile(
-    rb"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+    rb"<(script|style|noscript)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL
 )
 _TAG_RE = re.compile(rb"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
+_BLOCK_RE = re.compile(
+    rb"</?(?:p|div|li|ul|ol|h[1-6]|table|tr|td|th|section|article|"
+    rb"header|footer|nav|aside|blockquote|br|title)\b[^>]*/?>",
+    re.IGNORECASE,
+)
+_ANCHOR_RE = re.compile(rb"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 
 
 def html_text(payload: bytes) -> str:
@@ -115,6 +121,43 @@ def html_text(payload: bytes) -> str:
     stripped = _TAG_RE.sub(b" ", no_script)
     text = stripped.decode("utf-8", "replace")
     return _WS_RE.sub(" ", _html.unescape(text)).strip()
+
+
+def html_blocks(payload: bytes) -> list[tuple[str, float]]:
+    """Block segmentation with per-block link density — the signal the
+    jusText/boilerpipe family classifies on. Splits on block-level
+    tags, then per block reports (visible text, fraction of its
+    characters that sit inside <a> anchors)."""
+    no_script = _SCRIPT_RE.sub(b" ", payload)
+    out: list[tuple[str, float]] = []
+    for seg in _BLOCK_RE.split(no_script):
+        link_chars = sum(
+            len(_TAG_RE.sub(b" ", m)) for m in _ANCHOR_RE.findall(seg)
+        )
+        text = _WS_RE.sub(
+            " ", _html.unescape(_TAG_RE.sub(b" ", seg).decode("utf-8", "replace"))
+        ).strip()
+        if not text:
+            continue
+        density = min(1.0, link_chars / max(1, len(text)))
+        out.append((text, density))
+    return out
+
+
+def html_main_text(
+    payload: bytes, max_link_density: float = 0.4, min_words: int = 5
+) -> str:
+    """Boilerplate-stripped article text (jusText-lite): keep blocks
+    that read like prose (>= ``min_words`` words, link density <=
+    ``max_link_density``); navbars, footers and link farms — short,
+    link-dense blocks — drop. A DOM-aware extractor (trafilatura /
+    resiliparse) swaps in at this same one-function seam."""
+    kept = [
+        t
+        for t, density in html_blocks(payload)
+        if len(t.split()) >= min_words and density <= max_link_density
+    ]
+    return " ".join(kept)
 
 
 WARC_SCHEMA = (
@@ -128,13 +171,16 @@ def read_warc(
     path: str,
     record_types: tuple[str, ...] = ("response",),
     min_text_chars: int = 1,
+    main_text: bool = False,
 ) -> DataFrame:
     """WARC files -> one row per kept record with extracted text.
     ``path`` is any ``binaryFile`` glob (e.g. ``dir/*.warc.gz``).
     Record-type filtering (default: HTTP ``response`` records only,
     CommonCrawl's content carrier) and the HTML→text extraction happen
     inside the one Arrow pass; raw WARC bytes never leave the task
-    that scanned them."""
+    that scanned them. ``main_text=True`` swaps the all-visible-text
+    extractor for the boilerplate-stripping ``html_main_text``."""
+    extract = html_main_text if main_text else html_text
     files = spark.read.format("binaryFile").load(path)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -146,7 +192,7 @@ def read_warc(
                         continue
                     status, ctype, payload = split_http_response(body)
                     text = (
-                        html_text(payload)
+                        extract(payload)
                         if "html" in ctype or not ctype
                         else payload.decode("utf-8", "replace").strip()
                     )

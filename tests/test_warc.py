@@ -181,3 +181,36 @@ def test_warc_to_curation_pipeline(spark, tmp_path):
     # the mirrored page and its original collapse to one representative
     texts = [r.text for r in out.collect()]
     assert sum("page number 3 " in t for t in texts) == 1
+
+
+def test_main_text_strips_boilerplate(spark, tmp_path):
+    """html_main_text: link-dense navigation and short footers drop,
+    prose paragraphs survive — and the flag threads through read_warc."""
+    from spotify_etl_aws_spark.sources.warc import html_main_text
+
+    page = (
+        b"<html><head><title>T</title></head><body>"
+        b"<nav><a href='/'>home</a> <a href='/a'>about</a> "
+        b"<a href='/c'>contact</a> <a href='/p'>pricing</a></nav>"
+        b"<p>the actual article body talks about storage engines and "
+        b"query planning in considerable depth over many words</p>"
+        b"<p>a second real paragraph continues the argument with more "
+        b"detail about shuffle partitioning and skew handling</p>"
+        b"<div><a href='/t1'>related one</a> <a href='/t2'>related "
+        b"two</a> <a href='/t3'>related three</a></div>"
+        b"<footer>copyright</footer></body></html>"
+    )
+    main = html_main_text(page)
+    assert "actual article body" in main
+    assert "second real paragraph" in main
+    assert "home" not in main and "related one" not in main
+    assert "copyright" not in main and "T" not in main.split()
+
+    d = tmp_path / "crawlmain"
+    d.mkdir()
+    (d / "m.warc.gz").write_bytes(
+        gzip.compress(_record("response", _http(page), "http://m.example/"))
+    )
+    df = read_warc(spark, str(d / "*.warc.gz"), main_text=True)
+    row = df.collect()[0]
+    assert "actual article body" in row.text and "home" not in row.text
