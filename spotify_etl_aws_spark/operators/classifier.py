@@ -159,11 +159,16 @@ def score_quality(
 
     @F.pandas_udf("double")
     def prob(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: None
-            if t is None
-            else 1.0 / (1.0 + math.exp(-float(_featurize(t, dim, sn) @ w) - b))
-        )
+        def one(t: str | None) -> float | None:
+            if t is None:
+                return None
+            # clamp the logit: math.exp overflows below ~-709 (a
+            # hand-loaded model with big weights must saturate, not
+            # kill the task)
+            z = max(-60.0, min(60.0, float(_featurize(t, dim, sn) @ w) + b))
+            return 1.0 / (1.0 + math.exp(-z))
+
+        return texts.map(one)
 
     return docs.withColumn(out_col, prob(F.col(text_col)))
 

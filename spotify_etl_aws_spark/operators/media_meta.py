@@ -72,6 +72,7 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
     rate = channels = 0
     version = ""
     bitrates_seen: set[int] = set()
+    other_layer_seen = False
     while pos + 4 <= len(data):
         b0, b1, b2, b3 = data[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -81,18 +82,25 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
             continue
         vbits = (b1 >> 3) & 3
         layer = (b1 >> 1) & 3
-        if vbits == 1:
-            raise ValueError("reserved MPEG version id")
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        if vbits != 1 and layer == 1 and br_idx == 0 and sr_idx != 3:
+            raise NotImplementedError("free-format bitrate unsupported")
+        valid = vbits != 1 and 0 < br_idx < 15 and sr_idx != 3
+        if not n_frames and (not valid or layer != 1):
+            # sync-LOOKING bytes inside leading garbage: keep scanning
+            # (raising here would let one corrupt ID3 region kill the
+            # task for an otherwise-parseable stream); remember seeing
+            # a well-formed other-layer header for the seam message
+            other_layer_seen |= valid and layer != 1
+            pos += 1
+            continue
         if layer != 1:  # 1 == Layer III
             raise NotImplementedError(
                 "parse_mp3_meta supports Layer III only"
             )
-        br_idx = b2 >> 4
-        sr_idx = (b2 >> 2) & 3
-        if br_idx == 0:
-            raise NotImplementedError("free-format bitrate unsupported")
-        if br_idx == 15 or sr_idx == 3:
-            raise ValueError("invalid MP3 bitrate/samplerate index")
+        if not valid:
+            break  # corrupt header mid-stream ends the walk
         v1 = vbits == 3
         kbps = (_MP3_BITRATES_V1L3 if v1 else _MP3_BITRATES_V2L3)[br_idx]
         rate = _MP3_RATES[vbits][sr_idx]
@@ -109,6 +117,10 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
         bitrates_seen.add(kbps)
         pos += frame_len
     if not n_frames:
+        if other_layer_seen:
+            raise NotImplementedError(
+                "parse_mp3_meta supports Layer III only"
+            )
         raise ValueError("no MPEG audio frames found")
     duration_ms = total_samples / rate * 1000.0
     return Mp3Meta(

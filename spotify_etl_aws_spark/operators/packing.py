@@ -61,9 +61,13 @@ def pack_sequences(
 
     ``group_col`` (an integer group-index column, e.g. a split index)
     packs each group independently in the SAME job: grouping is
-    (group, shard), so no pack ever straddles a group, and pack ids
-    stay globally unique across groups (a doc is in one group only) —
-    one exchange regardless of group count."""
+    (group, shard), so no pack ever straddles a group — one exchange
+    regardless of group count. Uniqueness contract: pack ids are
+    unique provided each doc_id appears ONCE in the input frame (the
+    splits/partitions case). A caller replicating the same doc ids
+    under several group values (epoch replicas, config sweeps) must
+    disambiguate ids first (e.g. id*n_groups+group), or identical
+    first-doc ids collide across groups."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if shard_span <= 0:

@@ -28,7 +28,21 @@ whose union is exactly the span, so the non-canonical occurrence loses
 the whole span while the canonical occurrence survives intact —
 per-window minimal-occurrence election is consistent across the span
 because the occurrence order of shifted windows equals the occurrence
-order of their spans.
+order of their spans. Two documented deviations from the literal
+suffix-array semantics:
+
+- SELF-overlapping repeats (a token sequence with period < k, e.g.
+  the same token repeated 2k times) compress down to roughly one
+  period even in their only occurrence — the overlapping windows
+  duplicate each other. For degenerate repetition that is the
+  desirable outcome (it is what the Gopher repetition gate also
+  targets); prose is never periodic at k >= 8 words.
+- Spans are keyed by 64-bit xxhash64, not compared byte-wise: at
+  ~10^13 corpus windows birthday collisions appear and each one cuts
+  a unique <=k-token span somewhere. Acceptable for training-data
+  hygiene (the loss is randomly-placed and tiny); a strictly exact
+  run swaps `_window_hash` for a 128-bit digest (md5 of the joined
+  window — same plan shape, wider shuffle key).
 
 Scale: the window table has one row per corpus token (linear, never
 quadratic), and it shuffles ONCE, keyed on the 8-byte xxhash64 —
@@ -167,10 +181,15 @@ def dedup_substrings(
     Returns every input document as (id, text, n_tokens, dup_tokens,
     text_deduped, n_tokens_deduped); untouched documents have
     ``dup_tokens == 0`` and ``text_deduped`` == whitespace-normalized
-    ``text``.
+    ``text``. Window HASHING is case-insensitive (matching the rest of
+    the text lane), but the cut slices a case-preserving token array —
+    lowercasing never changes whitespace boundaries, so the two arrays
+    align index-for-index and ``text_deduped`` keeps original case.
     """
     spans = duplicated_spans(docs, k, id_col, text_col)
-    toks = tokens(text_col)
+    # case-PRESERVING split for reconstruction; hashing used tokens()
+    # (lowered) — identical boundaries, so positions line up exactly
+    toks = F.split(F.col(text_col), r"\s+")
     joined = spread_narrow_scan(docs).join(spans, id_col, "left").withColumn(
         "__iv",
         _merge_starts(

@@ -50,7 +50,8 @@ def registrable_domain(host: Column) -> Column:
     last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
     last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
     return (
-        F.when(n <= 2, host)
+        F.when(host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), host)  # IPv4 literal
+        .when(n <= 2, host)
         .when(last2.isin(*TWO_PART_SUFFIXES) & (n >= 3), last3)
         .otherwise(last2)
     )
@@ -75,15 +76,24 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     path = F.parse_url(url, F.lit("PATH"))
     query = _clean_query(F.parse_url(url, F.lit("QUERY")))
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    # parse_url HOST excludes the port; re-extract it so NON-default
+    # ports survive canonicalization (distinct origins must not merge)
+    port = F.regexp_extract(url, r"^[^:]+://[^/?#]*:(\d+)", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
     canonical = F.when(
         host.isNull(), F.lit(None)
     ).otherwise(
         F.concat(
             scheme,
             F.lit("://"),
-            # strip default ports; other ports survive inside HOST? no —
-            # parse_url HOST excludes the port, which is what we want
             host,
+            port_part,
             # parse_url yields "" (not NULL) for a missing path
             F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path),
             F.coalesce(F.concat(F.lit("?"), query), F.lit("")),

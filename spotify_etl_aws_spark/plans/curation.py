@@ -207,8 +207,21 @@ def build_training_corpus(
     trail.append(("quality", scored))
 
     if audit:
-        audit_path = os.path.join(out_dir, "audit")
-        curation_audit(docs, trail).write.mode("overwrite").parquet(audit_path)
+        # persist each stage's id frame: stage k's lineage embeds all
+        # earlier stages, so without this the anti-join chain re-runs
+        # the expensive ladder (near-dedup shuffle, model UDFs) once
+        # per trail entry instead of once total
+        cached = [
+            (name, frame.select("doc_id").persist()) for name, frame in trail
+        ]
+        try:
+            audit_path = os.path.join(out_dir, "audit")
+            curation_audit(docs, cached).write.mode("overwrite").parquet(
+                audit_path
+            )
+        finally:
+            for _, frame in cached:
+                frame.unpersist()
 
     split_docs = assign_split(scored, weights)
 

@@ -105,3 +105,16 @@ def test_plan_no_udf_and_partial_agg(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "partial_sum" in plan or "Partial" in plan, plan
+
+
+def test_shingle_counts_accumulate(spark):
+    """Review fix: n-gram mode must count repeated shingles (the
+    shared word_shingles helper deduplicates — binarized features)."""
+    got = _collect(
+        spark, ["ping pong", "ping pong ping pong ping pong"],
+        dim=64, shingle_n=2, normalize=False,
+    )
+    # doc 1 contains 'ping pong' 3x, 'pong ping' 2x; doc 0 once/zero —
+    # the 'ping pong' bucket must scale, not binarize
+    assert not np.array_equal(got[0], got[1])
+    assert np.abs(got[1]).sum() == 5.0 and np.abs(got[0]).sum() == 1.0

@@ -152,3 +152,15 @@ def test_spark_container_meta_lane(spark):
     assert got[3].duration_ms == pytest.approx(90_000)
     # media bytes are gone from the output schema
     assert "media" not in with_container_meta(df).columns
+
+
+def test_mp3_resyncs_over_sync_like_garbage():
+    """Review fix: sync-looking bytes in leading garbage (e.g. a
+    corrupt ID3 region containing 0xFF 0xF0) must resync, not raise."""
+    garbage = b"\x00\xff\xf0\x12junk\xff\xe2more"
+    m = parse_mp3_meta(garbage + _mp3_frame(128) * 5)
+    assert m.n_frames == 5 and m.sample_rate == 44100
+    # a genuinely Layer-II stream still reports the precise seam
+    l2 = bytes([0xFF, 0xFD, 0x90, 0x00]) + b"\x00" * 100
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        parse_mp3_meta(l2 * 3)

@@ -156,3 +156,19 @@ def test_window_table_shuffles_once(spark):
 
     n_exchanges = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     assert n_exchanges <= 2, plan
+
+
+def test_case_preserved_in_output(spark):
+    """Hashing is case-insensitive but the cut text keeps original
+    case — enabling the curation stage must never lowercase a corpus."""
+    span = "One Two Three Four Five Six Seven Eight"
+    texts = {
+        0: f"The CEO of IBM said {span}",
+        1: f"{span.lower()} differs only by case plus tail words here",
+    }
+    got = _run(spark, texts, k=8)
+    # doc 0 is canonical (lower doc_id): untouched, case intact
+    assert got[0].text_deduped == texts[0]
+    # doc 1's span matched case-insensitively and was cut; the
+    # surviving tail keeps its original characters
+    assert got[1].text_deduped == "differs only by case plus tail words here"

@@ -146,3 +146,36 @@ def test_warc_urls_flow_through(spark, tmp_path):
         domain_col="host",
     )
     assert by_host.count() == 6
+
+
+def test_ip_hosts_and_ports(spark):
+    """Review fixes: IPv4 hosts pass through registrable_domain whole,
+    and non-default ports survive canonicalization (distinct origins
+    never merge); default ports still strip."""
+    got = _parts(
+        spark,
+        [
+            "http://93.184.216.34/page",
+            "http://example.com:8080/page",
+            "http://example.com:80/page",
+            "https://example.com:443/page",
+            "https://example.com:8443/p?x=1",
+        ],
+    )
+    assert got["http://93.184.216.34/page"].domain == "93.184.216.34"
+    assert (
+        got["http://example.com:8080/page"].url_canonical
+        == "http://example.com:8080/page"
+    )
+    assert (
+        got["http://example.com:80/page"].url_canonical
+        == "http://example.com/page"
+    )
+    assert (
+        got["https://example.com:443/page"].url_canonical
+        == "https://example.com/page"
+    )
+    assert (
+        got["https://example.com:8443/p?x=1"].url_canonical
+        == "https://example.com:8443/p?x=1"
+    )
