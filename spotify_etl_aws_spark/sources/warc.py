@@ -30,11 +30,13 @@ from __future__ import annotations
 import gzip
 import html as _html
 import io
+import os
 import re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -182,7 +184,11 @@ def read_warc(
     extractor for the boilerplate-stripping ``html_main_text``."""
     extract = html_main_text if main_text else html_text
     files = spark.read.format("binaryFile").load(path)
+    gen = _warc_kernel(record_types, min_text_chars, extract)
+    return files.select("path", "content").mapInPandas(gen, schema=WARC_SCHEMA)
 
+
+def _warc_kernel(record_types, min_text_chars, extract):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -215,4 +221,76 @@ def read_warc(
                 ],
             )
 
-    return files.select("path", "content").mapInPandas(gen, schema=WARC_SCHEMA)
+    return gen
+
+
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def incremental_crawl(
+    spark: SparkSession,
+    crawl_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    blocked_domains: list[str] | None = None,
+    record_types: tuple[str, ...] = ("response",),
+    min_text_chars: int = 1,
+    main_text: bool = True,
+    max_files_per_batch: int = 64,
+) -> None:
+    """The STREAMING lane of crawl ingestion: WARC shards land in
+    ``crawl_dir`` and each FILE is parsed exactly once (checkpointed
+    AvailableNow binaryFile source, the ``incremental_bronze``
+    pattern). Per batch: parse records -> extract main text ->
+    canonicalize URLs -> drop blocked domains -> write documents
+    (doc_id = xxhash64 of the canonical URL) to an epoch-keyed
+    idempotent parquet sink under ``out_dir`` — a foreachBatch replay
+    overwrites its own partition instead of appending duplicates.
+
+    The output directory is ``incremental_curation``-shaped input:
+    chain the two and new crawl shards flow to curated corpus with
+    exactly-once semantics at both hops. Cross-shard DOMAIN CAPS are
+    deliberately not incremental (a cap is a corpus-wide order
+    statistic) — apply ``domain_caps`` in the periodic batch rebuild.
+    """
+    from ..operators.urls import blocklist_filter, with_url_parts
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", str(max_files_per_batch))
+        .load(crawl_dir)
+    )
+    gen = _warc_kernel(
+        record_types, min_text_chars, html_main_text if main_text else html_text
+    )
+
+    def land_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        pages = batch_df.select("path", "content").mapInPandas(
+            gen, schema=WARC_SCHEMA
+        )
+        docs = with_url_parts(pages).filter(F.col("host").isNotNull())
+        if blocked_domains:
+            docs = blocklist_filter(docs, blocked_domains)
+        out = docs.select(
+            F.xxhash64("url_canonical").alias("doc_id"),
+            "text",
+            "url_canonical",
+            "domain",
+            "warc_file",
+            "warc_date",
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "docs", f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(land_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
