@@ -316,3 +316,64 @@ def audio_quality_gate(
     return meta.filter(
         (F.col("duration_s") >= min_duration_s) & (F.col("rms") >= min_rms)
     )
+
+
+def audio_embeddings(
+    df: DataFrame,
+    frames: int = 16,
+    id_col: str = "doc_id",
+    audio_col: str = "audio",
+) -> DataFrame:
+    """(id, audio binary) -> (id, embedding array<float>): the
+    time-normalized energy-profile fingerprint — decode, mono-mix,
+    split the waveform into ``frames`` equal segments, take per-segment
+    log-RMS energy and zero-crossing rate, center each feature FAMILY
+    independently (the RMS scale would otherwise drown the ZCR block
+    and every clip would collapse toward one direction), then
+    L2-normalize the 2*frames vector. Duration- and sample-rate-invariant by
+    construction (segments are fractions of the clip), which is the
+    audio near-dup signal; a learned encoder (wav2vec-class) swaps in
+    at the same decode->vector seam. Unit-norm output feeds the vector
+    lanes directly."""
+    import numpy as np
+
+    if frames <= 0:
+        raise ValueError(f"frames must be positive, got {frames}")
+    schema = f"{id_col} bigint, embedding array<float>"
+
+    def one(b: bytes) -> list[float]:
+        d = decode_audio(bytes(b))
+        x = np.frombuffer(d.samples, dtype="<i2").astype(np.float64)
+        if d.channels > 1:
+            x = x[: len(x) - len(x) % d.channels]
+            x = x.reshape(-1, d.channels).mean(axis=1)
+        segs = np.array_split(x, frames)
+        feats = np.empty(2 * frames, dtype=np.float64)
+        for i, s in enumerate(segs):
+            if len(s) == 0:
+                feats[i] = feats[frames + i] = 0.0
+                continue
+            feats[i] = np.log1p(np.sqrt((s**2).mean()))
+            feats[frames + i] = (
+                float((np.signbit(s[1:]) != np.signbit(s[:-1])).mean())
+                if len(s) > 1
+                else 0.0
+            )
+        for half in (feats[:frames], feats[frames:]):
+            half -= half.mean()
+            hn = float(np.linalg.norm(half))
+            if hn > 0:
+                half /= hn
+        n = float(np.linalg.norm(feats))
+        return [float(v) for v in (feats / n if n > 0 else feats)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": [one(b) for b in pdf[audio_col]],
+                }
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(gen, schema)

@@ -604,37 +604,43 @@ def image_embeddings(
     in at this kernel's decode->vector seam; the Spark plumbing —
     binary in, unit vector out, bytes never shuffle — is identical.
     """
-    import numpy as np
-
     if grid <= 0:
         raise ValueError(f"grid must be positive, got {grid}")
-    dim = 3 * grid * grid
     schema = f"{id_col} bigint, embedding array<float>"
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(b: bytes) -> list[float]:
-            img = decode_image(bytes(b))
-            px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
-                img.height, img.width, 3
-            ).astype(np.float64)
-            if img.mode == "BGR":
-                px = px[:, :, ::-1]
-            rows = np.array_split(px, grid, axis=0)
-            v = np.empty((grid, grid, 3), dtype=np.float64)
-            for i, r in enumerate(rows):
-                for j, cell in enumerate(np.array_split(r, grid, axis=1)):
-                    v[i, j] = cell.mean(axis=(0, 1))
-            flat = (v / 255.0).reshape(-1)
-            flat = flat - flat.mean()
-            n = float(np.linalg.norm(flat))
-            return [float(x) for x in (flat / n if n > 0 else flat)]
-
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "embedding": [one(b) for b in pdf[media_col]],
+                    "embedding": [
+                        [float(x) for x in blockmean_vector(bytes(b), grid)]
+                        for b in pdf[media_col]
+                    ],
                 }
             )
 
     return df.select(id_col, media_col).mapInPandas(_embed, schema)
+
+
+def blockmean_vector(data: bytes, grid: int = 4):
+    """Decode an image and return its unit-norm block-mean vector
+    (numpy, 3*grid^2 floats) — the kernel behind ``image_embeddings``,
+    exposed so the video lane can pool it over sampled frames."""
+    import numpy as np
+
+    img = decode_image(data)
+    px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, 3
+    ).astype(np.float64)
+    if img.mode == "BGR":
+        px = px[:, :, ::-1]
+    rows = np.array_split(px, grid, axis=0)
+    v = np.empty((grid, grid, 3), dtype=np.float64)
+    for i, r in enumerate(rows):
+        for j, cell in enumerate(np.array_split(r, grid, axis=1)):
+            v[i, j] = cell.mean(axis=(0, 1))
+    flat = (v / 255.0).reshape(-1)
+    flat = flat - flat.mean()
+    n = float(np.linalg.norm(flat))
+    return flat / n if n > 0 else flat

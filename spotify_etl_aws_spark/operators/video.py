@@ -402,3 +402,51 @@ def video_quality_gate(
         & (F.col("fps") >= min_fps)
         & (F.col("width") * F.col("height") >= min_pixels)
     )
+
+
+def video_embeddings(
+    df: DataFrame,
+    every: int = 10,
+    grid: int = 4,
+    id_col: str = "doc_id",
+    video_col: str = "video",
+) -> DataFrame:
+    """(id, video binary) -> (id, embedding array<float>): mean-pooled
+    block-mean fingerprints of the SAMPLED frames (frames 0, every,
+    2*every, ... — index-seek, so only sampled frames decode),
+    renormalized to unit length. Two videos sharing most frames land
+    near each other — the clip-level near-dup signal — and the output
+    feeds the same vector lanes as the image/audio/text embeddings."""
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.multimodal import blockmean_vector
+
+    if every <= 0:
+        raise ValueError(f"every must be positive, got {every}")
+    schema = f"{id_col} bigint, embedding array<float>"
+
+    def one(b: bytes) -> list[float]:
+        data = bytes(b)
+        meta = parse_avi(data)
+        acc = None
+        n = 0
+        for idx in range(0, meta.n_frames, every):
+            v = blockmean_vector(extract_frame(data, meta, idx), grid)
+            acc = v if acc is None else acc + v
+            n += 1
+        if not n:
+            return [0.0] * (3 * grid * grid)
+        pooled = acc / n
+        norm = float(np.linalg.norm(pooled))
+        return [float(x) for x in (pooled / norm if norm > 0 else pooled)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": [one(b) for b in pdf[video_col]],
+                }
+            )
+
+    return df.select(id_col, video_col).mapInPandas(gen, schema)
