@@ -21,8 +21,11 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.lower(c), TOKEN_SPLIT_RE)
 
 
-def word_shingles(toks: Column, n: int) -> Column:
-    """Distinct n-gram word shingles joined with single spaces.
+def word_shingles(toks: Column, n: int, distinct: bool = True) -> Column:
+    """N-gram word shingles joined with single spaces — distinct by
+    default (the set-semantics the dedup/LSH lanes and their DuckDB
+    twins use); ``distinct=False`` keeps every occurrence (the
+    count-semantics the hashing-trick featurizer needs).
 
     DuckDB twin: ``array_to_string(w[i:i+n-1], ' ')`` over
     ``i in range(1, len(w) - n + 2)``. Documents with fewer than ``n``
@@ -30,7 +33,9 @@ def word_shingles(toks: Column, n: int) -> Column:
     """
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 

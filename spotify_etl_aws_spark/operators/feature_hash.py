@@ -20,21 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
-
-
-def _ngrams(toks: Column, n: int) -> Column:
-    """Word n-grams WITHOUT dedup (``functions.text.word_shingles``
-    applies array_distinct, which would binarize the counts the
-    hashing trick accumulates)."""
-    m = F.size(toks) - (n - 1)
-    # sequence(1, m) DESCENDS when m < 1 — short docs get no n-grams
-    starts = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
+from ..functions.text import tokens, word_shingles
 
 
 def hashed_embedding(
@@ -53,7 +39,13 @@ def hashed_embedding(
     if dim <= 0:
         raise ValueError(f"dim must be positive, got {dim}")
     toks = tokens(text_col)
-    terms: Column = toks if shingle_n == 1 else _ngrams(toks, shingle_n)
+    # distinct=False: the hashing trick accumulates COUNTS — the
+    # dedup lanes' set semantics would binarize repeated shingles
+    terms: Column = (
+        toks
+        if shingle_n == 1
+        else word_shingles(toks, shingle_n, distinct=False)
+    )
     # the whitespace tokenizer yields [""] on empty text (split
     # semantics); an empty term is not a feature
     terms = F.filter(terms, lambda t: t != "")

@@ -72,7 +72,7 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
     rate = channels = 0
     version = ""
     bitrates_seen: set[int] = set()
-    other_layer_seen = False
+    other_layer_seen = free_format_seen = False
     while pos + 4 <= len(data):
         b0, b1, b2, b3 = data[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -84,15 +84,18 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
         layer = (b1 >> 1) & 3
         br_idx = b2 >> 4
         sr_idx = (b2 >> 2) & 3
-        if vbits != 1 and layer == 1 and br_idx == 0 and sr_idx != 3:
+        free_format = vbits != 1 and layer == 1 and br_idx == 0 and sr_idx != 3
+        if free_format and n_frames:
             raise NotImplementedError("free-format bitrate unsupported")
         valid = vbits != 1 and 0 < br_idx < 15 and sr_idx != 3
         if not n_frames and (not valid or layer != 1):
             # sync-LOOKING bytes inside leading garbage: keep scanning
             # (raising here would let one corrupt ID3 region kill the
-            # task for an otherwise-parseable stream); remember seeing
-            # a well-formed other-layer header for the seam message
+            # task for an otherwise-parseable stream); remember the
+            # well-formed other-layer / free-format sightings for the
+            # precise seam message if no real frame ever appears
             other_layer_seen |= valid and layer != 1
+            free_format_seen |= free_format
             pos += 1
             continue
         if layer != 1:  # 1 == Layer III
@@ -117,6 +120,8 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
         bitrates_seen.add(kbps)
         pos += frame_len
     if not n_frames:
+        if free_format_seen:
+            raise NotImplementedError("free-format bitrate unsupported")
         if other_layer_seen:
             raise NotImplementedError(
                 "parse_mp3_meta supports Layer III only"

@@ -635,6 +635,14 @@ def blockmean_vector(data: bytes, grid: int = 4):
     ).astype(np.float64)
     if img.mode == "BGR":
         px = px[:, :, ::-1]
+    # images smaller than the grid (1x1 tracking pixels, tiny GIFs)
+    # would hand array_split empty cells whose mean is NaN — upsample
+    # by pixel repetition first (nearest-neighbor semantics, identical
+    # block means for normal-size images)
+    if px.shape[0] < grid:
+        px = np.repeat(px, -(-grid // px.shape[0]), axis=0)
+    if px.shape[1] < grid:
+        px = np.repeat(px, -(-grid // px.shape[1]), axis=1)
     rows = np.array_split(px, grid, axis=0)
     v = np.empty((grid, grid, 3), dtype=np.float64)
     for i, r in enumerate(rows):

@@ -65,7 +65,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import TOKEN_SPLIT_RE, tokens
 from .dedup import spread_narrow_scan
 
 
@@ -188,8 +188,10 @@ def dedup_substrings(
     """
     spans = duplicated_spans(docs, k, id_col, text_col)
     # case-PRESERVING split for reconstruction; hashing used tokens()
-    # (lowered) — identical boundaries, so positions line up exactly
-    toks = F.split(F.col(text_col), r"\s+")
+    # (lowered). The SAME split pattern is load-bearing: the cut
+    # positions only align index-for-index because both arrays split on
+    # TOKEN_SPLIT_RE (lowercasing never changes whitespace boundaries)
+    toks = F.split(F.col(text_col), TOKEN_SPLIT_RE)
     joined = spread_narrow_scan(docs).join(spans, id_col, "left").withColumn(
         "__iv",
         _merge_starts(

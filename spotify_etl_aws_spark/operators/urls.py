@@ -77,8 +77,16 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     query = _clean_query(F.parse_url(url, F.lit("QUERY")))
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     # parse_url HOST excludes the port; re-extract it so NON-default
-    # ports survive canonicalization (distinct origins must not merge)
-    port = F.regexp_extract(url, r"^[^:]+://[^/?#]*:(\d+)", 1)
+    # ports survive canonicalization (distinct origins must not merge).
+    # Work on the authority with userinfo stripped, and anchor the port
+    # at the END — digits in user:pass@ or inside IPv6 brackets must
+    # never be read as a port
+    authority = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+        r"^.*@",
+        "",
+    )
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
     default_port = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))

@@ -161,19 +161,34 @@ def compact_dataset(
 
     File count = ceil(input_bytes / target): coalesce-style planning on
     the INPUT byte size (parquet re-encodes to roughly similar size;
-    exactness is not the contract — file-count reduction is).
-    The rewrite goes through a temp directory then an atomic swap
-    (rename dance), so a concurrent reader sees either the old layout
-    or the new one, never a half-written mix. Returns
-    {files_before, files_after, bytes_before}.
+    exactness is not the contract — file-count reduction is). With
+    ``partition_cols`` the shuffle keys on them, so each partition
+    value compacts into one task (one output file per partition dir;
+    a single mega-partition stays one file — split such a table on a
+    finer partition scheme, not here).
 
-    At 100 TB this runs per-partition (pass ``partition_cols`` to keep
-    the layout); the repartition is the one shuffle and it is the point
-    — paying it once amortizes every future scan's open cost.
+    The swap is rename-based and CRASH-RECOVERABLE, not atomic: plain
+    filesystems cannot atomically exchange directories, so there is a
+    brief window where ``path`` is absent (a table-format commit —
+    Delta/Iceberg — is the production answer for readers that cannot
+    tolerate it). A crash mid-swap leaves the data in
+    ``path.__compact_old__``; the next call restores it before doing
+    anything else, and stale temp dirs from a crashed write are
+    removed. Returns {files_before, files_after, bytes_before}.
     """
     import math
     import os
     import shutil
+
+    tmp = f"{path}.__compact_tmp__"
+    old = f"{path}.__compact_old__"
+    # crash recovery: a previous run may have died mid-swap or mid-write
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)  # died between the two renames
+    if os.path.exists(old):
+        shutil.rmtree(old)  # died before cleanup; path is the new data
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # died mid-write; tmp is garbage
 
     df = spark.read.parquet(path)
     files = [
@@ -188,12 +203,22 @@ def compact_dataset(
     n_before = len(files)
     bytes_before = sum(s for _, s in files)
     n_files = max(1, math.ceil(bytes_before / (target_file_mb << 20)))
-    tmp = f"{path}.__compact_tmp__"
-    writer = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        # keying the shuffle on the partition columns co-locates each
+        # partition value in one task -> one file per partition dir
+        # (round-robin would scatter every partition across every task:
+        # n_files x n_partitions fragments, the opposite of compaction)
+        from pyspark.sql import functions as _F
+
+        repartitioned = df.repartition(
+            n_files, *[_F.col(c) for c in partition_cols]
+        )
+        writer = repartitioned.write.mode("overwrite").partitionBy(
+            *partition_cols
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(tmp)
-    old = f"{path}.__compact_old__"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

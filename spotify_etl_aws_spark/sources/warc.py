@@ -244,10 +244,17 @@ def incremental_crawl(
     ``crawl_dir`` and each FILE is parsed exactly once (checkpointed
     AvailableNow binaryFile source, the ``incremental_bronze``
     pattern). Per batch: parse records -> extract main text ->
-    canonicalize URLs -> drop blocked domains -> write documents
-    (doc_id = xxhash64 of the canonical URL) to an epoch-keyed
-    idempotent parquet sink under ``out_dir`` — a foreachBatch replay
-    overwrites its own partition instead of appending duplicates.
+    canonicalize URLs -> drop blocked domains -> write documents to an
+    epoch-keyed idempotent parquet sink under ``out_dir`` — a
+    foreachBatch replay overwrites its own partition instead of
+    appending duplicates.
+
+    Identity: ``doc_id = xxhash64(url_canonical, warc_date)`` — one id
+    per FETCH, so a later re-crawl of the same URL lands as its own
+    row (ids stay unique corpus-wide) and ``url_hash`` carries the
+    per-URL identity. Unchanged re-crawls collapse downstream at
+    ``incremental_curation``'s cross-batch CONTENT dedup; keeping the
+    latest fetch per URL instead is one window over ``url_hash``.
 
     The output directory is ``incremental_curation``-shaped input:
     chain the two and new crawl shards flow to curated corpus with
@@ -276,13 +283,14 @@ def incremental_crawl(
         if blocked_domains:
             docs = blocklist_filter(docs, blocked_domains)
         out = docs.select(
-            F.xxhash64("url_canonical").alias("doc_id"),
+            F.xxhash64("url_canonical", "warc_date").alias("doc_id"),
+            F.xxhash64("url_canonical").alias("url_hash"),
             "text",
             "url_canonical",
             "domain",
             "warc_file",
             "warc_date",
-        )
+        ).dropDuplicates(["doc_id"])
         out.write.mode("overwrite").parquet(
             os.path.join(out_dir, "docs", f"epoch={epoch_id}")
         )

@@ -81,3 +81,23 @@ def test_invalid_grid_raises(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id bigint, media binary")
     with pytest.raises(ValueError, match="grid"):
         image_embeddings(df, grid=0)
+
+
+def test_tiny_images_never_emit_nan(spark):
+    """Review fix: sub-grid images (1x1 tracking pixels) must embed as
+    finite vectors, not NaNs that poison every cosine downstream."""
+    rows = [
+        (1, encode_bmp(1, 1, b"\x10\x20\x30")),
+        (2, encode_png(2, 3, bytes(range(18)))),
+        (3, encode_bmp(32, 24, _pixels(3))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    got = {
+        r.doc_id: np.array(r.embedding, dtype=np.float64)
+        for r in image_embeddings(df).collect()
+    }
+    for v in got.values():
+        assert np.isfinite(v).all()
+        # unit norm (channel variation survives centering even for a
+        # 1x1 image): the vector is usable, not degenerate
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-6

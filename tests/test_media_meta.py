@@ -164,3 +164,14 @@ def test_mp3_resyncs_over_sync_like_garbage():
     l2 = bytes([0xFF, 0xFD, 0x90, 0x00]) + b"\x00" * 100
     with pytest.raises(NotImplementedError, match="Layer III"):
         parse_mp3_meta(l2 * 3)
+
+
+def test_free_format_lookalike_garbage_resyncs():
+    """Review fix: a free-format-looking header in LEADING garbage
+    resyncs; a genuinely free-format stream still gets the seam error."""
+    junk = b"\x00\xff\xfb\x04\x00\x00junk"
+    m = parse_mp3_meta(junk + _mp3_frame(128) * 4)
+    assert m.n_frames == 4
+    ff = bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 400
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3_meta(ff)
