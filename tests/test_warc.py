@@ -273,3 +273,32 @@ def test_incremental_crawl_exactly_once(spark, tmp_path):
     assert final.select("doc_id").distinct().count() == 35
     # epoch is a partition column (the idempotent-sink contract)
     assert "epoch" in final.columns
+
+    # wave 3 RE-CRAWLS a wave-1 URL: per-fetch ids stay unique (no
+    # doc_id collision across epochs) while url_hash ties the fetches
+    recs = _record(
+        "response",
+        _http(
+            b"<html><body><p>recrawled article number 0 with enough "
+            b"prose words to clear the main text extractor filter "
+            b"threshold comfortably again</p></body></html>"
+        ),
+        "https://s0.example.org/a0",
+    ).replace(b"2026-08-14T00:00:00Z", b"2026-08-15T09:30:00Z")
+    import time as _time
+
+    _time.sleep(1.1)  # a later mtime so the source sees the new file
+    (land / "w3.warc.gz").write_bytes(gzip.compress(recs))
+    incremental_crawl(
+        spark, str(land), out, ckpt, blocked_domains=["example.net"]
+    )
+    final = spark.read.parquet(docs_path)
+    assert final.count() == 36
+    assert final.select("doc_id").distinct().count() == 36
+    from pyspark.sql import functions as F
+
+    refetches = final.filter(
+        F.col("url_canonical") == "https://s0.example.org/a0"
+    )
+    assert refetches.count() == 2
+    assert refetches.select("url_hash").distinct().count() == 1
