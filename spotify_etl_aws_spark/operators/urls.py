@@ -123,6 +123,7 @@ def domain_caps(
     domain_col: str = "domain",
     id_col: str = "doc_id",
     salt: str = "v1",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` documents per domain, chosen by
     deterministic hash order (stable under retries AND corpus growth
@@ -130,18 +131,32 @@ def domain_caps(
     docs exist, never because of arrival order).
 
     One window shuffle on the domain key. A single mega-domain makes
-    that key hot; with a small cap the standard mitigation is a
-    two-phase cap (cap within (domain, salt-bucket), then re-cap per
-    domain) — compose this operator twice with a salted column for
-    that shape."""
+    that key hot; ``salt_buckets=B`` switches to the two-phase cap:
+    phase 1 caps within ``(domain, hash-bucket)`` — B reducers share
+    the hot domain, each holding at most ``max_per_domain`` rows —
+    and phase 2 re-caps the <= B * cap survivors per domain. The
+    result is IDENTICAL to the single-phase cap (the global N
+    lowest-hash docs of a domain are each among their own bucket's N
+    lowest), so the flag is purely a physical-plan choice."""
     if max_per_domain <= 0:
         raise ValueError(f"max_per_domain must be positive, got {max_per_domain}")
     from pyspark.sql.window import Window
 
     order = [F.xxhash64(F.lit(salt), F.col(id_col)).asc(), F.col(id_col).asc()]
+    stage = df
+    if salt_buckets is not None:
+        if salt_buckets <= 0:
+            raise ValueError(f"salt_buckets must be positive, got {salt_buckets}")
+        bucket = F.pmod(F.xxhash64(F.lit("b" + salt), F.col(id_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(domain_col, bucket).orderBy(*order)
+        stage = (
+            stage.withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= max_per_domain)
+            .drop("__rn1")
+        )
     w = Window.partitionBy(domain_col).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        stage.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_per_domain)
         .drop("__rn")
     )

@@ -204,3 +204,21 @@ def test_userinfo_and_ipv6_never_fabricate_ports(spark):
         got["https://example.com/price:30"].url_canonical
         == "https://example.com/price:30"
     )
+
+
+def test_two_phase_cap_identical_to_single_phase(spark):
+    """salt_buckets is a physical-plan choice only: the two-phase cap
+    (hot domain spread over B reducers, each bounded at cap rows)
+    keeps exactly the same documents as the single-phase window."""
+    rows = [
+        (i, "mega.com" if i < 900 else f"tail{i % 17}.org")
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, domain string")
+    single = {r.doc_id for r in domain_caps(df, 25).collect()}
+    two = {r.doc_id for r in domain_caps(df, 25, salt_buckets=8).collect()}
+    assert single == two
+    assert (
+        len({r.doc_id for r in domain_caps(df, 25, salt_buckets=8)
+             .filter(F.col("domain") == "mega.com").collect()}) == 25
+    )
