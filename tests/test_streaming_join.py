@@ -104,3 +104,77 @@ def test_stream_stream_left_outer_min_watermark_side_flips(spark, tmp_path):
         for r in streaming_stream_stream_join(spark, sf).collect()
     }
     assert got == {(2, None, 4)}
+
+
+def test_stream_stream_full_outer_pads_both_sides(spark, tmp_path):
+    """FULL outer: the click side ALSO null-pads at ITS eviction point
+    (a click is purged once no future purchase can reach back to it:
+    watermark past click_ts + 30 min). Unmatched young clicks stay in
+    state and are never emitted — symmetric with the purchase side."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.queries.streaming import (
+        read_table_stream,
+        run_available_now,
+    )
+
+    sf = _write_events(
+        tmp_path,
+        [
+            # anchors: both sides max 12:00 -> global watermark 11:00
+            (1, _T("2024-03-01 12:00:00"), 999, "click", 1.0, "{}"),
+            (2, _T("2024-03-01 12:00:00"), 998, "purchase", 1.0, "{}"),
+            # matched pair
+            (3, _T("2024-03-01 09:45:00"), 5, "click", 1.0, "{}"),
+            (4, _T("2024-03-01 10:00:00"), 5, "purchase", 1.0, "{}"),
+            # unmatched old purchase -> (6, None, 5)
+            (5, _T("2024-03-01 09:00:00"), 6, "purchase", 1.0, "{}"),
+            # unmatched old click (09:00 + 30min << 11:00) -> (7, 6, None)
+            (6, _T("2024-03-01 09:00:00"), 7, "click", 1.0, "{}"),
+            # unmatched YOUNG click (10:45 + 30min > 11:00): in state
+            (7, _T("2024-03-01 10:45:00"), 8, "click", 1.0, "{}"),
+        ],
+    )
+    clicks = (
+        read_table_stream(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_table_stream(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "c_user").alias("uid"),
+        "click_id",
+        "purchase_id",
+    )
+    got = {
+        (r.uid, r.click_id, r.purchase_id)
+        for r in run_available_now(joined, "ss_full", output_mode="append").collect()
+    }
+    assert (5, 3, 4) in got  # the match
+    assert (6, None, 5) in got  # purchase-side padding
+    assert (7, 6, None) in got  # click-side padding (full outer only)
+    emitted_clicks = {c for _, c, _ in got if c is not None}
+    assert 7 not in emitted_clicks  # young unmatched click: still in state
