@@ -302,3 +302,21 @@ def incremental_crawl(
         .start()
     )
     q.awaitTermination()
+
+
+def latest_fetch_per_url(docs: DataFrame) -> DataFrame:
+    """Collapse re-crawls: keep the LATEST fetch of each canonical URL
+    (window over ``url_hash`` by ``warc_date`` desc, doc_id as the
+    deterministic tiebreak). The materialization of the docstring note
+    on ``incremental_crawl``'s identity contract — run it at batch-
+    rebuild time when the corpus should carry one row per page."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("warc_date").desc(), F.col("doc_id").desc()
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

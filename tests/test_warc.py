@@ -302,3 +302,43 @@ def test_incremental_crawl_exactly_once(spark, tmp_path):
     )
     assert refetches.count() == 2
     assert refetches.select("url_hash").distinct().count() == 1
+
+
+def test_latest_fetch_per_url_and_epoch_compaction(spark, tmp_path):
+    """Composes the crawl maintenance pair: latest_fetch_per_url
+    collapses re-crawls to the newest version, and compact_dataset
+    bin-packs the epoch-accumulated small files with the partition
+    layout (and rows) intact."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.sources.sinks import compact_dataset
+    from spotify_etl_aws_spark.sources.warc import latest_fetch_per_url
+
+    rows = [
+        # url A fetched three times; url B once
+        (1, 100, "old text a", "https://a/", "a", "f1", "2026-08-01T00:00:00Z", 0),
+        (2, 100, "mid text a", "https://a/", "a", "f2", "2026-08-05T00:00:00Z", 1),
+        (3, 100, "new text a", "https://a/", "a", "f3", "2026-08-09T00:00:00Z", 2),
+        (4, 200, "only text b", "https://b/", "b", "f1", "2026-08-02T00:00:00Z", 0),
+    ]
+    schema = (
+        "doc_id bigint, url_hash bigint, text string, url_canonical string, "
+        "domain string, warc_file string, warc_date string, epoch int"
+    )
+    docs = spark.createDataFrame(rows, schema)
+    latest = {r.url_hash: r.text for r in latest_fetch_per_url(docs).collect()}
+    assert latest == {100: "new text a", 200: "only text b"}
+
+    # epoch-accumulated small files -> compaction keeps rows + layout
+    path = str(tmp_path / "docs")
+    for e in range(3):
+        docs.filter(F.col("epoch") == e).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("epoch").parquet(path)
+    stats = compact_dataset(spark, path, partition_cols=["epoch"])
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+    assert stats["files_after"] <= stats["files_before"]
+    assert {r.epoch for r in back.select("epoch").distinct().collect()} == {0, 1, 2}
+    # the maintenance pair composes: compacted data still collapses
+    assert latest_fetch_per_url(back).count() == 2
