@@ -118,3 +118,32 @@ def test_shingle_counts_accumulate(spark):
     # the 'ping pong' bucket must scale, not binarize
     assert not np.array_equal(got[0], got[1])
     assert np.abs(got[1]).sum() == 5.0 and np.abs(got[0]).sum() == 1.0
+
+
+def test_hashed_embeddings_compose_with_pq(spark, sf_dir):
+    """Cross-lane composition: feature-hashed TEXT vectors -> PQ
+    codebooks -> byte codes -> ADC top-k recovers the planted
+    near-duplicate that brute-force cosine finds."""
+    from spotify_etl_aws_spark.operators.pq import encode_pq, fit_pq, pq_topk
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    probe_src = docs.filter(F.col("doc_id") == 11)
+    probe = probe_src.select(
+        F.lit(990011).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" small suffix")).alias("text"),
+    )
+    emb = hashed_embedding(docs.unionByName(probe), dim=64).select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding").alias("v")
+    )
+    model = fit_pq(emb, m=8, k=16, sample_n=301)
+    codes = encode_pq(emb, model)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 990011).collect()[0].v
+    ]
+    top = pq_topk(codes, model, q, top_k=3).collect()
+    ids = [r.vec_id for r in top]
+    # the twin pair owns the top two (their order can flip: ADC of the
+    # query against its own codes carries quantization error too)
+    assert set(ids[:2]) == {11, 990011}
