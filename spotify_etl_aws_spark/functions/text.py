@@ -13,6 +13,16 @@ from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
 
+# Tiny per-language stopword lists for the stopword-hit language-ID
+# heuristic — SQL-portable (plain IN lists on both engines). The
+# canonical copy; queries/text.py re-exports it for the oracle twins.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "los"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est"],
+}
+
 
 def tokens(col: Column | str) -> Column:
     """Lowercased whitespace tokens. DuckDB twin:
@@ -70,3 +80,24 @@ def quality_score(text_col: str = "text") -> Column:
         F.regexp_replace(F.lower(F.col(text_col)), QUALITY_PUNCT_RE, "")
     ) / F.length(text_col)
     return F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio)
+
+
+def predicted_lang(
+    toks: Column, stopword_map: dict[str, list[str]]
+) -> Column:
+    """Stopword-hit language ID with a deterministic argmax tiebreak
+    (earlier key in ``stopword_map`` wins ties) — the expression behind
+    the ``text_lang_fingerprint`` query, reusable as a curation-ladder
+    language gate."""
+    hits = {lang: stopword_hits(toks, words) for lang, words in stopword_map.items()}
+    langs = list(stopword_map)
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [hits[other] for other in langs[langs.index(lang) + 1 :]]
+        cond = (
+            hits[lang] >= F.greatest(*later)
+            if len(later) > 1
+            else hits[lang] >= later[0]
+        )
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred

@@ -31,7 +31,12 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import quality_score, tokens
+from ..functions.text import (
+    STOPWORDS,
+    predicted_lang,
+    quality_score,
+    tokens,
+)
 from ..operators.bpe import BpeModel, encode_bpe
 from ..operators.classifier import (
     LinearQualityModel,
@@ -104,6 +109,7 @@ def build_training_corpus(
     quality_model_min: float = 0.5,
     tokenizer: BpeModel | UnigramModel | None = None,
     substring_dedup_k: int | None = None,
+    keep_langs: tuple[str, ...] | None = None,
     audit: bool = False,
 ) -> DataFrame:
     """Run the ladder over ``docs`` (doc_id, text) and write the packed
@@ -122,6 +128,10 @@ def build_training_corpus(
     per INPUT document with the stage that dropped it (or ``kept``),
     the per-doc attribution file production pipelines publish next to
     the corpus (see ``curation_audit``).
+
+    ``keep_langs`` adds the language gate (stopword-hit lang-ID,
+    ``functions.text.predicted_lang``) ahead of every shuffling stage,
+    so off-language documents never pay for dedup.
 
     ``quality_model`` adds the FineWeb-style model-based filter: a
     ``LinearQualityModel`` (trained in-engine on reference-vs-raw
@@ -146,6 +156,14 @@ def build_training_corpus(
     trail: list[tuple[str, DataFrame]] = []
 
     stage = docs.select("doc_id", "text")
+    # language gate FIRST (the CCNet/FineWeb order): it is a pure
+    # map-side filter, so running it before the shuffling stages means
+    # off-language docs never pay for dedup
+    if keep_langs is not None:
+        stage = stage.filter(
+            predicted_lang(tokens("text"), STOPWORDS).isin(*keep_langs)
+        )
+        trail.append(("language", stage))
     if bench is not None:
         stage = decontaminate(stage, bench, shingle_n=decon_shingle_n)
         trail.append(("contaminated", stage))

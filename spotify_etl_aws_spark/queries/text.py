@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    predicted_lang,
     QUALITY_PUNCT_RE as _PUNCT_RE,
     char_shingles,
     quality_score,
@@ -18,14 +19,9 @@ from ..functions.text import (
 )
 from ..sources.readers import load_table as t
 
-# Tiny per-language stopword lists for the n-gram/stopword language-ID
-# heuristic. Chosen to be SQL-portable (plain IN lists on both engines).
-STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "in", "is"],
-    "es": ["el", "la", "de", "y", "que", "en", "los"],
-    "de": ["der", "die", "das", "und", "zu", "ist", "ein"],
-    "fr": ["le", "la", "de", "et", "les", "des", "est"],
-}
+# canonical stopword lists live in functions/text.py (shared with the
+# curation language gate); re-exported here for the oracle twins
+from ..functions.text import STOPWORDS  # noqa: E402
 FINGERPRINT_NGRAM = 8
 # BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs — the
 # regex-split shape subword tokenizers apply before merges. Identical
@@ -129,11 +125,7 @@ def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     hits = {lang: stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
     langs = list(STOPWORDS)
-    pred = F.lit(langs[-1])
-    for lang in reversed(langs[:-1]):
-        later = [hits[other] for other in langs[langs.index(lang) + 1 :]]
-        cond = hits[lang] >= F.greatest(*later) if len(later) > 1 else hits[lang] >= later[0]
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    pred = predicted_lang(toks, STOPWORDS)
     grams = char_shingles("text", FINGERPRINT_NGRAM)
     fp = F.array_min(F.transform(grams, F.md5))
     return docs.select(

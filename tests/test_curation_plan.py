@@ -417,3 +417,42 @@ def test_classifier_gate_in_ladder(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(out_dir / "audit")).collect()
     }
     assert audit[SPAMMY] == "classifier"
+
+
+def test_language_gate_first_in_ladder(spark, sf_dir, tmp_path):
+    """keep_langs: planted Spanish/German docs die at the 'language'
+    stage (attributed in the audit) before any shuffle-heavy work."""
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ES, DE = 900301, 900302
+    planted = spark.createDataFrame(
+        [
+            (ES, "el proyecto de la tabla y que los datos en el motor "
+                 "de la consulta y los planes de el sistema"),
+            (DE, "der plan und die tabelle das system und der speicher "
+                 "ist ein motor zu der anfrage und die daten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out_dir = tmp_path / "corpus_lang"
+    out = build_training_corpus(
+        spark,
+        docs.unionByName(planted),
+        None,
+        str(out_dir),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=512,
+        keep_langs=("en",),
+        audit=True,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ES not in kept and DE not in kept
+    assert len(kept) > 100  # the (English) fixture corpus passes
+    audit = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(str(out_dir / "audit")).collect()
+    }
+    assert audit[ES] == "language" and audit[DE] == "language"
