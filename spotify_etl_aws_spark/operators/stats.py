@@ -70,3 +70,19 @@ def corpus_stats(
         )
     )
     return card.crossJoin(langs)
+
+
+def audit_summary(audit: DataFrame) -> DataFrame:
+    """One row per ladder stage from a curation audit frame
+    (``plans.curation.curation_audit`` output): (status, n_docs,
+    fraction) ordered by count — the drop-rate table a data card
+    publishes next to the corpus stats. One aggregation; fractions
+    computed from the same pass via a window total."""
+    from pyspark.sql.window import Window
+
+    counts = audit.groupBy("status").agg(F.count("*").alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (
+        counts.withColumn("fraction", F.round(F.col("n_docs") / total, 6))
+        .orderBy(F.desc("n_docs"), "status")
+    )

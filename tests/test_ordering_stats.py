@@ -144,3 +144,20 @@ def test_model_save_load_roundtrip(spark, tmp_path):
         p = str(tmp_path / "weird.json")
         open(p, "w").write(json.dumps({"kind": "nope"}))
         load_model(p)
+
+
+def test_audit_summary_drop_table(spark):
+    from spotify_etl_aws_spark.operators.stats import audit_summary
+
+    audit = spark.createDataFrame(
+        [(i, "kept") for i in range(70)]
+        + [(100 + i, "near_duplicate") for i in range(20)]
+        + [(200 + i, "quality") for i in range(10)],
+        "doc_id bigint, status string",
+    )
+    rows = audit_summary(audit).collect()
+    assert [(r.status, r.n_docs) for r in rows] == [
+        ("kept", 70), ("near_duplicate", 20), ("quality", 10),
+    ]
+    assert abs(sum(r.fraction for r in rows) - 1.0) < 1e-9
+    assert rows[0].fraction == 0.7
