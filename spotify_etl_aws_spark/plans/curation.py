@@ -160,8 +160,27 @@ def build_training_corpus(
     # map-side filter, so running it before the shuffling stages means
     # off-language docs never pay for dedup
     if keep_langs is not None:
+        unknown = set(keep_langs) - set(STOPWORDS)
+        if unknown:
+            raise ValueError(
+                f"keep_langs {sorted(unknown)} not in the lang-ID "
+                f"vocabulary {sorted(STOPWORDS)}"
+            )
+        toks_ = tokens("text")
+        # the argmax alone defaults zero-hit docs (non-listed scripts,
+        # code, numbers) to the first language — a reporting artifact
+        # that would LEAK them through a filter; the gate additionally
+        # requires at least one stopword hit in some listed language
+        from ..functions.text import stopword_hits
+
+        any_hit = (
+            F.greatest(
+                *[stopword_hits(toks_, w) for w in STOPWORDS.values()]
+            )
+            > 0
+        )
         stage = stage.filter(
-            predicted_lang(tokens("text"), STOPWORDS).isin(*keep_langs)
+            predicted_lang(toks_, STOPWORDS).isin(*keep_langs) & any_hit
         )
         trail.append(("language", stage))
     if bench is not None:

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    STOPWORDS,
     predicted_lang,
     QUALITY_PUNCT_RE as _PUNCT_RE,
     char_shingles,
@@ -20,8 +21,7 @@ from ..functions.text import (
 from ..sources.readers import load_table as t
 
 # canonical stopword lists live in functions/text.py (shared with the
-# curation language gate); re-exported here for the oracle twins
-from ..functions.text import STOPWORDS  # noqa: E402
+# curation language gate); imported above for the oracle twins
 FINGERPRINT_NGRAM = 8
 # BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs — the
 # regex-split shape subword tokenizers apply before merges. Identical

@@ -306,14 +306,17 @@ def incremental_crawl(
 
 def latest_fetch_per_url(docs: DataFrame) -> DataFrame:
     """Collapse re-crawls: keep the LATEST fetch of each canonical URL
-    (window over ``url_hash`` by ``warc_date`` desc, doc_id as the
-    deterministic tiebreak). The materialization of the docstring note
-    on ``incremental_crawl``'s identity contract — run it at batch-
+    (window over the URL itself — never the 64-bit hash, whose
+    collisions would silently drop every fetch of the losing URL —
+    ordered by the PARSED timestamp: WARC dates mix whole-second,
+    fractional and offset forms, where string order is not time
+    order). The materialization of the docstring note on
+    ``incremental_crawl``'s identity contract — run it at batch-
     rebuild time when the corpus should carry one row per page."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("url_hash").orderBy(
-        F.col("warc_date").desc(), F.col("doc_id").desc()
+    w = Window.partitionBy("url_canonical").orderBy(
+        F.to_timestamp("warc_date").desc(), F.col("doc_id").desc()
     )
     return (
         docs.withColumn("__rn", F.row_number().over(w))

@@ -456,3 +456,36 @@ def test_language_gate_first_in_ladder(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(out_dir / "audit")).collect()
     }
     assert audit[ES] == "language" and audit[DE] == "language"
+
+
+def test_language_gate_guards(spark, sf_dir, tmp_path):
+    """Review fixes: zero-stopword-hit docs (non-listed scripts, code)
+    do NOT leak through as 'en', and an unknown keep_langs value fails
+    fast instead of writing an empty corpus."""
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ZH = 900401
+    planted = spark.createDataFrame(
+        [(ZH, "数据 引擎 查询 计划 存储 系统 压缩 排序 分区 索引 合并 "
+              "统计 优化 执行 内存 磁盘 网络 分布 并行 调度")],
+        "doc_id bigint, text string",
+    )
+    out = build_training_corpus(
+        spark,
+        docs.unionByName(planted),
+        None,
+        str(tmp_path / "corpus_zh"),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=512,
+        keep_langs=("en",),
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ZH not in kept
+    with pytest.raises(ValueError, match="keep_langs"):
+        build_training_corpus(
+            spark, docs, None, str(tmp_path / "x"),
+            keep_langs=("EN",),
+        )

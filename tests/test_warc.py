@@ -342,3 +342,32 @@ def test_latest_fetch_per_url_and_epoch_compaction(spark, tmp_path):
     assert {r.epoch for r in back.select("epoch").distinct().collect()} == {0, 1, 2}
     # the maintenance pair composes: compacted data still collapses
     assert latest_fetch_per_url(back).count() == 2
+
+
+def test_latest_fetch_orders_parsed_timestamps():
+    """Review fix: mixed-precision/offset WARC dates order by TIME, not
+    string; the window keys on the URL, not its 64-bit hash."""
+    import pytest  # noqa: F401 — parity with module imports
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    rows = [
+        # fractional-second fetch IS the latest despite '.' < 'Z'
+        (1, 100, "old", "https://a/", "a", "f", "2026-08-15T09:30:00Z", 0),
+        (2, 100, "new", "https://a/", "a", "f", "2026-08-15T09:30:00.900Z", 0),
+        # offset form: 11:00+02:00 == 09:00Z, older than 10:00Z
+        (3, 200, "newer", "https://b/", "b", "f", "2026-08-15T10:00:00Z", 0),
+        (4, 200, "older", "https://b/", "b", "f", "2026-08-15T11:00:00+02:00", 0),
+    ]
+    schema = (
+        "doc_id bigint, url_hash bigint, text string, url_canonical string, "
+        "domain string, warc_file string, warc_date string, epoch int"
+    )
+    from spotify_etl_aws_spark.sources.warc import latest_fetch_per_url
+
+    got = {
+        r.url_canonical: r.text
+        for r in latest_fetch_per_url(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert got == {"https://a/": "new", "https://b/": "newer"}
