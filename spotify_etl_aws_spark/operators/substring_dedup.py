@@ -47,11 +47,23 @@ suffix-array semantics:
 Scale: the window table has one row per corpus token (linear, never
 quadratic), and it shuffles ONCE, keyed on the 8-byte xxhash64 —
 canonical election and the non-canonical remainder come out of the
-same aggregation (occurrence lists per hash are duplicate-count-sized,
-tiny by construction). Document text never shuffles. The per-document
-interval merge and the token cutting are linear map-side higher-order
-functions (shifted-compare boundary detection + gap slices — no
-sequential accumulator, no per-token lambda).
+same exchange via ``row_number() OVER (PARTITION BY wh ORDER BY
+doc_id, pos)``: the minimal occurrence gets rank 1, everything else
+is a non-canonical duplicate. Crucially this bounds reducer memory on
+hot windows: a boilerplate k-gram occurring 10^7-10^8 times across a
+web corpus lands in ONE sort group, but WindowExec's per-group buffer
+(and the sort feeding it) is spill-backed, so the group streams
+through disk instead of materializing an occurrence LIST in one
+reducer (the failure mode of a ``collect_list``-per-hash
+formulation). An optional ``hot_max_occurrences`` cap additionally
+short-circuits such boilerplate: a window with more occurrences than
+the cap is duplicated *everywhere* by definition, so every occurrence
+(including the would-be canonical) is cut — the policy a curation
+ladder wants for license headers and navigation chrome. Document text
+never shuffles. The per-document interval merge and the token cutting
+are linear map-side higher-order functions (shifted-compare boundary
+detection + gap slices — no sequential accumulator, no per-token
+lambda).
 
 Tokens are whitespace tokens (``functions.text.tokens``), matching the
 rest of the text lane; ``text_deduped`` is the space-join of surviving
@@ -62,7 +74,7 @@ implementation's byte-level variant) accepts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_SPLIT_RE, tokens
@@ -106,32 +118,53 @@ def duplicated_spans(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_max_occurrences: int | None = None,
 ) -> DataFrame:
     """(id, dup_starts): per document, the sorted window-start
     positions whose k-token window also occurs elsewhere in the corpus
     at a smaller (doc_id, pos) — i.e. every non-canonical occurrence.
-    Documents with no duplicated windows are absent."""
+    Documents with no duplicated windows are absent.
+
+    ONE shuffle of the window table (keyed on ``wh``) elects canonicals
+    AND yields the non-canonical remainder: ``row_number() OVER
+    (PARTITION BY wh ORDER BY doc_id, pos)`` ranks the minimal
+    occurrence 1, so rows with rank > 1 are exactly the non-canonical
+    occurrences of duplicated windows (a unique window's single row has
+    rank 1 and drops out). Unlike a ``collect_list``-per-hash
+    aggregation this never materializes an occurrence list in reducer
+    memory — the sort and WindowExec's group buffer both spill, so a
+    boilerplate window with 10^8 occurrences streams through one task
+    slowly instead of OOMing it. The join-back formulation (groupBy wh
+    + equi-join win on wh) would shuffle the window table a second
+    time for the same answer.
+
+    ``hot_max_occurrences``: if set, a window hash with more than this
+    many occurrences is treated as corpus boilerplate and cut from
+    EVERY occurrence — no canonical survives. This both matches
+    curation intent (license headers / nav chrome should not survive
+    "once") and skips the pointless election for pathological keys.
+    ``None`` (default) preserves the literal keep-first semantics.
+    """
     win = window_table(docs, k, id_col, text_col)
-    # ONE shuffle elects canonicals AND yields the non-canonical
-    # occurrences: collect the (tiny) occurrence list per hash, drop
-    # the minimal element, explode the rest. The join-back formulation
-    # (groupBy wh + equi-join win on wh) would shuffle the window
-    # table a second time for the same answer.
-    occs = F.col("occs")
-    dup = (
-        win.groupBy("wh")
-        .agg(F.collect_list(F.struct(id_col, "pos")).alias("occs"))
-        .filter(F.size(occs) > 1)
-        .select(
-            F.explode(
-                F.array_remove(occs, F.array_min(occs))
-            ).alias("occ")
-        )
-        .select(F.col(f"occ.{id_col}").alias(id_col), F.col("occ.pos"))
+    w = Window.partitionBy("wh").orderBy(id_col, "pos")
+    ranked = win.withColumn("rn", F.row_number().over(w))
+    if hot_max_occurrences is not None:
+        if hot_max_occurrences < 1:
+            raise ValueError(
+                f"hot_max_occurrences must be >= 1, got {hot_max_occurrences}"
+            )
+        # count() over the same partitioning reuses the wh sort/exchange
+        # (its clustering requirement is satisfied) — no extra shuffle
+        cnt = F.count("*").over(Window.partitionBy("wh"))
+        ranked = ranked.withColumn("cnt", cnt)
+        is_dup = (F.col("rn") > 1) | (F.col("cnt") > hot_max_occurrences)
+    else:
+        is_dup = F.col("rn") > 1
+    return (
+        ranked.filter(is_dup)
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("dup_starts"))
     )
-    return dup
 
 
 def _merge_starts(starts: Column, k: int) -> Column:
@@ -173,10 +206,13 @@ def dedup_substrings(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_max_occurrences: int | None = None,
 ) -> DataFrame:
     """Corpus-wide exact-substring dedup: every >= k-token span that
     occurs more than once keeps its first (minimal ``(doc_id, pos)``)
-    occurrence; all other occurrences are cut from the text.
+    occurrence; all other occurrences are cut from the text. With
+    ``hot_max_occurrences`` set, spans above that occurrence count are
+    boilerplate and are cut everywhere (see ``duplicated_spans``).
 
     Returns every input document as (id, text, n_tokens, dup_tokens,
     text_deduped, n_tokens_deduped); untouched documents have
@@ -186,7 +222,7 @@ def dedup_substrings(
     lowercasing never changes whitespace boundaries, so the two arrays
     align index-for-index and ``text_deduped`` keeps original case.
     """
-    spans = duplicated_spans(docs, k, id_col, text_col)
+    spans = duplicated_spans(docs, k, id_col, text_col, hot_max_occurrences)
     # case-PRESERVING split for reconstruction; hashing used tokens()
     # (lowered). The SAME split pattern is load-bearing: the cut
     # positions only align index-for-index because both arrays split on

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from spotify_etl_aws_spark.operators.substring_dedup import (
     dedup_substrings,
     duplicated_spans,
@@ -145,17 +147,89 @@ def test_fixture_documents_sane(spark, sf_dir):
 
 def test_window_table_shuffles_once(spark):
     """Plan pin: canonical election + non-canonical remainder come out
-    of ONE window-table shuffle (no join-back), so the plan has no
-    join and at most two Exchanges (wh, then doc_id) plus AQE reads."""
+    of ONE window-table shuffle (row_number over the wh partitioning,
+    no join-back, no collect_list), so the plan has no join and at
+    most two Exchanges (wh, then doc_id) plus AQE reads. The
+    per-group state is WindowExec's spillable buffer, never a merged
+    occurrence list."""
     docs = spark.createDataFrame(
         [(0, "a b c d e f g h i j")], "doc_id bigint, text string"
     )
     plan = duplicated_spans(docs, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+    assert "collect_list" not in plan
     import re
 
     n_exchanges = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     assert n_exchanges <= 2, plan
+
+
+def test_hot_cap_single_exchange_for_window_table(spark):
+    """The hot-occurrence count reuses the wh sort/exchange — adding
+    the cap must not add a shuffle of the window table."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "doc_id bigint, text string"
+    )
+    plan = (
+        duplicated_spans(docs, k=8, hot_max_occurrences=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n_exchanges <= 2, plan
+
+
+def test_hot_window_100k_occurrences(spark):
+    """Planted hot-boilerplate window: the same 8-token span opens
+    100_000 documents. The bounded (row_number) formulation must
+    process it without materializing a 100k-occurrence list; keep-first
+    semantics cut it from every doc but the canonical (doc 0)."""
+    n = 100_000
+    span_cols = ", ".join(f"'s{i}'" for i in range(1, 9))
+    docs = spark.range(n).selectExpr(
+        "id as doc_id",
+        f"concat_ws(' ', {span_cols}, concat('u', id)) as text",
+    )
+    out = dedup_substrings(docs, k=8).agg(
+        F.sum("dup_tokens").alias("total_dup"),
+        F.sum(F.when(F.col("dup_tokens") == 0, 1).otherwise(0)).alias(
+            "untouched"
+        ),
+    ).collect()[0]
+    # every doc but the canonical loses exactly the 8-token span
+    assert out.total_dup == 8 * (n - 1)
+    assert out.untouched == 1
+
+
+def test_hot_cap_cuts_boilerplate_everywhere(spark):
+    """With hot_max_occurrences set below the occurrence count, the
+    boilerplate span is cut from EVERY document — no canonical
+    survives; spans under the cap keep first-occurrence semantics."""
+    n = 500
+    span_cols = ", ".join(f"'s{i}'" for i in range(1, 9))
+    docs = spark.range(n).selectExpr(
+        "id as doc_id",
+        f"concat_ws(' ', {span_cols}, concat('u', id)) as text",
+    )
+    rows = dedup_substrings(docs, k=8, hot_max_occurrences=100).collect()
+    assert all(r.dup_tokens == 8 for r in rows)
+    assert all(r.text_deduped == f"u{r.doc_id}" for r in rows)
+    # a twice-occurring span stays keep-first under the same cap
+    pair = spark.createDataFrame(
+        [(0, "p1 p2 p3 p4 p5 p6 p7 p8 tail0"),
+         (1, "p1 p2 p3 p4 p5 p6 p7 p8 tail1")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup_substrings(pair, k=8, hot_max_occurrences=100).collect()
+    }
+    assert got[0].dup_tokens == 0
+    assert got[1].dup_tokens == 8
 
 
 def test_case_preserved_in_output(spark):
