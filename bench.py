@@ -180,19 +180,47 @@ def main() -> None:
         if failed
         else round(sum(v for v in timings.values() if v is not None), 3)
     )
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "failed": failed,
-                "sf": sf,
-                "runs_per_query": RUNS,
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "failed": failed,
+        "sf": sf,
+        "runs_per_query": RUNS,
+    }
+
+    # Same-session DuckDB denominator (round-5 lesson: a cross-session
+    # comparison mistook host-load variance for a regression; the
+    # denominator must ride in the same artifact, measured on the same
+    # box in the same minute). SPARK_GRAFT_BENCH_DUCK=0 skips it.
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCK", "1") != "0":
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            from duckbench import run_duckbench
+
+            duck = run_duckbench(sf_dir, headline)
+            paired = [
+                (timings[n], duck[n])
+                for n in headline
+                if timings.get(n) is not None and duck.get(n) is not None
+            ]
+            duck_total = round(sum(d for _, d in paired), 3)
+            spark_paired = round(sum(s for s, _ in paired), 3)
+            out["duckdb"] = {
+                "queries": duck,
+                "total_sec": duck_total,
+                "paired_spark_sec": spark_paired,
             }
-        )
-    )
+            out["vs_duckdb_ratio"] = (
+                round(spark_paired / duck_total, 3) if duck_total else None
+            )
+        except Exception as exc:  # denominator is advisory, never fatal
+            out["duckdb_error"] = str(exc)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

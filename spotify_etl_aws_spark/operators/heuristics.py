@@ -24,7 +24,11 @@ Scale posture — every operator here is a MAP-SIDE projection:
   sampling silently changes membership when a task is re-executed,
   which at 1000-executor scale is a when, not an if. ``domain_mix``'s
   only non-map step is one tiny per-domain count (model state, like a
-  quantizer fit).
+  quantizer fit) — that dict posture fits SOURCE-lane mixing (dozens
+  of lanes); for a web corpus keyed by registrable domain (~10^7
+  strata) use ``domain_mix_scaled`` / ``stratified_sample_rates``,
+  which keep the rate table as a DataFrame and apply it with a
+  broadcast join — no driver dict, no O(#domains) expression chain.
 """
 
 from __future__ import annotations
@@ -254,7 +258,9 @@ def domain_mix(
     is duplicated). Returns (sampled df, rate per domain).
 
     The per-domain count is the one non-map step — O(#domains) driver
-    state, the same posture as a quantizer fit."""
+    state, the same posture as a quantizer fit. That bounds this
+    function to SOURCE-lane mixing (dozens of strata); for registrable-
+    domain mixing over a web corpus use ``domain_mix_scaled``."""
     if temperature < 0:
         raise ValueError(f"temperature must be >= 0, got {temperature}")
     counts = {
@@ -273,3 +279,104 @@ def domain_mix(
     peak = max(rel.values())
     rates = {d: r / peak for d, r in rel.items()}
     return stratified_sample(df, rates, domain_col, id_col, salt), rates
+
+
+def stratified_sample_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    rate_col: str = "rate",
+) -> DataFrame:
+    """``stratified_sample`` with the rate table as a DATAFRAME — the
+    web-scale path (~10^7 registrable-domain strata, where a driver
+    dict / per-stratum expression chain cannot exist).
+
+    ``rates`` carries one row per stratum (``strata_col``,
+    ``rate_col`` in [0, 1]); it is broadcast-joined onto ``df`` (inner
+    join — strata absent from ``rates`` are dropped, matching the dict
+    variant), then the same deterministic hash threshold keeps
+    ``pmod(xxhash64(salt, id), B) < round(rate*B)``. The corpus side
+    never shuffles: a broadcast hash join is map-side. Same sampling
+    decision per row as the dict variant at equal rates (identical
+    bucket hash and rounding), so the two variants agree row-for-row.
+    Out-of-range rates surface as a loud runtime failure rather than a
+    silent over-sample (raise_error branch, checked per row on the
+    broadcast-small rate table)."""
+    checked = F.when(
+        (F.col(rate_col) < 0) | (F.col(rate_col) > 1),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{rate_col} out of [0,1] for stratum: "),
+                F.col(strata_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col(rate_col))
+    rt = rates.select(
+        F.col(strata_col), checked.alias("__rate")
+    )
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(_BUCKETS))
+    return (
+        df.join(F.broadcast(rt), strata_col, "inner")
+        .filter(bucket < F.round(F.col("__rate") * _BUCKETS).cast("long"))
+        .drop("__rate")
+    )
+
+
+def domain_mix_scaled(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> tuple[DataFrame, DataFrame]:
+    """``domain_mix`` for web-scale stratum cardinality: the rate table
+    lives as a DataFrame end-to-end, never as a driver dict.
+
+    Same math as ``domain_mix`` (q_d ∝ p_d^T, downsample-only rates
+    normalized by the peak relative upweight), restructured so driver
+    state is THREE scalars instead of O(#domains):
+
+    1. per-domain counts: one partial-aggregating shuffle, kept
+       distributed (cached — it feeds two scalar aggs and the rate
+       projection);
+    2. ``total = Σ n_d`` and ``snt = Σ n_d^T`` — one single-row agg
+       (shares cancel: (n/total)^T / Σ(n/total)^T = n^T / snt);
+    3. ``peak = max_d rel_d`` with rel_d = (n_d^T/snt)·(total/n_d) —
+       one more single-row agg;
+    4. rates projected onto the counts DataFrame and applied via
+       ``stratified_sample_rates`` (broadcast join, corpus never
+       shuffles).
+
+    Returns (sampled df, rates DataFrame with columns [domain_col,
+    rate]). At dozens of strata ``domain_mix`` gives the same rows
+    (same hash, same rounding) with a simpler plan."""
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    counts = (
+        df.groupBy(F.col(domain_col))
+        .agg(F.count("*").cast("double").alias("__n"))
+        .cache()
+    )
+    head = counts.agg(
+        F.sum("__n").alias("total"),
+        F.sum(F.pow("__n", F.lit(float(temperature)))).alias("snt"),
+    ).collect()
+    if not head or head[0]["total"] is None:
+        empty_rates = counts.select(
+            F.col(domain_col), F.lit(1.0).alias("rate")
+        )
+        return df.limit(0), empty_rates
+    total, snt = float(head[0]["total"]), float(head[0]["snt"])
+    rel = (F.pow("__n", F.lit(float(temperature))) / F.lit(snt)) * (
+        F.lit(total) / F.col("__n")
+    )
+    peak = float(counts.agg(F.max(rel)).collect()[0][0])
+    rates = counts.select(
+        F.col(domain_col), (rel / F.lit(peak)).alias("rate")
+    )
+    return (
+        stratified_sample_rates(df, rates, domain_col, id_col, salt),
+        rates,
+    )

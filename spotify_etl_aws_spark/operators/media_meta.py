@@ -99,6 +99,11 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
             pos += 1
             continue
         if layer != 1:  # 1 == Layer III
+            if n_frames:
+                # trailing garbage can carry sync bits with Layer I/II
+                # patterns; after real frames that's end-of-stream (same
+                # treatment as a trailing tag), not a Layer I/II file
+                break
             raise NotImplementedError(
                 "parse_mp3_meta supports Layer III only"
             )
@@ -268,7 +273,12 @@ def with_container_meta(
     bitrate_kbps, sample_rate, channels, width, height, n_bytes).
     The binary column is dropped on the way out; for MP4 the first
     video track provides dims/codec, falling back to the first track.
-    """
+
+    Bytes matching NEITHER magic (an MP3 is recognized by an ID3v2 tag
+    or an MPEG sync word at the stream head) — and rows whose parse
+    throws — land as ``container='unknown'`` rows with zeroed fields
+    instead of failing the Arrow batch: one JPEG misfiled into an
+    audio column must cost one row, not the task."""
     schema = (
         f"{id_col} bigint, container string, codec string, "
         "duration_ms double, bitrate_kbps double, sample_rate int, "
@@ -280,28 +290,54 @@ def with_container_meta(
             rows = []
             for i, raw in zip(pdf[id_col], pdf[media_col]):
                 raw = bytes(raw)
-                if len(raw) >= 12 and raw[4:8] == b"ftyp":
-                    m = parse_mp4_meta(raw)
-                    vids = [t for t in m.tracks if t.kind == "vide"]
-                    pick = vids[0] if vids else (
-                        m.tracks[0] if m.tracks else None
-                    )
+                # MP3 magic: ID3v2 tag, or an MPEG sync word up front
+                is_mp3 = raw[:3] == b"ID3" or (
+                    len(raw) >= 2
+                    and raw[0] == 0xFF
+                    and (raw[1] & 0xE0) == 0xE0
+                )
+                try:
+                    if len(raw) >= 12 and raw[4:8] == b"ftyp":
+                        m = parse_mp4_meta(raw)
+                        vids = [t for t in m.tracks if t.kind == "vide"]
+                        pick = vids[0] if vids else (
+                            m.tracks[0] if m.tracks else None
+                        )
+                        rows.append((
+                            int(i), f"mp4/{m.brand}",
+                            pick.codec if pick else "",
+                            m.duration_ms,
+                            len(raw) * 8 / m.duration_ms if m.duration_ms else 0.0,
+                            0, 0,
+                            pick.width if pick else 0,
+                            pick.height if pick else 0,
+                            len(raw),
+                        ))
+                    elif is_mp3:
+                        a = parse_mp3_meta(raw)
+                        rows.append((
+                            int(i), f"mp3/v{a.version}", "mp3",
+                            a.duration_ms, a.bitrate_kbps, a.sample_rate,
+                            a.channels, 0, 0, len(raw),
+                        ))
+                    else:
+                        rows.append((
+                            int(i), "unknown", "", 0.0, 0.0, 0, 0, 0, 0,
+                            len(raw),
+                        ))
+                except NotImplementedError:
+                    # documented codec seam (Layer I/II, free-format):
+                    # visible as its own container class, not a crash
                     rows.append((
-                        int(i), f"mp4/{m.brand}",
-                        pick.codec if pick else "",
-                        m.duration_ms,
-                        len(raw) * 8 / m.duration_ms if m.duration_ms else 0.0,
-                        0, 0,
-                        pick.width if pick else 0,
-                        pick.height if pick else 0,
+                        int(i), "unsupported", "", 0.0, 0.0, 0, 0, 0, 0,
                         len(raw),
                     ))
-                else:
-                    a = parse_mp3_meta(raw)
+                except Exception:
+                    # one unparseable row (corrupt container, misfiled
+                    # format) must not fail the Arrow batch
                     rows.append((
-                        int(i), f"mp3/v{a.version}", "mp3",
-                        a.duration_ms, a.bitrate_kbps, a.sample_rate,
-                        a.channels, 0, 0, len(raw),
+                        int(i), "unknown", "", 0.0, 0.0, 0, 0, 0, 0,
+                        len(raw),
                     ))
             yield pd.DataFrame(
                 rows,

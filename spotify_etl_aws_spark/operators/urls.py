@@ -13,11 +13,14 @@ and the text ladder, as run by the C4/RefinedWeb-class pipelines:
 - ``blocklist_filter``: drop blocked registrable domains via a
   broadcast anti-join — document rows never shuffle.
 
-The registrable-domain split uses the structural public-suffix rule
-(one label of suffix, or two where the TLD runs a second-level
+The registrable-domain split defaults to the structural public-suffix
+rule (one label of suffix, or two where the TLD runs a second-level
 registry: co.uk, com.au, ...) with the common two-part suffixes
-embedded. The full Public Suffix List is a data swap at the marked
-seam, not a code change.
+embedded — zero joins, right for quick lanes. Production bucketing
+passes ``psl_rules`` (``operators/psl.py``): the REAL publicsuffix.org
+algorithm — wildcard rules, exceptions, multi-label private suffixes
+(github.io, *.compute.amazonaws.com) — table-driven via broadcast
+joins, so the full ~10k-rule list is pure data, not code.
 """
 
 from __future__ import annotations
@@ -67,10 +70,15 @@ def _clean_query(query: Column) -> Column:
     ).otherwise(F.concat_ws("&", kept))
 
 
-def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+def with_url_parts(
+    df: DataFrame, url_col: str = "url", psl_rules: DataFrame | None = None
+) -> DataFrame:
     """Add (host, domain, path, url_canonical) columns. Rows whose URL
     does not parse get NULL parts (callers filter on host IS NOT NULL
-    as the validity gate)."""
+    as the validity gate). ``psl_rules`` (from
+    ``operators.psl.psl_rules_df``) switches ``domain`` to the full
+    Public Suffix List resolution — broadcast-joined, still zero
+    corpus shuffles."""
     url = F.col(url_col)
     host = F.lower(F.parse_url(url, F.lit("HOST")))
     path = F.parse_url(url, F.lit("PATH"))
@@ -107,14 +115,18 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.coalesce(F.concat(F.lit("?"), query), F.lit("")),
         )
     )
-    return df.withColumns(
+    out = df.withColumns(
         {
             "host": host,
-            "domain": registrable_domain(host),
             "path": path,
             "url_canonical": canonical,
         }
     )
+    if psl_rules is not None:
+        from .psl import with_registrable_domain
+
+        return with_registrable_domain(out, psl_rules, "host", "domain")
+    return out.withColumn("domain", registrable_domain(host))
 
 
 def domain_caps(

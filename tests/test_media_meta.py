@@ -175,3 +175,36 @@ def test_free_format_lookalike_garbage_resyncs():
     ff = bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 400
     with pytest.raises(NotImplementedError, match="free-format"):
         parse_mp3_meta(ff)
+
+
+def test_mp3_trailing_layer2_sync_ends_walk():
+    """ADVICE fix: after real Layer III frames, trailing garbage whose
+    sync bits decode as Layer I/II ends the walk (like a trailing tag)
+    instead of misclassifying the file as unsupported."""
+    l2_tail = bytes([0xFF, 0xFD, 0x90, 0x00]) + b"\x00" * 50
+    m = parse_mp3_meta(_mp3_frame(128) * 6 + l2_tail)
+    assert m.n_frames == 6
+    assert m.sample_rate == 44100
+
+
+def test_container_lane_quarantines_unrecognized_bytes(spark):
+    """ADVICE fix: a JPEG/garbage row in the media column lands as
+    container='unknown' (codec-seam hits as 'unsupported'), never a
+    ValueError that kills the whole Arrow batch."""
+    l2 = bytes([0xFF, 0xFD, 0x90, 0x00]) + b"\x00" * 100  # Layer II seam
+    rows = [
+        (1, _id3v2() + _mp3_frame(128) * 20),       # good mp3
+        (2, b"\xff\xd8\xff\xe0" + b"\x00" * 64),     # JPEG magic
+        (3, b"complete garbage bytes"),               # nothing
+        (4, l2 * 3),                                  # documented seam
+        (5, _mp4()),                                  # good mp4
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    got = {r.doc_id: r for r in with_container_meta(df).collect()}
+    assert len(got) == 5
+    assert got[1].container == "mp3/v1"
+    # JPEG starts 0xFF 0xD8: not an MPEG sync (0xFF 0xEx) -> unknown
+    assert got[2].container == "unknown" and got[2].n_bytes == 68
+    assert got[3].container == "unknown"
+    assert got[4].container == "unsupported"
+    assert got[5].container == "mp4/isom"

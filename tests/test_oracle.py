@@ -25,8 +25,10 @@ def test_oracle_match(name, spark, sf_dir, oracle_con):
     assert_df_matches_oracle(df, oracle_con, ORACLES[name], name=name)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.columns, f"{name}: empty schema"
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """The correctness contract is POSITIVE: every declared query
+    carries a DuckDB oracle (50/50 since round 5 — the rows-only
+    weaker check is retired). A new query without an oracle fails
+    here instead of silently downgrading to a rows-only check."""
+    missing = set(QUERIES) - set(ORACLES)
+    assert not missing, f"queries without oracles: {sorted(missing)}"

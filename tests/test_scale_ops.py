@@ -39,6 +39,59 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_q5_cobucketed_plan_and_parity(spark, sf_dir):
+    """The q5 serial 100 TB posture: orders/customer co-bucketed on
+    custkey join with ZERO exchange, lineitem's orderkey bucketing
+    absorbs the fact side of the second join, and the dims broadcast —
+    so the ONLY data-sized exchange left is the orders⋈customer
+    result re-keyed to orderkey. Plan-pinned: lineitem's scan subtree
+    has no Exchange, total Exchanges ≤ 2 (oc→orderkey + final agg),
+    and the result is row-identical to the plain li-rooted q5."""
+    from spotify_etl_aws_spark.queries.relational import (
+        q5_regional_revenue,
+        q5_snowflake_cobucketed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    save_bucketed(li, "b5_lineitem", 4, ["l_orderkey"], ["l_orderkey"])
+    save_bucketed(
+        load_table(spark, sf_dir, "orders"), "b5_orders", 4,
+        ["o_custkey"], ["o_custkey"],
+    )
+    save_bucketed(
+        load_table(spark, sf_dir, "customer"), "b5_customer", 4,
+        ["c_custkey"], ["c_custkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = q5_snowflake_cobucketed(
+            spark.table("b5_lineitem"),
+            spark.table("b5_orders"),
+            spark.table("b5_customer"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchanges <= 2, plan
+        # the lineitem scan feeds its join with no Exchange in between:
+        # every Exchange keys on the orders/customer/agg side, never a
+        # lineitem column
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "l_orderkey" not in m.group(1), plan
+        want = sorted(
+            map(tuple, q5_regional_revenue(spark, sf_dir).collect())
+        )
+        assert sorted(map(tuple, q.collect())) == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     """Salting redistributes a hot key without changing the result."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -241,3 +294,14 @@ def test_ivf_partitioned_layout_prunes_probed_cells(spark, sf_dir, tmp_path):
     assert len(all_cells) > NPROBE  # pruning is non-vacuous
     got_cells = {r.cell for r in scan.select("cell").distinct().collect()}
     assert got_cells == set(probe)
+
+
+def test_compact_dataset_rejects_remote_paths(spark, tmp_path):
+    """ADVICE fix: the os.rename-based swap cannot operate on object
+    stores — a remote path must fail fast, before any Spark write
+    could leave a stray tmp directory."""
+    from spotify_etl_aws_spark.sources.sinks import compact_dataset
+
+    for bad in ("s3a://bucket/table", "hdfs://nn:8020/warehouse/t"):
+        with pytest.raises(ValueError, match="local-filesystem-only"):
+            compact_dataset(spark, bad)

@@ -311,3 +311,75 @@ def test_compact_dataset_bin_packs_small_files(spark, sf_dir, tmp_path):
         0, 1, 2,
     }
     assert stats["files_after"] <= 3 * 1 + 3  # at most a file per partition+overhead
+
+
+def test_commit_epoch_atomic_visibility_and_crash_replay(spark, tmp_path):
+    """commit_epoch: a crash mid-commit leaves finals untouched and NO
+    marker (readers see nothing of the epoch); the replayed commit
+    completes idempotently; read_committed_epochs prunes uncommitted
+    partitions."""
+    import os
+
+    import pytest
+
+    from spotify_etl_aws_spark.sources.sinks import (
+        commit_epoch,
+        committed_epochs,
+        read_committed_epochs,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    a0 = spark.range(5).withColumn("v", F.lit("a0"))
+    b0 = spark.range(3).withColumn("v", F.lit("b0"))
+    commit_epoch(
+        root, 0,
+        {
+            "a/epoch=0": lambda p: a0.write.parquet(p),
+            "b/epoch=0": lambda p: b0.write.parquet(p),
+        },
+    )
+    assert committed_epochs(root) == [0]
+
+    # crash while writing the SECOND dataset of epoch 1
+    a1 = spark.range(7).withColumn("v", F.lit("a1"))
+
+    def boom(p):
+        raise RuntimeError("disk died mid-epoch")
+
+    with pytest.raises(RuntimeError, match="disk died"):
+        commit_epoch(
+            root, 1,
+            {
+                "a/epoch=1": lambda p: a1.write.parquet(p),
+                "b/epoch=1": boom,
+            },
+        )
+    # nothing of epoch 1 is visible: no final dirs, no marker
+    assert committed_epochs(root) == [0]
+    assert not os.path.exists(os.path.join(root, "a", "epoch=1"))
+    assert not os.path.exists(os.path.join(root, "b", "epoch=1"))
+    got = read_committed_epochs(spark, root, "a")
+    assert {r.epoch for r in got.select("epoch").distinct().collect()} == {0}
+
+    # a renamed-but-unmarked epoch (crash between rename and marker)
+    # is invisible to committed readers and replaced by the replay
+    a1.write.parquet(os.path.join(root, "a", "epoch=1"))
+    assert committed_epochs(root) == [0]
+    got = read_committed_epochs(spark, root, "a")
+    assert {r.epoch for r in got.select("epoch").distinct().collect()} == {0}
+
+    # replay completes the commit; both datasets + marker land
+    b1 = spark.range(2).withColumn("v", F.lit("b1"))
+    commit_epoch(
+        root, 1,
+        {
+            "a/epoch=1": lambda p: a1.write.parquet(p),
+            "b/epoch=1": lambda p: b1.write.parquet(p),
+        },
+    )
+    assert committed_epochs(root) == [0, 1]
+    got = read_committed_epochs(spark, root, "a")
+    assert got.count() == 12  # 5 + 7
+    # staging left clean
+    assert not os.path.exists(os.path.join(root, ".epoch_staging", "1"))

@@ -222,3 +222,32 @@ def test_two_phase_cap_identical_to_single_phase(spark):
         len({r.doc_id for r in domain_caps(df, 25, salt_buckets=8)
              .filter(F.col("domain") == "mega.com").collect()}) == 25
     )
+
+
+def test_with_url_parts_psl_rules_domain(spark):
+    """psl_rules switches domain to full PSL resolution: private
+    multi-label suffixes stop mis-bucketing hosting providers, while
+    the heuristic path (no rules) keeps its structural split."""
+    from spotify_etl_aws_spark.operators.psl import psl_rules_df
+    from spotify_etl_aws_spark.operators.urls import with_url_parts
+
+    df = spark.createDataFrame(
+        [
+            ("https://alice.github.io/post",),
+            ("https://bob.github.io/about",),
+            ("https://www.example.co.uk/x",),
+        ],
+        "url string",
+    )
+    psl = {
+        r.url: r.domain
+        for r in with_url_parts(df, psl_rules=psl_rules_df(spark)).collect()
+    }
+    assert psl["https://alice.github.io/post"] == "alice.github.io"
+    assert psl["https://bob.github.io/about"] == "bob.github.io"
+    assert psl["https://www.example.co.uk/x"] == "example.co.uk"
+    # heuristic path: github.io collapses (the documented limitation)
+    heur = {
+        r.url: r.domain for r in with_url_parts(df).collect()
+    }
+    assert heur["https://alice.github.io/post"] == "github.io"

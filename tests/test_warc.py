@@ -371,3 +371,128 @@ def test_latest_fetch_orders_parsed_timestamps():
         for r in latest_fetch_per_url(spark.createDataFrame(rows, schema)).collect()
     }
     assert got == {"https://a/": "new", "https://b/": "newer"}
+
+
+def test_lenient_record_resync_and_counter():
+    """Lenient mode (the Spark-kernel posture): a corrupt record in the
+    DECOMPRESSED stream costs one record + one counter tick; the
+    records after it still parse. Strict mode still raises (above)."""
+    good1 = _record("response", _http(_HTML), "http://a.example/")
+    garbage = b"NOT A WARC HEADER AT ALL\r\njunk: here\r\n\r\nstray body"
+    good2 = _record(
+        "response", _http(b"still here", "text/plain"), "http://b.example/p"
+    )
+    stats: dict[str, int] = {}
+    recs = list(
+        iter_warc_records(
+            good1 + garbage + b"\r\n\r\n" + good2, strict=False, stats=stats
+        )
+    )
+    urls = [h.get("WARC-Target-URI") for h, _ in recs]
+    assert urls == ["http://a.example/", "http://b.example/p"]
+    assert stats["bad_records"] >= 1
+
+
+def test_lenient_gunzip_skips_corrupt_member():
+    """A corrupt gzip MEMBER (flipped bytes mid-stream) costs that
+    member, not the file: surrounding members still decompress and
+    their records parse."""
+    m1 = gzip.compress(_record("response", _http(_HTML), "http://a.example/"))
+    bad = bytearray(
+        gzip.compress(_record("response", _http(b"x" * 200, "text/plain"), "http://bad.example/"))
+    )
+    bad[15:25] = b"\x00" * 10  # corrupt the deflate stream
+    m3 = gzip.compress(
+        _record("response", _http(b"tail words", "text/plain"), "http://c.example/t")
+    )
+    stats: dict[str, int] = {}
+    recs = list(
+        iter_warc_records(m1 + bytes(bad) + m3, strict=False, stats=stats)
+    )
+    urls = [h.get("WARC-Target-URI") for h, _ in recs]
+    assert "http://a.example/" in urls
+    assert "http://c.example/t" in urls
+    assert "http://bad.example/" not in urls
+    assert stats["bad_records"] >= 1
+
+
+def test_spark_lane_quarantines_bad_records(spark, tmp_path):
+    """The read_warc kernel must not fail a file over one corrupt
+    record — the survivors land with the per-file bad_records counter,
+    and a clean file's rows carry bad_records == 0."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    corrupt = (
+        _record("response", _http(_HTML), "http://a.example/")
+        + b"GARBAGE NOT WARC\r\n\r\nmore junk"
+        + b"\r\n\r\n"
+        + _record("response", _http(b"ok text", "text/plain"), "http://b.example/p")
+    )
+    (d / "bad.warc.gz").write_bytes(gzip.compress(corrupt))
+    (d / "good.warc.gz").write_bytes(
+        gzip.compress(
+            _record("response", _http(b"clean file", "text/plain"), "http://c.example/")
+        )
+    )
+    rows = {r.url: r for r in read_warc(spark, str(d / "*.warc.gz")).collect()}
+    assert set(rows) == {
+        "http://a.example/", "http://b.example/p", "http://c.example/",
+    }
+    assert rows["http://a.example/"].bad_records >= 1
+    assert rows["http://b.example/p"].bad_records >= 1
+    assert rows["http://c.example/"].bad_records == 0
+
+
+def test_read_warc_split_matches_per_file_read(spark, tmp_path):
+    """Splittable ingest (read_warc_split): a single multi-hundred-MB
+    WARC must fan out over >1 task (byte-range splits + gzip-member
+    resync) and produce EXACTLY the rows the per-file reader produces.
+    Bodies are incompressible (random hex) so the compressed shard is
+    genuinely large."""
+    import random
+
+    from spotify_etl_aws_spark.sources.warc import (
+        _gzip_member_splits,
+        read_warc_split,
+    )
+
+    rng = random.Random(42)
+    d = tmp_path / "bigcrawl"
+    d.mkdir()
+    n_rec = 2400
+    with open(d / "big.warc.gz", "wb") as f:
+        for i in range(n_rec):
+            body = rng.randbytes(48 * 1024).hex().encode()  # ~96 KB text
+            f.write(
+                gzip.compress(
+                    _record(
+                        "response",
+                        _http(body, "text/plain"),
+                        f"http://site{i}.example/",
+                    ),
+                    compresslevel=1,
+                )
+            )
+    size = (d / "big.warc.gz").stat().st_size
+    assert size > 100 * 1024 * 1024  # genuinely multi-hundred-MB raw
+    splits = _gzip_member_splits([(str(d / "big.warc.gz"), size)], 8 * 1024 * 1024)
+    assert len(splits) > 1  # ONE file fans out over many tasks
+
+    split_df = read_warc_split(
+        spark, str(d / "*.warc.gz"), min_text_chars=1, split_mb=8
+    )
+    got = {
+        r.url: r.text
+        for r in split_df.select("url", "text").collect()
+    }
+    assert len(got) == n_rec
+    # spot-check content against the per-file reader on the same shard
+    want = {
+        r.url: r.text
+        for r in read_warc(spark, str(d / "*.warc.gz"))
+        .select("url", "text")
+        .collect()
+    }
+    assert got == want
+    # >1 task actually executed: the split table is repartitioned wide
+    assert split_df.rdd.getNumPartitions() > 1

@@ -3,6 +3,12 @@ the same parquet (32 threads, warm-up + best of N) and prints ONE JSON
 line in the same shape, so the Spark-vs-DuckDB ratio in BASELINE.md is
 reproducible instead of hand-measured.
 
+bench.py also calls ``run_duckbench`` directly after its Spark loop,
+so every emitted bench artifact carries its own same-session DuckDB
+denominator (round-5 lesson: a cross-session driver-file comparison
+confused host-load variance for a regression — the denominator must
+ride in the same artifact, same box, same minute).
+
 Queries with no oracle (or non-SQL surfaces) are skipped with a null.
 
 Run: python tools/duckbench.py
@@ -30,11 +36,12 @@ TABLES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
+def run_duckbench(
+    sf_dir: str, names: list[str], runs: int = RUNS
+) -> dict[str, float | None]:
+    """Time each named query's oracle SQL on ``sf_dir`` (32 threads,
+    one warm run + best of ``runs``). Returns name -> seconds, or None
+    for queries with no SQL oracle."""
     import __spark_entry__ as E
 
     oracles = E.oracle_sql()
@@ -45,11 +52,6 @@ def main() -> None:
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    names = only.split(",") if only else HEADLINE
-    unknown = set(names) - set(HEADLINE)
-    if unknown:  # a typo must not masquerade as a valid null-skip
-        raise SystemExit(f"unknown headline names: {sorted(unknown)}")
     timings: dict[str, float | None] = {}
     for name in names:
         sql = oracles.get(name)
@@ -58,12 +60,27 @@ def main() -> None:
             continue
         con.execute(sql).fetchall()  # warm
         best = float("inf")
-        for _ in range(RUNS):
+        for _ in range(runs):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        print(f"  duckdb {name}: {timings[name]}s", file=sys.stderr)
+    con.close()
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = only.split(",") if only else HEADLINE
+    unknown = set(names) - set(HEADLINE)
+    if unknown:  # a typo must not masquerade as a valid null-skip
+        raise SystemExit(f"unknown headline names: {sorted(unknown)}")
+    timings = run_duckbench(sf_dir, names)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
