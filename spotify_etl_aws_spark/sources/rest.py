@@ -56,6 +56,13 @@ class RestClient:
         url = f"{self._base_url}/{endpoint.lstrip('/')}"
         status, payload = self._transport(url, params or {}, self._headers())
         if status == 401:  # expired token: refresh once and retry (raw.py:90-92)
+            # a 401 means the SERVER rejected the token regardless of
+            # our local expiry bookkeeping — tell a caching provider
+            # (sources/oauth.py OAuthTokenProvider) to drop its cache
+            # so the re-call below yields a genuinely fresh token
+            invalidate = getattr(self._token_provider, "invalidate", None)
+            if invalidate is not None:
+                invalidate()
             self._token = self._token_provider()
             status, payload = self._transport(url, params or {}, self._headers())
         if status != 200:
