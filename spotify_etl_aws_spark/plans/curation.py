@@ -111,6 +111,7 @@ def build_training_corpus(
     quality_model_min: float = 0.5,
     tokenizer: BpeModel | UnigramModel | None = None,
     substring_dedup_k: int | None = None,
+    substring_hot_max: int | None = 10_000,
     keep_langs: tuple[str, ...] | None = None,
     audit: bool = False,
 ) -> DataFrame:
@@ -145,6 +146,10 @@ def build_training_corpus(
     document-level near-dedup: every >= k-token span repeated anywhere
     in the surviving corpus keeps only its first occurrence (the cut
     text continues down the ladder; husks die at the quality gate).
+    ``substring_hot_max`` (default 10k) is the boilerplate policy: a
+    span occurring more often than that is chrome/licence text by
+    construction and is cut from EVERY occurrence — no canonical
+    survives (None restores literal keep-first semantics).
 
     ``tokenizer`` (a trained ``BpeModel`` or ``UnigramModel``) switches
     packing to REAL tokenizer counts: ``n_tokens`` becomes the length
@@ -203,9 +208,9 @@ def build_training_corpus(
     # cheaper, so only survivors pay the window-hash shuffle; the cut
     # text flows on as `text` (empty husks die at the quality gate)
     if substring_dedup_k is not None:
-        stage = dedup_substrings(stage, k=substring_dedup_k).select(
-            "doc_id", F.col("text_deduped").alias("text")
-        )
+        stage = dedup_substrings(
+            stage, k=substring_dedup_k, hot_max_occurrences=substring_hot_max
+        ).select("doc_id", F.col("text_deduped").alias("text"))
 
     if pii_scrub:
         stage = scrub_pii(stage).select("doc_id", "text")
