@@ -86,9 +86,11 @@ def bm25_index(
         "tf",
         "df",
     )
-    doc_lens = (
-        docs.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
-    )
+    # dl must count the SAME token stream the postings index (the
+    # split regex yields empty strings at text edges — counting them
+    # would inflate dl/avgdl relative to Σtf and skew normalization)
+    nonempty = F.filter(tokens(text_col), lambda t: t != "")
+    doc_lens = docs.select(F.col(id_col), F.size(nonempty).alias("dl"))
     row = doc_lens.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]

@@ -317,9 +317,11 @@ def stratified_sample_rates(
         F.col(strata_col), checked.alias("__rate")
     )
     bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(_BUCKETS))
+    # bround = HALF_EVEN, matching the dict variant's Python round()
+    # (banker's) so the two variants agree even at .5-midpoint rates
     return (
         df.join(F.broadcast(rt), strata_col, "inner")
-        .filter(bucket < F.round(F.col("__rate") * _BUCKETS).cast("long"))
+        .filter(bucket < F.bround(F.col("__rate") * _BUCKETS).cast("long"))
         .drop("__rate")
     )
 
@@ -359,23 +361,30 @@ def domain_mix_scaled(
         .agg(F.count("*").cast("double").alias("__n"))
         .cache()
     )
-    head = counts.agg(
-        F.sum("__n").alias("total"),
-        F.sum(F.pow("__n", F.lit(float(temperature)))).alias("snt"),
-    ).collect()
-    if not head or head[0]["total"] is None:
-        empty_rates = counts.select(
-            F.col(domain_col), F.lit(1.0).alias("rate")
+    try:
+        head = counts.agg(
+            F.sum("__n").alias("total"),
+            F.sum(F.pow("__n", F.lit(float(temperature)))).alias("snt"),
+        ).collect()
+        if not head or head[0]["total"] is None:
+            empty_rates = counts.select(
+                F.col(domain_col), F.lit(1.0).alias("rate")
+            ).localCheckpoint()
+            return df.limit(0), empty_rates
+        total, snt = float(head[0]["total"]), float(head[0]["snt"])
+        rel = (F.pow("__n", F.lit(float(temperature))) / F.lit(snt)) * (
+            F.lit(total) / F.col("__n")
         )
-        return df.limit(0), empty_rates
-    total, snt = float(head[0]["total"]), float(head[0]["snt"])
-    rel = (F.pow("__n", F.lit(float(temperature))) / F.lit(snt)) * (
-        F.lit(total) / F.col("__n")
-    )
-    peak = float(counts.agg(F.max(rel)).collect()[0][0])
-    rates = counts.select(
-        F.col(domain_col), (rel / F.lit(peak)).alias("rate")
-    )
+        peak = float(counts.agg(F.max(rel)).collect()[0][0])
+        # materialize the rate table (cuts lineage to the cached
+        # counts) so the cache can be released before returning —
+        # otherwise every call pins a #domains-row relation in
+        # executor storage for the application lifetime
+        rates = counts.select(
+            F.col(domain_col), (rel / F.lit(peak)).alias("rate")
+        ).localCheckpoint()
+    finally:
+        counts.unpersist()
     return (
         stratified_sample_rates(df, rates, domain_col, id_col, salt),
         rates,

@@ -86,7 +86,11 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
         sr_idx = (b2 >> 2) & 3
         free_format = vbits != 1 and layer == 1 and br_idx == 0 and sr_idx != 3
         if free_format and n_frames:
-            raise NotImplementedError("free-format bitrate unsupported")
+            # trailing bytes that happen to decode as a free-format
+            # header after real frames are end-of-stream, exactly like
+            # a trailing tag — a genuinely free-format STREAM (no real
+            # frames ever) still reports the precise seam below
+            break
         valid = vbits != 1 and 0 < br_idx < 15 and sr_idx != 3
         if not n_frames and (not valid or layer != 1):
             # sync-LOOKING bytes inside leading garbage: keep scanning
@@ -99,14 +103,12 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
             pos += 1
             continue
         if layer != 1:  # 1 == Layer III
-            if n_frames:
-                # trailing garbage can carry sync bits with Layer I/II
-                # patterns; after real frames that's end-of-stream (same
-                # treatment as a trailing tag), not a Layer I/II file
-                break
-            raise NotImplementedError(
-                "parse_mp3_meta supports Layer III only"
-            )
+            # only reachable with n_frames > 0 (the first-frame case is
+            # consumed by the resync branch above): trailing garbage
+            # carrying Layer I/II sync patterns is end-of-stream, same
+            # treatment as a trailing tag — a genuinely Layer I/II
+            # stream (no Layer III frame ever) reports its seam below
+            break
         if not valid:
             break  # corrupt header mid-stream ends the walk
         v1 = vbits == 3
@@ -274,11 +276,13 @@ def with_container_meta(
     The binary column is dropped on the way out; for MP4 the first
     video track provides dims/codec, falling back to the first track.
 
-    Bytes matching NEITHER magic (an MP3 is recognized by an ID3v2 tag
-    or an MPEG sync word at the stream head) — and rows whose parse
-    throws — land as ``container='unknown'`` rows with zeroed fields
-    instead of failing the Arrow batch: one JPEG misfiled into an
-    audio column must cost one row, not the task."""
+    Rows whose parse throws land as ``container='unknown'`` (no MPEG
+    frames / corrupt container — one JPEG misfiled into an audio
+    column must cost one row, not the Arrow batch) or
+    ``container='unsupported'`` (a documented codec seam: Layer I/II,
+    free-format) with zeroed fields. Non-ISO-BMFF bytes go through the
+    MP3 walk rather than a byte-0 magic gate so its leading-garbage
+    resync keeps working."""
     schema = (
         f"{id_col} bigint, container string, codec string, "
         "duration_ms double, bitrate_kbps double, sample_rate int, "
@@ -290,12 +294,6 @@ def with_container_meta(
             rows = []
             for i, raw in zip(pdf[id_col], pdf[media_col]):
                 raw = bytes(raw)
-                # MP3 magic: ID3v2 tag, or an MPEG sync word up front
-                is_mp3 = raw[:3] == b"ID3" or (
-                    len(raw) >= 2
-                    and raw[0] == 0xFF
-                    and (raw[1] & 0xE0) == 0xE0
-                )
                 try:
                     if len(raw) >= 12 and raw[4:8] == b"ftyp":
                         m = parse_mp4_meta(raw)
@@ -313,17 +311,17 @@ def with_container_meta(
                             pick.height if pick else 0,
                             len(raw),
                         ))
-                    elif is_mp3:
+                    else:
+                        # attempt the MP3 walk for any non-ISO-BMFF
+                        # bytes — its own resync handles leading junk
+                        # (which a byte-0 magic gate would wrongly
+                        # reject); bytes with no MPEG frames at all
+                        # fall to 'unknown' via the ValueError below
                         a = parse_mp3_meta(raw)
                         rows.append((
                             int(i), f"mp3/v{a.version}", "mp3",
                             a.duration_ms, a.bitrate_kbps, a.sample_rate,
                             a.channels, 0, 0, len(raw),
-                        ))
-                    else:
-                        rows.append((
-                            int(i), "unknown", "", 0.0, 0.0, 0, 0, 0, 0,
-                            len(raw),
                         ))
                 except NotImplementedError:
                     # documented codec seam (Layer I/II, free-format):

@@ -177,9 +177,10 @@ def commit_epoch(
 
     1. every dataset writes into ``<root>/.epoch_staging/<epoch>/...``
        — dot-prefixed, so Spark/Hive readers never list it;
-    2. each staged dataset renames into its final path (per-dataset
-       atomic; replay overwrites are handled by removing the previous
-       final dir first);
+    2. a replayed epoch's existing marker is RETRACTED, then each
+       staged dataset renames into its final path (per-dataset atomic;
+       replay overwrites remove the previous final dir first) — so at
+       no instant does a marker vouch for finals that are mid-replace;
     3. ONLY THEN the epoch's marker file lands in
        ``<root>/_epoch_commits/<epoch>`` (single atomic file create —
        the commit point).
@@ -204,6 +205,13 @@ def commit_epoch(
         stage_path = os.path.join(stage_root, rel)
         write_fn(stage_path)
         staged.append((stage_path, os.path.join(root, rel)))
+    # REPLAY of an already-committed epoch: retract the marker BEFORE
+    # touching finals — otherwise a crash between the rmtree below and
+    # the re-rename would leave the epoch marked committed with
+    # missing/mixed data, the exact window this protocol closes
+    marker = os.path.join(root, "_epoch_commits", str(epoch_id))
+    if os.path.exists(marker):
+        os.remove(marker)
     for stage_path, final in staged:
         os.makedirs(os.path.dirname(final), exist_ok=True)
         if os.path.exists(final):

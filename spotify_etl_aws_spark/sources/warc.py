@@ -254,7 +254,14 @@ def read_warc(
     CommonCrawl's content carrier) and the HTML→text extraction happen
     inside the one Arrow pass; raw WARC bytes never leave the task
     that scanned them. ``main_text=True`` swaps the all-visible-text
-    extractor for the boilerplate-stripping ``html_main_text``."""
+    extractor for the boilerplate-stripping ``html_main_text``.
+
+    ``bad_records`` is the file's quarantined-record count, replicated
+    on each of the file's rows: per-file totals are
+    ``groupBy(warc_file).agg(max(bad_records))`` — never ``sum``,
+    which would multiply the count by the row count. A file whose
+    every record is bad emits one NULL-url diagnostic row (filter
+    ``url IS NOT NULL`` for content)."""
     extract = html_main_text if main_text else html_text
     files = spark.read.format("binaryFile").load(path)
     gen = _warc_kernel(record_types, min_text_chars, extract)
@@ -274,13 +281,17 @@ def _extract_rows(
     per-file ``bad_records`` counter instead of failing the task; a
     checkpointed AvailableNow stream would otherwise retry the same
     bad shard forever. The counter rides on every surviving row of the
-    file (a fully-corrupt file yields no rows — its failure surfaces
-    in the strict-mode API, ``iter_warc_records(data)``)."""
+    file (aggregate per file with ``max``, never ``sum`` — the value
+    is replicated); a unit with bad records and NO survivors emits one
+    NULL-url diagnostic row carrying the count, so corruption is never
+    silent exactly when it is worst."""
     stats: dict[str, int] = {}
     rows = _extract_rows_core(
         fname, raw, record_types, min_text_chars, extract, stats
     )
     n_bad = stats.get("bad_records", 0)
+    if not rows and n_bad:
+        return [(fname, None, None, None, None, None, None, n_bad)]
     return [tuple(r) + (n_bad,) for r in rows]
 
 
@@ -387,6 +398,16 @@ def _parse_split(
         f.fileno(), 0, access=mmap.ACCESS_READ
     ) as mm:
         size = len(mm)
+        if size >= 2 and mm[:2] != b"\x1f\x8b":
+            # UNCOMPRESSED .warc: no gzip members to split on — the
+            # task owning offset 0 parses the whole file (identical
+            # rows to read_warc; other splits of this file yield
+            # nothing), so plain files are never silently dropped
+            if start == 0:
+                return _extract_rows(
+                    path, mm[:], record_types, min_text_chars, extract
+                )
+            return []
         pos = start
         while pos < end:
             # candidate must START before end; the 3-byte pattern may
@@ -417,6 +438,9 @@ def _parse_split(
             )
             pos = idx + max(consumed, 1)
     n_bad = stats.get("bad_records", 0)
+    if not rows and n_bad:
+        # all-bad split: surface the count on a diagnostic row
+        return [(path, None, None, None, None, None, None, n_bad)]
     return [tuple(r) + (n_bad,) for r in rows]
 
 
@@ -437,7 +461,10 @@ def read_warc_split(
     only — O(#files) driver state, same as any file index); the split
     table is then re-distributed and each task mmap-reads only its
     range. Output rows and schema are identical to ``read_warc`` on
-    the same files (tested), with ``bad_records`` counted per split."""
+    the same files (tested; an UNCOMPRESSED .warc falls back to
+    whole-file parsing by the split owning offset 0), with
+    ``bad_records`` counted per SPLIT — for exact per-file totals use
+    ``read_warc``'s per-file counter."""
     extract = html_main_text if main_text else html_text
     files = [
         (r["path"], r["length"])

@@ -111,3 +111,29 @@ def test_fixture_documents_retrieval(spark, sf_dir):
     assert out and all(r.score > 0 for r in out)
     assert stats.n_docs == docs.count()
 
+
+
+def test_edge_whitespace_doc_lengths_match_reference(spark):
+    """Review fix: dl must count the same (empty-filtered) token
+    stream the postings index — edge whitespace must not inflate
+    dl/avgdl relative to the Python reference."""
+    corpus = {
+        0: "  hello world  ",          # edge whitespace
+        1: "hello there general",
+        2: "   ",                       # all-whitespace: dl must be 0
+        3: "world of spark",
+    }
+    docs = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id bigint, text string"
+    )
+    postings, doc_lens, stats = bm25_index(docs)
+    dl = {r.doc_id: r.dl for r in doc_lens.collect()}
+    assert dl == {0: 2, 1: 3, 2: 0, 3: 3}
+    ref = {i: _toks(t) for i, t in corpus.items()}
+    # _toks drops empties; bm25_score_py's avgdl must equal stats'
+    want = bm25_score_py(ref, ["hello", "world"])
+    out = bm25_search(postings, doc_lens, stats, "hello world", topk=10)
+    got = {r.doc_id: r.score for r in out.collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)

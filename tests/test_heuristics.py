@@ -221,3 +221,26 @@ def test_domain_mix_scaled_empty_and_bad_inputs(spark):
     bad = spark.createDataFrame([("d", -0.2)], "src string, rate double")
     with pytest.raises(Exception, match="out of \\[0,1\\]"):
         stratified_sample_rates(df, bad, "src").count()
+
+
+def test_rates_df_midpoint_rounding_matches_dict_variant(spark):
+    """Review fix: the DataFrame variant must use HALF_EVEN (bround)
+    like Python's round() in the dict variant — at a .5-midpoint rate
+    both must keep the same rows."""
+    from spotify_etl_aws_spark.operators.heuristics import (
+        stratified_sample_rates,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"), F.lit("d").alias("src")
+    )
+    rate = 2.5e-6  # rate * 1e6 buckets = 2.5 — the midpoint
+    dict_rows = sorted(
+        r.doc_id for r in stratified_sample(df, {"d": rate}, "src").collect()
+    )
+    rates = spark.createDataFrame([("d", rate)], "src string, rate double")
+    df_rows = sorted(
+        r.doc_id
+        for r in stratified_sample_rates(df, rates, "src").collect()
+    )
+    assert df_rows == dict_rows

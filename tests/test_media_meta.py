@@ -208,3 +208,25 @@ def test_container_lane_quarantines_unrecognized_bytes(spark):
     assert got[3].container == "unknown"
     assert got[4].container == "unsupported"
     assert got[5].container == "mp4/isom"
+
+
+def test_mp3_trailing_free_format_sync_ends_walk():
+    """Review fix: trailing bytes decoding as a free-format header
+    after real frames end the walk (like Layer I/II trailing sync and
+    trailing tags) — a genuinely free-format stream still raises."""
+    ff_tail = bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 60
+    m = parse_mp3_meta(_mp3_frame(128) * 5 + ff_tail)
+    assert m.n_frames == 5
+
+
+def test_container_lane_parses_mp3_with_leading_garbage(spark):
+    """Review fix: a valid MP3 behind leading junk (no byte-0 magic)
+    must still parse through the container lane — the old magic gate
+    wrongly sent it to 'unknown'."""
+    junky = b"\x00\x01junkjunk" + _mp3_frame(128) * 10
+    df = spark.createDataFrame(
+        [(1, junky)], "doc_id bigint, media binary"
+    )
+    got = with_container_meta(df).collect()[0]
+    assert got.container == "mp3/v1"
+    assert got.sample_rate == 44100

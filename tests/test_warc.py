@@ -496,3 +496,50 @@ def test_read_warc_split_matches_per_file_read(spark, tmp_path):
     assert got == want
     # >1 task actually executed: the split table is repartitioned wide
     assert split_df.rdd.getNumPartitions() > 1
+
+
+def test_read_warc_split_handles_uncompressed_warc(spark, tmp_path):
+    """Review fix: a plain (non-gzip) .warc must not be silently
+    dropped by the split reader — the split owning offset 0 parses the
+    whole file, matching read_warc."""
+    from spotify_etl_aws_spark.sources.warc import read_warc_split
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "plain.warc").write_bytes(_warc_bytes())
+    (d / "zipped.warc.gz").write_bytes(
+        gzip.compress(
+            _record("response", _http(b"gz text", "text/plain"), "http://z.example/")
+        )
+    )
+    split_urls = {
+        r.url
+        for r in read_warc_split(spark, str(d / "*")).select("url").collect()
+    }
+    file_urls = {
+        r.url for r in read_warc(spark, str(d / "*")).select("url").collect()
+    }
+    assert split_urls == file_urls
+    assert "http://a.example/" in split_urls  # from the plain file
+    assert "http://z.example/" in split_urls
+
+
+def test_fully_corrupt_file_emits_diagnostic_row(spark, tmp_path):
+    """Review fix: a file whose every record is bad must surface its
+    bad_records count on a NULL-url diagnostic row, not vanish."""
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    (d / "allbad.warc.gz").write_bytes(
+        gzip.compress(b"NOT WARC AT ALL\r\n\r\njust junk bytes")
+    )
+    rows = read_warc(spark, str(d / "*.warc.gz")).collect()
+    assert len(rows) == 1
+    assert rows[0].url is None
+    assert rows[0].bad_records >= 1
+    # content consumers filter the contract way
+    assert (
+        read_warc(spark, str(d / "*.warc.gz"))
+        .filter("url IS NOT NULL")
+        .count()
+        == 0
+    )
