@@ -174,6 +174,64 @@ def bm25_search(
     )
 
 
+def bm25_search_many(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    stats: Bm25Stats,
+    queries: DataFrame,
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qtext_col: str = "query",
+) -> DataFrame:
+    """Top-k per query for a whole QUERY TABLE in one distributed job
+    — the shape batch workloads need (screening a corpus against
+    thousands of benchmark prompts, hybrid-retrieval candidate
+    generation). A driver loop over ``bm25_search`` would run one
+    Spark job per query; this runs ONE plan for all of them:
+
+    1. queries explode map-side into distinct (qid, term) pairs;
+    2. the pair table joins the postings on ``term`` — broadcast
+       EXPLICITLY (a derived table has no stats for Catalyst to see
+       it is small; query terms ≪ postings by contract), so the
+       postings never reshuffle for the term join; the later
+       hits ⋈ doc_lens join is left to AQE, whose runtime sizes see
+       that the filtered hits side became broadcastable;
+    3. per-(qid, doc) contributions aggregate, and the per-query
+       top-k is a ``row_number`` window over (qid) — partitioned by
+       query, never a global sort.
+
+    Returns (qid, doc_id, score, rank), rank 1 = best. Ties broken by
+    doc id for determinism (same contract as ``bm25_search``)."""
+    from pyspark.sql import Window
+
+    qt = queries.select(
+        F.col(qid_col),
+        F.explode(tokens(qtext_col)).alias("term"),
+    ).filter(F.col("term") != "").distinct()
+    n = stats.n_docs
+    idf = F.log(
+        (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(stats.avgdl or 1.0))
+    contrib = idf * tf * (k1 + 1.0) / norm
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        postings.join(F.broadcast(qt), "term")
+        .join(doc_lens, id_col)
+        .select(F.col(qid_col), F.col(id_col), contrib.alias("__c"))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("__c").alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
+
+
 def _buckets_of(spark: SparkSession, terms: list[str], buckets: int) -> list[int]:
     """Driver-side xxhash64 buckets of the query terms, computed
     through the SAME JVM expression used at index time (no Python

@@ -305,6 +305,7 @@ def incremental_curation(
     neardup_num_hashes: int = 8,
     neardup_bands: int = 4,
     neardup_shingle_n: int = 3,
+    content_dedup_retention: str | None = None,
 ) -> None:
     """The STREAMING lane of corpus curation: new document files land
     in ``docs_dir`` and each is curated exactly once — a checkpointed
@@ -357,9 +358,29 @@ def incremental_curation(
         .parquet(docs_dir)
         # cross-batch exact dedup on content: checkpointed state store
         .withColumn("__content_hash", F.xxhash64("text"))
-        .dropDuplicates(["__content_hash"])
-        .drop("__content_hash")
     )
+    if content_dedup_retention is None:
+        # content identity never expires: one 8-byte key per distinct
+        # document, unbounded by design
+        stream = stream.dropDuplicates(["__content_hash"]).drop(
+            "__content_hash"
+        )
+    else:
+        # BOUNDED-state variant: the file's landing time is the event
+        # time (the file-metadata pseudo-column — the docs schema has
+        # no timestamp of its own), and a content hash expires once
+        # the watermark passes its landing time + retention. Trade-off
+        # made explicit: a re-land of content older than the retention
+        # IS re-admitted — choose this when business rules allow
+        # re-admitting old content and state must stay finite.
+        stream = (
+            stream.withColumn(
+                "__ingest_ts", F.col("_metadata.file_modification_time")
+            )
+            .withWatermark("__ingest_ts", content_dedup_retention)
+            .dropDuplicatesWithinWatermark(["__content_hash"])
+            .drop("__content_hash", "__ingest_ts")
+        )
 
     sig_store = os.path.join(out_dir, "sig_store")
 

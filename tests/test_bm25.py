@@ -137,3 +137,51 @@ def test_edge_whitespace_doc_lengths_match_reference(spark):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_search_many_matches_per_query_loop(spark):
+    """One distributed job for a query TABLE must reproduce the
+    per-query search exactly (scores and ranking), including queries
+    with no matching terms (absent from the output)."""
+    from spotify_etl_aws_spark.operators.bm25 import bm25_search_many
+
+    postings, doc_lens, stats = _index(spark)
+    queries = spark.createDataFrame(
+        [
+            (1, "quick brown fox"),
+            (2, "dog"),
+            (3, "market trees"),
+            (4, "zzz qqq www"),  # no hits anywhere
+        ],
+        "qid int, query string",
+    )
+    many = bm25_search_many(postings, doc_lens, stats, queries, topk=3)
+    got = {
+        (r.qid, r.doc_id): (r.score, r.rank) for r in many.collect()
+    }
+    assert not any(q == 4 for q, _ in got)  # hitless query absent
+    for qid, qtext in [(1, "quick brown fox"), (2, "dog"), (3, "market trees")]:
+        single = bm25_search(postings, doc_lens, stats, qtext, topk=3).collect()
+        assert len([k for k in got if k[0] == qid]) == len(single)
+        for rank, row in enumerate(single, start=1):
+            score, grank = got[(qid, row.doc_id)]
+            assert score == pytest.approx(row.score, rel=1e-12)
+            assert grank == rank
+
+
+def test_search_many_broadcasts_query_side(spark):
+    """Plan pin: the (qid, term) table is the broadcast side — the
+    postings never reshuffle for the term join."""
+    from spotify_etl_aws_spark.operators.bm25 import bm25_search_many
+
+    postings, doc_lens, stats = _index(spark)
+    queries = spark.createDataFrame(
+        [(1, "quick brown fox")], "qid int, query string"
+    )
+    plan = (
+        bm25_search_many(postings, doc_lens, stats, queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

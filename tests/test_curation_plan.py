@@ -489,3 +489,67 @@ def test_language_gate_guards(spark, sf_dir, tmp_path):
             spark, docs, None, str(tmp_path / "x"),
             keep_langs=("EN",),
         )
+
+
+def test_incremental_curation_bounded_dedup_retention(spark, sf_dir, tmp_path):
+    """content_dedup_retention bounds the content-hash state with a
+    watermark on file landing time: a re-land INSIDE the retention is
+    dropped; one landing AFTER the watermark passed the original's
+    expiry is re-admitted (the explicit trade-off for finite state).
+    Three files with staggered mtimes, one AvailableNow run,
+    maxFilesPerTrigger=1 via separate runs."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.plans.curation import incremental_curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta_cols = [c for c in docs.columns if c not in ("doc_id", "text")]
+    text_a = " ".join(f"tok{i} word{i} item{i}" for i in range(40))
+    text_b = " ".join(f"fresh{i} other{i} thing{i}" for i in range(40))
+
+    def doc(doc_id, text):
+        return docs.limit(1).select(
+            F.lit(doc_id).cast("long").alias("doc_id"),
+            F.lit(text).alias("text"),
+            *meta_cols,
+        )
+
+    land = tmp_path / "land"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    now = time.time()
+
+    def land_wave(name, df, mtime):
+        p = str(land / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for dp, _, fns in os.walk(p):
+            for fn in fns:
+                os.utime(os.path.join(dp, fn), (mtime, mtime))
+
+    kwargs = dict(
+        quality_cutoff=0.0,
+        neardup_threshold=1.5,  # disable near-dup so only the exact
+        content_dedup_retention="1 hour",  # hash state is in play
+    )
+    # wave 1: original content A at t=now
+    land_wave("w1", doc(1, text_a), now)
+    incremental_curation(spark, str(land), None, out, ckpt, **kwargs)
+    # wave 2: re-land of A INSIDE retention (+10 min) — dropped; B
+    # advances the watermark far past A's expiry (+10 h)
+    land_wave("w2", doc(2, text_a).unionByName(doc(3, text_b)), now + 36000)
+    incremental_curation(spark, str(land), None, out, ckpt, **kwargs)
+    # wave 3: re-land of A AFTER its state expired — re-admitted
+    land_wave("w3", doc(4, text_a), now + 72000)
+    incremental_curation(spark, str(land), None, out, ckpt, **kwargs)
+
+    got = (
+        spark.read.parquet(os.path.join(out, "corpus_incremental"))
+        .select("doc_id")
+        .collect()
+    )
+    ids = sorted(r.doc_id for r in got)
+    # 1 = original A, 3 = B, 4 = re-admitted A; 2 was dropped in-state
+    assert ids == [1, 3, 4]
