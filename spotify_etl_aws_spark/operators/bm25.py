@@ -232,6 +232,52 @@ def bm25_search_many(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): combine per-query
+    rankings from heterogeneous retrievers (this module's BM25 and the
+    vector lanes' ANN top-k being the canonical pair) into one list
+    per query by ``score = Σ_r 1/(k + rank_r(doc))``.
+
+    RRF is the standard hybrid combiner precisely because it needs NO
+    score calibration — only ranks — so a BM25 score and a cosine
+    similarity never have to share a scale. Inputs each carry
+    (qid, doc_id, rank); a doc absent from a ranking simply
+    contributes nothing (the Σ runs over the rankings that returned
+    it). Pure DataFrame: union → one partial-agg shuffle on
+    (qid, doc) → per-query row_number top-k. Returns
+    (qid, doc_id, rrf_score, rank)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(qid_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("__rr"),
+        )
+        for r in rankings
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("rrf_score"), F.col(id_col)
+    )
+    return (
+        unioned.groupBy(qid_col, id_col)
+        .agg(F.sum("__rr").alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
+
+
 def _buckets_of(spark: SparkSession, terms: list[str], buckets: int) -> list[int]:
     """Driver-side xxhash64 buckets of the query terms, computed
     through the SAME JVM expression used at index time (no Python

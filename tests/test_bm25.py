@@ -185,3 +185,50 @@ def test_search_many_broadcasts_query_side(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fusion_matches_python_reference(spark):
+    """RRF over a BM25 ranking and a synthetic dense ranking matches
+    the published formula exactly; docs present in only one ranking
+    still score; ties break by doc id."""
+    from spotify_etl_aws_spark.operators.bm25 import bm25_search_many, rrf_fuse
+
+    postings, doc_lens, stats = _index(spark)
+    queries = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "dog")], "qid int, query string"
+    )
+    sparse = bm25_search_many(postings, doc_lens, stats, queries, topk=5)
+    # a "dense" ranking that disagrees (e.g. cosine over embeddings):
+    dense = spark.createDataFrame(
+        [(1, 2, 1), (1, 0, 2), (2, 2, 1), (2, 4, 2)],
+        "qid int, doc_id bigint, rank int",
+    )
+    fused = rrf_fuse([sparse, dense], k=60, topk=10)
+    got = {(r.qid, r.doc_id): (r.rrf_score, r.rank) for r in fused.collect()}
+
+    sp = {(r.qid, r.doc_id): r.rank for r in sparse.collect()}
+    dn = {(1, 2): 1, (1, 0): 2, (2, 2): 1, (2, 4): 2}
+    want: dict[tuple[int, int], float] = {}
+    for key in set(sp) | set(dn):
+        want[key] = sum(
+            1.0 / (60 + r[key]) for r in (sp, dn) if key in r
+        )
+    assert set(got) == set(want)
+    for key, score in want.items():
+        assert got[key][0] == pytest.approx(score, rel=1e-12)
+    # per-query ranks are dense from 1 and ordered by fused score
+    for q in (1, 2):
+        rows = sorted(
+            ((d, s, rk) for (qq, d), (s, rk) in got.items() if qq == q),
+            key=lambda x: x[2],
+        )
+        assert [rk for _, _, rk in rows] == list(range(1, len(rows) + 1))
+        scores = [s for _, s, _ in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_requires_rankings():
+    from spotify_etl_aws_spark.operators.bm25 import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
