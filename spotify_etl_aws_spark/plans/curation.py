@@ -114,6 +114,7 @@ def build_training_corpus(
     substring_hot_max: int | None = 10_000,
     keep_langs: tuple[str, ...] | None = None,
     audit: bool = False,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Run the ladder over ``docs`` (doc_id, text) and write the packed
     corpus partitioned by split. Returns the re-read result frame.
@@ -135,6 +136,12 @@ def build_training_corpus(
     ``keep_langs`` adds the language gate (stopword-hit lang-ID,
     ``functions.text.predicted_lang``) ahead of every shuffling stage,
     so off-language documents never pay for dedup.
+
+    ``metrics_out`` (a dict) receives per-stage surviving-row counts
+    — ``{'input': n, 'near_duplicate': n, ..., 'quality': n}`` —
+    gathered with ``df.observe`` accumulators DURING the corpus
+    write, i.e. at zero extra jobs (counting via ``.count()`` per
+    stage would re-run the ladder once per stage).
 
     ``quality_model`` adds the FineWeb-style model-based filter: a
     ``LinearQualityModel`` (trained in-engine on reference-vs-raw
@@ -162,7 +169,22 @@ def build_training_corpus(
     # all lazy DataFrames: with audit off they are never executed
     trail: list[tuple[str, DataFrame]] = []
 
-    stage = docs.select("doc_id", "text")
+    # ``metrics_out``: per-stage row counters via ``df.observe`` —
+    # accumulator-backed, collected DURING the one write action, so
+    # observability costs ZERO extra jobs (the audit trail answers
+    # "which doc died where", this answers "how many" for free)
+    observations: list[tuple[str, object]] = []
+
+    def observed(df: DataFrame, name: str) -> DataFrame:
+        if metrics_out is None:
+            return df
+        from pyspark.sql import Observation
+
+        ob = Observation(f"curation_{name}")
+        observations.append((name, ob))
+        return df.observe(ob, F.count(F.lit(1)).alias("rows"))
+
+    stage = observed(docs.select("doc_id", "text"), "input")
     # language gate FIRST (the CCNet/FineWeb order): it is a pure
     # map-side filter, so running it before the shuffling stages means
     # off-language docs never pay for dedup
@@ -186,12 +208,18 @@ def build_training_corpus(
             )
             > 0
         )
-        stage = stage.filter(
-            predicted_lang(toks_, STOPWORDS).isin(*keep_langs) & any_hit
+        stage = observed(
+            stage.filter(
+                predicted_lang(toks_, STOPWORDS).isin(*keep_langs) & any_hit
+            ),
+            "language",
         )
         trail.append(("language", stage))
     if bench is not None:
-        stage = decontaminate(stage, bench, shingle_n=decon_shingle_n)
+        stage = observed(
+            decontaminate(stage, bench, shingle_n=decon_shingle_n),
+            "contaminated",
+        )
         trail.append(("contaminated", stage))
 
     reps = neardup_clusters(
@@ -201,7 +229,10 @@ def build_training_corpus(
         shingle_n=shingle_n,
         threshold=dup_threshold,
     ).filter(F.col("doc_id") == F.col("cluster_rep"))
-    stage = stage.join(reps.select("doc_id"), "doc_id", "left_semi")
+    stage = observed(
+        stage.join(reps.select("doc_id"), "doc_id", "left_semi"),
+        "near_duplicate",
+    )
     trail.append(("near_duplicate", stage))
 
     # span-level pass AFTER document-level dedup: whole-doc drops are
@@ -215,9 +246,12 @@ def build_training_corpus(
     if pii_scrub:
         stage = scrub_pii(stage).select("doc_id", "text")
     if repetition_filter:
-        stage = repetition_gate(
-            repetition_stats(stage, extra_cols=("text",))
-        ).select("doc_id", "text")
+        stage = observed(
+            repetition_gate(
+                repetition_stats(stage, extra_cols=("text",))
+            ).select("doc_id", "text"),
+            "repetition",
+        )
         trail.append(("repetition", stage))
 
     if lm_model is not None:
@@ -243,11 +277,14 @@ def build_training_corpus(
         n_tokens = F.size(tokens("text"))
         carry = ["doc_id", "text"]
 
-    scored = stage.select(
-        *carry,
-        n_tokens.alias("n_tokens"),
-        F.round(quality_score("text"), 4).alias("quality_score"),
-    ).filter(F.col("quality_score") >= quality_cutoff)
+    scored = observed(
+        stage.select(
+            *carry,
+            n_tokens.alias("n_tokens"),
+            F.round(quality_score("text"), 4).alias("quality_score"),
+        ).filter(F.col("quality_score") >= quality_cutoff),
+        "quality",
+    )
     trail.append(("quality", scored))
 
     if audit:
@@ -289,6 +326,11 @@ def build_training_corpus(
 
     path = os.path.join(out_dir, "corpus")
     out.write.mode("overwrite").partitionBy("split").parquet(path)
+    if metrics_out is not None:
+        # the write above is the action the observe nodes rode on —
+        # each get returns immediately with its accumulator value
+        for name, ob in observations:
+            metrics_out[name] = int(ob.get["rows"])
     return spark.read.parquet(path)
 
 

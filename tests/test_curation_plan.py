@@ -553,3 +553,29 @@ def test_incremental_curation_bounded_dedup_retention(spark, sf_dir, tmp_path):
     ids = sorted(r.doc_id for r in got)
     # 1 = original A, 3 = B, 4 = re-admitted A; 2 was dropped in-state
     assert ids == [1, 3, 4]
+
+
+def test_metrics_out_observe_counters(spark, sf_dir, tmp_path):
+    """Per-stage counters ride the write action as observe
+    accumulators (zero extra jobs) and must agree with the written
+    corpus and the monotone-ladder invariant."""
+    from spotify_etl_aws_spark.plans.curation import build_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    metrics: dict = {}
+    out = build_training_corpus(
+        spark,
+        docs,
+        bench=None,
+        out_dir=str(tmp_path / "corpus"),
+        quality_cutoff=0.2,
+        metrics_out=metrics,
+    )
+    assert metrics["input"] == docs.count()
+    # ladder order is monotone non-increasing
+    order = [k for k in ("input", "near_duplicate", "repetition", "quality")
+             if k in metrics]
+    vals = [metrics[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    # the quality survivors are exactly the written rows
+    assert metrics["quality"] == out.count()
