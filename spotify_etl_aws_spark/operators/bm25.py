@@ -126,6 +126,20 @@ def load_bm25_index(
     return postings, doc_lens, Bm25Stats(int(row.n_docs), float(row.avgdl))
 
 
+def _bm25_contrib(stats: Bm25Stats, k1: float, b: float):
+    """Per-(term, doc) score contribution — the ONE place the Okapi
+    formula lives; both the single-query and batch searches compose
+    it so they can never drift apart."""
+    idf = F.log(
+        (F.lit(float(stats.n_docs)) - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(stats.avgdl or 1.0))
+    return idf * tf * (k1 + 1.0) / norm
+
+
 def bm25_search(
     postings: DataFrame,
     doc_lens: DataFrame,
@@ -157,13 +171,7 @@ def bm25_search(
     hits = postings.filter(
         F.col("bucket").isin(q_buckets) & F.col("term").isin(q_terms)
     )
-    n = stats.n_docs
-    idf = F.log(
-        (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    tf = F.col("tf").cast("double")
-    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(stats.avgdl or 1.0))
-    contrib = idf * tf * (k1 + 1.0) / norm
+    contrib = _bm25_contrib(stats, k1, b)
     return (
         hits.join(doc_lens, id_col)
         .select(F.col(id_col), contrib.alias("__c"))
@@ -211,13 +219,7 @@ def bm25_search_many(
         F.col(qid_col),
         F.explode(tokens(qtext_col)).alias("term"),
     ).filter(F.col("term") != "").distinct()
-    n = stats.n_docs
-    idf = F.log(
-        (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    tf = F.col("tf").cast("double")
-    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(stats.avgdl or 1.0))
-    contrib = idf * tf * (k1 + 1.0) / norm
+    contrib = _bm25_contrib(stats, k1, b)
     w = Window.partitionBy(qid_col).orderBy(
         F.desc("score"), F.col(id_col)
     )

@@ -63,11 +63,22 @@ def _id3v2_size(data: bytes) -> int:
     return 10 + size + footer
 
 
-def parse_mp3_meta(data: bytes) -> Mp3Meta:
+def parse_mp3_meta(
+    data: bytes, max_resync_bytes: int | None = None
+) -> Mp3Meta:
     """Walk every frame header of an MPEG Layer III stream. Exact for
     CBR and VBR alike (per-frame bitrates are summed, not estimated);
-    Layer I/II and free-format bitrate raise at the seam."""
+    Layer I/II and free-format bitrate raise at the seam.
+
+    ``max_resync_bytes`` bounds the leading-garbage scan: if no frame
+    is found within that many bytes past the ID3 tag, raise instead of
+    walking the whole blob byte-by-byte — the corpus-kernel posture
+    (``with_container_meta``) where the input may be a misfiled 100 MB
+    binary that is not an MP3 at all."""
     pos = _id3v2_size(data)
+    resync_limit = (
+        len(data) if max_resync_bytes is None else pos + max_resync_bytes
+    )
     n_frames, total_samples, total_bits = 0, 0, 0
     rate = channels = 0
     version = ""
@@ -78,6 +89,10 @@ def parse_mp3_meta(data: bytes) -> Mp3Meta:
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             if n_frames:
                 break  # trailing tag (ID3v1 "TAG", APE) ends the walk
+            if pos >= resync_limit:
+                raise ValueError(
+                    "no MPEG audio frames found within resync bound"
+                )
             pos += 1  # resync: garbage before the first frame
             continue
         vbits = (b1 >> 3) & 3
@@ -312,22 +327,37 @@ def with_container_meta(
                             len(raw),
                         ))
                     else:
-                        # attempt the MP3 walk for any non-ISO-BMFF
-                        # bytes — its own resync handles leading junk
-                        # (which a byte-0 magic gate would wrongly
-                        # reject); bytes with no MPEG frames at all
-                        # fall to 'unknown' via the ValueError below
-                        a = parse_mp3_meta(raw)
+                        # MP3 lane with EVIDENCE gating: the walk's
+                        # leading-junk resync is bounded (64 KB) and a
+                        # stream is accepted only on >= 2 chained
+                        # frames or an explicit ID3 tag — a single
+                        # accidental sync-valid 4-byte pattern (which
+                        # random binaries contain every ~100 KB) is
+                        # not an MP3, and must land 'unknown', not
+                        # fabricate duration/bitrate metadata
+                        tagged = raw[:3] == b"ID3"
+                        a = parse_mp3_meta(raw, max_resync_bytes=65536)
+                        if a.n_frames < 2 and not tagged:
+                            raise ValueError("single-frame sync: no evidence")
                         rows.append((
                             int(i), f"mp3/v{a.version}", "mp3",
                             a.duration_ms, a.bitrate_kbps, a.sample_rate,
                             a.channels, 0, 0, len(raw),
                         ))
                 except NotImplementedError:
-                    # documented codec seam (Layer I/II, free-format):
-                    # visible as its own container class, not a crash
+                    # documented codec seam (Layer I/II, free-format) —
+                    # but only with header evidence (ID3 tag or a sync
+                    # word at byte 0); noise that merely CONTAINS
+                    # seam-looking sync bytes is 'unknown', not a seam
+                    attested = raw[:3] == b"ID3" or (
+                        len(raw) >= 2
+                        and raw[0] == 0xFF
+                        and (raw[1] & 0xE0) == 0xE0
+                    )
                     rows.append((
-                        int(i), "unsupported", "", 0.0, 0.0, 0, 0, 0, 0,
+                        int(i),
+                        "unsupported" if attested else "unknown",
+                        "", 0.0, 0.0, 0, 0, 0, 0,
                         len(raw),
                     ))
                 except Exception:

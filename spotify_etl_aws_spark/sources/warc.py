@@ -45,14 +45,16 @@ _CRLF2 = b"\r\n\r\n"
 
 
 def iter_warc_records(
-    data: bytes,
+    data,
     strict: bool = True,
     stats: dict[str, int] | None = None,
+    start: int = 0,
+    stop_before: int | None = None,
 ) -> Iterator[tuple[dict[str, str], bytes]]:
     """Yield (headers, body) for every record in a WARC byte stream.
-    Accepts raw or gzip input; multi-member gzip (one member per
-    record, the CommonCrawl layout) decompresses as one stream via
-    stdlib gzip's concatenated-member support.
+    Accepts raw or gzip input (bytes or an mmap); multi-member gzip
+    (one member per record, the CommonCrawl layout) decompresses as
+    one stream via stdlib gzip's concatenated-member support.
 
     ``strict=True`` (the library/API default) raises on malformed
     framing — truncated header block, bad version line, missing
@@ -62,16 +64,34 @@ def iter_warc_records(
     (counted in ``stats['bad_records']``, resyncing to the next
     ``\\r\\nWARC/`` boundary), not the whole file — and under a
     checkpointed incremental stream, not a permanently wedged retry
-    loop."""
-    if data[:2] == b"\x1f\x8b":
+    loop.
+
+    ``start``/``stop_before`` bound the walk for RAW (uncompressed)
+    byte-range splits: records STARTING in [start, stop_before) are
+    yielded whole (bodies may extend past), a ``start`` inside a
+    record resyncs forward to the next ``\\r\\nWARC/`` boundary —
+    the split-ownership rule of ``read_warc_split``. Not valid for
+    gzip input (member offsets, not byte offsets, split those)."""
+    if data[: 2] == b"\x1f\x8b":
+        if start or stop_before is not None:
+            raise ValueError("start/stop_before require raw (non-gzip) input")
         if strict:
-            data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+            data = gzip.GzipFile(fileobj=io.BytesIO(bytes(data))).read()
         else:
             # a corrupt gzip member must cost one member, not the file:
             # walk members individually and resync past bad ones
             data = _lenient_gunzip(data, stats)
-    pos = 0
     n = len(data)
+    stop = n if stop_before is None else min(stop_before, n)
+    pos = start
+    if start > 0:
+        # mid-stream entry: position at the first record boundary at or
+        # after start (a record starting exactly at `start` has its
+        # preceding CRLF at start-2, hence the back-off)
+        nxt = data.find(b"\r\nWARC/", max(start - 2, 0))
+        if nxt < 0:
+            return
+        pos = nxt + 2
 
     def bad(msg: str, resync_from: int) -> int:
         """strict: raise; lenient: count and return the next plausible
@@ -83,11 +103,11 @@ def iter_warc_records(
         nxt = data.find(b"\r\nWARC/", resync_from)
         return nxt + 2 if nxt >= 0 else n
 
-    while pos < n:
+    while pos < stop:
         # skip inter-record blank lines
         while pos < n and data[pos : pos + 2] == b"\r\n":
             pos += 2
-        if pos >= n:
+        if pos >= stop:
             break
         head_end = data.find(_CRLF2, pos)
         if head_end < 0:
@@ -303,8 +323,26 @@ def _extract_rows_core(
     extract,
     stats: dict[str, int],
 ) -> list[list]:
+    return _rows_from_records(
+        fname,
+        iter_warc_records(raw, strict=False, stats=stats),
+        record_types,
+        min_text_chars,
+        extract,
+        stats,
+    )
+
+
+def _rows_from_records(
+    fname: str,
+    records,
+    record_types,
+    min_text_chars: int,
+    extract,
+    stats: dict[str, int],
+) -> list[list]:
     rows = []
-    for hdr, body in iter_warc_records(raw, strict=False, stats=stats):
+    for hdr, body in records:
         try:
             if hdr.get("WARC-Type") not in record_types:
                 continue
@@ -394,20 +432,11 @@ def _parse_split(
     local = path[5:] if path.startswith("file:") else path
     rows: list[tuple] = []
     stats: dict[str, int] = {}
+    members_found = 0
     with open(local, "rb") as f, mmap.mmap(
         f.fileno(), 0, access=mmap.ACCESS_READ
     ) as mm:
         size = len(mm)
-        if size >= 2 and mm[:2] != b"\x1f\x8b":
-            # UNCOMPRESSED .warc: no gzip members to split on — the
-            # task owning offset 0 parses the whole file (identical
-            # rows to read_warc; other splits of this file yield
-            # nothing), so plain files are never silently dropped
-            if start == 0:
-                return _extract_rows(
-                    path, mm[:], record_types, min_text_chars, extract
-                )
-            return []
         pos = start
         while pos < end:
             # candidate must START before end; the 3-byte pattern may
@@ -424,12 +453,18 @@ def _parse_split(
                     p += 1 << 20
                 if not d.eof:
                     raise zlib.error("truncated gzip member")
-                member = bytes(out)
-                if not member.startswith(b"WARC/"):
-                    raise zlib.error("member is not a WARC record")
             except zlib.error:
-                pos = idx + 1  # false magic — resync
+                pos = idx + 1  # false magic OR corrupt member — resync
                 continue
+            member = bytes(out)
+            if not member.startswith(b"WARC/"):
+                # a VERIFIED gzip member (magic + valid deflate + CRC)
+                # whose content is not a WARC record is corruption, not
+                # a false magic hit — count it like any bad record
+                stats["bad_records"] = stats.get("bad_records", 0) + 1
+                pos = idx + 1
+                continue
+            members_found += 1
             consumed = min(p, size) - idx - len(d.unused_data)
             rows.extend(
                 _extract_rows_core(
@@ -437,9 +472,54 @@ def _parse_split(
                 )
             )
             pos = idx + max(consumed, 1)
+        if start == 0 and members_found == 0 and size > 0:
+            # the offset-0 owner found NO valid member in its whole
+            # range: whatever corrupted this file (truncated members,
+            # damaged head, non-WARC content behind a .gz name) must
+            # surface, matching read_warc's never-silent contract
+            stats["bad_records"] = stats.get("bad_records", 0) + 1
     n_bad = stats.get("bad_records", 0)
     if not rows and n_bad:
         # all-bad split: surface the count on a diagnostic row
+        return [(path, None, None, None, None, None, None, n_bad)]
+    return [tuple(r) + (n_bad,) for r in rows]
+
+
+def _parse_plain_split(
+    path: str,
+    start: int,
+    end: int,
+    record_types,
+    min_text_chars: int,
+    extract,
+) -> list[tuple]:
+    """Byte-range split of an UNCOMPRESSED .warc: records are found by
+    resyncing to the ``\\r\\nWARC/`` framing boundary (the bounded
+    walk in ``iter_warc_records``), so an oversized plain shard fans
+    out across tasks exactly like the gzip lane. Known edge: a record
+    whose BODY embeds a full well-formed WARC record (an archived
+    WARC) can be re-parsed by the split that starts inside it — the
+    sequential reader treats it as content; acceptable for crawl
+    hygiene, excluded by the gzip lane's member framing."""
+    import mmap
+
+    local = path[5:] if path.startswith("file:") else path
+    stats: dict[str, int] = {}
+    with open(local, "rb") as f, mmap.mmap(
+        f.fileno(), 0, access=mmap.ACCESS_READ
+    ) as mm:
+        rows = _rows_from_records(
+            path,
+            iter_warc_records(
+                mm, strict=False, stats=stats, start=start, stop_before=end
+            ),
+            record_types,
+            min_text_chars,
+            extract,
+            stats,
+        )
+    n_bad = stats.get("bad_records", 0)
+    if not rows and n_bad and start == 0:
         return [(path, None, None, None, None, None, None, n_bad)]
     return [tuple(r) + (n_bad,) for r in rows]
 
@@ -458,13 +538,18 @@ def read_warc_split(
     across the cluster instead of becoming a single straggler task.
 
     Listing is a content-pruned ``binaryFile`` scan (paths + lengths
-    only — O(#files) driver state, same as any file index); the split
-    table is then re-distributed and each task mmap-reads only its
-    range. Output rows and schema are identical to ``read_warc`` on
-    the same files (tested; an UNCOMPRESSED .warc falls back to
-    whole-file parsing by the split owning offset 0), with
-    ``bad_records`` counted per SPLIT — for exact per-file totals use
-    ``read_warc``'s per-file counter."""
+    only — O(#files) driver state, same as any file index), plus a
+    2-byte head sniff per file deciding its lane ONCE at split time
+    (an object-store deployment turns that into one ranged GET per
+    file — the same seam as the task-side ranged reads): gzip files
+    split on member boundaries, UNCOMPRESSED .warc files split on the
+    ``\\r\\nWARC/`` record framing — both fan an oversized shard out
+    across tasks. Keying the lane on the sniffed head, not the first
+    split's bytes, means a ``.gz`` with a damaged/junk-prefixed head
+    still goes down the member-scan lane and recovers every intact
+    member. Output rows and schema are identical to ``read_warc`` on
+    the same files (tested), with ``bad_records`` counted per SPLIT —
+    for exact per-file totals use ``read_warc``'s per-file counter."""
     extract = html_main_text if main_text else html_text
     files = [
         (r["path"], r["length"])
@@ -473,17 +558,36 @@ def read_warc_split(
         .select("path", "length")
         .collect()
     ]
-    splits = _gzip_member_splits(files, split_mb * 1024 * 1024)
+
+    def is_gzip_lane(p: str) -> bool:
+        # head sniff OR extension: a .gz whose first bytes are damaged
+        # must still take the member-scan lane (which recovers every
+        # intact member past the damage) — the sniff alone would route
+        # it to the raw-record lane and lose the whole file
+        if p.endswith(".gz"):
+            return True
+        local = p[5:] if p.startswith("file:") else p
+        with open(local, "rb") as f:
+            return f.read(2) == b"\x1f\x8b"
+
+    lanes = {p: is_gzip_lane(p) for p, _ in files}
+    splits = [
+        (p, s, e, lanes[p])
+        for p, s, e in _gzip_member_splits(files, split_mb * 1024 * 1024)
+    ]
     sdf = spark.createDataFrame(
-        splits, "path string, start long, end long"
+        splits, "path string, start long, end long, is_gzip boolean"
     ).repartition(max(len(splits), 1))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for p, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+            for p, s, e, gz in zip(
+                pdf["path"], pdf["start"], pdf["end"], pdf["is_gzip"]
+            ):
+                kern = _parse_split if gz else _parse_plain_split
                 rows.extend(
-                    _parse_split(
+                    kern(
                         p, int(s), int(e), record_types, min_text_chars, extract
                     )
                 )

@@ -230,3 +230,30 @@ def test_container_lane_parses_mp3_with_leading_garbage(spark):
     got = with_container_meta(df).collect()[0]
     assert got.container == "mp3/v1"
     assert got.sample_rate == 44100
+
+
+def test_container_lane_rejects_random_noise(spark):
+    """Second-review fix: random binary blobs (which contain
+    accidental sync-valid 4-byte patterns every ~100 KB) must land
+    'unknown' — a single unchained frame is not evidence of MP3; a
+    real 2-frame chain (even junk-prefixed) still is."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randbytes(200_000)) for i in range(6)]
+    rows.append((100, b"\x00junk" + _mp3_frame(128) * 2))  # real, 2 frames
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    got = {r.doc_id: r.container for r in with_container_meta(df).collect()}
+    assert got[100] == "mp3/v1"
+    for i in range(6):
+        assert got[i] == "unknown", (i, got[i])
+
+
+def test_mp3_resync_bound(spark=None):
+    """The kernel's bounded resync: no frame within the bound raises
+    (ValueError -> 'unknown' in the lane); unbounded API still scans."""
+    blob = b"\x00" * 100_000 + _mp3_frame(128) * 3
+    m = parse_mp3_meta(blob)  # unbounded: finds the frames
+    assert m.n_frames == 3
+    with pytest.raises(ValueError, match="resync bound"):
+        parse_mp3_meta(blob, max_resync_bytes=65536)

@@ -543,3 +543,78 @@ def test_fully_corrupt_file_emits_diagnostic_row(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_split_reader_counts_corrupt_members_and_files(spark, tmp_path):
+    """Second-review fix: the split lane surfaces corruption like the
+    per-file lane — a verified-but-non-WARC member counts, and a file
+    with NO valid member emits the diagnostic row from split 0."""
+    from spotify_etl_aws_spark.sources.warc import read_warc_split
+
+    d = tmp_path / "c"
+    d.mkdir()
+    # file 1: valid member + verified member with non-WARC content
+    (d / "mixed.warc.gz").write_bytes(
+        gzip.compress(
+            _record("response", _http(b"good", "text/plain"), "http://g.example/")
+        )
+        + gzip.compress(b"this member is valid gzip but not a WARC record")
+    )
+    # file 2: nothing valid at all behind a .gz name
+    (d / "allbad.warc.gz").write_bytes(b"junk that is not even gzip data")
+    rows = read_warc_split(spark, str(d / "*.warc.gz")).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.warc_file.rsplit("/", 1)[-1], []).append(r)
+    assert [r.url for r in by_file["mixed.warc.gz"]] == ["http://g.example/"]
+    assert by_file["mixed.warc.gz"][0].bad_records >= 1
+    assert by_file["allbad.warc.gz"][0].url is None
+    assert by_file["allbad.warc.gz"][0].bad_records >= 1
+
+
+def test_plain_warc_splits_across_tasks(spark, tmp_path):
+    """Second-review fix: an oversized UNCOMPRESSED .warc fans out on
+    record boundaries instead of being parsed whole by split 0 — rows
+    identical to the per-file reader."""
+    from spotify_etl_aws_spark.sources.warc import read_warc_split
+
+    d = tmp_path / "plain"
+    d.mkdir()
+    n_rec = 400
+    with open(d / "big.warc", "wb") as f:
+        for i in range(n_rec):
+            body = (f"record {i} " * 500).encode()
+            f.write(
+                _record("response", _http(body, "text/plain"), f"http://p{i}.example/")
+            )
+    size = (d / "big.warc").stat().st_size
+    assert size > 2_000_000
+    got = {
+        r.url: r.text
+        for r in read_warc_split(
+            spark, str(d / "*.warc"), split_mb=1
+        ).select("url", "text").collect()
+    }
+    want = {
+        r.url: r.text
+        for r in read_warc(spark, str(d / "*.warc")).select("url", "text").collect()
+    }
+    assert len(got) == n_rec
+    assert got == want
+
+
+def test_gz_with_damaged_head_recovers_members(spark, tmp_path):
+    """Second-review fix: a .gz whose first bytes are damaged must
+    still take the member-scan lane (extension routing) and recover
+    every intact member past the damage."""
+    from spotify_etl_aws_spark.sources.warc import read_warc_split
+
+    d = tmp_path / "dmg"
+    d.mkdir()
+    good = gzip.compress(
+        _record("response", _http(b"survivor", "text/plain"), "http://s.example/")
+    )
+    (d / "dmg.warc.gz").write_bytes(b"\x00\x00JUNKHEAD" + good)
+    rows = read_warc_split(spark, str(d / "*.warc.gz")).collect()
+    urls = [r.url for r in rows]
+    assert "http://s.example/" in urls
