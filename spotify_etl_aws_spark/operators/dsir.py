@@ -1,0 +1,228 @@
+"""DSIR — Data Selection with Importance Resampling (north-star
+§2.11c extension; Xie et al., "Data Selection for Language Models via
+Importance Resampling", NeurIPS 2023).
+
+Given a small TARGET corpus (the distribution you want more of — e.g.
+reference-quality pages, a domain slice) and the RAW corpus, DSIR
+selects raw documents whose hashed-n-gram profile looks like the
+target:
+
+    features(d)  = bag of uni+bigrams hashed into B buckets
+    log w(d)     = Σ_b c_b(d) · ( log p̂_target[b] − log p̂_raw[b] )
+    selection    = top-k of  log w(d) + Gumbel(d)   (importance
+                   RESAMPLING, not thresholding — the Gumbel-top-k
+                   trick samples ∝ w without replacement)
+
+Spark shape (the same three-posture split as the quality classifier,
+``classifier.py:89``):
+
+- **fit** is two counting jobs, one per corpus. Each partition folds
+  its documents into ONE B-length partial count vector inside a
+  ``mapInPandas`` kernel and emits a single row — the driver sums
+  ≤ #partitions vectors. No shuffle at all, and driver model state is
+  O(B) (80 KB at the default B=10⁴), like the quantizer/BPE models.
+- **score** is a map-side Arrow kernel: the log-ratio array rides the
+  task closure, every document scores independently, zero Exchange
+  (plan-pinned in tests). Hashing lives in ONE Python function shared
+  by fit and score, so the two can never disagree on buckets — the
+  same reason the char-LM ships its counts into the kernel
+  (``lm.py:61``).
+- **select** is either ``resample_dsir`` (exact top-k →
+  ``TakeOrderedAndProject``, for human-sized k) or
+  ``resample_dsir_fraction`` (approxQuantile threshold → map-side
+  filter — the 100 TB path, where k is billions and a global exact
+  top-k would range-shuffle the corpus).
+
+The Gumbel noise is a deterministic function of (seed, doc_id) —
+xxhash64 → uniform in (0,1) → −log(−log u) — so a retried task, a
+re-run, and the test suite all select the identical set (same
+retry-stability contract as ``splits.py:25``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 10_000
+_GUMBEL_M = 1 << 20  # uniform-grid resolution for the hash→(0,1) map
+
+
+class DsirModel(NamedTuple):
+    """Driver model state: the per-bucket log importance ratio."""
+
+    n_buckets: int
+    ngram_max: int
+    alpha: float
+    log_ratio: tuple[float, ...]
+
+
+def _gram_hash(gram: str) -> int:
+    """Stable 64-bit term hash (process-independent — Python's builtin
+    ``hash`` is salted per interpreter and would break retry/replay
+    determinism). Same construction as ``classifier.py:47``."""
+    return int.from_bytes(
+        hashlib.blake2b(gram.encode("utf-8"), digest_size=8).digest(),
+        "little",
+    )
+
+
+def _doc_buckets(text: str | None, n_buckets: int, ngram_max: int) -> list[int]:
+    """Bucket ids (with multiplicity) of the document's 1..ngram_max
+    word grams — the ONE featurization both fit and score call."""
+    if not text:
+        return []
+    toks = text.lower().split()
+    out: list[int] = []
+    for n in range(1, ngram_max + 1):
+        for i in range(len(toks) - n + 1):
+            out.append(_gram_hash(" ".join(toks[i : i + n])) % n_buckets)
+    return out
+
+
+def _bucket_counts(
+    docs: DataFrame, text_col: str, n_buckets: int, ngram_max: int
+) -> np.ndarray:
+    """Global per-bucket gram counts: one row of partials per
+    PARTITION (not per Arrow batch — the kernel folds its whole
+    iterator first), summed on the driver. Zero Exchange."""
+    schema = "counts array<double>"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(n_buckets, dtype=np.float64)
+        for pdf in batches:
+            for t in pdf[text_col]:
+                b = _doc_buckets(t, n_buckets, ngram_max)
+                if b:
+                    acc += np.bincount(b, minlength=n_buckets)
+        yield pd.DataFrame({"counts": [acc]})
+
+    rows = docs.select(text_col).mapInPandas(partials, schema).collect()
+    total = np.zeros(n_buckets, dtype=np.float64)
+    for r in rows:
+        total += np.asarray(r.counts, dtype=np.float64)
+    return total
+
+
+def fit_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    ngram_max: int = 2,
+    alpha: float = 1.0,
+) -> DsirModel:
+    """Fit the two hashed-n-gram multinomials and keep only their
+    log-ratio. ``alpha`` is add-α smoothing — without it a bucket
+    unseen in ``raw`` would give +inf weight to any raw document that
+    hashes into it."""
+    if n_buckets <= 0 or ngram_max <= 0:
+        raise ValueError("n_buckets and ngram_max must be positive")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed ratios diverge)")
+    t = _bucket_counts(target, text_col, n_buckets, ngram_max)
+    r = _bucket_counts(raw, text_col, n_buckets, ngram_max)
+    if t.sum() == 0:
+        raise ValueError("target corpus produced no grams")
+    if r.sum() == 0:
+        raise ValueError("raw corpus produced no grams")
+    log_p = np.log(t + alpha) - math.log(t.sum() + alpha * n_buckets)
+    log_q = np.log(r + alpha) - math.log(r.sum() + alpha * n_buckets)
+    ratio = log_p - log_q
+    return DsirModel(
+        n_buckets, ngram_max, alpha, tuple(float(x) for x in ratio)
+    )
+
+
+def score_dsir(
+    model: DsirModel,
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Append ``out_col: double`` — the log importance weight. NULL
+    text scores NULL (sorts last under the desc selection orders, so
+    it can never displace a scored document); an empty/gram-less text
+    scores 0.0 (no evidence either way)."""
+    ratio = np.asarray(model.log_ratio, dtype=np.float64)
+    nb, ng = model.n_buckets, model.ngram_max
+
+    @F.pandas_udf("double")
+    def logw(texts: pd.Series) -> pd.Series:
+        def one(t: str | None) -> float | None:
+            if t is None:
+                return None
+            b = _doc_buckets(t, nb, ng)
+            return float(ratio[b].sum()) if b else 0.0
+
+        return texts.map(one)
+
+    return docs.withColumn(out_col, logw(F.col(text_col)))
+
+
+def _gumbel_key(
+    logw_col: str, id_col: str, seed: str
+) -> Column:
+    """log w + Gumbel(0,1), with the Gumbel variate a deterministic
+    hash of (seed, doc_id): u = (h mod M + 0.5)/M ∈ (0,1), never 0 or
+    1, so the double −log(−log u) is always finite."""
+    u = (
+        F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(_GUMBEL_M))
+        + F.lit(0.5)
+    ) / F.lit(float(_GUMBEL_M))
+    return F.col(logw_col) + (-F.log(-F.log(u)))
+
+
+def resample_dsir(
+    scored: DataFrame,
+    n: int,
+    seed: str = "v1",
+    logw_col: str = "dsir_logw",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gumbel-top-k importance resample: the n rows with the largest
+    ``log w + Gumbel`` — equivalent to sampling n docs without
+    replacement with probability ∝ w. orderBy+limit, which the planner
+    runs as ``TakeOrderedAndProject`` (per-partition heaps of size n,
+    no global sort) — right for human-sized n; for corpus-sized n use
+    ``resample_dsir_fraction``."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    key = _gumbel_key(logw_col, id_col, seed)
+    return (
+        scored.withColumn("__k", key)
+        .orderBy(F.desc("__k"), F.col(id_col))
+        .limit(n)
+        .drop("__k")
+    )
+
+
+def resample_dsir_fraction(
+    scored: DataFrame,
+    fraction: float,
+    seed: str = "v1",
+    logw_col: str = "dsir_logw",
+    id_col: str = "doc_id",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """The at-scale selection: keep ≈``fraction`` of the corpus by
+    thresholding the same Gumbel-perturbed key at its approximate
+    (1−fraction) quantile. One ``approxQuantile`` pass (GK sketch,
+    driver state O(1/ε)) plus one map-side filter — no global sort,
+    no top-k heap of a billion rows. The kept count is approximate to
+    ``relative_error`` of the quantile rank; the kept SET is still
+    deterministic given (seed, threshold)."""
+    if not 0.0 < fraction < 1.0:
+        raise ValueError("fraction must be in (0, 1)")
+    keyed = scored.withColumn(
+        "__k", _gumbel_key(logw_col, id_col, seed)
+    ).filter(F.col(logw_col).isNotNull())
+    [thr] = keyed.approxQuantile("__k", [1.0 - fraction], relative_error)
+    return keyed.filter(F.col("__k") >= thr).drop("__k")
