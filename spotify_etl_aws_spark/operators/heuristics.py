@@ -389,3 +389,108 @@ def domain_mix_scaled(
         stratified_sample_rates(df, rates, domain_col, id_col, salt),
         rates,
     )
+
+
+def unimax_allocation(
+    counts: dict[str, float], budget: float, max_epochs: float = 4.0
+) -> dict[str, float]:
+    """UniMax budget water-filling (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a token ``budget`` as evenly as possible
+    across strata, capping every stratum at ``max_epochs`` passes over
+    its own ``counts[l]`` tokens.
+
+    Walking strata by ascending capacity, each takes
+    ``min(cap_l, remaining_budget / remaining_strata)`` — once a small
+    stratum hits its epoch cap, its unused share flows to the larger
+    ones (the classic water-filling recurrence; a capped stratum can
+    never reclaim budget later because caps only grow along the walk).
+    Returns the per-stratum token allocation; Σ alloc == budget unless
+    total capacity < budget (then every stratum just gets its cap).
+
+    Driver-side O(#strata log #strata) — strata here are languages or
+    source lanes (dozens to hundreds), the same model-state posture as
+    ``domain_mix``; this is NOT a per-registrable-domain tool."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    for k, v in counts.items():
+        if v < 0:
+            raise ValueError(f"count for {k!r} must be >= 0, got {v}")
+    order = sorted(counts, key=lambda k: (counts[k] * max_epochs, k))
+    alloc: dict[str, float] = {}
+    rem_budget = float(budget)
+    rem = len(order)
+    for lang in order:
+        share = rem_budget / rem
+        take = min(counts[lang] * max_epochs, share)
+        alloc[lang] = take
+        rem_budget -= take
+        rem -= 1
+    return alloc
+
+
+def unimax_mix(
+    df: DataFrame,
+    strata_col: str,
+    budget: float,
+    max_epochs: float = 4.0,
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Materialize the UniMax mixture: every document of stratum ``l``
+    appears ``floor(r_l)`` times plus once more for a deterministic
+    ``frac(r_l)`` hash-sampled subset, where ``r_l = alloc_l /
+    count_l`` ∈ [0, max_epochs] is the stratum's epoch rate. Unlike
+    ``domain_mix`` (downsample-only), UniMax UPWEIGHTS small strata by
+    repetition — the output carries an ``epoch: int`` column (0-based
+    copy index) so downstream training-order shuffling (``ordering.py``)
+    can interleave copies instead of replaying them back-to-back.
+
+    ``weight_col`` (e.g. a token count) makes both the budget and the
+    caps token-denominated; row-denominated otherwise. The realized
+    token total matches the allocation exactly when per-doc weights
+    are uniform within a stratum, and to sampling accuracy (the
+    fractional epoch is a per-DOC hash threshold, same family as
+    ``stratified_sample``) when they vary.
+
+    Strata counts collect to an O(#strata) driver dict — source/
+    language-lane cardinality by contract (see ``unimax_allocation``).
+    The copy fan-out itself is map-side: rates broadcast-join onto the
+    corpus and ``explode(sequence(...))`` runs per row, no Exchange on
+    the corpus side."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    counts = {
+        r["s"]: float(r["n"])
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(w).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.withColumn("epoch", F.lit(0)).limit(0), {}
+    alloc = unimax_allocation(counts, budget, max_epochs)
+    rates = {
+        lang: (alloc[lang] / counts[lang]) if counts[lang] else 0.0
+        for lang in counts
+    }
+    spark = df.sparkSession
+    rt = spark.createDataFrame(
+        [(lang, float(r)) for lang, r in rates.items()],
+        f"{strata_col} string, __rate double",
+    )
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(_BUCKETS))
+    n_full = F.floor("__rate").cast("int")
+    frac = F.col("__rate") - F.floor("__rate")
+    in_partial = bucket < F.bround(frac * _BUCKETS).cast("long")
+    n_copies = n_full + F.when(in_partial, 1).otherwise(0)
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    out = (
+        df.join(F.broadcast(rt), strata_col, "inner")
+        .withColumn("epoch", F.explode(copies))
+        .drop("__rate")
+    )
+    return out, rates

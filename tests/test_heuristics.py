@@ -244,3 +244,90 @@ def test_rates_df_midpoint_rounding_matches_dict_variant(spark):
         for r in stratified_sample_rates(df, rates, "src").collect()
     )
     assert df_rows == dict_rows
+
+
+# ---------------------------- UniMax -------------------------------
+
+from spotify_etl_aws_spark.operators.heuristics import (  # noqa: E402
+    unimax_allocation,
+    unimax_mix,
+)
+
+
+def test_unimax_allocation_hand_computed():
+    # equal share 1000 each; a caps at 200, surplus flows to b and c
+    alloc = unimax_allocation({"a": 100, "b": 1000, "c": 10000}, 3000, 2.0)
+    assert alloc == {"a": 200.0, "b": 1400.0, "c": 1400.0}
+    assert sum(alloc.values()) == 3000.0
+
+
+def test_unimax_allocation_budget_exceeds_capacity():
+    alloc = unimax_allocation({"a": 10, "b": 20}, 10_000, 2.0)
+    assert alloc == {"a": 20.0, "b": 40.0}  # every stratum at cap
+
+
+def test_unimax_allocation_uncapped_even_split():
+    alloc = unimax_allocation({"a": 500, "b": 500, "c": 500}, 900, 4.0)
+    assert alloc == {"a": 300.0, "b": 300.0, "c": 300.0}
+
+
+def test_unimax_allocation_bad_args():
+    with pytest.raises(ValueError):
+        unimax_allocation({"a": 1}, -1, 2.0)
+    with pytest.raises(ValueError):
+        unimax_allocation({"a": 1}, 10, 0.0)
+    with pytest.raises(ValueError):
+        unimax_allocation({"a": -5}, 10, 2.0)
+
+
+def _unimax_corpus(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, "lo"))  # small stratum: gets upweighted
+    for i in range(20, 420):
+        rows.append((i, "hi"))  # big stratum: gets downsampled
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_unimax_mix_epoch_semantics(spark):
+    df = _unimax_corpus(spark)
+    # budget 240, cap 4 epochs: share 120 each; lo caps at 80 (20*4),
+    # surplus to hi -> hi gets 160. rates: lo=4.0, hi=0.4
+    out, rates = unimax_mix(df, "lang", budget=240, max_epochs=4.0)
+    assert rates == {"lo": 4.0, "hi": 0.4}
+    rows = out.collect()
+    lo = [r for r in rows if r.lang == "lo"]
+    hi = [r for r in rows if r.lang == "hi"]
+    # integer rate: every lo doc appears in epochs 0..3 exactly
+    assert len(lo) == 80
+    by_doc = {}
+    for r in lo:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+    # fractional rate: hash-thresholded single epoch, ~40% of 400
+    assert all(r.epoch == 0 for r in hi)
+    assert len({r.doc_id for r in hi}) == len(hi)
+    assert 120 <= len(hi) <= 200  # 1M-bucket hash ≈ 160 ± noise
+
+
+def test_unimax_mix_deterministic_and_token_weighted(spark):
+    df = _unimax_corpus(spark).withColumn("n_tok", F.lit(10.0))
+    a, ra = unimax_mix(df, "lang", 2400, 4.0, weight_col="n_tok")
+    b, rb = unimax_mix(df, "lang", 2400, 4.0, weight_col="n_tok")
+    assert ra == rb
+    ka = sorted((r.doc_id, r.epoch) for r in a.collect())
+    kb = sorted((r.doc_id, r.epoch) for r in b.collect())
+    assert ka == kb
+    # uniform 10-token docs: token-weighted rates equal row-weighted
+    # rates at 10x the budget
+    _, row_rates = unimax_mix(df, "lang", 240, 4.0)
+    assert ra == row_rates
+
+
+def test_unimax_mix_corpus_side_stays_map_side(spark):
+    df = _unimax_corpus(spark)
+    out, _ = unimax_mix(df, "lang", budget=240)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # broadcast-join the rate table; the corpus never hash-exchanges
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
