@@ -232,3 +232,63 @@ def test_rrf_requires_rankings():
 
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_duckdb_cross_engine_parity(spark, sf_dir, oracle_con):
+    """Full-corpus cross-ENGINE check: the same Okapi BM25 (Lucene
+    +1-idf form) computed independently by DuckDB SQL over the
+    documents fixture must reproduce every (doc_id, score) the Spark
+    index/search pair returns — the same evidentiary standard the 50
+    oracle queries meet, for the retrieval lane."""
+    query = "data quality filter"
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings, doc_lens, stats = bm25_index(docs)
+    got = {
+        r.doc_id: round(r.score, 9)
+        for r in bm25_search(
+            postings, doc_lens, stats, query, topk=20, k1=k1, b=b
+        ).collect()
+    }
+    terms = ",".join(f"'{t}'" for t in sorted(set(query.split())))
+    want = {
+        int(r[0]): round(float(r[1]), 9)
+        for r in oracle_con.execute(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, t.term
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '\\s+'))
+                     AS t(term)
+              WHERE t.term <> ''
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            consts AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM toks
+              WHERE term IN ({terms}) GROUP BY 1, 2
+            ),
+            df AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN ({terms}) GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   sum(
+                     ln((consts.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / consts.avgdl))
+                   ) AS score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN consts
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 20
+            """
+        ).fetchall()
+    }
+    assert got == want
