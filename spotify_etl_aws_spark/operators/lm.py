@@ -143,3 +143,53 @@ def perplexity_gate(
     """Keep documents the LM finds fluent enough. Texts too short to
     score (NULL) are dropped — same posture as the length gates."""
     return scored.filter(F.col(ppl_col) <= max_log_ppl)
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    ppl_col: str = "log_ppl",
+    out_col: str = "ppl_bucket",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3):
+    bucket documents by perplexity TERCILE WITHIN EACH LANGUAGE, so a
+    fluency threshold never compares a German score against an English
+    distribution. Appends ``out_col``: 'head' (most fluent third),
+    'middle', 'tail'; NULL perplexity (too-short texts) buckets NULL.
+
+    Shape: one tiny aggregation (``percentile_approx`` terciles,
+    one row per language — partial-agg shuffle of sketch state, GK
+    driver cost O(#langs / accuracy⁻¹)) broadcast-joined back onto the
+    corpus; the labeling itself is a map-side CASE. The corpus never
+    hash-exchanges (plan-pinned in tests)."""
+    cuts = (
+        scored.filter(F.col(ppl_col).isNotNull())
+        .groupBy(lang_col)
+        .agg(
+            F.percentile_approx(
+                ppl_col, [1.0 / 3.0, 2.0 / 3.0], accuracy
+            ).alias("__cuts")
+        )
+    )
+    bucket = (
+        F.when(F.col(ppl_col).isNull() | F.col("__cuts").isNull(), F.lit(None))
+        .when(F.col(ppl_col) <= F.element_at("__cuts", 1), F.lit("head"))
+        .when(F.col(ppl_col) <= F.element_at("__cuts", 2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col, "left")
+        .withColumn(out_col, bucket)
+        .drop("__cuts")
+    )
+
+
+def bucket_gate(
+    bucketed: DataFrame,
+    keep: tuple[str, ...] = ("head", "middle"),
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's standard cut — drop the least-fluent tercile (and
+    unbucketable NULLs, same posture as ``perplexity_gate``)."""
+    return bucketed.filter(F.col(bucket_col).isin(list(keep)))

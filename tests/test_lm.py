@@ -137,3 +137,51 @@ def test_null_text_scores_null_and_is_gated(spark):
     assert rows[1] is None and rows[0] is not None
     kept = {r.doc_id for r in perplexity_gate(score_perplexity(m, cand), 10.0).collect()}
     assert kept == {0}
+
+
+# ----------------- CCNet head/middle/tail bucketing -----------------
+
+from spotify_etl_aws_spark.operators.lm import (  # noqa: E402
+    bucket_gate,
+    perplexity_buckets,
+)
+
+
+def _bucket_fixture(spark):
+    # two languages with DISJOINT perplexity ranges: per-language
+    # terciles differ from any global cut, which is the point
+    rows = []
+    for i in range(9):
+        rows.append((i, "en", float(i)))  # en ppl 0..8
+    for i in range(9):
+        rows.append((100 + i, "de", 100.0 + i))  # de ppl 100..108
+    rows.append((999, "en", None))  # unscoreable
+    return spark.createDataFrame(rows, "doc_id long, lang string, log_ppl double")
+
+
+def test_buckets_are_per_language_terciles(spark):
+    out = perplexity_buckets(_bucket_fixture(spark))
+    got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+    # en: 0,1,2 -> head; 3,4,5 -> middle; 6,7,8 -> tail
+    for i in range(9):
+        want = "head" if i <= 2 else ("middle" if i <= 5 else "tail")
+        assert got[i] == want, f"en doc {i}"
+        assert got[100 + i] == want, f"de doc {100 + i}"
+    assert got[999] is None
+
+
+def test_bucket_gate_keeps_head_middle(spark):
+    out = bucket_gate(perplexity_buckets(_bucket_fixture(spark)))
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {0, 1, 2, 3, 4, 5, 100, 101, 102, 103, 104, 105}
+    # tail and the NULL-scored doc are gone
+    assert 8 not in kept and 999 not in kept
+
+
+def test_bucketing_corpus_side_is_broadcast(spark):
+    out = perplexity_buckets(_bucket_fixture(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchange is the #langs-row tercile agg, which
+    # carries sketch state, never corpus rows
+    assert plan.count("Exchange hashpartitioning") <= 1
