@@ -44,6 +44,7 @@ from ..operators.classifier import (
     score_quality,
 )
 from ..operators.decontaminate import decontaminate
+from ..operators.dsir import DsirModel, resample_dsir_fraction, score_dsir
 from ..operators.dedup import (
     minhash_signatures,
     neardup_against_store,
@@ -64,7 +65,7 @@ def curation_audit(
     """Per-document drop attribution: (doc_id, status) for every INPUT
     document, where ``status`` is the first ladder stage that dropped
     it ('language', 'contaminated', 'near_duplicate', 'repetition',
-    'perplexity', 'classifier', 'quality') or 'kept' — one status per
+    'perplexity', 'classifier', 'dsir', 'quality') or 'kept' — one status per
     stage the ladder actually ran, in ladder order.
 
     ``trail`` holds (stage_name, frame-with-ids-surviving-that-stage)
@@ -109,6 +110,9 @@ def build_training_corpus(
     lm_max_log_ppl: float = 8.0,
     quality_model: LinearQualityModel | None = None,
     quality_model_min: float = 0.5,
+    dsir_model: DsirModel | None = None,
+    dsir_fraction: float = 0.5,
+    dsir_seed: str = "v1",
     tokenizer: BpeModel | UnigramModel | None = None,
     substring_dedup_k: int | None = None,
     substring_hot_max: int | None = 10_000,
@@ -148,6 +152,13 @@ def build_training_corpus(
     corpora, ``operators/classifier.py``) scores each doc and those
     below ``quality_model_min`` drop — the learned complement of the
     heuristic cutoff and the LM-perplexity gate.
+
+    ``dsir_model`` adds DSIR importance resampling after the per-doc
+    gates: score each survivor's target-vs-raw log importance weight
+    (``operators/dsir.py``) and keep the Gumbel-perturbed top
+    ``dsir_fraction`` via the approxQuantile threshold path — shaping
+    the SURVIVING corpus toward the target distribution rather than
+    dropping individually-bad docs. Deterministic per ``dsir_seed``.
 
     ``substring_dedup_k`` adds the Lee-et-al span-level pass after the
     document-level near-dedup: every >= k-token span repeated anywhere
@@ -265,6 +276,20 @@ def build_training_corpus(
             score_quality(quality_model, stage), quality_model_min
         ).drop("quality_prob")
         trail.append(("classifier", stage))
+
+    if dsir_model is not None:
+        # DSIR importance resampling LAST among the model gates: the
+        # gates above drop what is individually bad, DSIR then shapes
+        # what remains toward the target distribution. The quantile
+        # threshold runs as its own small job (like the CC loop);
+        # scoring and the final cut are map-side.
+        stage = observed(
+            resample_dsir_fraction(
+                score_dsir(dsir_model, stage), dsir_fraction, seed=dsir_seed
+            ).drop("dsir_logw"),
+            "dsir",
+        )
+        trail.append(("dsir", stage))
 
     if tokenizer is not None:
         if isinstance(tokenizer, BpeModel):

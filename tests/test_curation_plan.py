@@ -579,3 +579,83 @@ def test_metrics_out_observe_counters(spark, sf_dir, tmp_path):
     assert vals == sorted(vals, reverse=True)
     # the quality survivors are exactly the written rows
     assert metrics["quality"] == out.count()
+
+
+def test_dsir_stage_in_ladder(spark, sf_dir, tmp_path):
+    """dsir_model + dsir_fraction: the ladder's selection stage keeps
+    the docs whose hashed-ngram profile matches the target corpus and
+    attributes the squeezed-out remainder to 'dsir' in the audit."""
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.dsir import fit_dsir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rng = np.random.default_rng(47)
+    med_words = (
+        "clinical trial dosage patient symptom diagnosis therapy "
+        "oncology biopsy remission protocol efficacy placebo cohort"
+    ).split()
+    target = spark.createDataFrame(
+        [(i, " ".join(rng.choice(med_words, size=30))) for i in range(25)],
+        "doc_id bigint, text string",
+    )
+    planted = spark.createDataFrame(
+        [
+            (910000 + i, " ".join(rng.choice(med_words, size=30)))
+            for i in range(20)
+        ],
+        "doc_id bigint, text string",
+    )
+    cand = docs.limit(200).unionByName(planted)
+    model = fit_dsir(target, cand, n_buckets=512)
+    out_dir = tmp_path / "corpus_dsir"
+    out = build_training_corpus(
+        spark,
+        cand,
+        None,
+        str(out_dir),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=512,
+        dsir_model=model,
+        dsir_fraction=0.3,
+        audit=True,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    planted_ids = {910000 + i for i in range(20)}
+    # the med-flavoured plants dominate the kept 30%
+    assert len(planted_ids & kept) >= 16
+    # and the cut is attributed per document
+    audit = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(str(out_dir / "audit")).collect()
+    }
+    assert "dsir" in set(audit.values())
+    dropped = {d for d, s in audit.items() if s == "dsir"}
+    assert dropped and dropped.isdisjoint(kept)
+
+
+def test_dsir_stage_metrics_counter(spark, sf_dir, tmp_path):
+    """metrics_out carries the dsir stage's surviving-row count."""
+    from spotify_etl_aws_spark.operators.dsir import fit_dsir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    model = fit_dsir(docs.limit(20), docs, n_buckets=256)
+    metrics: dict = {}
+    build_training_corpus(
+        spark,
+        docs,
+        None,
+        str(tmp_path / "corpus_dsir_m"),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=512,
+        dsir_model=model,
+        dsir_fraction=0.5,
+        metrics_out=metrics,
+    )
+    assert 0 < metrics["dsir"] <= metrics["near_duplicate"]
+    # ~half the survivors pass the 0.5-fraction cut
+    assert metrics["dsir"] <= 0.7 * metrics["near_duplicate"]

@@ -331,3 +331,40 @@ def test_unimax_mix_corpus_side_stays_map_side(spark):
     # broadcast-join the rate table; the corpus never hash-exchanges
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_unimax_composes_with_training_order(spark):
+    """The epoch column exists so the order shuffler can DISPERSE a
+    doc's repeats instead of replaying them back-to-back: keying the
+    deterministic order on (doc_id, epoch) interleaves copies."""
+    from spotify_etl_aws_spark.operators.ordering import training_order
+
+    df = _unimax_corpus(spark)
+    out, _ = unimax_mix(df, "lang", budget=240, max_epochs=4.0)
+    # composite order id: epoch copies of one doc get distinct keys
+    keyed = out.withColumn(
+        "order_id", F.col("doc_id") * 8 + F.col("epoch")
+    )
+    ordered = [
+        (r.doc_id, r.epoch)
+        for r in training_order(keyed, seed=3, id_col="order_id").collect()
+    ]
+    again = [
+        (r.doc_id, r.epoch)
+        for r in training_order(keyed, seed=3, id_col="order_id").collect()
+    ]
+    assert ordered == again  # deterministic epoch order
+    # each lo doc appears 4x; its copies are spread out, not adjacent
+    positions: dict[int, list[int]] = {}
+    for pos, (d, _e) in enumerate(ordered):
+        positions.setdefault(d, []).append(pos)
+    lo_docs = [p for d, p in positions.items() if len(p) == 4]
+    assert lo_docs
+    adjacent_runs = sum(
+        1
+        for p in lo_docs
+        for a, b in zip(p, p[1:])
+        if b == a + 1
+    )
+    # hash dispersal: of the 60 copy-gaps, at most a hashful collide
+    assert adjacent_runs <= 6
