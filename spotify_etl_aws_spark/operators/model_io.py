@@ -18,10 +18,11 @@ import os
 
 from spotify_etl_aws_spark.operators.bpe import BpeModel
 from spotify_etl_aws_spark.operators.classifier import LinearQualityModel
+from spotify_etl_aws_spark.operators.dsir import DsirModel
 from spotify_etl_aws_spark.operators.lm import CharLmModel
 from spotify_etl_aws_spark.operators.unigram import UnigramModel
 
-Model = BpeModel | UnigramModel | CharLmModel | LinearQualityModel
+Model = BpeModel | UnigramModel | CharLmModel | LinearQualityModel | DsirModel
 
 
 def save_model(model: Model, path: str) -> None:
@@ -56,6 +57,14 @@ def save_model(model: Model, path: str) -> None:
             "bias": model.bias,
             "weights": list(model.weights),
         }
+    elif isinstance(model, DsirModel):
+        doc = {
+            "kind": "dsir",
+            "n_buckets": model.n_buckets,
+            "ngram_max": model.ngram_max,
+            "alpha": model.alpha,
+            "log_ratio": list(model.log_ratio),
+        }
     else:
         raise TypeError(f"unsupported model type {type(model).__name__}")
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -87,5 +96,12 @@ def load_model(path: str) -> Model:
     if kind == "linear_quality":
         return LinearQualityModel(
             doc["dim"], doc["shingle_n"], doc["bias"], tuple(doc["weights"])
+        )
+    if kind == "dsir":
+        return DsirModel(
+            doc["n_buckets"],
+            doc["ngram_max"],
+            doc["alpha"],
+            tuple(doc["log_ratio"]),
         )
     raise ValueError(f"unknown model kind {kind!r} in {path}")

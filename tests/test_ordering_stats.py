@@ -125,11 +125,14 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     neg = spark.createDataFrame(
         [("spam click buy now",), ("cheap prize winner",)], "text string"
     )
+    from spotify_etl_aws_spark.operators.dsir import fit_dsir
+
     models = [
         train_bpe(df, num_merges=10),
         train_unigram(df, vocab_size=40, seed_size=500),
         train_char_lm(df, order=3),
         train_quality_classifier(df, neg, dim=16, iters=3),
+        fit_dsir(df, neg, text_col="text", n_buckets=32),
     ]
     for i, m in enumerate(models):
         p = str(tmp_path / f"model{i}.json")
