@@ -77,3 +77,105 @@ def decontaminate(
         docs, bench, id_col, text_col, bench_text_col, shingle_n
     ).filter(F.col("n_hit_shingles") >= min_hits)
     return docs.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def semantic_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    max_bench: int = 1_000_000,
+    bench_chunk: int = 4096,
+) -> DataFrame:
+    """Embedding-space contamination evidence: (id, max_cosine) — each
+    corpus document's maximum cosine similarity against ANY benchmark
+    embedding. The semantic complement of ``benchmark_overlap``:
+    n-gram windows catch verbatim and near-verbatim quotes, embedding
+    cosine catches paraphrases and translations that share no 8-gram.
+
+    Same scale posture as the n-gram pass: the BENCH side is small by
+    nature (eval suites) and collapses to an L2-normalized matrix that
+    ships in the task closure (``max_bench`` guards the collect —
+    loudly, not by truncation); the corpus side is ONE map-side Arrow
+    kernel, no shuffle, bytes never leave their scan partition. The
+    kernel walks the bench matrix in ``bench_chunk`` column blocks so
+    peak memory is batch_rows × bench_chunk regardless of bench size.
+
+    NULL/empty/zero-norm corpus vectors score NULL — no evidence, and
+    the gate keeps them (same no-evidence posture as NULL text in the
+    scoring gates)."""
+    import numpy as np
+    import pandas as pd
+
+    bcol = bench_vec_col or vec_col
+    n_bench = bench.count()
+    if n_bench == 0:
+        raise ValueError("benchmark set is empty")
+    if n_bench > max_bench:
+        raise ValueError(
+            f"benchmark set has {n_bench} rows > max_bench={max_bench}; "
+            "a closure-shipped bench matrix stops being small — raise "
+            "max_bench deliberately or pre-reduce the eval set"
+        )
+    rows = [
+        r[0]
+        for r in bench.select(bcol).collect()
+        if r[0] is not None and len(r[0]) > 0
+    ]
+    if not rows:
+        raise ValueError("benchmark set has no non-null embeddings")
+    bm = np.asarray(rows, dtype=np.float64)
+    norms = np.linalg.norm(bm, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    bm = bm / norms
+
+    schema = f"{id_col} long, max_cosine double"
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.full(len(pdf), np.nan)
+            vecs = pdf[vec_col].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == bm.shape[1] for v in vecs]
+            )
+            if ok.any():
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
+                xn = np.linalg.norm(X, axis=1, keepdims=True)
+                nz = (xn[:, 0] != 0.0) & np.isfinite(xn[:, 0])
+                Xn = np.divide(X, np.where(xn == 0.0, 1.0, xn))
+                best = np.full(len(X), -np.inf)
+                for s in range(0, bm.shape[0], bench_chunk):
+                    blk = bm[s : s + bench_chunk]
+                    np.maximum(best, (Xn @ blk.T).max(axis=1), out=best)
+                best[~nz] = np.nan
+                out[ok] = best
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "max_cosine": out}
+            )
+
+    return docs.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def decontaminate_semantic(
+    docs: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    max_bench: int = 1_000_000,
+) -> DataFrame:
+    """The corpus minus documents whose embedding lands within
+    ``threshold`` cosine of any benchmark embedding: one map-side
+    scoring pass + an id anti-join. NULL-scored docs (no usable
+    vector) survive — absence of evidence, as in ``decontaminate``'s
+    zero-overlap case."""
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    flagged = semantic_overlap(
+        docs, bench, id_col, vec_col, bench_vec_col, max_bench
+    ).filter(F.col("max_cosine") >= threshold)
+    return docs.join(flagged.select(id_col), id_col, "left_anti")

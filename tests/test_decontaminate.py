@@ -94,3 +94,92 @@ def test_overlap_on_documents_fixture(spark, sf_dir):
     assert {d for d in flagged if d < 5} == set(range(5)) if n_long_enough == 5 else True
     kept = decontaminate(docs, sample, bench_text_col="question")
     assert kept.count() <= docs.count() - n_long_enough
+
+
+# ---------------- semantic (embedding-cosine) pass ------------------
+
+from spotify_etl_aws_spark.operators.decontaminate import (  # noqa: E402
+    decontaminate_semantic,
+    semantic_overlap,
+)
+
+
+def test_semantic_overlap_matches_numpy_bruteforce(spark, sf_dir):
+    """Fixture embeddings as corpus, a 20-row slice as the bench set:
+    the kernel's per-doc max cosine must equal the full numpy
+    cross-product to 1e-9."""
+    import numpy as np
+
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    bench = emb.orderBy("doc_id").limit(20)
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    got = {
+        r.doc_id: r.max_cosine
+        for r in semantic_overlap(emb, bench).collect()
+    }
+    rows = sorted(
+        (r.doc_id, np.asarray(r.embedding, dtype=np.float64))
+        for r in emb.collect()
+    )
+    bm = np.stack([v for i, v in rows if i in bench_ids])
+    bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+    for i, v in rows:
+        n = np.linalg.norm(v)
+        want = float((v / n @ bm.T).max()) if n > 0 else None
+        assert got[i] == pytest.approx(want, abs=1e-9), f"doc {i}"
+
+
+def test_semantic_decontaminate_planted(spark):
+    """An exact-copy embedding and a near-copy are dropped at 0.95;
+    an orthogonal doc and a null-vector doc survive."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.99, 0.14, 0.0, 0.0]  # cos ≈ 0.990
+    ortho = [0.0, 0.0, 1.0, 0.0]
+    bench = spark.createDataFrame([(0, base)], "bid long, embedding array<float>")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho), (4, None), (5, [0.0, 0.0, 0.0, 0.0])],
+        "doc_id long, embedding array<float>",
+    )
+    kept = {
+        r.doc_id
+        for r in decontaminate_semantic(docs, bench, threshold=0.95).collect()
+    }
+    assert kept == {3, 4, 5}
+
+
+def test_semantic_corpus_side_is_map_side(spark, sf_dir):
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    bench = emb.limit(5)
+    plan = (
+        semantic_overlap(emb, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_semantic_bench_guards(spark):
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "doc_id long, embedding array<float>"
+    )
+    empty = spark.createDataFrame([], "bid long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        semantic_overlap(docs, empty)
+    nulls = spark.createDataFrame(
+        [(0, None)], "bid long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        semantic_overlap(docs, nulls)
+    with pytest.raises(ValueError, match="max_bench"):
+        semantic_overlap(docs, docs.crossJoin(docs.select(F.col("doc_id").alias("b"))), max_bench=0)
+    with pytest.raises(ValueError):
+        decontaminate_semantic(docs, docs, threshold=1.5)
