@@ -51,7 +51,13 @@ from ..operators.dedup import (
     neardup_clusters,
 )
 from ..operators.heuristics import repetition_gate, repetition_stats, scrub_pii
-from ..operators.lm import CharLmModel, perplexity_gate, score_perplexity
+from ..operators.lm import (
+    CharLmModel,
+    bucket_gate,
+    perplexity_buckets,
+    perplexity_gate,
+    score_perplexity,
+)
 from ..operators.packing import pack_sequences
 from ..operators.splits import assign_split
 from ..operators.substring_dedup import dedup_substrings
@@ -108,6 +114,7 @@ def build_training_corpus(
     repetition_filter: bool = True,
     lm_model: CharLmModel | None = None,
     lm_max_log_ppl: float = 8.0,
+    lm_bucket_keep: tuple[str, ...] | None = None,
     quality_model: LinearQualityModel | None = None,
     quality_model_min: float = 0.5,
     dsir_model: DsirModel | None = None,
@@ -130,7 +137,11 @@ def build_training_corpus(
     heuristic quality cutoff: documents scoring above
     ``lm_max_log_ppl`` bits/char under the (clean-corpus-trained)
     char LM are dropped — the model-based filter that catches fluent-
-    looking junk the surface heuristics pass.
+    looking junk the surface heuristics pass. ``lm_bucket_keep`` (e.g.
+    ``("head", "middle")``) switches the cut to CCNet's RELATIVE form:
+    per-language perplexity terciles via ``perplexity_buckets``, so
+    the gate tracks each language's own fluency distribution instead
+    of one absolute bits/char number.
 
     ``audit=True`` additionally writes ``<out_dir>/audit`` — one row
     per INPUT document with the stage that dropped it (or ``kept``),
@@ -266,9 +277,24 @@ def build_training_corpus(
         trail.append(("repetition", stage))
 
     if lm_model is not None:
-        stage = perplexity_gate(
-            score_perplexity(lm_model, stage), lm_max_log_ppl
-        ).drop("log_ppl")
+        ppl = score_perplexity(lm_model, stage)
+        if lm_bucket_keep is not None:
+            # CCNet's RELATIVE cut: per-language perplexity terciles
+            # (head/middle/tail) instead of one absolute bits/char
+            # threshold — a calibration that survives corpora whose
+            # fluency distribution shifts. Language comes from the
+            # same stopword-hit lang-ID the language gate uses.
+            ppl = ppl.withColumn(
+                "__lang", predicted_lang(tokens("text"), STOPWORDS)
+            )
+            stage = (
+                bucket_gate(
+                    perplexity_buckets(ppl, "__lang"), lm_bucket_keep
+                )
+                .drop("log_ppl", "ppl_bucket", "__lang")
+            )
+        else:
+            stage = perplexity_gate(ppl, lm_max_log_ppl).drop("log_ppl")
         trail.append(("perplexity", stage))
 
     if quality_model is not None:

@@ -659,3 +659,53 @@ def test_dsir_stage_metrics_counter(spark, sf_dir, tmp_path):
     assert 0 < metrics["dsir"] <= metrics["near_duplicate"]
     # ~half the survivors pass the 0.5-fraction cut
     assert metrics["dsir"] <= 0.7 * metrics["near_duplicate"]
+
+
+def test_lm_tercile_gate_in_ladder(spark, sf_dir, tmp_path):
+    """lm_bucket_keep: the CCNet relative cut drops the worst-fluency
+    tercile — gibberish lands in 'tail' and dies even when it would
+    clear a loose absolute threshold; survivors ≈ two thirds."""
+    from spotify_etl_aws_spark.operators.lm import train_char_lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    GIB = 900004
+    gib = spark.createDataFrame(
+        [
+            (
+                GIB,
+                "qzxv jkqp wvxz bqjk zzqx vkjp xqzw pqvz kxjq wqzv "
+                "zjqk xvpq qwzx jkvq zpxw qkvj xwzq vpqk jzqx wkvp",
+            )
+        ],
+        "doc_id bigint, text string",
+    )
+    cand = docs.unionByName(gib)
+    lm = train_char_lm(docs, order=3)
+    out = build_training_corpus(
+        spark,
+        cand,
+        None,
+        str(tmp_path / "corpus_lm_bucket"),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=512,
+        lm_model=lm,
+        # absolute threshold that would PASS the gibberish...
+        lm_max_log_ppl=1e9,
+        # ...but the relative cut still drops the worst tercile
+        lm_bucket_keep=("head", "middle"),
+        audit=True,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert GIB not in kept
+    n_input = cand.count()
+    # about a third of the (deduped) corpus dies in the tail
+    assert 0.5 * n_input < len(kept) < 0.75 * n_input
+    audit = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(
+            str(tmp_path / "corpus_lm_bucket" / "audit")
+        ).collect()
+    }
+    assert audit[GIB] == "perplexity"
