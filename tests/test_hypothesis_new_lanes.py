@@ -136,3 +136,74 @@ def test_gif_lzw_roundtrip_any_bytes(payload):
     from spotify_etl_aws_spark.operators.gif import _lzw_decode, _lzw_encode
 
     assert _lzw_decode(_lzw_encode(payload), 8) == payload
+
+
+# UniMax water-filling: pure driver math, so properties are cheap.
+from spotify_etl_aws_spark.operators.heuristics import unimax_allocation
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.dictionaries(
+        st.text(st.characters(categories=("Ll",)), min_size=1, max_size=4),
+        st.floats(min_value=0.0, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.floats(min_value=0.0, max_value=1e10, allow_nan=False),
+    max_epochs=st.floats(min_value=0.01, max_value=64.0, allow_nan=False),
+)
+def test_unimax_allocation_invariants(counts, budget, max_epochs):
+    alloc = unimax_allocation(counts, budget, max_epochs)
+    assert set(alloc) == set(counts)
+    capacity = sum(c * max_epochs for c in counts.values())
+    total = sum(alloc.values())
+    # every stratum within its epoch cap, nothing negative
+    for k, a in alloc.items():
+        assert -1e-6 <= a <= counts[k] * max_epochs + 1e-6
+    # budget conservation: all of min(budget, capacity) is spent
+    assert math.isclose(
+        total, min(budget, capacity), rel_tol=1e-9, abs_tol=1e-6
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.dictionaries(
+        st.text(st.characters(categories=("Ll",)), min_size=1, max_size=4),
+        st.floats(min_value=1.0, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=8,
+    ),
+    budget=st.floats(min_value=1.0, max_value=1e7, allow_nan=False),
+)
+def test_unimax_allocation_budget_monotone(counts, budget):
+    """More budget never means less allocation for any stratum."""
+    a1 = unimax_allocation(counts, budget, 4.0)
+    a2 = unimax_allocation(counts, budget * 1.5, 4.0)
+    for k in counts:
+        assert a2[k] >= a1[k] - 1e-6
+
+
+# DSIR featurizer/scorer: shared-kernel invariants.
+from spotify_etl_aws_spark.operators.dsir import (
+    DsirModel,
+    _doc_buckets,
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    text=st.text(max_size=300),
+    nb=st.integers(min_value=1, max_value=128),
+    ng=st.integers(min_value=1, max_value=3),
+)
+def test_dsir_buckets_in_range_and_deterministic(text, nb, ng):
+    b1 = _doc_buckets(text, nb, ng)
+    b2 = _doc_buckets(text, nb, ng)
+    assert b1 == b2
+    assert all(0 <= x < nb for x in b1)
+    # gram count identity: sum over n of max(0, len(toks)-n+1)
+    toks = text.lower().split()
+    want = sum(max(0, len(toks) - n + 1) for n in range(1, ng + 1))
+    assert len(b1) == want
