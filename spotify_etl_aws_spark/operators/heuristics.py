@@ -185,6 +185,126 @@ def repetition_gate(
     )
 
 
+# --------------------------------------------------- Gopher quality
+
+
+# Rae et al. 2021 (Gopher), Table A1 — the canonical required-word
+# list for the stopword floor ("must contain >= 2 of ...").
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_PREFIXES = ("\u2022", "\u2023", "\u25aa", "\u25cf", "-", "*")
+
+
+def gopher_quality_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document Gopher quality signals (Rae et al. 2021, Table A1
+    — the document-level half; the repetition half lives in
+    ``repetition_stats``):
+
+    - ``n_words``: whitespace word count
+    - ``mean_word_len``: mean characters per word
+    - ``symbol_word_ratio``: ('#' count + ellipsis count) / words
+    - ``bullet_line_frac``: lines starting with a bullet / lines
+    - ``ellipsis_line_frac``: lines ending with an ellipsis / lines
+    - ``alpha_word_frac``: words containing >= 1 [a-z] char / words
+    - ``required_word_hits``: distinct hits among the canonical
+      "the/be/to/of/and/that/have/with" list
+
+    All higher-order functions over per-doc arrays: no explode, no
+    shuffle (plan-pinned in tests, same posture as the repetition
+    stats)."""
+    text = F.col(text_col)
+    toks = tokens(text_col)
+    words = F.filter(toks, lambda t: t != "")
+    n_words = F.size(words)
+    lines = _nonempty_lines(text)
+    n_lines = F.size(lines)
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    # count both the three-dot spelling and the single-char ellipsis
+    n_ellipsis = (
+        F.length(text)
+        - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3 + (
+        F.length(text) - F.length(F.replace(text, F.lit("\u2026"), F.lit("")))
+    )
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin(*_BULLET_PREFIXES),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...")
+            | F.rtrim(l).endswith("\u2026"),
+        )
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    required_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+            lambda w: F.array_contains(words, w),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        n_words.alias("n_words"),
+        F.when(n_words > 0, char_sum / n_words)
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
+        .otherwise(F.lit(0.0))
+        .alias("symbol_word_ratio"),
+        F.when(n_lines > 0, bullet_lines / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("bullet_line_frac"),
+        F.when(n_lines > 0, ellipsis_lines / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("ellipsis_line_frac"),
+        F.when(n_words > 0, alpha_words / n_words)
+        .otherwise(F.lit(0.0))
+        .alias("alpha_word_frac"),
+        required_hits.alias("required_word_hits"),
+    )
+
+
+def gopher_quality_gate(
+    stats: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+    min_alpha_word_frac: float = 0.80,
+    min_required_word_hits: int = 2,
+) -> DataFrame:
+    """Filter a ``gopher_quality_stats`` frame with the paper's Table
+    A1 thresholds (defaults are the published numbers; Gopher states
+    the bullet rule as "90% of lines must NOT start with a bullet",
+    i.e. at most 90% may — practical pipelines usually tighten it)."""
+    return stats.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("required_word_hits") >= min_required_word_hits)
+    )
+
+
 # ------------------------------------------------------------------ PII
 
 # Order matters: emails carry dots and digits, so scrub them before the

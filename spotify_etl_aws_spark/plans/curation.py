@@ -50,7 +50,13 @@ from ..operators.dedup import (
     neardup_against_store,
     neardup_clusters,
 )
-from ..operators.heuristics import repetition_gate, repetition_stats, scrub_pii
+from ..operators.heuristics import (
+    gopher_quality_gate,
+    gopher_quality_stats,
+    repetition_gate,
+    repetition_stats,
+    scrub_pii,
+)
 from ..operators.lm import (
     CharLmModel,
     bucket_gate,
@@ -70,7 +76,7 @@ def curation_audit(
 ) -> DataFrame:
     """Per-document drop attribution: (doc_id, status) for every INPUT
     document, where ``status`` is the first ladder stage that dropped
-    it ('language', 'contaminated', 'near_duplicate', 'repetition',
+    it ('language', 'contaminated', 'near_duplicate', 'repetition', 'gopher',
     'perplexity', 'classifier', 'dsir', 'quality') or 'kept' — one status per
     stage the ladder actually ran, in ladder order.
 
@@ -112,6 +118,7 @@ def build_training_corpus(
     decon_shingle_n: int = 8,
     pii_scrub: bool = True,
     repetition_filter: bool = True,
+    gopher_filter: bool = False,
     lm_model: CharLmModel | None = None,
     lm_max_log_ppl: float = 8.0,
     lm_bucket_keep: tuple[str, ...] | None = None,
@@ -275,6 +282,20 @@ def build_training_corpus(
             "repetition",
         )
         trail.append(("repetition", stage))
+
+    if gopher_filter:
+        # the document-level half of the Gopher Table A1 rules (word
+        # count/length, symbol ratio, bullet/ellipsis lines, alpha
+        # words, stopword floor) — map-side HOFs like the repetition
+        # half. Off by default: the published 50-word floor is tuned
+        # for web pages, not short-document corpora.
+        stage = observed(
+            gopher_quality_gate(
+                gopher_quality_stats(stage, extra_cols=("text",))
+            ).select("doc_id", "text"),
+            "gopher",
+        )
+        trail.append(("gopher", stage))
 
     if lm_model is not None:
         ppl = score_perplexity(lm_model, stage)

@@ -709,3 +709,54 @@ def test_lm_tercile_gate_in_ladder(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert audit[GIB] == "perplexity"
+
+
+def test_gopher_filter_in_ladder(spark, tmp_path):
+    """gopher_filter: a bullet-list doc that sails past the repetition
+    gate (every line distinct) dies at the 'gopher' stage."""
+    import numpy as np
+
+    rng = np.random.default_rng(53)
+    filler = (
+        "the quiet town woke early and every street had something to "
+        "offer because the market opened with fresh bread and that "
+        "meant people would have plenty of reasons to be out walking "
+        "with friends before the sun climbed over the hills to warm "
+        "the square where children played until the evening bells"
+    ).split()
+    clean = [
+        (i, " ".join(rng.permutation(filler)))
+        for i in range(20)
+    ]
+    BULLETS = 900500
+    bullet_doc = "\n".join(
+        f"• unique offer number {i} for the catalog to have and that with be of"
+        for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        clean + [(BULLETS, bullet_doc)], "doc_id long, text string"
+    )
+    out_dir = tmp_path / "corpus_gopher"
+    metrics: dict = {}
+    out = build_training_corpus(
+        spark,
+        docs,
+        None,
+        str(out_dir),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        gopher_filter=True,
+        pack_budget=512,
+        audit=True,
+        metrics_out=metrics,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert BULLETS not in kept
+    assert len(kept) == 20
+    audit = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(str(out_dir / "audit")).collect()
+    }
+    assert audit[BULLETS] == "gopher"
+    assert metrics["gopher"] == 20

@@ -368,3 +368,68 @@ def test_unimax_composes_with_training_order(spark):
     )
     # hash dispersal: of the 60 copy-gaps, at most a hashful collide
     assert adjacent_runs <= 6
+
+
+# ------------------------ Gopher quality rules ----------------------
+
+from spotify_etl_aws_spark.operators.heuristics import (  # noqa: E402
+    gopher_quality_gate,
+    gopher_quality_stats,
+)
+
+_CLEAN = (
+    "the quick brown fox jumps over the lazy dog and then runs back to "
+    "the barn with plenty of energy because it is a fine morning and "
+    "every animal in the yard seems to have something useful to do "
+    "while the farmer watches from the porch with a warm cup of coffee"
+)
+
+
+def test_gopher_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat... sat\n• bullet line\nplain tail...")],
+        "doc_id long, text string",
+    )
+    r = gopher_quality_stats(df).collect()[0]
+    # words: the cat... sat • bullet line plain tail... -> 8 tokens
+    assert r.n_words == 8
+    # '#'-free text, two '...' occurrences -> 2/8
+    assert r.symbol_word_ratio == pytest.approx(2 / 8)
+    assert r.bullet_line_frac == pytest.approx(1 / 3)
+    assert r.ellipsis_line_frac == pytest.approx(1 / 3)  # only 'plain tail...'
+    # '•' has no [a-z]
+    assert r.alpha_word_frac == pytest.approx(7 / 8)
+    assert r.required_word_hits == 1  # 'the'
+
+
+@pytest.mark.parametrize(
+    "mutant, reason",
+    [
+        ("tiny doc", "word count < 50"),
+        (" ".join(["supercalifragilisticexpialidocious"] * 60), "mean word len"),
+        (_CLEAN + " " + "### " * 20, "symbol ratio"),
+        ("\n".join("• item " + str(i) + " of the and that have with list to be of" for i in range(30)), "bullets"),
+        ("\n".join("the line number " + str(i) + " trails off..." for i in range(40)), "ellipsis"),
+        (_CLEAN + " " + " ".join(str(i) for i in range(100)), "alpha frac"),
+        (" ".join("w" + str(i) for i in range(60)), "required words"),
+    ],
+)
+def test_gopher_gate_drops_each_violation(spark, mutant, reason):
+    df = spark.createDataFrame(
+        [(0, _CLEAN), (1, mutant)], "doc_id long, text string"
+    )
+    kept = {
+        r.doc_id for r in gopher_quality_gate(gopher_quality_stats(df)).collect()
+    }
+    assert kept == {0}, f"mutant should fail ({reason})"
+
+
+def test_gopher_stats_no_shuffle(spark):
+    df = spark.createDataFrame([(0, _CLEAN)], "doc_id long, text string")
+    plan = (
+        gopher_quality_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
