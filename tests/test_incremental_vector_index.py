@@ -162,3 +162,40 @@ def test_zero_query_rejected(spark, waves):
         search_incremental_index(
             spark, str(tmp / "nowhere"), _cents(), [0.0] * DIM
         )
+
+
+def test_index_compaction_preserves_search(spark, waves):
+    """The maintenance loop: epoch-landed index files compact through
+    compact_dataset (epoch+cell layout preserved) without changing a
+    single search result — commit markers live outside the dataset, so
+    compaction and visibility compose."""
+    from spotify_etl_aws_spark.sources.sinks import compact_dataset
+
+    land, w2, tmp = waves
+    root, ckpt = tmp / "root4", tmp / "ckpt4"
+    cents = _cents()
+    incremental_vector_index(spark, str(land), str(root), cents, str(ckpt))
+    w2.coalesce(4).write.parquet(str(land / "wave2"))
+    incremental_vector_index(spark, str(land), str(root), cents, str(ckpt))
+
+    q = [1.0] * DIM
+    before = [
+        (r.vec_id, r.cosine)
+        for r in search_incremental_index(
+            spark, str(root), cents, q, topk=8, nprobe=4
+        ).collect()
+    ]
+    stats = compact_dataset(
+        spark,
+        str(root / "ivf_index"),
+        target_file_mb=512,
+        partition_cols=["epoch", "cell"],
+    )
+    assert stats["files_after"] <= stats["files_before"]
+    after = [
+        (r.vec_id, r.cosine)
+        for r in search_incremental_index(
+            spark, str(root), cents, q, topk=8, nprobe=4
+        ).collect()
+    ]
+    assert after == before
