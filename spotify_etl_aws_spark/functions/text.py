@@ -101,3 +101,22 @@ def predicted_lang(
         )
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return pred
+
+
+def canonical_text(col: Column | str, strip_punct: bool = True) -> Column:
+    """Dedup-canonical form (the Dolma/FineWeb-style fold): lowercase,
+    optionally strip punctuation/symbols, collapse whitespace runs to
+    single spaces, trim. Pure JVM expressions — the fold every exact
+    hash can apply map-side so 'Hello,  World!' and 'hello world'
+    collide. DuckDB twin: ``trim(regexp_replace(regexp_replace(
+    lower(x), '[^a-z0-9\\s]+', '', 'g'), '\\s+', ' ', 'g'))``.
+
+    Unicode compatibility normalization (NFKC) is NOT part of this
+    fold — Spark SQL has no normalize builtin, and shipping every
+    document through a Python kernel to fold ligatures is the wrong
+    default at corpus scale; add it at the seam if a corpus needs it."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lower(c)
+    if strip_punct:
+        out = F.regexp_replace(out, r"[^a-z0-9\s]+", "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -28,12 +28,30 @@ from ..functions.text import tokens, word_shingles
 
 
 def exact_dedup_groups(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: str = "lower",
 ) -> DataFrame:
     """Group identical normalized texts: representative = min id.
-    Returns (text_hash, doc_id, n_copies)."""
+    Returns (text_hash, doc_id, n_copies).
+
+    ``normalize``: ``"lower"`` (default — case-folded only, the
+    declared-query contract) or ``"canonical"`` (the Dolma-style fold,
+    ``functions.text.canonical_text``: punctuation stripped and
+    whitespace collapsed too, so re-wrapped or re-punctuated copies of
+    a page collide). Either way the hash is computed map-side and ONE
+    partial-agg shuffle groups it."""
+    if normalize == "lower":
+        key = F.lower(F.col(text_col))
+    elif normalize == "canonical":
+        from ..functions.text import canonical_text
+
+        key = canonical_text(text_col)
+    else:
+        raise ValueError(f"unknown normalize mode {normalize!r}")
     return (
-        df.select(F.md5(F.lower(F.col(text_col))).alias("text_hash"), F.col(id_col))
+        df.select(F.md5(key).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
     )

@@ -127,3 +127,33 @@ def test_partial_date_normalization_total(spark, rng):
     out = df.select("d", normalize_partial_date("d").alias("n")).collect()
     for r in out:
         assert r.n == ref(r.d), r
+
+
+def test_exact_dedup_canonical_mode(spark):
+    """normalize='canonical': re-punctuated / re-wrapped copies
+    collide; the default 'lower' mode keeps them distinct (the
+    declared-query contract is untouched)."""
+    import pytest
+
+    from spotify_etl_aws_spark.functions.text import canonical_text
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "Hello,  World! This is   fine."),
+        (1, "hello world this is fine"),
+        (2, "HELLO WORLD.\nThis is fine?"),
+        (3, "a genuinely different document"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    lower = exact_dedup_groups(df).collect()
+    canon = exact_dedup_groups(df, normalize="canonical").collect()
+    assert len(lower) == 4  # punctuation keeps them apart
+    assert len(canon) == 2  # 0,1,2 fold together; rep = min id
+    by_rep = {r.doc_id: r.n_copies for r in canon}
+    assert by_rep == {0: 3, 3: 1}
+    # the fold is idempotent (canonical of canonical is canonical)
+    once = df.select(canonical_text("text").alias("t"))
+    twice = once.select(canonical_text("t").alias("t"))
+    assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]
+    with pytest.raises(ValueError, match="unknown normalize"):
+        exact_dedup_groups(df, normalize="nfkc")
