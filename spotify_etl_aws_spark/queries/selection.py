@@ -1,0 +1,480 @@
+"""Data-selection & retrieval query inventory (north-star, SURVEY.md
+§2.11) — the round-6 operator lanes promoted into the oracle-checked
+contract: BM25 ranking, hybrid RRF fusion, exact-substring dedup,
+Gopher quality signals, temperature/UniMax mixing, and semantic
+decontamination. Each query wraps the production operator and carries
+an exact DuckDB twin (same rounding, same tie-breaks), extending the
+50-query driver window with locally-verified entries (the driver
+checks the first 50; ``tests/test_oracle.py`` checks ALL of these).
+
+Determinism conventions follow ``queries/__init__``: every ranking
+cuts on ROUNDED scores with an id tie-break so the k-boundary is
+engine-independent, and every double column is rounded identically on
+both sides (``+ 0.0`` normalizes IEEE -0.0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..operators.bm25 import bm25_index, bm25_search, rrf_fuse
+from ..operators.decontaminate import semantic_overlap
+from ..operators.heuristics import (
+    domain_mix_scaled,
+    gopher_quality_stats,
+    unimax_allocation,
+)
+from ..operators.substring_dedup import dedup_substrings
+from ..sources.readers import load_table as t
+from .vector import _embeddings, _query_vector
+
+# ---- constants shared by Spark queries and their SQL twins ----
+BM25_QUERY = "data quality filter"
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+RRF_K = 60
+RRF_TOPK = 10
+RRF_CAND = 20
+RRF_QUERY_VEC = 7
+SUBSTR_K = 8
+MIX_TEMPERATURE = 0.5
+UNIMAX_MAX_EPOCHS = 2.0
+UNIMAX_BUDGET_FRAC = 0.5
+SEM_BENCH_MOD = 25  # bench set = every 25th vec_id (20 vectors at sf0.01)
+
+_BM25_TERMS = ", ".join(
+    f"'{term}'" for term in sorted(set(BM25_QUERY.split()))
+)
+
+# Okapi BM25 (Lucene +1-idf form), the exact SQL twin of
+# operators/bm25.py:_bm25_contrib — same association order so the
+# doubles agree far below the 4dp rounding. Produces `scored`
+# (doc_id, score) for the query's terms.
+_BM25_SCORED_CTE = rf"""
+toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({_BM25_TERMS}) GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({_BM25_TERMS}) GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id), consts c
+  GROUP BY 1
+)
+"""
+
+
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k over the corpus for a fixed query
+    (operators/bm25.py:bm25_index/bm25_search — bucket-pruned postings,
+    TakeOrderedAndProject top-k). Ranks re-derived from the ROUNDED
+    score (id tie-break) so the emitted ordering is engine-exact."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings, doc_lens, stats = bm25_index(docs)
+    hits = bm25_search(
+        postings, doc_lens, stats, BM25_QUERY,
+        topk=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.select(
+            "doc_id", (F.round("score", 4) + F.lit(0.0)).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+ORACLE_BM25_RANK = f"""
+WITH {_BM25_SCORED_CTE}
+SELECT doc_id, round(score, 4) + 0.0 AS score,
+       row_number() OVER (ORDER BY round(score, 4) + 0.0 DESC, doc_id) AS rank
+FROM scored
+ORDER BY rank
+LIMIT {BM25_TOPK}
+"""
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword candidates fused with an
+    embedding-cosine retriever via reciprocal-rank fusion
+    (operators/bm25.py:rrf_fuse). Each retriever contributes its
+    top-{RRF_CAND} ranking (rounded-score cut, id tie-break); RRF needs
+    only the ranks, so the BM25 score and the cosine never share a
+    scale."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings, doc_lens, stats = bm25_index(docs)
+    lex = bm25_search(
+        postings, doc_lens, stats, BM25_QUERY,
+        topk=RRF_CAND, k1=BM25_K1, b=BM25_B,
+    )
+    wl = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    lex_rank = (
+        lex.withColumn("score_r", F.round("score", 4) + F.lit(0.0))
+        .select(
+            F.lit("q0").alias("qid"),
+            "doc_id",
+            F.row_number().over(wl).alias("rank"),
+        )
+    )
+    qv = _query_vector(sf_dir, RRF_QUERY_VEC)
+    q = F.array(*[F.lit(x) for x in qv])
+    wv = W.orderBy(F.desc("cos_r"), F.asc("doc_id"))
+    vec_rank = (
+        _embeddings(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (F.round(cosine(F.col("v"), q), 4) + F.lit(0.0)).alias("cos_r"),
+        )
+        .withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= RRF_CAND)
+        .select(F.lit("q0").alias("qid"), "doc_id", "rank")
+    )
+    fused = rrf_fuse([lex_rank, vec_rank], k=RRF_K, topk=RRF_TOPK)
+    return fused.select(
+        "qid",
+        "doc_id",
+        (F.round("rrf_score", 6) + F.lit(0.0)).alias("rrf_score"),
+        "rank",
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH {_BM25_SCORED_CTE},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 4) + 0.0 DESC, doc_id) AS rank
+  FROM scored
+  QUALIFY rank <= {RRF_CAND}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {RRF_QUERY_VEC}),
+vr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round(list_dot_product(e.v, q.qv)
+                    / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 DESC,
+                    vec_id
+         ) AS rank
+  FROM e, q
+  QUALIFY rank <= {RRF_CAND}
+),
+un AS (
+  SELECT doc_id, 1.0 / ({RRF_K}.0 + rank) AS rr FROM lex
+  UNION ALL
+  SELECT doc_id, 1.0 / ({RRF_K}.0 + rank) AS rr FROM vr
+),
+f AS (SELECT doc_id, sum(rr) AS s FROM un GROUP BY 1)
+SELECT 'q0' AS qid, doc_id, round(s, 6) + 0.0 AS rrf_score,
+       row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+FROM f
+QUALIFY rank <= {RRF_TOPK}
+"""
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring dedup
+    (operators/substring_dedup.py:dedup_substrings): every >=
+    {SUBSTR_K}-token span occurring more than once keeps its first
+    (doc_id, pos) occurrence; other occurrences are cut. The oracle
+    recomputes the whole pipeline relationally — windows grouped by
+    CONTENT (the hash-free twin: xxhash64 keys are injective here),
+    non-canonical occurrences cover [pos, pos+k) positions, and the
+    surviving tokens re-join in position order."""
+    docs = t(spark, sf_dir, "documents")
+    out = dedup_substrings(docs, k=SUBSTR_K)
+    return out.select(
+        "doc_id", "n_tokens", "dup_tokens", "n_tokens_deduped", "text_deduped"
+    )
+
+
+ORACLE_SUBSTRING = rf"""
+WITH low AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+raw AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+win AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[i:i+{SUBSTR_K - 1}], ' ') AS win
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {SUBSTR_K - 2})) AS i
+        FROM low)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+  FROM win
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS cp
+  FROM ranked, unnest(range(0, {SUBSTR_K})) AS t(j)
+  WHERE rn > 1
+),
+toks AS (
+  SELECT doc_id, i - 1 AS p, w[i] AS tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM raw)
+),
+kept AS (
+  SELECT tk.doc_id, tk.p, tk.tok
+  FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.p = c.cp
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_deduped,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+),
+dup AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(d.dup_tokens, 0) AS dup_tokens,
+       b.n_tokens - coalesce(d.dup_tokens, 0) AS n_tokens_deduped,
+       coalesce(a.text_deduped, '') AS text_deduped
+FROM base b
+LEFT JOIN dup d USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def text_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table A1 document-quality signals
+    (operators/heuristics.py:gopher_quality_stats — pure higher-order
+    functions, no explode, no shuffle; the plan pin lives in
+    tests/test_heuristics.py). Ratios rounded to 4dp on both engines."""
+    stats = gopher_quality_stats(t(spark, sf_dir, "documents"))
+    ratio_cols = [
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+    ]
+    return stats.select(
+        "doc_id",
+        "n_words",
+        *[(F.round(c, 4) + F.lit(0.0)).alias(c) for c in ratio_cols],
+        "required_word_hits",
+    )
+
+
+ORACLE_GOPHER = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS words,
+         list_filter(string_split(text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(lines) AS n_lines,
+         coalesce(list_aggregate(list_transform(words, w -> length(w)),
+                                 'sum'), 0) AS char_sum,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3
+           + (length(text) - length(replace(text, '…', ''))) AS n_ellipsis,
+         len(list_filter(lines,
+             l -> left(ltrim(l), 1) IN ('•', '‣', '▪', '●', '-', '*')))
+           AS bullet_lines,
+         len(list_filter(lines,
+             l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+           AS ellipsis_lines,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+           AS alpha_words,
+         len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                          'have', 'with'],
+             w -> list_contains(words, w))) AS required_word_hits
+  FROM base
+)
+SELECT doc_id, n_words,
+       round(CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END, 4)
+         + 0.0 AS mean_word_len,
+       round(CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) / n_words
+                  ELSE 0.0 END, 4) + 0.0 AS symbol_word_ratio,
+       round(CASE WHEN n_lines > 0 THEN bullet_lines / n_lines
+                  ELSE 0.0 END, 4) + 0.0 AS bullet_line_frac,
+       round(CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines
+                  ELSE 0.0 END, 4) + 0.0 AS ellipsis_line_frac,
+       round(CASE WHEN n_words > 0 THEN alpha_words / n_words
+                  ELSE 0.0 END, 4) + 0.0 AS alpha_word_frac,
+       required_word_hits
+FROM m
+"""
+
+
+def mix_domain_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature domain mixing at web-scale stratum cardinality
+    (operators/heuristics.py:domain_mix_scaled): the per-stratum keep
+    rates q_d ∝ p_d^T normalized by the peak relative upweight,
+    computed with THREE scalars of driver state and applied via
+    broadcast join. The oracle recomputes the closed form over the
+    ``lang`` strata."""
+    docs = t(spark, sf_dir, "documents")
+    _, rates = domain_mix_scaled(
+        docs, "lang", temperature=MIX_TEMPERATURE
+    )
+    return rates.select(
+        "lang", (F.round("rate", 6) + F.lit(0.0)).alias("rate")
+    )
+
+
+ORACLE_MIX_RATES = f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+),
+s AS (
+  SELECT sum(n) AS total, sum(pow(n, {MIX_TEMPERATURE})) AS snt FROM c
+),
+r AS (
+  SELECT lang,
+         (pow(n, {MIX_TEMPERATURE}) / s.snt) * (s.total / n) AS rel
+  FROM c, s
+),
+p AS (SELECT max(rel) AS peak FROM r)
+SELECT lang, round(rel / p.peak, 6) + 0.0 AS rate FROM r, p
+"""
+
+
+def mix_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget water-filling over language strata
+    (operators/heuristics.py:unimax_allocation): split half the corpus
+    character budget as evenly as possible across languages, capping
+    each at {UNIMAX_MAX_EPOCHS} epochs of its own tokens. The oracle
+    solves the same water level λ (Σ min(cap_l, λ) = budget) in closed
+    form with window functions — the recurrence and the closed form
+    agree to fp noise far below the 4dp rounding."""
+    docs = t(spark, sf_dir, "documents")
+    rows = docs.groupBy("lang").agg(F.sum("n_chars").alias("n")).collect()
+    counts = {r["lang"]: float(r["n"]) for r in rows}
+    total = sum(sorted(counts.values()))  # sorted: order-stable fp sum
+    alloc = unimax_allocation(
+        counts,
+        budget=UNIMAX_BUDGET_FRAC * total,
+        max_epochs=UNIMAX_MAX_EPOCHS,
+    )
+    out = spark.createDataFrame(
+        [(lang, int(counts[lang]), float(alloc[lang]))
+         for lang in sorted(alloc)],
+        "lang string, n_chars bigint, alloc double",
+    )
+    return out.select(
+        "lang", "n_chars", (F.round("alloc", 4) + F.lit(0.0)).alias("alloc")
+    )
+
+
+ORACLE_UNIMAX = f"""
+WITH c AS (
+  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n FROM documents GROUP BY 1
+),
+b AS (
+  SELECT sum(n) * {UNIMAX_BUDGET_FRAC} AS budget, count(*) AS k FROM c
+),
+ord AS (
+  SELECT lang, n, n * {UNIMAX_MAX_EPOCHS} AS cap,
+         row_number() OVER (ORDER BY n * {UNIMAX_MAX_EPOCHS}, lang) AS j,
+         sum(n * {UNIMAX_MAX_EPOCHS}) OVER (
+           ORDER BY n * {UNIMAX_MAX_EPOCHS}, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_j
+  FROM c
+),
+-- stratum j is water-filled to its cap iff even splitting what remains
+-- before it still covers the cap: cap_j * (k - j + 1) <= budget - S_(j-1)
+flag AS (
+  SELECT o.*, b.budget, b.k,
+         (o.cap * (b.k - o.j + 1) <= b.budget - (o.s_j - o.cap)) AS capped
+  FROM ord o, b
+),
+lvl AS (
+  SELECT coalesce(max(j) FILTER (WHERE capped), 0) AS bigj,
+         coalesce(max(s_j) FILTER (WHERE capped), 0.0) AS s_bigj
+  FROM flag
+),
+lam AS (
+  SELECT CASE WHEN l.bigj >= b.k THEN NULL
+              ELSE (b.budget - l.s_bigj) / (b.k - l.bigj) END AS lam
+  FROM lvl l, b
+)
+SELECT f.lang, CAST(f.n AS BIGINT) AS n_chars,
+       round(CASE WHEN lam.lam IS NULL THEN f.cap
+                  ELSE least(f.cap, lam.lam) END, 4) + 0.0 AS alloc
+FROM flag f, lam
+"""
+
+
+def decon_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination evidence
+    (operators/decontaminate.py:semantic_overlap): each corpus
+    embedding's maximum cosine against a benchmark set (every
+    {SEM_BENCH_MOD}th vector) via the closure-shipped normalized bench
+    matrix and one shuffle-free Arrow kernel. Cosines are double on
+    both engines; rounded to 4dp."""
+    emb = t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % SEM_BENCH_MOD == 0)
+    out = semantic_overlap(emb, bench, id_col="vec_id")
+    return out.select(
+        "vec_id", (F.round("max_cosine", 4) + F.lit(0.0)).alias("max_cosine")
+    )
+
+
+ORACLE_SEM_OVERLAP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT v AS bv FROM e WHERE vec_id % {SEM_BENCH_MOD} = 0)
+SELECT e.vec_id,
+       round(max(list_dot_product(e.v, b.bv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(b.bv, b.bv)))), 4) + 0.0
+         AS max_cosine
+FROM e, b
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "text_bm25_rank": text_bm25_rank,
+    "search_hybrid_rrf": search_hybrid_rrf,
+    "dedup_substring_spans": dedup_substring_spans,
+    "text_gopher_signals": text_gopher_signals,
+    "mix_domain_rates": mix_domain_rates,
+    "mix_unimax_allocation": mix_unimax_allocation,
+    "decon_semantic_overlap": decon_semantic_overlap,
+}
+
+ORACLE = {
+    "text_bm25_rank": ORACLE_BM25_RANK,
+    "search_hybrid_rrf": ORACLE_HYBRID_RRF,
+    "dedup_substring_spans": ORACLE_SUBSTRING,
+    "text_gopher_signals": ORACLE_GOPHER,
+    "mix_domain_rates": ORACLE_MIX_RATES,
+    "mix_unimax_allocation": ORACLE_UNIMAX,
+    "decon_semantic_overlap": ORACLE_SEM_OVERLAP,
+}
