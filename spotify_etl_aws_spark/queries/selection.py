@@ -27,6 +27,12 @@ from ..operators.heuristics import (
     gopher_quality_stats,
     unimax_allocation,
 )
+from ..functions.text import tokens
+from ..operators.sketches import (
+    cm_estimate,
+    count_min_sketch,
+    misra_gries_topk,
+)
 from ..operators.substring_dedup import dedup_substrings
 from ..sources.readers import load_table as t
 from .vector import _embeddings, _query_vector
@@ -459,6 +465,96 @@ GROUP BY 1
 """
 
 
+HH_K = 20
+HH_CAPACITY = 200_000  # >> per-partition distinct tokens at every SF
+CM_DEPTH = 4
+CM_WIDTH = 8192
+CM_TOPN = 10
+
+
+def _term_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def stats_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over the corpus token stream
+    (operators/sketches.py:misra_gries_topk — bounded per-task state,
+    survivor-sized shuffle). At this capacity no task ever evicts, so
+    ``max_undercount`` is 0 and the sketch counts are certified EXACT
+    — which is precisely what the oracle (an exact count top-k) pins.
+    The sketch-regime error bound is tested separately
+    (tests/test_sketches.py::test_undercount_bound_holds_under_eviction)."""
+    out = misra_gries_topk(
+        _term_stream(spark, sf_dir), "term", k=HH_K, capacity=HH_CAPACITY
+    )
+    return out.select("term", "cnt", "max_undercount", "rank")
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT t.term
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1)
+SELECT term, cnt, 0 AS max_undercount,
+       row_number() OVER (ORDER BY cnt DESC, term) AS rank
+FROM c
+QUALIFY rank <= {HH_K}
+"""
+
+
+def stats_countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for the exact top-{CM_TOPN} tokens,
+    emitted as a deterministic error-bound CONTRACT (the
+    agg_approx_distinct pattern): est ≥ exact always (counters only
+    overcount) and est ≤ exact + ⌈e/width · n⌉ — the CM guarantee at
+    its standard confidence, deterministic on the fixed fixture+hash.
+    The oracle reproduces the exact counts and the literal bounds."""
+    import math
+
+    terms = _term_stream(spark, sf_dir)
+    sketch = count_min_sketch(terms, "term", depth=CM_DEPTH, width=CM_WIDTH)
+    top = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(CM_TOPN)
+    )
+    est = cm_estimate(sketch, top, "term", depth=CM_DEPTH, width=CM_WIDTH)
+    n_tokens = terms.count()
+    slack = int(math.ceil(math.e / CM_WIDTH * n_tokens))
+    return top.join(est, "term").select(
+        "term",
+        "exact_cnt",
+        (F.col("est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+        (F.col("est") <= F.col("exact_cnt") + F.lit(slack)).alias(
+            "est_within_eps"
+        ),
+    )
+
+
+ORACLE_COUNTMIN = f"""
+WITH toks AS (
+  SELECT t.term
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+c AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1),
+top AS (
+  SELECT term, exact_cnt,
+         row_number() OVER (ORDER BY exact_cnt DESC, term) AS rk
+  FROM c QUALIFY rk <= {CM_TOPN}
+)
+SELECT term, exact_cnt, TRUE AS est_ge_exact, TRUE AS est_within_eps
+FROM top
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -467,6 +563,8 @@ QUERIES = {
     "mix_domain_rates": mix_domain_rates,
     "mix_unimax_allocation": mix_unimax_allocation,
     "decon_semantic_overlap": decon_semantic_overlap,
+    "stats_heavy_hitters": stats_heavy_hitters,
+    "stats_countmin_contract": stats_countmin_contract,
 }
 
 ORACLE = {
@@ -477,4 +575,6 @@ ORACLE = {
     "mix_domain_rates": ORACLE_MIX_RATES,
     "mix_unimax_allocation": ORACLE_UNIMAX,
     "decon_semantic_overlap": ORACLE_SEM_OVERLAP,
+    "stats_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "stats_countmin_contract": ORACLE_COUNTMIN,
 }

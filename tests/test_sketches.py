@@ -1,0 +1,168 @@
+"""Frequency sketches (operators/sketches.py): Misra–Gries heavy
+hitters with an exactness certificate, count-min point estimates with
+their one-sided error guarantee, and the mergeability/skew postures
+that make both 100 TB-shaped."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_etl_aws_spark.operators.sketches import (
+    cm_estimate,
+    count_min_sketch,
+    mg_partials,
+    misra_gries_topk,
+)
+
+
+def _terms(spark, rows, parts=4):
+    return spark.createDataFrame(
+        [(t,) for t in rows], "term string"
+    ).repartition(parts)
+
+
+def _exact_counts(df):
+    return {
+        r["term"]: r["n"]
+        for r in df.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+
+
+class TestMisraGries:
+    def test_exact_when_capacity_dominates(self, spark):
+        rows = ["a"] * 50 + ["b"] * 30 + ["c"] * 20 + ["d"] * 5 + ["e"] * 2
+        df = _terms(spark, rows)
+        out = misra_gries_topk(df, "term", k=3, capacity=64).collect()
+        assert [(r["term"], r["cnt"], r["rank"]) for r in out] == [
+            ("a", 50, 1),
+            ("b", 30, 2),
+            ("c", 20, 3),
+        ]
+        assert all(r["max_undercount"] == 0 for r in out)
+
+    def test_undercount_bound_holds_under_eviction(self, spark):
+        # heavy keys + a long tail that forces evictions at capacity 4
+        rows = ["hot1"] * 400 + ["hot2"] * 300 + [f"t{i}" for i in range(300)]
+        df = _terms(spark, rows, parts=3)
+        exact = _exact_counts(df)
+        out = misra_gries_topk(df, "term", k=5, capacity=4).collect()
+        assert out, "heavy keys must survive eviction"
+        bound = out[0]["max_undercount"]
+        assert bound > 0  # tail forced decrements
+        for r in out:
+            true = exact.get(r["term"], 0)
+            assert r["cnt"] <= true, "MG counts must never overcount"
+            assert true <= r["cnt"] + bound, (
+                f"{r['term']}: true {true} outside [cnt, cnt+bound] "
+                f"[{r['cnt']}, {r['cnt'] + bound}]"
+            )
+        # the certified heavy keys dominate: both hot keys in the top-5
+        got = {r["term"] for r in out}
+        assert {"hot1", "hot2"} <= got
+
+    def test_partials_bounded_and_merge_valid(self, spark):
+        rows = [f"k{i % 50}" for i in range(2000)]
+        df = _terms(spark, rows, parts=5)
+        parts = mg_partials(df, "term", capacity=8).collect()
+        per_part_survivors: dict[int, int] = {}
+        for r in parts:
+            if r["term"] is not None:
+                assert r["dec"] is None
+        # never more than capacity survivor rows per bookkeeping row
+        surv = sum(1 for r in parts if r["term"] is not None)
+        books = sum(1 for r in parts if r["term"] is None)
+        assert books >= 1
+        assert surv <= 8 * books
+
+    def test_null_keys_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("a",), (None,), ("a",), (None,)], "term string"
+        )
+        out = misra_gries_topk(df, "term", k=5, capacity=8).collect()
+        assert [(r["term"], r["cnt"]) for r in out] == [("a", 2)]
+
+    def test_non_string_keys_cast(self, spark):
+        df = spark.createDataFrame([(7,), (7,), (9,)], "term int")
+        out = misra_gries_topk(df, "term", k=2, capacity=8).collect()
+        assert [(r["term"], r["cnt"]) for r in out] == [("7", 2), ("9", 1)]
+
+    def test_capacity_validation(self, spark):
+        df = _terms(spark, ["a"])
+        with pytest.raises(ValueError, match="capacity"):
+            misra_gries_topk(df, "term", capacity=0)
+
+
+class TestCountMin:
+    def test_estimates_upper_bound_exact(self, spark):
+        rows = ["x"] * 100 + ["y"] * 60 + [f"t{i}" for i in range(200)]
+        df = _terms(spark, rows, parts=3)
+        exact = _exact_counts(df)
+        sketch = count_min_sketch(df, "term", depth=4, width=1024)
+        keys = _terms(spark, list(exact), parts=1)
+        est = {
+            r["term"]: r["est"]
+            for r in cm_estimate(sketch, keys, "term", depth=4, width=1024).collect()
+        }
+        n = len(rows)
+        for term, true in exact.items():
+            assert est[term] >= true, "count-min never undercounts"
+            # deterministic fixture: generous e/width bound with slack
+            assert est[term] <= true + max(4, (4 * n) // 1024)
+
+    def test_sketch_size_bounded(self, spark):
+        rows = [f"u{i}" for i in range(5000)]
+        sketch = count_min_sketch(_terms(spark, rows), "term", depth=3, width=64)
+        cells = sketch.collect()
+        assert len(cells) <= 3 * 64
+        # total mass per row equals n (each occurrence lands once per row)
+        per_row = {}
+        for c in cells:
+            per_row[c["r"]] = per_row.get(c["r"], 0) + c["v"]
+        assert per_row == {0: 5000, 1: 5000, 2: 5000}
+
+    def test_mergeable_by_cellwise_sum(self, spark):
+        a = _terms(spark, ["a"] * 10 + ["b"] * 5)
+        b = _terms(spark, ["a"] * 7 + ["c"] * 3)
+        sa = count_min_sketch(a, "term", depth=2, width=32)
+        sb = count_min_sketch(b, "term", depth=2, width=32)
+        merged = (
+            sa.unionByName(sb).groupBy("r", "c").agg(F.sum("v").alias("v"))
+        )
+        both = a.unionByName(b)
+        direct = count_min_sketch(both, "term", depth=2, width=32)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_absent_key_estimates_small(self, spark):
+        df = _terms(spark, ["a"] * 50)
+        sketch = count_min_sketch(df, "term", depth=4, width=2048)
+        keys = _terms(spark, ["zzz-never-seen"], parts=1)
+        est = cm_estimate(sketch, keys, "term", depth=4, width=2048).collect()
+        assert est[0]["est"] <= 50  # min over rows; usually 0 at this width
+        assert est[0]["est"] >= 0
+
+    def test_validation(self, spark):
+        df = _terms(spark, ["a"])
+        with pytest.raises(ValueError, match="depth/width"):
+            count_min_sketch(df, "term", depth=0)
+
+
+class TestPlans:
+    def test_countmin_single_shuffle(self, spark):
+        """The sketch build shuffles once, on the (r, c) cell world —
+        never on the raw key space."""
+        df = _terms(spark, [f"k{i}" for i in range(100)])
+        plan = count_min_sketch(df, "term")._jdf.queryExecution().executedPlan().toString()
+        # partial + final hash aggregate around exactly one Exchange
+        assert plan.count("Exchange") <= 2  # input repartition + agg
+        assert "xxhash64" in plan
+
+    def test_mg_raw_corpus_never_reshuffles(self, spark):
+        """MG survivors shuffle; the corpus side feeds mapInPandas
+        directly from its scan/repartition without a key shuffle."""
+        df = _terms(spark, [f"k{i}" for i in range(100)])
+        parts = mg_partials(df, "term", capacity=16)
+        plan = parts._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(term" not in plan
