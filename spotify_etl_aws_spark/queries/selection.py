@@ -555,6 +555,100 @@ FROM top
 """
 
 
+SK_DEPTH = 4
+SK_WIDTH = 8192
+SK_USERS = 10  # watchlist: user_ids 0..9 (present at every SF)
+
+
+def streaming_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed count-min
+    (streaming/sketches.py:windowed_count_min_stream): per-hour
+    sketches built in append mode with bounded depth×width state, then
+    probed offline for a 10-user watchlist
+    (cm_estimate_windowed). Emitted as the deterministic error-bound
+    contract: est ≥ exact (counters only overcount) and
+    est ≤ exact + ⌈e/width · n_window⌉. The oracle reproduces the
+    exact per-window watchlist counts under the same append-mode
+    watermark cutoff (window end ≤ ms-truncated max ts − 1h)."""
+    import math
+
+    from ..streaming.pipeline import read_table_stream, run_available_now
+    from ..streaming.sketches import (
+        cm_estimate_windowed,
+        windowed_count_min_stream,
+    )
+
+    src = read_table_stream(spark, sf_dir, "events")
+    sketch = run_available_now(
+        windowed_count_min_stream(
+            src, "ts", "user_id", "1 hour", "1 hour", SK_DEPTH, SK_WIDTH
+        ),
+        "cm_sketch",
+        output_mode="append",
+    )
+    keys = spark.createDataFrame(
+        [(i,) for i in range(SK_USERS)], "user_id long"
+    )
+    est = cm_estimate_windowed(sketch, keys, "user_id", SK_DEPTH, SK_WIDTH)
+
+    ev = t(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    )
+    exact = (
+        ev.filter(F.col("user_id") < SK_USERS)
+        .groupBy("w", "user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    n_win = t(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").alias("w")
+    ).groupBy("w").agg(F.count("*").alias("n_w"))
+    slack = F.ceil(F.lit(math.e / SK_WIDTH) * F.col("n_w"))
+    return (
+        est.join(exact, ["w", "user_id"], "left")
+        .join(n_win, "w")
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
+            (F.col("est") >= F.coalesce("exact_cnt", F.lit(0))).alias(
+                "est_ge_exact"
+            ),
+            (
+                F.col("est")
+                <= F.coalesce("exact_cnt", F.lit(0)) + slack
+            ).alias("est_within_eps"),
+        )
+    )
+
+
+ORACLE_STREAMING_SKETCH = f"""
+WITH wm AS (
+  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
+),
+wins AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS w
+  FROM events, wm
+  WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm_us
+),
+grid AS (
+  SELECT w, u.u AS user_id FROM wins, unnest(range(0, {SK_USERS})) AS u(u)
+),
+ex AS (
+  SELECT date_trunc('hour', ts) AS w, user_id, count(*) AS exact_cnt
+  FROM events WHERE user_id < {SK_USERS} GROUP BY 1, 2
+)
+SELECT strftime(g.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       g.user_id,
+       coalesce(ex.exact_cnt, 0) AS exact_cnt,
+       TRUE AS est_ge_exact,
+       TRUE AS est_within_eps
+FROM grid g
+LEFT JOIN ex ON g.w = ex.w AND g.user_id = ex.user_id
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -565,6 +659,7 @@ QUERIES = {
     "decon_semantic_overlap": decon_semantic_overlap,
     "stats_heavy_hitters": stats_heavy_hitters,
     "stats_countmin_contract": stats_countmin_contract,
+    "streaming_sketch_contract": streaming_sketch_contract,
 }
 
 ORACLE = {
@@ -577,4 +672,5 @@ ORACLE = {
     "decon_semantic_overlap": ORACLE_SEM_OVERLAP,
     "stats_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "stats_countmin_contract": ORACLE_COUNTMIN,
+    "streaming_sketch_contract": ORACLE_STREAMING_SKETCH,
 }

@@ -149,6 +149,109 @@ class TestCountMin:
             count_min_sketch(df, "term", depth=0)
 
 
+class TestStreamingSketch:
+    def test_stream_matches_batch_cells_under_cutoff(self, spark, sf_dir):
+        """The append-mode stream emits, per closed window, EXACTLY the
+        cells a batch build over the same rows produces — sketch
+        correctness reduces to the (already pinned) append/watermark
+        emission semantics."""
+        import datetime as dt
+
+        from spotify_etl_aws_spark.operators.sketches import _cm_cell
+        from spotify_etl_aws_spark.sources.readers import load_table
+        from spotify_etl_aws_spark.streaming.pipeline import (
+            read_table_stream,
+            run_available_now,
+        )
+        from spotify_etl_aws_spark.streaming.sketches import (
+            windowed_count_min_stream,
+        )
+
+        depth, width = 3, 256
+        src = read_table_stream(spark, sf_dir, "events")
+        got = run_available_now(
+            windowed_count_min_stream(
+                src, "ts", "user_id", "1 hour", "1 hour", depth, width
+            ),
+            "cm_parity",
+            output_mode="append",
+        ).collect()
+
+        ev = load_table(spark, sf_dir, "events")
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        wm = max_ts.replace(microsecond=max_ts.microsecond // 1000 * 1000)
+        wm = wm - dt.timedelta(hours=1)
+        rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+        want = (
+            ev.select(
+                F.window("ts", "1 hour").alias("w"),
+                F.col("user_id").cast("string").alias("k"),
+            )
+            .filter(F.col("w.end") <= F.lit(wm))
+            .select("w", rows, "k")
+            .select("w", "r", _cm_cell(F.col("k"), F.col("r"), width).alias("c"))
+            .groupBy("w", "r", "c")
+            .agg(F.count("*").alias("v"))
+            .collect()
+        )
+        key = lambda r: (r["w"]["start"], r["r"], r["c"], r["v"])
+        assert sorted(map(key, got)) == sorted(map(key, want))
+        # bounded output: never more than depth*width cells per window
+        per_win: dict = {}
+        for r in got:
+            per_win[r["w"]["start"]] = per_win.get(r["w"]["start"], 0) + 1
+        assert max(per_win.values()) <= depth * width
+
+    def test_windowed_estimate_grid(self, spark):
+        """Estimates cover every (window, watchlist key) pair — absent
+        keys estimate from missing cells as 0 — and upper-bound the
+        exact per-window counts."""
+        import datetime as dt
+
+        from spotify_etl_aws_spark.streaming.sketches import (
+            cm_estimate_windowed,
+            windowed_count_min_stream,
+        )
+
+        base = dt.datetime(2024, 1, 1, 0, 30)
+        rows = (
+            [(base, "a")] * 5
+            + [(base, "b")] * 2
+            + [(base + dt.timedelta(hours=1), "a")] * 3
+        )
+        df = spark.createDataFrame(rows, "ts timestamp, k string")
+        # batch path through the same expressions (no watermark needed
+        # for a batch groupBy): build cells directly
+        from spotify_etl_aws_spark.operators.sketches import _cm_cell
+
+        depth, width = 4, 64
+        rcol = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+        sketch = (
+            df.select(F.window("ts", "1 hour").alias("w"), rcol, "k")
+            .select("w", "r", _cm_cell(F.col("k"), F.col("r"), width).alias("c"))
+            .groupBy("w", "r", "c")
+            .agg(F.count("*").alias("v"))
+        )
+        keys = spark.createDataFrame([("a",), ("b",), ("zz",)], "k string")
+        est = {
+            (r["w"]["start"].hour, r["k"]): r["est"]
+            for r in cm_estimate_windowed(sketch, keys, "k", depth, width).collect()
+        }
+        assert len(est) == 6  # 2 windows x 3 keys
+        assert est[(0, "a")] >= 5 and est[(1, "a")] >= 3
+        assert est[(0, "b")] >= 2
+        assert est[(1, "b")] >= 0 and est[(1, "zz")] >= 0
+
+    def test_validation(self, spark):
+        from spotify_etl_aws_spark.streaming.sketches import (
+            windowed_count_min_stream,
+        )
+
+        df = spark.createDataFrame([], "ts timestamp, k string")
+        with pytest.raises(ValueError, match="depth/width"):
+            windowed_count_min_stream(df, "ts", "k", depth=0)
+
+
 class TestPlans:
     def test_countmin_single_shuffle(self, spark):
         """The sketch build shuffles once, on the (r, c) cell world —
