@@ -62,6 +62,53 @@ def detect_hot_keys(
     return [tuple(r) for r in rows]
 
 
+def detect_hot_keys_sketched(
+    df: DataFrame,
+    on: str,
+    min_fraction: float = 0.01,
+    capacity: int | None = None,
+) -> list:
+    """``detect_hot_keys`` for web-scale key cardinality: the exact
+    variant's groupBy shuffles the FULL key space (every registrable
+    domain, every user id); this one runs Misra–Gries with a capped
+    per-task counter dict (operators/sketches.py) and shuffles only
+    the ≤ capacity survivors per task.
+
+    No false negatives: MG undercounts by at most ``max_undercount``
+    (Σ partition decrements), so filtering at
+    ``cnt + max_undercount > total · min_fraction`` keeps every truly
+    hot key; keys just below threshold may slip in (harmless — salting
+    a lukewarm key costs a few replicated rows). ``capacity`` defaults
+    to ⌈4/min_fraction⌉, making the default undercount ≤ n·fraction/4.
+    Key values are recovered at their ORIGINAL type with one map-side
+    filtered distinct (the sketch compares string forms)."""
+    import math
+
+    total = df.count()
+    if not total:
+        return []
+    cap = capacity or max(64, int(math.ceil(4.0 / min_fraction)))
+    from .sketches import misra_gries_topk
+
+    hh = misra_gries_topk(df.select(on), on, k=cap, capacity=cap)
+    survivors = [
+        r[on]
+        for r in hh.filter(
+            F.col("cnt") + F.col("max_undercount")
+            > F.lit(total * min_fraction)
+        ).collect()
+    ]
+    if not survivors:
+        return []
+    return [
+        r[0]
+        for r in df.select(on)
+        .filter(F.col(on).cast("string").isin(survivors))
+        .distinct()
+        .collect()
+    ]
+
+
 def _hot_predicate(on_cols: list[str], hot_keys: list) -> F.Column:
     if len(on_cols) == 1:
         return F.col(on_cols[0]).isin(list(hot_keys))

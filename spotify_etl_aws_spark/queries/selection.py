@@ -649,6 +649,48 @@ LEFT JOIN ex ON g.w = ex.w AND g.user_id = ex.user_id
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking (operators/chunking.py:chunk_documents
+    — map-side Generate, zero shuffle, zero UDF): overlapping
+    {CHUNK_TOKENS}-token windows at stride {_STRIDE}; the final window
+    may run short and a short/empty document yields exactly one chunk.
+    The oracle replays the same geometry with list slices."""
+    from ..operators.chunking import chunk_documents
+
+    out = chunk_documents(
+        t(spark, sf_dir, "documents"), CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "n_chunks", "n_tokens", "chunk_text"
+    )
+
+
+ORACLE_CHUNKING = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, w,
+         greatest(CAST(ceil((len(w) - {CHUNK_OVERLAP}) / {_STRIDE}.0) AS INT),
+                  1) AS n_chunks
+  FROM toks
+)
+SELECT doc_id, i AS chunk_idx, n_chunks,
+       len(w[i*{_STRIDE}+1 : i*{_STRIDE}+{CHUNK_TOKENS}]) AS n_tokens,
+       array_to_string(w[i*{_STRIDE}+1 : i*{_STRIDE}+{CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM base, unnest(range(0, n_chunks)) AS t(i)
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -660,6 +702,7 @@ QUERIES = {
     "stats_heavy_hitters": stats_heavy_hitters,
     "stats_countmin_contract": stats_countmin_contract,
     "streaming_sketch_contract": streaming_sketch_contract,
+    "text_chunking": text_chunking,
 }
 
 ORACLE = {
@@ -673,4 +716,5 @@ ORACLE = {
     "stats_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "stats_countmin_contract": ORACLE_COUNTMIN,
     "streaming_sketch_contract": ORACLE_STREAMING_SKETCH,
+    "text_chunking": ORACLE_CHUNKING,
 }

@@ -252,6 +252,50 @@ class TestStreamingSketch:
             windowed_count_min_stream(df, "ts", "k", depth=0)
 
 
+class TestSketchedHotKeys:
+    def test_matches_exact_detector_and_types(self, spark):
+        """On a planted skew column the sketched detector finds the
+        same hot keys as the exact groupBy detector, at the ORIGINAL
+        key type (salting predicates compare typed literals)."""
+        from spotify_etl_aws_spark.operators.skew import (
+            detect_hot_keys,
+            detect_hot_keys_sketched,
+        )
+
+        rows = [(1,)] * 400 + [(2,)] * 200 + [(i,) for i in range(100, 500)]
+        df = spark.createDataFrame(rows, "k int").repartition(4)
+        exact = sorted(detect_hot_keys(df, "k", min_fraction=0.1))
+        sketched = sorted(
+            detect_hot_keys_sketched(df, "k", min_fraction=0.1)
+        )
+        assert exact == [1, 2]
+        assert sketched == exact
+        assert all(isinstance(k, int) for k in sketched)
+
+    def test_no_false_negatives_at_tiny_capacity(self, spark):
+        """Even with a capacity far too small for the tail, every
+        truly-hot key survives (the MG undercount certificate widens
+        the filter); extras below threshold are allowed."""
+        from spotify_etl_aws_spark.operators.skew import (
+            detect_hot_keys_sketched,
+        )
+
+        rows = [("hot",)] * 500 + [(f"t{i}",) for i in range(400)]
+        df = spark.createDataFrame(rows, "k string").repartition(3)
+        got = detect_hot_keys_sketched(
+            df, "k", min_fraction=0.3, capacity=8
+        )
+        assert "hot" in got
+
+    def test_empty_input(self, spark):
+        from spotify_etl_aws_spark.operators.skew import (
+            detect_hot_keys_sketched,
+        )
+
+        df = spark.createDataFrame([], "k int")
+        assert detect_hot_keys_sketched(df, "k") == []
+
+
 class TestPlans:
     def test_countmin_single_shuffle(self, spark):
         """The sketch build shuffles once, on the (r, c) cell world —
