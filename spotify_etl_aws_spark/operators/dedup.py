@@ -511,6 +511,98 @@ def label_propagation(
     ).select("node", F.coalesce("elabel", "node").alias("label"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle CONTAINMENT
+    c(A→B) = |A ∩ B| / |A| over LSH candidate pairs — the measure that
+    catches quote-inclusion and superset duplication (one document
+    embedding another), where Jaccard dilutes toward 0 as the size
+    ratio grows. Returns (doc_a, doc_b, cont_a_in_b, cont_b_in_a,
+    jaccard) for pairs whose MAX directional containment ≥
+    ``threshold``.
+
+    Same scale posture as ``lsh_verified_pairs``: banded-MinHash
+    candidates, map-side ``array_intersect`` verification — linear in
+    candidates, immune to hot-shingle skew. Honest recall caveat:
+    MinHash bands collide on JACCARD, so a high-containment pair with
+    tiny Jaccard (a tweet inside a book) may never become a candidate;
+    a corpus where that asymmetry dominates wants an LSH-Ensemble-style
+    partition-by-size band plan at the candidate step (documented seam
+    — the verify step here is already containment-correct)."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    sig = signatures_from_shingles(sh, id_col, num_hashes)
+    cand = minhash_lsh_pairs(sig, id_col, num_hashes, bands)
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shs"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    n_common = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    n_a = F.size(F.col("sa.shs"))
+    n_b = F.size(F.col("sb.shs"))
+    cont_ab = n_common / n_a
+    cont_ba = n_common / n_b
+    jac = n_common / (n_a + n_b - n_common)
+    return (
+        cand.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(F.greatest(cont_ab, cont_ba) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont_ab, 4).alias("cont_a_in_b"),
+            F.round(cont_ba, 4).alias("cont_b_in_a"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def neardup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_iters: int = 16,
+) -> DataFrame:
+    """Near-dedup that keeps the BEST document of each duplicate
+    cluster instead of the first: cluster via ``neardup_clusters``
+    (LSH → verify → connected components), then elect per cluster the
+    row maximizing ``quality_col`` (ties → smallest id, so the
+    election is deterministic). Returns the input rows plus
+    (cluster_rep, keep) — callers filter ``keep`` or inspect the
+    losers for the audit trail.
+
+    This is the production policy (keep the cleanest copy, not the
+    accidental id-minimum); cost over keep-first is ONE extra window
+    over the cluster assignment — the corpus text never re-shuffles
+    (the window runs on (id, cluster, quality) columns only)."""
+    from pyspark.sql import Window as W
+
+    clusters = neardup_clusters(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold,
+        max_iters,
+    )
+    slim = df.select(id_col, quality_col).join(clusters, id_col)
+    w = W.partitionBy("cluster_rep").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    elected = slim.withColumn("__rn", F.row_number().over(w)).select(
+        id_col, "cluster_rep", (F.col("__rn") == 1).alias("keep")
+    )
+    return df.join(elected, id_col)
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -691,6 +691,65 @@ FROM base, unnest(range(0, n_chunks)) AS t(i)
 """
 
 
+CONT_THRESHOLD = 0.7  # max-containment cut; fixture margin >= 0.3
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs
+    (operators/dedup.py:containment_pairs): shingle containment in
+    both directions over banded-MinHash candidates — the
+    quote-inclusion/superset measure Jaccard dilutes away. The oracle
+    replays candidates (same md5 MinHash bands as the LSH oracles) and
+    verifies containment with exact intersection counts."""
+    from ..operators.dedup import containment_pairs
+    from .dedup import BANDS, NUM_HASHES, SHINGLE_N
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"),
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=CONT_THRESHOLD,
+    )
+
+
+def _oracle_containment() -> str:
+    from .dedup import _BAND_CASES, _SHINGLE_CTE, _SIG_CTE, BANDS
+
+    return f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+band AS (
+  SELECT doc_id, b,
+         CASE b
+           {_BAND_CASES}
+         END AS bh
+  FROM (SELECT sig.*, unnest(range(0, {BANDS})) AS b FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_common / sa.n_sh, 4) AS cont_a_in_b,
+       round(n_common / sb.n_sh, 4) AS cont_b_in_a,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE greatest(n_common / sa.n_sh, n_common / sb.n_sh) >= {CONT_THRESHOLD}
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -703,6 +762,7 @@ QUERIES = {
     "stats_countmin_contract": stats_countmin_contract,
     "streaming_sketch_contract": streaming_sketch_contract,
     "text_chunking": text_chunking,
+    "dedup_containment_pairs": dedup_containment_pairs,
 }
 
 ORACLE = {
@@ -717,4 +777,5 @@ ORACLE = {
     "stats_countmin_contract": ORACLE_COUNTMIN,
     "streaming_sketch_contract": ORACLE_STREAMING_SKETCH,
     "text_chunking": ORACLE_CHUNKING,
+    "dedup_containment_pairs": _oracle_containment(),
 }
