@@ -49,6 +49,7 @@ from ..operators.dedup import (
     minhash_signatures,
     neardup_against_store,
     neardup_clusters,
+    neardup_keep_best,
 )
 from ..operators.heuristics import (
     gopher_quality_gate,
@@ -131,6 +132,7 @@ def build_training_corpus(
     substring_dedup_k: int | None = None,
     substring_hot_max: int | None = 10_000,
     keep_langs: tuple[str, ...] | None = None,
+    neardup_keep_best_col: str | None = None,
     audit: bool = False,
     metrics_out: dict | None = None,
 ) -> DataFrame:
@@ -186,6 +188,13 @@ def build_training_corpus(
     span occurring more often than that is chrome/licence text by
     construction and is cut from EVERY occurrence — no canonical
     survives (None restores literal keep-first semantics).
+
+    ``neardup_keep_best_col`` switches the near-dup cluster election
+    from keep-first (minimum doc_id) to keep-BEST: the cluster member
+    maximizing that column (ties -> smallest id) survives — the
+    keep-the-cleanest-copy policy production ladders use when a
+    quality signal already exists on the input (e.g. a crawl score).
+    The column must exist on ``docs``.
 
     ``tokenizer`` (a trained ``BpeModel`` or ``UnigramModel``) switches
     packing to REAL tokenizer counts: ``n_tokens`` becomes the length
@@ -251,17 +260,40 @@ def build_training_corpus(
         )
         trail.append(("contaminated", stage))
 
-    reps = neardup_clusters(
-        stage,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-        threshold=dup_threshold,
-    ).filter(F.col("doc_id") == F.col("cluster_rep"))
-    stage = observed(
-        stage.join(reps.select("doc_id"), "doc_id", "left_semi"),
-        "near_duplicate",
-    )
+    if neardup_keep_best_col is not None:
+        if neardup_keep_best_col not in docs.columns:
+            raise ValueError(
+                f"neardup_keep_best_col {neardup_keep_best_col!r} not in "
+                f"input columns {docs.columns}"
+            )
+        # the ladder carries only (doc_id, text); the election score
+        # rides in as an id-keyed narrow join from the original input
+        kept = neardup_keep_best(
+            stage.join(
+                docs.select("doc_id", neardup_keep_best_col), "doc_id"
+            ),
+            neardup_keep_best_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            threshold=dup_threshold,
+        ).filter(F.col("keep"))
+        stage = observed(
+            stage.join(kept.select("doc_id"), "doc_id", "left_semi"),
+            "near_duplicate",
+        )
+    else:
+        reps = neardup_clusters(
+            stage,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            threshold=dup_threshold,
+        ).filter(F.col("doc_id") == F.col("cluster_rep"))
+        stage = observed(
+            stage.join(reps.select("doc_id"), "doc_id", "left_semi"),
+            "near_duplicate",
+        )
     trail.append(("near_duplicate", stage))
 
     # span-level pass AFTER document-level dedup: whole-doc drops are

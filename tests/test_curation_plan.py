@@ -760,3 +760,65 @@ def test_gopher_filter_in_ladder(spark, tmp_path):
     }
     assert audit[BULLETS] == "gopher"
     assert metrics["gopher"] == 20
+
+
+def test_neardup_keep_best_in_ladder(spark, tmp_path):
+    """neardup_keep_best_col: the near-dup cluster keeps its
+    highest-scoring member instead of the minimum id; keep-first (the
+    default) keeps the minimum id on the same input."""
+    base = (
+        "the quiet town woke early and every street had something to "
+        "offer because the market opened with fresh bread and people "
+        "walked out with friends before the sun climbed over the hills"
+    )
+    singleton = (
+        "meanwhile the research station recorded unusual telemetry "
+        "from the deep sea probes and the night crew logged every "
+        "reading twice to be sure the archive stayed complete forever"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " version one", 0.2),
+            (2, base + " version two", 0.9),
+            (3, base + " version three", 0.5),
+            (50, singleton, 0.1),
+        ],
+        "doc_id long, text string, crawl_score double",
+    )
+    out_best = build_training_corpus(
+        spark,
+        docs,
+        None,
+        str(tmp_path / "best"),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        neardup_keep_best_col="crawl_score",
+        pack_budget=512,
+    )
+    kept_best = {r.doc_id for r in out_best.select("doc_id").collect()}
+    assert kept_best == {2, 50}
+
+    out_first = build_training_corpus(
+        spark,
+        docs,
+        None,
+        str(tmp_path / "first"),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=512,
+    )
+    kept_first = {r.doc_id for r in out_first.select("doc_id").collect()}
+    assert kept_first == {1, 50}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="neardup_keep_best_col"):
+        build_training_corpus(
+            spark,
+            docs,
+            None,
+            str(tmp_path / "bad"),
+            neardup_keep_best_col="no_such_column",
+        )

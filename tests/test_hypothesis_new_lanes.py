@@ -207,3 +207,86 @@ def test_dsir_buckets_in_range_and_deterministic(text, nb, ng):
     toks = text.lower().split()
     want = sum(max(0, len(toks) - n + 1) for n in range(1, ng + 1))
     assert len(b1) == want
+
+
+# ---- round-6 third-session lanes ----
+
+# The mix_unimax_allocation ORACLE solves the water level in closed
+# form (alloc = min(cap, λ) with Σ min(cap, λ) = budget); the operator
+# walks the ascending-capacity recurrence. The query's correctness
+# rests on these being the same function — pin it over arbitrary
+# count maps, budgets, and epoch caps.
+@settings(**_SETTINGS)
+@given(
+    counts=st.dictionaries(
+        st.text(st.characters(codec="ascii"), min_size=1, max_size=4),
+        st.floats(0.0, 1e6, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    ),
+    budget_frac=st.floats(0.0, 2.0),
+    max_epochs=st.floats(0.1, 8.0),
+)
+def test_unimax_recurrence_equals_closed_form(counts, budget_frac, max_epochs):
+    from spotify_etl_aws_spark.operators.heuristics import unimax_allocation
+
+    total = sum(counts.values())
+    budget = total * budget_frac
+    alloc = unimax_allocation(counts, budget=budget, max_epochs=max_epochs)
+
+    # closed form: λ solves Σ min(cap_l, λ) = budget (when feasible)
+    caps = sorted(
+        (counts[k] * max_epochs, k) for k in counts
+    )
+    n = len(caps)
+    s = 0.0
+    big_j, s_big_j = 0, 0.0
+    for j, (cap, _) in enumerate(caps, start=1):
+        if cap * (n - j + 1) <= budget - s:
+            big_j, s_big_j = j, s + cap
+        s += cap
+    lam = None if big_j >= n else (budget - s_big_j) / (n - big_j)
+    for k in counts:
+        cap = counts[k] * max_epochs
+        want = cap if lam is None else min(cap, lam)
+        assert math.isclose(alloc[k], want, rel_tol=1e-9, abs_tol=1e-6), (
+            k, alloc[k], want, lam
+        )
+    # conservation: Σ alloc == min(budget, capacity)
+    assert math.isclose(
+        sum(alloc.values()), min(budget, s), rel_tol=1e-9, abs_tol=1e-6
+    )
+
+
+# Misra–Gries invariant on arbitrary streams: for every surviving key,
+# cnt <= true <= cnt + decrements; for every evicted key,
+# true <= decrements. (Pure-python replay of the operator's kernel —
+# the Spark wrapper is Arrow plumbing around exactly this loop.)
+@settings(**_SETTINGS)
+@given(
+    stream=st.lists(st.integers(0, 12), max_size=400),
+    capacity=st.integers(1, 6),
+)
+def test_misra_gries_bounds_any_stream(stream, capacity):
+    counts: dict[int, int] = {}
+    dec = 0
+    for key in stream:
+        if key in counts:
+            counts[key] += 1
+        elif len(counts) < capacity:
+            counts[key] = 1
+        else:
+            dec += 1
+            dead = [k for k in counts if counts[k] == 1]
+            for k in counts:
+                counts[k] -= 1
+            for k in dead:
+                del counts[k]
+    from collections import Counter
+
+    true = Counter(stream)
+    for k, c in counts.items():
+        assert c <= true[k] <= c + dec
+    for k in true:
+        if k not in counts:
+            assert true[k] <= dec
