@@ -750,6 +750,47 @@ WHERE greatest(n_common / sa.n_sh, n_common / sb.n_sh) >= {CONT_THRESHOLD}
 """
 
 
+PREFIX_JOIN_THRESHOLD = 0.5
+
+
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard similarity join via prefix filtering
+    (operators/dedup.py:jaccard_join_prefix — AllPairs candidate rule,
+    rarest-shingle prefixes, size filter, map-side verification). The
+    oracle is deliberately the BRUTE-FORCE all-pairs join: if the
+    prefix pruning ever dropped a qualifying pair, the hash comparison
+    would catch the missing row — completeness is the checked
+    property, not just the scores."""
+    from ..operators.dedup import jaccard_join_prefix
+    from .dedup import SHINGLE_N
+
+    return jaccard_join_prefix(
+        t(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        threshold=PREFIX_JOIN_THRESHOLD,
+    )
+
+
+def _oracle_prefix_join() -> str:
+    from .dedup import _SHINGLE_CTE
+
+    return f"""
+WITH {_SHINGLE_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {PREFIX_JOIN_THRESHOLD}
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -763,6 +804,7 @@ QUERIES = {
     "streaming_sketch_contract": streaming_sketch_contract,
     "text_chunking": text_chunking,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "dedup_jaccard_prefix_join": dedup_jaccard_prefix_join,
 }
 
 ORACLE = {
@@ -778,4 +820,5 @@ ORACLE = {
     "streaming_sketch_contract": ORACLE_STREAMING_SKETCH,
     "text_chunking": ORACLE_CHUNKING,
     "dedup_containment_pairs": _oracle_containment(),
+    "dedup_jaccard_prefix_join": _oracle_prefix_join(),
 }
