@@ -98,3 +98,15 @@ def test_validation(spark):
         jaccard_join_prefix(docs, threshold=0.0)
     with pytest.raises(ValueError, match="threshold"):
         jaccard_join_prefix(docs, threshold=1.5)
+
+
+def test_plan_no_cartesian_or_nested_loop(spark):
+    """Candidates come from a shingle-keyed equi-join; nothing in the
+    pipeline may degrade to a cartesian/nested-loop product."""
+    docs = _docs(spark, [(i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(10)])
+    plan = (
+        jaccard_join_prefix(docs, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
