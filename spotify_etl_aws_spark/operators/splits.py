@@ -102,3 +102,35 @@ def split_leakage_pairs(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
     )
+
+
+def sample_exact_k_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic EXACT-k sample per stratum: rank rows inside each
+    stratum by a salted md5 of the id (ties impossible — the id rides
+    as the final key) and keep rank <= k. The per-stratum twin of the
+    rate-based ``stratified_sample``: rates give you an expected
+    fraction, this gives you exactly min(k, stratum size) rows — the
+    shape eval-set carving and per-source capping want.
+
+    md5 rather than xxhash64 so the selection is portable to any
+    engine (same reason the MinHash lanes hash with md5): the sampled
+    set can be re-derived outside Spark for audits. One shuffle on the
+    stratum (the ranking window); retry-stable and
+    insertion-order-free by construction."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window as W
+
+    order = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = W.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

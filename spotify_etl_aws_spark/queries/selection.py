@@ -791,6 +791,41 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {PREFIX_JOIN_THRESHOLD}
 """
 
 
+SAMPLE_K = 5
+SAMPLE_SALT = "v1"
+
+
+def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k per-stratum sample
+    (operators/splits.py:sample_exact_k_per_stratum): k documents per
+    language, selected by salted-md5 order — portable across engines,
+    so the oracle re-derives the identical sample."""
+    from ..operators.splits import sample_exact_k_per_stratum
+
+    out = sample_exact_k_per_stratum(
+        t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang",
+        SAMPLE_K,
+        salt=SAMPLE_SALT,
+    )
+    return out.select("doc_id", "lang")
+
+
+ORACLE_SAMPLE_K = f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{SAMPLE_SALT}' || ':' || CAST(doc_id AS VARCHAR)),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {SAMPLE_K}
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -805,6 +840,7 @@ QUERIES = {
     "text_chunking": text_chunking,
     "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_jaccard_prefix_join": dedup_jaccard_prefix_join,
+    "sample_k_per_lang": sample_k_per_lang,
 }
 
 ORACLE = {
@@ -821,4 +857,5 @@ ORACLE = {
     "text_chunking": ORACLE_CHUNKING,
     "dedup_containment_pairs": _oracle_containment(),
     "dedup_jaccard_prefix_join": _oracle_prefix_join(),
+    "sample_k_per_lang": ORACLE_SAMPLE_K,
 }
