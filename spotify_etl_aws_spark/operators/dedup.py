@@ -536,32 +536,34 @@ def jaccard_join_prefix(
     (t·|A| ≤ |B| ≤ |A|/t, necessary for J ≥ t) prunes the rest before
     verification.
 
-    Shape: one df-count aggregation, one per-doc window to rank
-    shingles, one shingle-keyed candidate join, then the same map-side
-    ``array_intersect`` verification as ``lsh_verified_pairs``. This
-    is the exact-join complement of the LSH lane: use LSH when
-    approximate recall is acceptable and the corpus is huge, this when
-    the answer must be complete (compliance-grade dedup, evaluation of
-    the LSH lane's recall).
+    Shape: one df-count aggregation, ONE per-doc aggregation whose
+    sorted (df, shingle) array serves triple duty — prefix slice, set
+    size, and the verification set (no separate window, no separate
+    sizes agg, no second collect_set shuffle) — then a shingle-keyed
+    candidate join and the same map-side ``array_intersect``
+    verification as ``lsh_verified_pairs``. This is the exact-join
+    complement of the LSH lane: use LSH when approximate recall is
+    acceptable and the corpus is huge, this when the answer must be
+    complete (compliance-grade dedup, evaluation of the LSH lane's
+    recall).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from pyspark.sql import Window as W
-
     sh = shingle_table(df, id_col, text_col, shingle_n)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
-    ranked = (
+    # ONE per-doc agg: the lexicographically sorted (df, shingle)
+    # structs realize the global rarest-first order per document
+    per_doc = (
         sh.join(dfreq, "shingle")
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                W.partitionBy(id_col).orderBy("__df", "shingle")
-            ),
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "shingle"))
+            ).alias("__ordered")
         )
-        .join(sizes, id_col)
+        .withColumn("__n", F.size("__ordered"))
     )
     # the -1e-9 guards fp: t*n landing a hair ABOVE an exact integer
     # would over-ceil, shortening the prefix and silently dropping a
@@ -571,11 +573,27 @@ def jaccard_join_prefix(
     prefix_len = F.col("__n") - F.ceil(
         F.lit(threshold) * F.col("__n") - F.lit(1e-9)
     ).cast("int") + 1
-    pref = ranked.filter(F.col("__rn") <= prefix_len).select(
-        F.col(id_col), "shingle", F.col("__n")
-    )
+    pref = per_doc.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.posexplode(F.slice("__ordered", 1, prefix_len)).alias(
+            "__pos", "__p"
+        ),
+    ).select(id_col, "__n", "__pos", F.col("__p.shingle").alias("shingle"))
     pa = pref.alias("pa")
     pb = pref.alias("pb")
+    # PPJoin positional filter: J >= t forces an overlap of at least
+    # alpha = ceil(t/(1+t) * (|A|+|B|)). For the pair's order-MINIMAL
+    # common shingle (positions i_a, i_b, 0-based) every common element
+    # lies in the suffixes, so overlap <= min(|A|-i_a, |B|-i_b); rows
+    # failing that bound cannot be the minimal witness and the minimal
+    # one always survives — distinct() after the filter keeps the pair
+    # exactly once. Same -1e-9 fp guard as everywhere: never over-prune.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("pa.__n") + F.col("pb.__n"))
+        - F.lit(1e-9)
+    )
     cand = (
         pa.join(
             pb,
@@ -587,7 +605,14 @@ def jaccard_join_prefix(
             & (F.col("pb.__n") * F.lit(threshold) - F.lit(1e-9)
                <= F.col("pa.__n"))
             & (F.col("pa.__n") * F.lit(threshold) - F.lit(1e-9)
-               <= F.col("pb.__n")),
+               <= F.col("pb.__n"))
+            & (
+                F.least(
+                    F.col("pa.__n") - F.col("pa.__pos"),
+                    F.col("pb.__n") - F.col("pb.__pos"),
+                )
+                >= alpha
+            ),
         )
         .select(
             F.col(f"pa.{id_col}").alias("doc_a"),
@@ -595,7 +620,10 @@ def jaccard_join_prefix(
         )
         .distinct()
     )
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shs"))
+    sets = per_doc.select(
+        F.col(id_col),
+        F.transform("__ordered", lambda x: x["shingle"]).alias("shs"),
+    )
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     n_common = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
