@@ -826,6 +826,91 @@ WHERE rn <= {SAMPLE_K}
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best near-dedup election
+    (operators/dedup.py:neardup_keep_best): LSH → verify → connected
+    components, then each cluster keeps its member maximizing
+    ``n_chars`` (ties → smallest id) instead of the id-minimum. The
+    oracle recomputes true components with a recursive CTE and elects
+    with the same (quality DESC, id ASC) window."""
+    from ..operators.dedup import neardup_keep_best
+    from .dedup import BANDS, LSH_VERIFY_THRESHOLD, NUM_HASHES, SHINGLE_N
+
+    out = neardup_keep_best(
+        t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"),
+        "n_chars",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=LSH_VERIFY_THRESHOLD,
+    )
+    return out.select("doc_id", "cluster_rep", "keep")
+
+
+def _oracle_keep_best() -> str:
+    from .dedup import (
+        _BAND_CASES,
+        _SHINGLE_CTE,
+        _SIG_CTE,
+        BANDS,
+        LSH_VERIFY_THRESHOLD,
+    )
+
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+band AS (
+  SELECT doc_id, b,
+         CASE b
+           {_BAND_CASES}
+         END AS bh
+  FROM (SELECT sig.*, unnest(range(0, {BANDS})) AS b FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+vp AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {LSH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM vp
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM vp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (
+  SELECT d.doc_id, d.n_chars,
+         least(d.doc_id, coalesce(m.mv, d.doc_id)) AS cluster_rep
+  FROM documents d
+  LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m
+    ON d.doc_id = m.u
+)
+SELECT doc_id, cluster_rep,
+       row_number() OVER (
+         PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id
+       ) = 1 AS keep
+FROM clusters
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -841,6 +926,7 @@ QUERIES = {
     "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_jaccard_prefix_join": dedup_jaccard_prefix_join,
     "sample_k_per_lang": sample_k_per_lang,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLE = {
@@ -858,4 +944,5 @@ ORACLE = {
     "dedup_containment_pairs": _oracle_containment(),
     "dedup_jaccard_prefix_join": _oracle_prefix_join(),
     "sample_k_per_lang": ORACLE_SAMPLE_K,
+    "dedup_keep_best": _oracle_keep_best(),
 }

@@ -65,7 +65,6 @@ class TestMisraGries:
         rows = [f"k{i % 50}" for i in range(2000)]
         df = _terms(spark, rows, parts=5)
         parts = mg_partials(df, "term", capacity=8).collect()
-        per_part_survivors: dict[int, int] = {}
         for r in parts:
             if r["term"] is not None:
                 assert r["dec"] is None
