@@ -637,6 +637,119 @@ def jaccard_join_prefix(
     )
 
 
+def containment_join_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT max-containment join: every pair with
+    max(c(A→B), c(B→A)) = |A∩B| / min(|A|, |B|) ≥ ``threshold`` —
+    the complete answer to the asymmetric case ``containment_pairs``
+    serves approximately (MinHash bands collide on JACCARD, so a tiny
+    document quoted inside a huge one may never become an LSH
+    candidate; here it must).
+
+    Candidate rule (the probe/index asymmetry of set-containment
+    joins): max-containment ≥ t forces overlap ≥ t·|X| for the
+    SMALLER set X, so X's order-minimal common shingle sits inside
+    X's Jaccard-style prefix (first |X| − ⌈t·|X|⌉ + 1 under the
+    global rarest-first order — same argument as
+    ``jaccard_join_prefix``); the larger side indexes ALL its
+    shingles, so the witness is always found. Orientation
+    (smaller probes larger, ids break size ties) keeps each pair
+    generated once before the distinct.
+
+    Cost note: the index side is the full inverted list, so a
+    globally-rare shingle shared by one small and many large
+    documents fans out — candidate volume is
+    Σ_s probe_df(s)·index_df(s), bounded in practice because probes
+    carry only each document's rarest shingles. Corpus boilerplate
+    in the INDEX side is harmless: it joins only probes that carry
+    it, and hot shingles are (by construction) almost never in a
+    prefix.
+
+    Returns (doc_a, doc_b, cont_a_in_b, cont_b_in_a, jaccard) with
+    doc_a < doc_b, same shape as ``containment_pairs``.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "shingle"))
+            ).alias("__ordered")
+        )
+        .withColumn("__n", F.size("__ordered"))
+    )
+    prefix_len = F.col("__n") - F.ceil(
+        F.lit(threshold) * F.col("__n") - F.lit(1e-9)
+    ).cast("int") + 1
+    probes = per_doc.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.explode(F.slice("__ordered", 1, prefix_len)).alias("__p"),
+    ).select(id_col, "__n", F.col("__p.shingle").alias("shingle"))
+    index = per_doc.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.explode("__ordered").alias("__p"),
+    ).select(id_col, "__n", F.col("__p.shingle").alias("shingle"))
+    p, i = probes.alias("p"), index.alias("i")
+    cand = (
+        p.join(
+            i,
+            (F.col("p.shingle") == F.col("i.shingle"))
+            # probe side is the smaller set; ids break size ties
+            & (
+                (F.col("p.__n") < F.col("i.__n"))
+                | (
+                    (F.col("p.__n") == F.col("i.__n"))
+                    & (F.col(f"p.{id_col}") < F.col(f"i.{id_col}"))
+                )
+            ),
+        )
+        .select(
+            F.least(
+                F.col(f"p.{id_col}"), F.col(f"i.{id_col}")
+            ).alias("doc_a"),
+            F.greatest(
+                F.col(f"p.{id_col}"), F.col(f"i.{id_col}")
+            ).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = per_doc.select(
+        F.col(id_col),
+        F.transform("__ordered", lambda x: x["shingle"]).alias("shs"),
+    )
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    n_common = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    n_a = F.size(F.col("sa.shs"))
+    n_b = F.size(F.col("sb.shs"))
+    cont_ab = n_common / n_a
+    cont_ba = n_common / n_b
+    jac = n_common / (n_a + n_b - n_common)
+    return (
+        cand.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(F.greatest(cont_ab, cont_ba) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont_ab, 4).alias("cont_a_in_b"),
+            F.round(cont_ba, 4).alias("cont_b_in_a"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -911,6 +911,45 @@ FROM clusters
 """
 
 
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT max-containment join
+    (operators/dedup.py:containment_join_prefix — smaller-set prefix
+    probes against a full inverted index; complete, unlike the
+    MinHash-band candidates of dedup_containment_pairs). The oracle is
+    the brute-force all-pairs containment join, so completeness is the
+    hash-checked property."""
+    from ..operators.dedup import containment_join_prefix
+    from .dedup import SHINGLE_N
+
+    return containment_join_prefix(
+        t(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        threshold=CONT_THRESHOLD,
+    )
+
+
+def _oracle_containment_join() -> str:
+    from .dedup import _SHINGLE_CTE
+
+    return f"""
+WITH {_SHINGLE_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / sa.n_sh, 4) AS cont_a_in_b,
+       round(n_common / sb.n_sh, 4) AS cont_b_in_a,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE greatest(n_common / sa.n_sh, n_common / sb.n_sh) >= {CONT_THRESHOLD}
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -927,6 +966,7 @@ QUERIES = {
     "dedup_jaccard_prefix_join": dedup_jaccard_prefix_join,
     "sample_k_per_lang": sample_k_per_lang,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_containment_join": dedup_containment_join,
 }
 
 ORACLE = {
@@ -945,4 +985,5 @@ ORACLE = {
     "dedup_jaccard_prefix_join": _oracle_prefix_join(),
     "sample_k_per_lang": ORACLE_SAMPLE_K,
     "dedup_keep_best": _oracle_keep_best(),
+    "dedup_containment_join": _oracle_containment_join(),
 }

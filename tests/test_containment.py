@@ -98,3 +98,81 @@ class TestKeepBest:
         )
         out = neardup_keep_best(docs, "quality").collect()
         assert sorted(r["doc_id"] for r in out) == list(range(6))
+
+
+class TestContainmentJoinPrefix:
+    def test_finds_tiny_doc_inside_huge_doc(self, spark):
+        """THE motivating case: a short document fully quoted inside a
+        much larger one. Jaccard is tiny, so MinHash bands are
+        unlikely to collide — the exact join must find it regardless."""
+        from spotify_etl_aws_spark.operators.dedup import (
+            containment_join_prefix,
+        )
+
+        small = "the secret launch happens at dawn on the eastern ridge"
+        big_filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(60))
+        docs = _docs(
+            spark,
+            [
+                (1, small),
+                (2, big_filler + " " + small + " " + big_filler[::-1].lower()),
+                (3, "entirely unrelated content about maritime navigation "
+                    "routes and the seasonal currents that shape them"),
+            ],
+        )
+        out = containment_join_prefix(docs, threshold=0.9).collect()
+        pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+        assert (1, 2) in pairs
+        r = pairs[(1, 2)]
+        assert r["cont_a_in_b"] == 1.0
+        assert r["jaccard"] < 0.1  # LSH-on-Jaccard would likely miss this
+
+    def test_matches_brute_force(self, spark):
+        """Completeness: identical pairs to a driver-side brute force
+        over all document pairs."""
+        import itertools
+        import random
+
+        from spotify_etl_aws_spark.operators.dedup import (
+            containment_join_prefix,
+        )
+        from spotify_etl_aws_spark.functions.text import tokens  # noqa: F401
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = []
+        for i in range(24):
+            k = rng.randint(5, 14)
+            rows.append((i, " ".join(rng.sample(vocab, k))))
+        # plant subset relations
+        rows.append((100, rows[0][1] + " zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8"))
+        rows.append((101, rows[1][1]))
+        docs = _docs(spark, rows)
+        t = 0.75
+        got = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in containment_join_prefix(docs, threshold=t).collect()
+        )
+
+        def shingles(text, n=3):
+            w = text.lower().split()
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+        sets = {i: shingles(txt) for i, txt in rows}
+        want = sorted(
+            (a, b)
+            for a, b in itertools.combinations(sorted(sets), 2)
+            if sets[a] and sets[b]
+            and len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b])) >= t
+        )
+        assert got == want
+        assert (0, 100) in got and (1, 101) in got
+
+    def test_validation(self, spark):
+        from spotify_etl_aws_spark.operators.dedup import (
+            containment_join_prefix,
+        )
+
+        docs = _docs(spark, [(1, BASE)])
+        with pytest.raises(ValueError, match="threshold"):
+            containment_join_prefix(docs, threshold=0.0)
