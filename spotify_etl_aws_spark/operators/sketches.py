@@ -184,3 +184,49 @@ def cm_estimate(
         col, F.coalesce(F.col("v"), F.lit(0)).alias("v")
     )
     return joined.groupBy(col).agg(F.min("v").alias("est"))
+
+
+def hll_distinct_sketch(
+    df: DataFrame,
+    col: str,
+    by: str | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's built-in ``hll_sketch_agg``): one BINARY sketch per group
+    (or one row with ``by=None``) that persists to parquet and merges
+    across corpora/epochs with ``hll_merge`` — the capability
+    ``approx_count_distinct`` lacks (its estimate is terminal; these
+    sketches are state). Standard error ≈ 1.04/√2^lg_k (~1.6% at the
+    default lg_k=12, 2 KB per sketch).
+
+    The vocabulary-accounting shape: per-epoch distinct-token sketches
+    land next to the corpus; any cross-epoch union is a
+    sketch-sized job, never a re-scan."""
+    agg = F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("sketch")
+    if by is None:
+        return df.agg(agg)
+    return df.groupBy(by).agg(agg)
+
+
+def hll_merge(
+    sketches: DataFrame, by: str | None = None, lg_k: int = 12
+) -> DataFrame:
+    """Union sketch rows (optionally per group). HLL registers merge
+    by pointwise max, so a union of per-epoch sketches carries the
+    SAME error guarantee as one sketch over the concatenated stream;
+    the estimates can differ by a few counts because DataSketches
+    promotes sparse-mode sketches differently under union than under
+    direct build (tested: within the shared error envelope). Input
+    column must be ``sketch``; output keeps the name."""
+    agg = F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch")
+    if by is None:
+        return sketches.agg(agg)
+    return sketches.groupBy(by).agg(agg)
+
+
+def hll_estimate(sketches: DataFrame) -> DataFrame:
+    """Append the distinct-count estimate column to sketch rows."""
+    return sketches.withColumn(
+        "estimate", F.hll_sketch_estimate(F.col("sketch"))
+    )

@@ -950,6 +950,53 @@ WHERE greatest(n_common / sa.n_sh, n_common / sb.n_sh) >= {CONT_THRESHOLD}
 """
 
 
+HLL_LG_K = 12
+# 5 standard errors at lg_k=12 (sigma = 1.04/sqrt(2^12) ~ 1.63%)
+HLL_REL_BOUND = 5 * 1.04 / (2 ** (HLL_LG_K / 2))
+
+
+def stats_hll_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-token sketches per language
+    (operators/sketches.py:hll_distinct_sketch/hll_estimate — the
+    persistable, unionable state approx_count_distinct cannot give).
+    Error-bound contract: the estimate must land within
+    {HLL_REL_BOUND:.3f} relative of the exact per-language distinct
+    count (5σ at lg_k={HLL_LG_K}); the oracle reproduces the exact
+    counts and the literal bound."""
+    from ..operators.sketches import hll_distinct_sketch, hll_estimate
+
+    terms = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    est = hll_estimate(
+        hll_distinct_sketch(terms, "term", by="lang", lg_k=HLL_LG_K)
+    ).select("lang", "estimate")
+    exact = terms.groupBy("lang").agg(
+        F.count_distinct("term").alias("exact_distinct")
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= F.lit(HLL_REL_BOUND) * F.col("exact_distinct")
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_HLL_DISTINCT = """
+WITH toks AS (
+  SELECT lang, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT lang, count(DISTINCT term) AS exact_distinct, TRUE AS within_bound
+FROM toks GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -967,6 +1014,7 @@ QUERIES = {
     "sample_k_per_lang": sample_k_per_lang,
     "dedup_keep_best": dedup_keep_best,
     "dedup_containment_join": dedup_containment_join,
+    "stats_hll_distinct_contract": stats_hll_distinct_contract,
 }
 
 ORACLE = {
@@ -986,4 +1034,5 @@ ORACLE = {
     "sample_k_per_lang": ORACLE_SAMPLE_K,
     "dedup_keep_best": _oracle_keep_best(),
     "dedup_containment_join": _oracle_containment_join(),
+    "stats_hll_distinct_contract": ORACLE_HLL_DISTINCT,
 }

@@ -312,3 +312,49 @@ class TestPlans:
         parts = mg_partials(df, "term", capacity=16)
         plan = parts._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning(term" not in plan
+
+
+class TestHll:
+    def test_merged_waves_equal_direct_build(self, spark):
+        """The union of two wave sketches estimates the concatenated
+        stream within the shared HLL error envelope (exact register
+        equality does not survive DataSketches' sparse-mode
+        promotion)."""
+        from spotify_etl_aws_spark.operators.sketches import (
+            hll_distinct_sketch,
+            hll_estimate,
+            hll_merge,
+        )
+
+        wave1 = _terms(spark, [f"t{i}" for i in range(800)] + ["x"] * 50)
+        wave2 = _terms(spark, [f"t{i}" for i in range(400, 1200)] + ["y"] * 9)
+        s1 = hll_distinct_sketch(wave1, "term")
+        s2 = hll_distinct_sketch(wave2, "term")
+        merged = hll_merge(s1.unionByName(s2))
+        direct = hll_distinct_sketch(wave1.unionByName(wave2), "term")
+        got = hll_estimate(merged).collect()[0]["estimate"]
+        want = hll_estimate(direct).collect()[0]["estimate"]
+        # sparse-mode promotion differs under union vs direct build, so
+        # the two estimates agree to the error envelope, not exactly
+        assert abs(got - want) <= 1202 * 0.02
+        # ~1.6% standard error at lg_k=12; true distinct = 1202
+        assert abs(got - 1202) <= 1202 * 0.05
+        assert abs(want - 1202) <= 1202 * 0.05
+
+    def test_grouped_sketches(self, spark):
+        from spotify_etl_aws_spark.operators.sketches import (
+            hll_distinct_sketch,
+            hll_estimate,
+        )
+
+        df = spark.createDataFrame(
+            [("a", f"t{i % 100}") for i in range(500)]
+            + [("b", f"u{i}") for i in range(30)],
+            "g string, term string",
+        )
+        est = {
+            r["g"]: r["estimate"]
+            for r in hll_estimate(hll_distinct_sketch(df, "term", by="g")).collect()
+        }
+        assert abs(est["a"] - 100) <= 5
+        assert est["b"] == 30  # small cardinalities are exact in HLL++
