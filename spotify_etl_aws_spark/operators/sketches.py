@@ -109,8 +109,12 @@ def misra_gries_topk(
     regime the oracle query pins.
 
     Rank cuts on (cnt DESC, key ASC): deterministic given the counts.
-    One survivor-sized shuffle; the raw corpus never re-shuffles."""
-    parts = mg_partials(df, col, capacity)
+    One survivor-sized shuffle; the raw corpus is scanned ONCE — the
+    partials are localCheckpoint-ed so the survivor merge and the
+    decrement certificate read the same materialized blocks (a lazy
+    ``parts`` would re-run the corpus scan per consumer AND risk the
+    certificate disagreeing with the counts across retries)."""
+    parts = mg_partials(df, col, capacity).localCheckpoint()
     merged = (
         parts.filter(F.col(col).isNotNull())
         .groupBy(col)
@@ -209,16 +213,18 @@ def hll_distinct_sketch(
     return df.groupBy(by).agg(agg)
 
 
-def hll_merge(
-    sketches: DataFrame, by: str | None = None, lg_k: int = 12
-) -> DataFrame:
+def hll_merge(sketches: DataFrame, by: str | None = None) -> DataFrame:
     """Union sketch rows (optionally per group). HLL registers merge
     by pointwise max, so a union of per-epoch sketches carries the
     SAME error guarantee as one sketch over the concatenated stream;
     the estimates can differ by a few counts because DataSketches
     promotes sparse-mode sketches differently under union than under
-    direct build (tested: within the shared error envelope). Input
-    column must be ``sketch``; output keeps the name."""
+    direct build (tested: within the shared error envelope). Sketches
+    built at different lg_k merge at the SMALLEST precision involved
+    (``allowDifferentLgConfigK`` is deliberate — cross-epoch unions
+    must not fail on a config drift — but error bounds then follow the
+    coarsest sketch). Input column must be ``sketch``; output keeps
+    the name."""
     agg = F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch")
     if by is None:
         return sketches.agg(agg)

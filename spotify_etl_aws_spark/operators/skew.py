@@ -74,29 +74,57 @@ def detect_hot_keys_sketched(
     per-task counter dict (operators/sketches.py) and shuffles only
     the ≤ capacity survivors per task.
 
-    No false negatives: MG undercounts by at most ``max_undercount``
-    (Σ partition decrements), so filtering at
+    No false negatives: a key ABSENT from the merged survivors has
+    true count ≤ Σ partition decrements (every decrement removed at
+    most one of its occurrences), and a PRESENT key undercounts by at
+    most that same Σ — so filtering survivors at
     ``cnt + max_undercount > total · min_fraction`` keeps every truly
-    hot key; keys just below threshold may slip in (harmless — salting
-    a lukewarm key costs a few replicated rows). ``capacity`` defaults
-    to ⌈4/min_fraction⌉, making the default undercount ≤ n·fraction/4.
-    Key values are recovered at their ORIGINAL type with one map-side
-    filtered distinct (the sketch compares string forms)."""
+    hot key PROVIDED ``max_undercount ≤ total · min_fraction``. The
+    default capacity ⌈4/min_fraction⌉ guarantees that a priori
+    (undercount ≤ n/(capacity+1) < n·fraction/4); a caller-supplied
+    capacity too small for the stream makes the certificate itself
+    report the violation, and this function then RAISES instead of
+    silently returning a list that may have lost a hot key. Keys just
+    below threshold may slip in (harmless — salting a lukewarm key
+    costs a few replicated rows).
+
+    One corpus scan builds the partials (localCheckpoint-ed); the
+    total row count is derived from them exactly
+    (n = Σ cnt + dec·(capacity+1): each decrement consumed the
+    arriving key's occurrence plus one from each of the ``capacity``
+    counters), so no separate count() pass runs. Key values are
+    recovered at their ORIGINAL type with one map-side filtered
+    distinct (the sketch compares string forms)."""
     import math
 
-    total = df.count()
+    cap = capacity or max(64, int(math.ceil(4.0 / min_fraction)))
+    from .sketches import mg_partials
+
+    parts = mg_partials(df.select(on), on, capacity=cap).localCheckpoint()
+    head = parts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("c"),
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("d"),
+    ).collect()[0]
+    max_under = int(head["d"])
+    total = int(head["c"]) + max_under * (cap + 1)
     if not total:
         return []
-    cap = capacity or max(64, int(math.ceil(4.0 / min_fraction)))
-    from .sketches import misra_gries_topk
-
-    hh = misra_gries_topk(df.select(on), on, k=cap, capacity=cap)
+    threshold_count = total * min_fraction
+    if max_under > threshold_count:
+        raise ValueError(
+            f"MG capacity {cap} too small for this stream: the undercount "
+            f"certificate ({max_under}) exceeds the hot-key threshold "
+            f"({threshold_count:.0f} rows), so an evicted key could be "
+            "hot — raise capacity (default ceil(4/min_fraction) is "
+            "always sufficient)"
+        )
     survivors = [
         r[on]
-        for r in hh.filter(
-            F.col("cnt") + F.col("max_undercount")
-            > F.lit(total * min_fraction)
-        ).collect()
+        for r in parts.filter(F.col(on).isNotNull())
+        .groupBy(on)
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") + F.lit(max_under) > F.lit(threshold_count))
+        .collect()
     ]
     if not survivors:
         return []

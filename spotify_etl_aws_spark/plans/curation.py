@@ -266,6 +266,14 @@ def build_training_corpus(
                 f"neardup_keep_best_col {neardup_keep_best_col!r} not in "
                 f"input columns {docs.columns}"
             )
+        if neardup_keep_best_col in ("doc_id", "text"):
+            # the ladder already carries these; joining them back in
+            # would create an ambiguous duplicate column (and neither
+            # is a quality signal)
+            raise ValueError(
+                "neardup_keep_best_col must be a dedicated quality "
+                f"column, not {neardup_keep_best_col!r}"
+            )
         # the ladder carries only (doc_id, text); the election score
         # rides in as an id-keyed narrow join from the original input
         kept = neardup_keep_best(

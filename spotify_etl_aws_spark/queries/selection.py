@@ -66,7 +66,15 @@ toks AS (
   FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
   WHERE t.term <> ''
 ),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+dl AS (
+  -- per-ROW so empty/whitespace-only documents contribute dl=0, exactly
+  -- as bm25_index's doc_lens does; an aggregate over toks would silently
+  -- drop them and skew avgdl
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS dl
+  FROM documents
+),
 consts AS (
   SELECT (SELECT count(*) FROM documents) AS n,
          (SELECT avg(dl) FROM dl) AS avgdl
@@ -101,9 +109,14 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (id tie-break) so the emitted ordering is engine-exact."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     postings, doc_lens, stats = bm25_index(docs)
+    # score EVERY hit (topk = corpus size), then cut on the ROUNDED
+    # score with the id tie-break — the k-boundary membership rule must
+    # match the oracle's rounded cut, not the raw-score cut inside
+    # bm25_search (a raw-score boundary can order two docs that round
+    # to the same 4dp value differently across engines)
     hits = bm25_search(
         postings, doc_lens, stats, BM25_QUERY,
-        topk=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+        topk=stats.n_docs, k1=BM25_K1, b=BM25_B,
     )
     w = W.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -111,6 +124,7 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.round("score", 4) + F.lit(0.0)).alias("score")
         )
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
     )
 
 
@@ -133,9 +147,10 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     postings, doc_lens, stats = bm25_index(docs)
+    # full scoring, rounded-score candidate cut (see text_bm25_rank)
     lex = bm25_search(
         postings, doc_lens, stats, BM25_QUERY,
-        topk=RRF_CAND, k1=BM25_K1, b=BM25_B,
+        topk=stats.n_docs, k1=BM25_K1, b=BM25_B,
     )
     wl = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
     lex_rank = (
@@ -145,6 +160,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.row_number().over(wl).alias("rank"),
         )
+        .filter(F.col("rank") <= RRF_CAND)
     )
     qv = _query_vector(sf_dir, RRF_QUERY_VEC)
     q = F.array(*[F.lit(x) for x in qv])

@@ -294,6 +294,20 @@ class TestSketchedHotKeys:
         df = spark.createDataFrame([], "k int")
         assert detect_hot_keys_sketched(df, "k") == []
 
+    def test_raises_when_capacity_cannot_certify(self, spark):
+        """A caller-supplied capacity too small for the stream makes
+        the undercount certificate exceed the hot-key threshold — the
+        detector must refuse rather than silently drop a possibly-hot
+        evicted key."""
+        from spotify_etl_aws_spark.operators.skew import (
+            detect_hot_keys_sketched,
+        )
+
+        rows = [(f"t{i}",) for i in range(900)] + [("hot",)] * 100
+        df = spark.createDataFrame(rows, "k string").repartition(2)
+        with pytest.raises(ValueError, match="capacity .* too small"):
+            detect_hot_keys_sketched(df, "k", min_fraction=0.05, capacity=1)
+
 
 class TestPlans:
     def test_countmin_single_shuffle(self, spark):
