@@ -56,6 +56,95 @@ def write_training_shards(
     )
 
 
+def assign_token_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    seed: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_range_parts: int = 32,
+    order_fn=None,
+) -> DataFrame:
+    """TOKEN-balanced shard assignment over the deterministic epoch
+    order: every document gets ``shard_id = ⌊cum_before / shard_tokens⌋``
+    where ``cum_before`` is the exact number of tokens preceding it in
+    training order — so every shard except the last carries
+    ``shard_tokens ± max_doc_tokens`` tokens, the even-work contract a
+    trainer's data loader wants (``write_training_shards`` balances by
+    ROWS, which skews by an order of magnitude when document lengths
+    do).
+
+    Scale shape: the global running sum never runs on one partition.
+    The epoch-ordered frame is range-partitioned and localCheckpoint-ed
+    (the SAME materialized partitions feed both passes — a lazy frame
+    could re-sample different range bounds per action), then (1) one
+    tiny job sums tokens per physical partition (driver state =
+    ``num_range_parts`` scalars, prefix-summed into offsets), and
+    (2) a per-partition window adds the within-partition running sum
+    to the partition's offset — each task only ever sees its own
+    partition's rows.
+
+    NULL token counts are rejected loudly (a silent 0 would shift
+    every later shard boundary).
+
+    Returns the input columns plus ``shard_id`` (long); write with
+    ``.write.partitionBy('shard_id')`` or repartition on it.
+
+    ``order_fn(seed, id_col)`` overrides the xxhash64 epoch key with a
+    caller-supplied total-order column (e.g. an md5 key when the
+    assignment must re-derive outside Spark).
+    """
+    if shard_tokens < 1:
+        raise ValueError(f"shard_tokens must be >= 1, got {shard_tokens}")
+    from pyspark.sql import Window as W
+
+    key = (order_fn or order_key)(seed, id_col).alias("__order")
+    parts = (
+        df.withColumn("__order", key)
+        .repartitionByRange(num_range_parts, "__order", F.col(id_col))
+        .sortWithinPartitions("__order", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    null_rows = parts.filter(F.col(tokens_col).isNull()).count()
+    if null_rows:
+        raise ValueError(
+            f"{null_rows} rows have NULL {tokens_col!r}; token-balanced "
+            "sharding needs an exact count per document"
+        )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in parts.groupBy("__pid")
+        .agg(F.sum(tokens_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(sums):
+        offsets[pid] = running
+        running += int(sums[pid])
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy("__order", id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(tokens_col).over(w), F.lit(0).cast("long")
+    ) + F.element_at(offset_map, F.col("__pid"))
+    # integral `div`, not floor(a / b): double division can round a
+    # boundary-exact quotient up a whole shard at extreme magnitudes
+    return (
+        parts.withColumn("__cum", cum_before.cast("long"))
+        .withColumn(
+            "shard_id", F.expr(f"__cum div {int(shard_tokens)}")
+        )
+        .drop("__order", "__pid", "__cum")
+    )
+
+
 def interleave_domains(
     df: DataFrame,
     domain_col: str,

@@ -1013,6 +1013,63 @@ FROM toks GROUP BY lang
 """
 
 
+SHARD_TOKENS = 5000
+SHARD_SEED = 3
+
+
+def _md5_order(seed: int, id_col: str):
+    return F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+
+
+def order_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment
+    (operators/ordering.py:assign_token_shards — distributed exact
+    running sum: per-partition token totals prefix-summed on the
+    driver, per-partition windows add the offsets; no single-partition
+    global window). Ordered by a portable salted-md5 key so the oracle
+    re-derives the identical cumulative sums with one window; token
+    counts are whitespace-token sizes computed in the projection."""
+    from ..operators.ordering import assign_token_shards
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    out = assign_token_shards(
+        docs,
+        SHARD_TOKENS,
+        SHARD_SEED,
+        order_fn=_md5_order,
+    )
+    return out.select("doc_id", "n_tokens", "shard_id")
+
+
+ORACLE_TOKEN_SHARDS = rf"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tokens,
+         md5('{SHARD_SEED}' || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // {SHARD_TOKENS} AS BIGINT) AS shard_id
+FROM c
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -1031,6 +1088,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_containment_join": dedup_containment_join,
     "stats_hll_distinct_contract": stats_hll_distinct_contract,
+    "order_token_shards": order_token_shards,
 }
 
 ORACLE = {
@@ -1051,4 +1109,5 @@ ORACLE = {
     "dedup_keep_best": _oracle_keep_best(),
     "dedup_containment_join": _oracle_containment_join(),
     "stats_hll_distinct_contract": ORACLE_HLL_DISTINCT,
+    "order_token_shards": ORACLE_TOKEN_SHARDS,
 }
