@@ -133,6 +133,8 @@ def build_training_corpus(
     substring_hot_max: int | None = 10_000,
     keep_langs: tuple[str, ...] | None = None,
     neardup_keep_best_col: str | None = None,
+    shard_tokens: int | None = None,
+    shard_seed: int = 0,
     audit: bool = False,
     metrics_out: dict | None = None,
 ) -> DataFrame:
@@ -188,6 +190,12 @@ def build_training_corpus(
     span occurring more often than that is chrome/licence text by
     construction and is cut from EVERY occurrence — no canonical
     survives (None restores literal keep-first semantics).
+
+    ``shard_tokens`` additionally assigns every output row a
+    TOKEN-balanced ``shard_id`` over the deterministic epoch order
+    (``operators/ordering.py:assign_token_shards``) and partitions the
+    corpus write by (split, shard_id) — equal-work input files for the
+    trainer's data loader regardless of document-length skew.
 
     ``neardup_keep_best_col`` switches the near-dup cluster election
     from keep-first (minimum doc_id) to keep-BEST: the cluster member
@@ -437,7 +445,15 @@ def build_training_corpus(
     out = split_docs.join(packs.select("doc_id", "pack_id", "pack_pos"), "doc_id")
 
     path = os.path.join(out_dir, "corpus")
-    out.write.mode("overwrite").partitionBy("split").parquet(path)
+    if shard_tokens is not None:
+        from ..operators.ordering import assign_token_shards
+
+        out = assign_token_shards(out, shard_tokens, shard_seed)
+        out.write.mode("overwrite").partitionBy("split", "shard_id").parquet(
+            path
+        )
+    else:
+        out.write.mode("overwrite").partitionBy("split").parquet(path)
     if metrics_out is not None:
         # the write above is the action the observe nodes rode on —
         # each get returns immediately with its accumulator value

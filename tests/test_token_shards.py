@@ -93,3 +93,40 @@ def test_validation(spark):
     docs = _docs(spark, n=5)
     with pytest.raises(ValueError, match="shard_tokens"):
         assign_token_shards(docs, 0, SEED)
+
+
+def test_ladder_output_sharded_by_tokens(spark, tmp_path):
+    """shard_tokens on build_training_corpus: output partitioned by
+    (split, shard_id), every document present exactly once, and shard
+    token sums balanced within one max-document of the target."""
+    import random
+
+    from spotify_etl_aws_spark.plans.curation import build_training_corpus
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=rng.randint(20, 120))))
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    out = build_training_corpus(
+        spark,
+        docs,
+        None,
+        str(tmp_path / "corpus"),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=256,
+        split_weights={"train": 1.0},
+        shard_tokens=800,
+    )
+    rows = out.collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows) == 120
+    sums: dict[int, int] = {}
+    for r in rows:
+        sums[r["shard_id"]] = sums.get(r["shard_id"], 0) + r["n_tokens"]
+    max_doc = max(r["n_tokens"] for r in rows)
+    for sid in sorted(sums)[:-1]:
+        assert 800 - max_doc < sums[sid] < 800 + max_doc
