@@ -62,6 +62,117 @@ def windowed_count_min_stream(
     ).agg(F.count("*").alias("v"))
 
 
+def streaming_heavy_hitters(
+    src: DataFrame,
+    key_col: str,
+    n_buckets: int = 32,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Running (un-windowed) heavy hitters over an unbounded stream
+    with BOUNDED state: keys hash-route to ``n_buckets`` salt buckets,
+    each bucket maintains one Misra–Gries summary (≤ ``capacity``
+    counters) in ``applyInPandasWithState`` GroupState — total state
+    ≤ n_buckets × capacity counters however many distinct keys flow,
+    where an exact running count would hold one state row per key.
+
+    Because a key routes to exactly ONE bucket, its true stream count
+    lives entirely in that bucket's substream, so the per-bucket MG
+    guarantees hold globally: an emitted (term, cnt) undercounts by at
+    most its bucket's ``dec``, and any key whose true count exceeds
+    its bucket's ``dec`` is guaranteed present (tested against exact
+    batch counts). Buckets update in parallel (state shuffles on the
+    bucket key, n_buckets ≈ shuffle parallelism at scale).
+
+    Update-mode output per trigger: (bucket, term, cnt, dec, seen) for
+    every surviving counter — ``seen`` (rows processed by the bucket,
+    monotone) lets a reader keep the LATEST summary per (bucket, term)
+    when a sink accumulates multiple triggers; MG counts themselves
+    are not monotone (decrements), so max-per-key would be wrong.
+    """
+    if n_buckets < 1 or capacity < 1:
+        raise ValueError(
+            f"n_buckets/capacity must be >= 1, got {n_buckets}/{capacity}"
+        )
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = (
+        src.select(F.col(key_col).cast("string").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    out_schema = "bucket int, term string, cnt bigint, dec bigint, seen bigint"
+    state_schema = "terms array<string>, cnts array<long>, dec long, seen long"
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            terms, cnts, dec, seen = state.get
+            counts = dict(zip(terms, cnts))
+        else:
+            counts, dec, seen = {}, 0, 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            for term in pdf["term"]:
+                if term in counts:
+                    counts[term] += 1
+                elif len(counts) < capacity:
+                    counts[term] = 1
+                else:
+                    dec += 1
+                    dead = []
+                    for t in counts:
+                        counts[t] -= 1
+                        if counts[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counts[t]
+        state.update(
+            (list(counts), [int(v) for v in counts.values()], dec, seen)
+        )
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "bucket": key[0],
+                    "term": list(counts),
+                    "cnt": [int(v) for v in counts.values()],
+                    "dec": dec,
+                    "seen": seen,
+                }
+            )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_hh_summary(rows: DataFrame) -> DataFrame:
+    """Collapse an accumulated update-mode sink to the LATEST summary
+    per bucket: keep each (bucket, term)'s row from the bucket's
+    highest ``seen`` (MG counts are not monotone, so this is a filter
+    on the monotone progress column, not a max over counts)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("bucket")
+    latest = rows.withColumn("__mx", F.max("seen").over(w)).filter(
+        F.col("seen") == F.col("__mx")
+    )
+    return latest.drop("__mx")
+
+
 def cm_estimate_windowed(
     sketch: DataFrame,
     keys: DataFrame,

@@ -251,6 +251,80 @@ class TestStreamingSketch:
             windowed_count_min_stream(df, "ts", "k", depth=0)
 
 
+class TestStreamingHeavyHitters:
+    def test_bounds_and_hot_guarantee_vs_exact(self, spark, sf_dir):
+        """Running MG over the events stream: every emitted counter
+        brackets its exact count within the bucket's certificate, and
+        every key whose true count exceeds its bucket's decrement
+        total is guaranteed present."""
+        from spotify_etl_aws_spark.operators.sketches import _cm_cell  # noqa: F401
+        from spotify_etl_aws_spark.sources.readers import load_table
+        from spotify_etl_aws_spark.streaming.pipeline import (
+            read_table_stream,
+            run_available_now,
+        )
+        from spotify_etl_aws_spark.streaming.sketches import (
+            latest_hh_summary,
+            streaming_heavy_hitters,
+        )
+
+        n_buckets, capacity = 8, 32
+        src = read_table_stream(spark, sf_dir, "events")
+        sink = run_available_now(
+            streaming_heavy_hitters(src, "user_id", n_buckets, capacity),
+            "hh_stream",
+            output_mode="update",
+        )
+        summary = latest_hh_summary(sink).collect()
+        assert summary
+        # per-bucket state bound
+        per_bucket: dict[int, int] = {}
+        dec_of: dict[int, int] = {}
+        for r in summary:
+            per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + 1
+            dec_of[r["bucket"]] = r["dec"]
+        assert max(per_bucket.values()) <= capacity
+
+        exact = {
+            str(r["user_id"]): r["n"]
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        emitted = {r["term"]: (r["cnt"], r["dec"], r["bucket"]) for r in summary}
+        for term, (cnt, dec, _) in emitted.items():
+            true = exact.get(term, 0)
+            assert cnt <= true <= cnt + dec, (term, cnt, dec, true)
+        # hot guarantee: bucket of a key = pmod(xxhash64(term), n_buckets)
+        bucket_of = {
+            r["term"]: r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in exact], "term string"
+            )
+            .select(
+                "term",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                .cast("int")
+                .alias("b"),
+            )
+            .collect()
+        }
+        for term, true in exact.items():
+            b = bucket_of[term]
+            if b in dec_of and true > dec_of[b]:
+                assert term in emitted, (term, true, dec_of[b])
+
+    def test_validation(self, spark):
+        from spotify_etl_aws_spark.streaming.sketches import (
+            streaming_heavy_hitters,
+        )
+
+        df = spark.createDataFrame([], "k string")
+        with pytest.raises(ValueError, match="n_buckets"):
+            streaming_heavy_hitters(df, "k", n_buckets=0)
+
+
 class TestSketchedHotKeys:
     def test_matches_exact_detector_and_types(self, spark):
         """On a planted skew column the sketched detector finds the
