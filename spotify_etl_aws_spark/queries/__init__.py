@@ -23,7 +23,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, relational, selection, streaming, text, udfs, vector
+from . import (
+    dedup,
+    multimodal,
+    relational,
+    selection,
+    streaming,
+    subqueries,
+    text,
+    udfs,
+    vector,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -34,7 +44,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # module (round-6 retrieval/mixing/decontamination lanes) sits LAST by
 # design: the driver's 50-query window stays byte-stable while
 # tests/test_oracle.py verifies the full inventory locally.
-_MODULES = [vector, udfs, multimodal, streaming, dedup, text, relational, selection]
+_MODULES = [
+    vector, udfs, multimodal, streaming, dedup, text, relational, selection,
+    subqueries,
+]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,180 @@
+"""Correlated-subquery SQL front-end lanes (SURVEY.md §2 relational
+generalization) — TPC-H-shaped decorrelation showcases run VERBATIM
+through ``spark.sql`` over registered temp views, exactly like
+``sql_q3_shipping_priority`` (`queries/relational.py`): the oracle IS
+the query text, so the contract also proves the SQL dialect surface is
+shared. The reference's own SQL never leaves scan/project/cast/join
+(`dbt/spotify_etl_aws/models/core/fact_playlist_tracks.sql:1-20`); these
+lanes cover the advanced-subquery shapes any SQL user of the engine
+reaches for next, and prove Catalyst *decorrelates* them into joins
+(plan-pinned in ``tests/test_subqueries.py`` — no nested-loop or
+cartesian fallback anywhere):
+
+- ``sql_q17_avg_yearly``     — correlated SCALAR AGG subquery in WHERE
+  (TPC-H Q17 shape): per-part average-quantity threshold. Catalyst
+  rewrites to an aggregated self-join on ``l_partkey``.
+- ``sql_q18_large_orders``   — IN (GROUP BY ... HAVING) subquery
+  (Q18 shape): left-semi hash join against the aggregated order list.
+- ``sql_q22_big_spender_gap``— uncorrelated scalar threshold + NOT
+  EXISTS anti-join (Q22 shape).
+- ``sql_q2_min_cost_supplier``— correlated MIN subquery with equality
+  on the subquery result (Q2 shape).
+- ``sql_q21_waiting_suppliers``— EXISTS + NOT EXISTS with MIXED
+  equality/inequality correlation referencing TWO outer relations
+  (Q21 shape): the NOT EXISTS carries ``l3.l_shipdate > o_orderdate +
+  60 days`` — decorrelated into a left-anti join whose condition mixes
+  the orderkey equality with the date inequality.
+
+Cross-engine float determinism (the conventions of
+``queries/__init__``):
+
+- money sums ride the int-cents lane (exact longs; the one division is
+  performed on identical longs by both engines, and the 2-dp rounding
+  boundary was probed at all three SFs — min distance 0.21 grid units,
+  with the sf0.01 total exactly divisible by 7);
+- ``unit_cost`` (Q2 shape) is emitted RAW, not rounded: the data holds
+  exact half-cent unit costs (probed: distance-to-boundary 0.0 at 2 and
+  4 dp), where engine rounding rules could legitimately disagree — but
+  both engines compute bit-identical doubles from identical operands
+  (division and MIN are order-independent), so the raw value hashes
+  identically while any rounding would be a coin flip;
+- count/quantity aggregates are integer-valued; both sides cast to
+  BIGINT (DuckDB's HUGEINT sum would otherwise land as float64);
+- every top-k cut orders by an exact (or bit-identical) key with an id
+  tie-break.
+
+Scale: every subquery decorrelates to a hash join keyed on a join
+column that the surrounding query already shuffles on (partkey /
+orderkey / custkey), so the added cost per lane is one partial-agg
+shuffle of the (narrow) subquery side — no per-row re-execution, no
+broadcast of anything data-sized. The Q21 shape's two lineitem
+self-joins are orderkey-equi (AQE-coalesced, skew-split eligible), the
+Q18 HAVING list is a semi-join build side that aggregates BEFORE the
+join (6-7 orders of magnitude smaller than lineitem at TPC-H scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import load_table as t
+
+_Q17_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 700.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+_Q22_SQL = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+_Q2_SQL = """
+SELECT p_partkey, CAST(min(l_suppkey) AS BIGINT) AS cheapest_suppkey,
+       min(l_extendedprice / l_quantity) AS unit_cost
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size <= 5
+  AND l_extendedprice / l_quantity = (SELECT min(l2.l_extendedprice / l2.l_quantity)
+                                      FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+GROUP BY p_partkey
+ORDER BY p_partkey
+"""
+
+_Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+_TABLES = ("customer", "orders", "lineitem", "part", "supplier")
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    for name in _TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
+def sql_q17_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (TPC-H Q17 shape): revenue
+    lost to small orders of Brand#1 parts, where "small" is per-part
+    (below half that part's average quantity). Catalyst decorrelates
+    the per-part average into an aggregate + equi-join on l_partkey."""
+    return _run(spark, sf_dir, _Q17_SQL)
+
+
+def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (GROUP BY ... HAVING) subquery (Q18 shape): top-20 customers
+    by order value among orders totalling > 300 units. The IN list is
+    aggregated before the semi-join — never materialized per-row."""
+    return _run(spark, sf_dir, _Q18_SQL)
+
+
+def sql_q22_big_spender_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar threshold + correlated NOT EXISTS (Q22
+    shape): above-average-balance customers who never placed a
+    > 400k order, grouped by nation. The NOT EXISTS becomes a
+    left-anti hash join on custkey."""
+    return _run(spark, sf_dir, _Q22_SQL)
+
+
+def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated MIN subquery with equality on its result (Q2 shape):
+    the cheapest supplier per small part (min l_suppkey on exact unit-
+    cost ties). ``unit_cost`` is emitted raw — see the module
+    docstring's determinism note."""
+    return _run(spark, sf_dir, _Q2_SQL)
+
+
+def sql_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS with mixed equality/date-inequality
+    correlation over two outer relations (Q21 shape): suppliers who
+    were the sole late shipper on finished multi-supplier orders."""
+    return _run(spark, sf_dir, _Q21_SQL)
+
+
+QUERIES = {
+    "sql_q17_avg_yearly": sql_q17_avg_yearly,
+    "sql_q18_large_orders": sql_q18_large_orders,
+    "sql_q22_big_spender_gap": sql_q22_big_spender_gap,
+    "sql_q2_min_cost_supplier": sql_q2_min_cost_supplier,
+    "sql_q21_waiting_suppliers": sql_q21_waiting_suppliers,
+}
+
+ORACLE = {
+    "sql_q17_avg_yearly": _Q17_SQL,
+    "sql_q18_large_orders": _Q18_SQL,
+    "sql_q22_big_spender_gap": _Q22_SQL,
+    "sql_q2_min_cost_supplier": _Q2_SQL,
+    "sql_q21_waiting_suppliers": _Q21_SQL,
+}
