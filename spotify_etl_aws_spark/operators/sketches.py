@@ -236,3 +236,156 @@ def hll_estimate(sketches: DataFrame) -> DataFrame:
     return sketches.withColumn(
         "estimate", F.hll_sketch_estimate(F.col("sketch"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership sketch (word-table formulation)
+# ---------------------------------------------------------------------------
+
+_BLOOM_H2_SALT = -1640531527  # 2^32/phi, the classic Fibonacci constant
+
+
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> Column:
+    """array<long> of ``k_hashes`` bit positions for ``key`` under
+    Kirsch–Mitzenmacher double hashing: pos_i = (h1 + i·h2) mod m with
+    two independent xxhash64 draws (the second salted by an extra
+    column). Both hashes are reduced mod m BEFORE the multiply-add so
+    the arithmetic stays < 2^40 — exact (and ANSI-overflow-safe) for
+    any practical m. NULL keys yield NULL (callers drop or bypass)."""
+    if m_bits < 64 or k_hashes < 1:
+        raise ValueError(f"need m_bits >= 64, k_hashes >= 1, got {m_bits}/{k_hashes}")
+    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(_BLOOM_H2_SALT)), F.lit(m_bits))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),
+    )
+
+
+def _bloom_word_mask(pos: Column) -> tuple[Column, Column]:
+    """Bit position -> (word index, single-bit mask). 64-bit words;
+    the shift count is per-row, so it rides the SQL shiftleft (the
+    Python ``F.shiftleft`` only takes a literal count)."""
+    word = F.shiftright(pos, 6)
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))")
+    return word, mask
+
+
+def bloom_filter(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Distributed Bloom filter build: (w, bits) — a SPARSE 64-bit
+    word table (only words with at least one set bit appear; absent
+    word == 0). Pure JVM: k positions per key via higher-order
+    ``transform``, one partial-aggregating shuffle keyed on the word
+    index whose world is at most m/64 rows however many keys stream
+    in — map-side ``bit_or`` collapses each task's bits first, the
+    same sketch-sized-shuffle posture as ``count_min_sketch``.
+
+    Mergeable (``bloom_merge``): OR-ing word tables of two corpora
+    IS the filter of their union — bit-exact, because the hash is
+    deterministic. Unlike ``DataFrame.stat.bloomFilter`` (a
+    driver-materialized JVM object), the word table is itself a
+    DataFrame: it persists to parquet next to the corpus, merges
+    across epochs, and broadcast-joins at probe time."""
+    pos = F.explode(_bloom_positions(F.col(col), m_bits, k_hashes)).alias("__p")
+    word, mask = _bloom_word_mask(F.col("__p"))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(pos)
+        .select(word.alias("w"), mask.alias("__m"))
+        .groupBy("w")
+        .agg(F.bit_or("__m").alias("bits"))
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union of the underlying key sets: cell-wise OR of word tables.
+    Bit-exact equal to building one filter over the concatenated
+    input (pinned in tests) — the cross-epoch merge path."""
+    if not blooms:
+        raise ValueError("need at least one bloom word table")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_fpp(n_keys: int, m_bits: int, k_hashes: int) -> float:
+    """Expected false-positive probability (1 − e^{−kn/m})^k."""
+    import math
+
+    return (1.0 - math.exp(-k_hashes * n_keys / m_bits)) ** k_hashes
+
+
+def bloom_maybe_contains(
+    keys: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+    broadcast_sketch: bool = True,
+) -> DataFrame:
+    """(col, maybe_present) for every distinct non-null key in
+    ``keys``: TRUE iff all k bits are set (never a false negative;
+    false positives at the ``bloom_fpp`` rate). The sketch side is at
+    most m/64 narrow rows — broadcast by default (a 2^20-bit filter is
+    16 KB of words) so the probe side NEVER shuffles; pass
+    ``broadcast_sketch=False`` above ~2^31 bits to let AQE pick a
+    shuffle join keyed on the word index instead."""
+    sk = F.broadcast(bloom) if broadcast_sketch else bloom
+    pos = F.explode(_bloom_positions(F.col(col), m_bits, k_hashes)).alias("__p")
+    word, mask = _bloom_word_mask(F.col("__p"))
+    probes = (
+        keys.filter(F.col(col).isNotNull())
+        .select(col)
+        .distinct()
+        .select(F.col(col), pos)
+        .select(col, word.alias("w"), mask.alias("__m"))
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__m")) != 0
+    ).alias("__hit")
+    return (
+        probes.join(sk, "w", "left")
+        .select(col, hit)
+        .groupBy(col)
+        .agg(F.bool_and("__hit").alias("maybe_present"))
+    )
+
+
+def bloom_prefilter_antijoin(
+    new: DataFrame,
+    seen: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """EXACT anti-join (rows of ``new`` whose ``col`` never appears in
+    ``seen``) with a Bloom pre-filter: keys that MISS the filter are
+    definitely new and bypass the join entirely; only the maybe-seen
+    remainder (true matches + the fpp-sized sliver) pays the exact
+    anti-join shuffle. Semantically identical to
+    ``new.join(seen, col, "left_anti")`` (pinned in tests) because
+    Bloom misses are certain — the filter only ever ROUTES rows.
+
+    The incremental-ingest shape (`plans/curation.py` cross-batch
+    stores, `sources/warc.py` crawl dedup): ``seen`` is an epoch's
+    key set whose word table was persisted once; each new batch scans
+    its own keys map-side against the broadcast words, and the exact
+    join's input shrinks from |new| to |overlap| + fpp·|new| — at web
+    scale, from the whole crawl to roughly the revisit rate. NULL
+    keys are definitely-new on both paths (anti-join semantics: NULL
+    never equals)."""
+    bloom = bloom_filter(seen, col, m_bits, k_hashes)
+    flags = bloom_maybe_contains(new, bloom, col, m_bits, k_hashes)
+    flagged = new.join(flags, col, "left").withColumn(
+        "__maybe", F.coalesce(F.col("maybe_present"), F.lit(False))
+    )
+    definite = flagged.filter(~F.col("__maybe")).drop("maybe_present", "__maybe")
+    maybe = flagged.filter(F.col("__maybe")).drop("maybe_present", "__maybe")
+    checked = maybe.join(seen.select(col).distinct(), col, "left_anti")
+    return definite.unionByName(checked)

@@ -1070,6 +1070,37 @@ FROM c
 """
 
 
+BLOOM_M_BITS = 1 << 17
+BLOOM_K = 5
+
+
+def dedup_bloom_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered EXACT anti-join
+    (operators/sketches.py:bloom_prefilter_antijoin): customers who
+    never placed an 'F'-status order. Keys missing the broadcast word
+    table bypass the join (Bloom misses are certain); only the
+    maybe-seen sliver pays the exact anti-join — so the oracle is the
+    plain NOT EXISTS, an exact contract, not an error bound."""
+    from ..operators.sketches import bloom_prefilter_antijoin
+
+    cust = t(spark, sf_dir, "customer")
+    seen = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    out = bloom_prefilter_antijoin(cust, seen, "c_custkey", BLOOM_M_BITS, BLOOM_K)
+    return out.select(F.col("c_custkey").cast("long").alias("c_custkey"))
+
+
+ORACLE_BLOOM_ANTIJOIN = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -1089,6 +1120,7 @@ QUERIES = {
     "dedup_containment_join": dedup_containment_join,
     "stats_hll_distinct_contract": stats_hll_distinct_contract,
     "order_token_shards": order_token_shards,
+    "dedup_bloom_antijoin": dedup_bloom_antijoin,
 }
 
 ORACLE = {
@@ -1110,4 +1142,5 @@ ORACLE = {
     "dedup_containment_join": _oracle_containment_join(),
     "stats_hll_distinct_contract": ORACLE_HLL_DISTINCT,
     "order_token_shards": ORACLE_TOKEN_SHARDS,
+    "dedup_bloom_antijoin": ORACLE_BLOOM_ANTIJOIN,
 }
