@@ -1,0 +1,104 @@
+"""PageRank (`operators/graph.py`): exact parity with a numpy
+reference implementation of the same dangling-mass formulation, mass
+conservation, dangling-graph behavior, and the no-cartesian plan pin.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from spotify_etl_aws_spark.operators.graph import pagerank
+
+
+def ref_pagerank(edges, iterations=10, d=0.85):
+    edges = set(edges)
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = Counter(u for u, _ in edges)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dang = sum(pr[idx[v]] for v in nodes if outdeg.get(v, 0) == 0)
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += pr[idx[u]] / outdeg[u]
+        pr = (1 - d) / n + d * (contrib + dang / n)
+    return {v: pr[idx[v]] for v in nodes}
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ("e", "d"), ("e", "c"), ("f", "f"), ("c", "g"),  # g dangling, f self-loop
+]
+
+
+def test_matches_numpy_reference(spark):
+    got = {
+        r.node: r.pr
+        for r in pagerank(
+            spark.createDataFrame(EDGES, "src string, dst string"),
+            iterations=7,
+        ).collect()
+    }
+    want = ref_pagerank(EDGES, iterations=7)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
+def test_mass_conserved(spark):
+    ranks = pagerank(
+        spark.createDataFrame(EDGES, "src string, dst string"), iterations=5
+    )
+    total = ranks.agg(F.sum("pr")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_duplicate_edges_collapse(spark):
+    """A link counts once: duplicating every edge changes nothing."""
+    dup = EDGES + EDGES
+    got = {
+        r.node: r.pr
+        for r in pagerank(
+            spark.createDataFrame(dup, "src string, dst string"), iterations=4
+        ).collect()
+    }
+    want = ref_pagerank(EDGES, iterations=4)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+
+
+def test_all_dangling_star(spark):
+    """Star graph hub->leaves: leaves are dangling; mass must cycle
+    back through redistribution, not leak."""
+    edges = [("hub", f"leaf{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r.node: r.pr for r in pagerank(df, iterations=6).collect()}
+    want = ref_pagerank(edges, iterations=6)
+    for v in want:
+        assert abs(ranks[v] - want[v]) < 1e-12
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # leaves tie exactly by symmetry
+    leaf_vals = {round(ranks[f"leaf{i}"], 15) for i in range(5)}
+    assert len(leaf_vals) == 1
+
+
+def test_no_cartesian_in_iteration_plan(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks = pagerank(df, iterations=2)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bad_params_raise(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
