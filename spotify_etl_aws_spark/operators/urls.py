@@ -174,6 +174,80 @@ def domain_caps(
     )
 
 
+_ABS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def host_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    links_col: str = "out_links",
+    domain_level: bool = False,
+    keep_self: bool = False,
+) -> DataFrame:
+    """(src, dst) host-level link edges from crawled pages with an
+    ``out_links`` column (``sources/warc.py:read_warc(links=True)``) —
+    the edge producer for ``operators/graph.py:pagerank``, mirroring
+    the CommonCrawl host-graph construction. All JVM-side: explode the
+    hrefs (map-side Generate), resolve protocol-relative ``//host/..``
+    targets against http, keep absolute http(s) targets only (a
+    page-RELATIVE href stays on its own host by definition, so it can
+    never create a cross-host edge), parse hosts, drop self-edges
+    (``keep_self=False``) and de-duplicate — one shuffle total, on the
+    (src, dst) pair. ``domain_level=True`` collapses hosts to
+    registrable domains before the distinct."""
+    url = F.col(url_col)
+    href = F.explode(F.col(links_col)).alias("__href")
+    resolved = F.when(
+        F.col("__href").startswith("//"),
+        F.concat(F.lit("http:"), F.col("__href")),
+    ).when(F.col("__href").rlike(_ABS_URL_RE), F.col("__href"))
+    scheme = F.lower(
+        F.regexp_extract(F.col("__r"), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    )
+    e = (
+        pages.filter(F.col(links_col).isNotNull())
+        .select(F.lower(F.parse_url(url, F.lit("HOST"))).alias("src"), href)
+        .withColumn("__r", resolved)
+        .filter(F.col("__r").isNotNull() & scheme.isin("http", "https"))
+        .select(
+            "src",
+            F.lower(F.parse_url(F.col("__r"), F.lit("HOST"))).alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    if domain_level:
+        e = e.select(
+            registrable_domain(F.col("src")).alias("src"),
+            registrable_domain(F.col("dst")).alias("dst"),
+        )
+    if not keep_self:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.distinct()
+
+
+def with_authority_prior(
+    docs: DataFrame,
+    ranks: DataFrame,
+    key_col: str = "host",
+    out_col: str = "authority_prior",
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """Join link-authority scores (``pagerank`` output: (node, pr))
+    onto documents as a quality prior — the crawl-seed/quality signal
+    CC-class pipelines place next to the per-domain caps. Hosts absent
+    from the graph get 0.0 (no authority evidence ≠ unknown). A
+    left-equi join on the host key; ``broadcast_ranks=True`` ships the
+    rank table to the scan — right for sub-million-host graphs, wrong
+    at the full ~10⁸-host crawl graph where the hash join (AQE-planned)
+    is the scale path."""
+    r = ranks.select(
+        F.col("node").alias(key_col), F.col("pr").alias(out_col)
+    )
+    if broadcast_ranks:
+        r = F.broadcast(r)
+    return docs.join(r, key_col, "left").fillna({out_col: 0.0})
+
+
 def blocklist_filter(
     df: DataFrame,
     blocked: DataFrame | list[str],

@@ -1101,6 +1101,82 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 """
 
 
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+# 8dp: min |frac(pr·10^8) − 0.5| probed at 9.8e-2 / 3.4e-4 / 8.5e-5
+# grid units (sf0.001/0.01/0.1) — all above the 1e-5 house precedent,
+# vs ~1e-9-grid-unit cross-engine summation drift (9dp sat at 7e-7)
+PR_DECIMALS = 8
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→customer fulfillment graph
+    (operators/graph.py:pagerank — dangling-mass power iteration, one
+    loop-invariant edge⋈outdeg probe build, one contrib shuffle per
+    iteration). Customers never ship, so every 'c' node is dangling —
+    the redistribution path carries most of the mass and the oracle
+    replays it exactly: {PR_ITERATIONS} unrolled iterations of the
+    identical recurrence. pr is rounded to {PR_DECIMALS}dp on both
+    engines (boundary margin probed at all three SFs); node ids are
+    's'/'c'-prefixed so supplier and customer keys can never collide."""
+    from ..operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=PR_ITERATIONS, damping=PR_DAMPING)
+    return ranks.select(
+        "node", (F.round("pr", PR_DECIMALS) + F.lit(0.0)).alias("pr")
+    )
+
+
+def _oracle_pagerank() -> str:
+    """Fixed-iteration CTE unroll of the same dangling-mass recurrence
+    (the k-means E+M-chain precedent from vector_ann_ivf_bucketed):
+    every arithmetic step is the identical IEEE op sequence, so the
+    only cross-engine drift is summation order — ~1e-17 absolute
+    against a 1e-{PR_DECIMALS} grid."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+it0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    ]
+    for k in range(1, PR_ITERATIONS + 1):
+        p = k - 1
+        parts.append(f""",
+d{k} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dm FROM it{p}
+  WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = it{p}.node)
+),
+c{k} AS (
+  SELECT e.dst AS node, sum(it{p}.pr / od.deg) AS contrib
+  FROM e JOIN od USING (src) JOIN it{p} ON e.src = it{p}.node
+  GROUP BY 1
+),
+it{k} AS (
+  SELECT n.node,
+         (1.0 - {PR_DAMPING}) / nn.n
+         + {PR_DAMPING} * (coalesce(c.contrib, 0.0) + d.dm / nn.n) AS pr
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{k} d
+  LEFT JOIN c{k} c ON n.node = c.node
+)""")
+    parts.append(
+        f"\nSELECT node, round(pr, {PR_DECIMALS}) + 0.0 AS pr"
+        f" FROM it{PR_ITERATIONS}"
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -1121,6 +1197,7 @@ QUERIES = {
     "stats_hll_distinct_contract": stats_hll_distinct_contract,
     "order_token_shards": order_token_shards,
     "dedup_bloom_antijoin": dedup_bloom_antijoin,
+    "graph_pagerank": graph_pagerank,
 }
 
 ORACLE = {
@@ -1143,4 +1220,5 @@ ORACLE = {
     "stats_hll_distinct_contract": ORACLE_HLL_DISTINCT,
     "order_token_shards": ORACLE_TOKEN_SHARDS,
     "dedup_bloom_antijoin": ORACLE_BLOOM_ANTIJOIN,
+    "graph_pagerank": _oracle_pagerank(),
 }

@@ -206,6 +206,10 @@ _BLOCK_RE = re.compile(
     re.IGNORECASE,
 )
 _ANCHOR_RE = re.compile(rb"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_HREF_RE = re.compile(
+    rb"<a\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))",
+    re.IGNORECASE,
+)
 
 
 def html_text(payload: bytes) -> str:
@@ -216,6 +220,26 @@ def html_text(payload: bytes) -> str:
     stripped = _TAG_RE.sub(b" ", no_script)
     text = stripped.decode("utf-8", "replace")
     return _WS_RE.sub(" ", _html.unescape(text)).strip()
+
+
+def html_links(payload: bytes) -> list[str]:
+    """Out-links of an HTML payload: every ``<a href=...>`` target
+    (entity-unescaped, whitespace-trimmed, de-duplicated in first-seen
+    order), script/style blocks excluded so templated JS link soup
+    never pollutes the graph. Targets are returned AS WRITTEN —
+    absolute, protocol-relative or page-relative; host-graph edge
+    building (``operators/urls.py:host_edges``) resolves what it needs
+    JVM-side. This is the producer feeding ``operators/graph.py:
+    pagerank`` — the same anchor walk ``html_blocks`` uses for link
+    density, emitting the targets it used to discard."""
+    no_script = _SCRIPT_RE.sub(b" ", payload)
+    seen: dict[str, None] = {}
+    for m in _HREF_RE.finditer(no_script):
+        raw = next(g for g in m.groups() if g is not None)
+        href = _html.unescape(raw.decode("utf-8", "replace")).strip()
+        if href:
+            seen.setdefault(href)
+    return list(seen)
 
 
 def html_blocks(payload: bytes) -> list[tuple[str, float]]:
@@ -259,6 +283,7 @@ WARC_SCHEMA = (
     "warc_file string, url string, warc_date string, content_type string, "
     "http_status int, n_bytes bigint, text string, bad_records bigint"
 )
+WARC_LINKS_SCHEMA = WARC_SCHEMA + ", out_links array<string>"
 
 
 def read_warc(
@@ -267,6 +292,7 @@ def read_warc(
     record_types: tuple[str, ...] = ("response",),
     min_text_chars: int = 1,
     main_text: bool = False,
+    links: bool = False,
 ) -> DataFrame:
     """WARC files -> one row per kept record with extracted text.
     ``path`` is any ``binaryFile`` glob (e.g. ``dir/*.warc.gz``).
@@ -281,11 +307,19 @@ def read_warc(
     ``groupBy(warc_file).agg(max(bad_records))`` — never ``sum``,
     which would multiply the count by the row count. A file whose
     every record is bad emits one NULL-url diagnostic row (filter
-    ``url IS NOT NULL`` for content)."""
+    ``url IS NOT NULL`` for content).
+
+    ``links=True`` adds an ``out_links array<string>`` column — the
+    page's ``<a href>`` targets from the SAME parse pass (no second
+    scan of the raw bytes), feeding the host link graph
+    (``operators/urls.py:host_edges`` → ``operators/graph.py:
+    pagerank``)."""
     extract = html_main_text if main_text else html_text
     files = spark.read.format("binaryFile").load(path)
-    gen = _warc_kernel(record_types, min_text_chars, extract)
-    return files.select("path", "content").mapInPandas(gen, schema=WARC_SCHEMA)
+    gen = _warc_kernel(record_types, min_text_chars, extract, links)
+    return files.select("path", "content").mapInPandas(
+        gen, schema=WARC_LINKS_SCHEMA if links else WARC_SCHEMA
+    )
 
 
 def _extract_rows(
@@ -294,6 +328,7 @@ def _extract_rows(
     record_types,
     min_text_chars: int,
     extract,
+    links: bool = False,
 ) -> list[tuple]:
     """Parse one WARC byte stream into output rows, LENIENTLY: a
     malformed record (bad framing — counted by the iterator — or a
@@ -307,11 +342,14 @@ def _extract_rows(
     silent exactly when it is worst."""
     stats: dict[str, int] = {}
     rows = _extract_rows_core(
-        fname, raw, record_types, min_text_chars, extract, stats
+        fname, raw, record_types, min_text_chars, extract, stats, links
     )
     n_bad = stats.get("bad_records", 0)
     if not rows and n_bad:
-        return [(fname, None, None, None, None, None, None, n_bad)]
+        diag = (fname, None, None, None, None, None, None, n_bad)
+        return [diag + (None,) if links else diag]
+    if links:  # core rows carry out_links last; bad_records goes before it
+        return [tuple(r[:-1]) + (n_bad, r[-1]) for r in rows]
     return [tuple(r) + (n_bad,) for r in rows]
 
 
@@ -322,6 +360,7 @@ def _extract_rows_core(
     min_text_chars: int,
     extract,
     stats: dict[str, int],
+    links: bool = False,
 ) -> list[list]:
     return _rows_from_records(
         fname,
@@ -330,6 +369,7 @@ def _extract_rows_core(
         min_text_chars,
         extract,
         stats,
+        links,
     )
 
 
@@ -340,6 +380,7 @@ def _rows_from_records(
     min_text_chars: int,
     extract,
     stats: dict[str, int],
+    links: bool = False,
 ) -> list[list]:
     rows = []
     for hdr, body in records:
@@ -347,14 +388,15 @@ def _rows_from_records(
             if hdr.get("WARC-Type") not in record_types:
                 continue
             status, ctype, payload = split_http_response(body)
+            is_html = "html" in ctype or not ctype
             text = (
                 extract(payload)
-                if "html" in ctype or not ctype
+                if is_html
                 else payload.decode("utf-8", "replace").strip()
             )
             if len(text) < min_text_chars:
                 continue
-            rows.append([
+            row = [
                 fname,
                 hdr.get("WARC-Target-URI", ""),
                 hdr.get("WARC-Date", ""),
@@ -362,7 +404,12 @@ def _rows_from_records(
                 status,
                 len(body),
                 text,
-            ])
+            ]
+            if links:
+                # rides last in the core row; _extract_rows slots
+                # bad_records before it to match WARC_LINKS_SCHEMA
+                row.append(html_links(payload) if is_html else [])
+            rows.append(row)
         except Exception:
             stats["bad_records"] = stats.get("bad_records", 0) + 1
     return rows
@@ -374,17 +421,20 @@ _WARC_COLUMNS = [
 ]
 
 
-def _warc_kernel(record_types, min_text_chars, extract):
+def _warc_kernel(record_types, min_text_chars, extract, links: bool = False):
+    cols = _WARC_COLUMNS + (["out_links"] if links else [])
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for fname, raw in zip(pdf["path"], pdf["content"]):
                 rows.extend(
                     _extract_rows(
-                        fname, bytes(raw), record_types, min_text_chars, extract
+                        fname, bytes(raw), record_types, min_text_chars,
+                        extract, links,
                     )
                 )
-            yield pd.DataFrame(rows, columns=_WARC_COLUMNS)
+            yield pd.DataFrame(rows, columns=cols)
 
     return gen
 
