@@ -108,12 +108,25 @@ def misra_gries_topk(
     certifies the counts exact — the capacity-dominates-cardinality
     regime the oracle query pins.
 
-    Rank cuts on (cnt DESC, key ASC): deterministic given the counts.
+    Rank cuts on (cnt DESC, key ASC): deterministic given the counts —
+    but certified EXACT only when ``max_undercount == 0``. Under
+    eviction, ``cnt`` is a lower bound while the true count may exceed
+    it by up to ``max_undercount``, so two keys within
+    ``max_undercount`` of each other could rank either way: the
+    MEMBERSHIP guarantee (any key whose true count exceeds the
+    decrement total survives) still holds, the ORDERING is only
+    exact-regime. Callers needing a certified ordering under eviction
+    should compare ``cnt + max_undercount`` brackets.
+
     One survivor-sized shuffle; the raw corpus is scanned ONCE — the
     partials are localCheckpoint-ed so the survivor merge and the
     decrement certificate read the same materialized blocks (a lazy
     ``parts`` would re-run the corpus scan per consumer AND risk the
-    certificate disagreeing with the counts across retries)."""
+    certificate disagreeing with the counts across retries). The top-k
+    cut is an orderBy+limit (``TakeOrderedAndProject``: per-partition
+    size-k heaps, driver merge of k×partitions rows), never a global
+    sort of all capacity×partitions survivors; the rank window then
+    orders only the k kept rows."""
     parts = mg_partials(df, col, capacity).localCheckpoint()
     merged = (
         parts.filter(F.col(col).isNotNull())
@@ -127,11 +140,11 @@ def misra_gries_topk(
     max_under = int(dec_row[0]["d"]) if dec_row else 0
     from pyspark.sql import Window as W
 
+    topk = merged.orderBy(F.desc("cnt"), F.asc(col)).limit(k)
     w = W.orderBy(F.desc("cnt"), F.asc(col))
     return (
-        merged.withColumn("max_undercount", F.lit(max_under))
+        topk.withColumn("max_undercount", F.lit(max_under))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
     )
 
 

@@ -1101,6 +1101,54 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 """
 
 
+SHH_BUCKETS = 8
+SHH_CAPACITY = 4096  # >> per-bucket distinct users at every SF
+SHH_K = 20
+
+
+def streaming_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running heavy hitters over the replayed event stream
+    (streaming/sketches.py:streaming_heavy_hitters — salted-bucket
+    Misra–Gries in applyInPandasWithState GroupState, state ≤
+    buckets×capacity however many keys flow). At this capacity no
+    bucket ever evicts, so every count is certified EXACT
+    (max_undercount 0) and the final summary is independent of the
+    micro-batch split — which is precisely what the oracle (exact
+    count top-k over the same events) pins, the batch
+    stats_heavy_hitters recipe applied to the stream. The
+    eviction-regime certificate is tested separately
+    (tests/test_sketches.py::test_bounds_and_hot_guarantee_vs_exact)."""
+    from ..streaming.pipeline import read_table_stream, run_available_now
+    from ..streaming.sketches import latest_hh_summary, streaming_heavy_hitters
+
+    src = read_table_stream(spark, sf_dir, "events")
+    sink = run_available_now(
+        streaming_heavy_hitters(src, "user_id", SHH_BUCKETS, SHH_CAPACITY),
+        "hh_topk",
+        output_mode="update",
+    )
+    summary = latest_hh_summary(sink)
+    w = W.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        summary.select(
+            F.col("term").cast("long").alias("user_id"),
+            "cnt",
+            F.col("dec").alias("max_undercount"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SHH_K)
+    )
+
+
+ORACLE_STREAMING_HH = f"""
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+SELECT user_id, cnt, CAST(0 AS BIGINT) AS max_undercount,
+       row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+FROM c
+QUALIFY rank <= {SHH_K}
+"""
+
+
 PR_ITERATIONS = 5
 PR_DAMPING = 0.85
 # 8dp: min |frac(pr·10^8) − 0.5| probed at 9.8e-2 / 3.4e-4 / 8.5e-5
@@ -1198,6 +1246,7 @@ QUERIES = {
     "order_token_shards": order_token_shards,
     "dedup_bloom_antijoin": dedup_bloom_antijoin,
     "graph_pagerank": graph_pagerank,
+    "streaming_heavy_hitters_topk": streaming_heavy_hitters_topk,
 }
 
 ORACLE = {
@@ -1221,4 +1270,5 @@ ORACLE = {
     "order_token_shards": ORACLE_TOKEN_SHARDS,
     "dedup_bloom_antijoin": ORACLE_BLOOM_ANTIJOIN,
     "graph_pagerank": _oracle_pagerank(),
+    "streaming_heavy_hitters_topk": ORACLE_STREAMING_HH,
 }

@@ -401,6 +401,16 @@ class TestPlans:
         plan = parts._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning(term" not in plan
 
+    def test_mg_topk_cut_is_take_ordered(self, spark):
+        """The final ranking never globally sorts all survivors: the
+        cut is TakeOrderedAndProject (per-partition size-k heaps), so
+        the single-reducer stage sees k rows, not capacity×partitions."""
+        df = _terms(spark, [f"k{i}" for i in range(100)])
+        out = misra_gries_topk(df, "term", k=5, capacity=1000)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort [cnt" not in plan  # no full survivor sort
+
 
 class TestHll:
     def test_merged_waves_equal_direct_build(self, spark):
