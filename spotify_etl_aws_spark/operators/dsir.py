@@ -62,6 +62,7 @@ class DsirModel(NamedTuple):
     ngram_max: int
     alpha: float
     log_ratio: tuple[float, ...]
+    hasher: str = "blake2b"
 
 
 def _gram_hash(gram: str) -> int:
@@ -74,7 +75,32 @@ def _gram_hash(gram: str) -> int:
     )
 
 
-def _doc_buckets(text: str | None, n_buckets: int, ngram_max: int) -> list[int]:
+def _gram_hash_md5(gram: str) -> int:
+    """ENGINE-PORTABLE term hash: the top 60 bits of md5 as an int —
+    DuckDB reproduces it verbatim as
+    ``CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)``, which is what
+    lets the whole fit→score→resample pipeline face a SQL oracle
+    (the ``order_token_shards`` portable-md5 precedent). blake2b stays
+    the default (faster, keyed-hash family); the featurization is
+    otherwise identical."""
+    return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+
+
+_HASHERS = {"blake2b": _gram_hash, "md5": _gram_hash_md5}
+
+
+def _cached_hasher(name: str):
+    """Per-task memoized gram hash: occurrences within a partition
+    repeat the same vocabulary many times over, so hashing each UNIQUE
+    gram once cuts kernel CPU by the corpus' occurrence/vocab ratio."""
+    from functools import lru_cache
+
+    return lru_cache(maxsize=1 << 20)(_HASHERS[name])
+
+
+def _doc_buckets(
+    text: str | None, n_buckets: int, ngram_max: int, hash_fn=_gram_hash
+) -> list[int]:
     """Bucket ids (with multiplicity) of the document's 1..ngram_max
     word grams — the ONE featurization both fit and score call."""
     if not text:
@@ -83,12 +109,16 @@ def _doc_buckets(text: str | None, n_buckets: int, ngram_max: int) -> list[int]:
     out: list[int] = []
     for n in range(1, ngram_max + 1):
         for i in range(len(toks) - n + 1):
-            out.append(_gram_hash(" ".join(toks[i : i + n])) % n_buckets)
+            out.append(hash_fn(" ".join(toks[i : i + n])) % n_buckets)
     return out
 
 
 def _bucket_counts(
-    docs: DataFrame, text_col: str, n_buckets: int, ngram_max: int
+    docs: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    ngram_max: int,
+    hasher: str = "blake2b",
 ) -> np.ndarray:
     """Global per-bucket gram counts: one row of partials per
     PARTITION (not per Arrow batch — the kernel folds its whole
@@ -96,10 +126,11 @@ def _bucket_counts(
     schema = "counts array<double>"
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hash_fn = _cached_hasher(hasher)
         acc = np.zeros(n_buckets, dtype=np.float64)
         for pdf in batches:
             for t in pdf[text_col]:
-                b = _doc_buckets(t, n_buckets, ngram_max)
+                b = _doc_buckets(t, n_buckets, ngram_max, hash_fn)
                 if b:
                     acc += np.bincount(b, minlength=n_buckets)
         yield pd.DataFrame({"counts": [acc]})
@@ -118,17 +149,23 @@ def fit_dsir(
     n_buckets: int = DEFAULT_BUCKETS,
     ngram_max: int = 2,
     alpha: float = 1.0,
+    hasher: str = "blake2b",
 ) -> DsirModel:
     """Fit the two hashed-n-gram multinomials and keep only their
     log-ratio. ``alpha`` is add-α smoothing — without it a bucket
     unseen in ``raw`` would give +inf weight to any raw document that
-    hashes into it."""
+    hashes into it. ``hasher``: 'blake2b' (default, fast) or 'md5'
+    (engine-portable — SQL-oracle-checkable; see ``_gram_hash_md5``).
+    The model records its hasher so scoring can never disagree with
+    the fit on buckets."""
     if n_buckets <= 0 or ngram_max <= 0:
         raise ValueError("n_buckets and ngram_max must be positive")
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (unsmoothed ratios diverge)")
-    t = _bucket_counts(target, text_col, n_buckets, ngram_max)
-    r = _bucket_counts(raw, text_col, n_buckets, ngram_max)
+    if hasher not in _HASHERS:
+        raise ValueError(f"hasher must be one of {sorted(_HASHERS)}")
+    t = _bucket_counts(target, text_col, n_buckets, ngram_max, hasher)
+    r = _bucket_counts(raw, text_col, n_buckets, ngram_max, hasher)
     if t.sum() == 0:
         raise ValueError("target corpus produced no grams")
     if r.sum() == 0:
@@ -137,7 +174,7 @@ def fit_dsir(
     log_q = np.log(r + alpha) - math.log(r.sum() + alpha * n_buckets)
     ratio = log_p - log_q
     return DsirModel(
-        n_buckets, ngram_max, alpha, tuple(float(x) for x in ratio)
+        n_buckets, ngram_max, alpha, tuple(float(x) for x in ratio), hasher
     )
 
 
@@ -152,14 +189,16 @@ def score_dsir(
     it can never displace a scored document); an empty/gram-less text
     scores 0.0 (no evidence either way)."""
     ratio = np.asarray(model.log_ratio, dtype=np.float64)
-    nb, ng = model.n_buckets, model.ngram_max
+    nb, ng, hasher = model.n_buckets, model.ngram_max, model.hasher
 
     @F.pandas_udf("double")
     def logw(texts: pd.Series) -> pd.Series:
+        hash_fn = _cached_hasher(hasher)
+
         def one(t: str | None) -> float | None:
             if t is None:
                 return None
-            b = _doc_buckets(t, nb, ng)
+            b = _doc_buckets(t, nb, ng, hash_fn)
             return float(ratio[b].sum()) if b else 0.0
 
         return texts.map(one)
@@ -168,15 +207,31 @@ def score_dsir(
 
 
 def _gumbel_key(
-    logw_col: str, id_col: str, seed: str
+    logw_col: str, id_col: str, seed: str, method: str = "xxhash64"
 ) -> Column:
     """log w + Gumbel(0,1), with the Gumbel variate a deterministic
     hash of (seed, doc_id): u = (h mod M + 0.5)/M ∈ (0,1), never 0 or
-    1, so the double −log(−log u) is always finite."""
-    u = (
-        F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(_GUMBEL_M))
-        + F.lit(0.5)
-    ) / F.lit(float(_GUMBEL_M))
+    1, so the double −log(−log u) is always finite. ``method='md5'``
+    swaps the hash for the engine-portable top-60-md5-bits form
+    (DuckDB: ``CAST('0x' || substr(md5(seed || ':' || id), 1, 15) AS
+    BIGINT)``) so an oracle can replay the exact same variates."""
+    if method == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    elif method == "xxhash64":
+        h = F.xxhash64(F.lit(seed), F.col(id_col))
+    else:
+        raise ValueError(f"unknown gumbel hash method: {method}")
+    u = (F.pmod(h, F.lit(_GUMBEL_M)) + F.lit(0.5)) / F.lit(float(_GUMBEL_M))
     return F.col(logw_col) + (-F.log(-F.log(u)))
 
 
@@ -186,6 +241,7 @@ def resample_dsir(
     seed: str = "v1",
     logw_col: str = "dsir_logw",
     id_col: str = "doc_id",
+    gumbel_hash: str = "xxhash64",
 ) -> DataFrame:
     """Gumbel-top-k importance resample: the n rows with the largest
     ``log w + Gumbel`` — equivalent to sampling n docs without
@@ -195,7 +251,7 @@ def resample_dsir(
     ``resample_dsir_fraction``."""
     if n <= 0:
         raise ValueError("n must be positive")
-    key = _gumbel_key(logw_col, id_col, seed)
+    key = _gumbel_key(logw_col, id_col, seed, gumbel_hash)
     return (
         scored.withColumn("__k", key)
         .orderBy(F.desc("__k"), F.col(id_col))
@@ -211,6 +267,7 @@ def resample_dsir_fraction(
     logw_col: str = "dsir_logw",
     id_col: str = "doc_id",
     relative_error: float = 0.001,
+    gumbel_hash: str = "xxhash64",
 ) -> DataFrame:
     """The at-scale selection: keep ≈``fraction`` of the corpus by
     thresholding the same Gumbel-perturbed key at its approximate
@@ -222,7 +279,7 @@ def resample_dsir_fraction(
     if not 0.0 < fraction < 1.0:
         raise ValueError("fraction must be in (0, 1)")
     keyed = scored.withColumn(
-        "__k", _gumbel_key(logw_col, id_col, seed)
+        "__k", _gumbel_key(logw_col, id_col, seed, gumbel_hash)
     ).filter(F.col(logw_col).isNotNull())
     [thr] = keyed.approxQuantile("__k", [1.0 - fraction], relative_error)
     return keyed.filter(F.col("__k") >= thr).drop("__k")

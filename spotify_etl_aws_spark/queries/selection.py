@@ -1101,6 +1101,124 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 """
 
 
+DSIR_BUCKETS = 4096
+DSIR_NGRAM = 2
+DSIR_ALPHA = 1.0
+DSIR_TARGET_LANG = "en"
+DSIR_K = 25
+DSIR_SEED = "dsir-v1"
+# min |frac(k·10^4) − 0.5| probed at 3.2e-4 / 7.4e-4 / 6.9e-5 grid
+# units (sf0.001/0.01/0.1) — above the 1e-5 house precedent, vs
+# ~1e-9-grid-unit cross-engine summation drift on the logw sums
+DSIR_DECIMALS = 4
+_GM = 1 << 20  # operators/dsir.py:_GUMBEL_M
+
+
+def mix_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling, fit→score→Gumbel-top-k
+    (operators/dsir.py): target = the '{DSIR_TARGET_LANG}' slice, raw
+    = the whole corpus, hashed-bigram features under the PORTABLE md5
+    featurizer (top 60 md5 bits — DuckDB replays the identical buckets
+    via CAST('0x'||substr(md5(g),1,15) AS BIGINT)), and the Gumbel
+    variates drawn from the same portable hash of (seed, doc_id). The
+    oracle recomputes the entire pipeline relationally — per-bucket
+    counts, add-α log ratios in the same association order, per-doc
+    Σ ratio, Gumbel perturbation — and cuts the same top-{DSIR_K} on
+    the ROUNDED key with the id tie-break."""
+    from ..operators.dsir import _gumbel_key, fit_dsir, score_dsir
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == DSIR_TARGET_LANG)
+    model = fit_dsir(
+        target,
+        docs,
+        n_buckets=DSIR_BUCKETS,
+        ngram_max=DSIR_NGRAM,
+        alpha=DSIR_ALPHA,
+        hasher="md5",
+    )
+    scored = score_dsir(model, docs)
+    key = _gumbel_key("dsir_logw", "doc_id", DSIR_SEED, method="md5")
+    w = W.orderBy(F.desc("sel_key"), F.asc("doc_id"))
+    return (
+        scored.withColumn(
+            "sel_key", F.round(key, DSIR_DECIMALS) + F.lit(0.0)
+        )
+        .select("doc_id", "sel_key")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DSIR_K)
+    )
+
+
+# ln association order mirrors numpy's (log_p − log_q) elementwise:
+# (ln(t_b+α) − ln(T)) − (ln(r_b+α) − ln(R)) — NOT re-associated, so the
+# doubles agree to summation-order noise only
+ORACLE_DSIR = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, w[i] AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks)
+),
+bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+),
+grams AS (
+  SELECT doc_id, gram FROM uni UNION ALL SELECT doc_id, gram FROM bi
+),
+gb AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM grams
+),
+tgt AS (SELECT doc_id FROM documents WHERE lang = '{DSIR_TARGET_LANG}'),
+tc AS (
+  SELECT b, CAST(count(*) AS DOUBLE) AS c
+  FROM gb JOIN tgt USING (doc_id) GROUP BY 1
+),
+rc AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM gb GROUP BY 1),
+tot AS (
+  SELECT (SELECT coalesce(sum(c), 0.0) FROM tc) AS t_tot,
+         (SELECT coalesce(sum(c), 0.0) FROM rc) AS r_tot
+),
+dw AS (
+  SELECT g.doc_id,
+         sum(
+           (ln(coalesce(tc.c, 0.0) + {DSIR_ALPHA})
+            - ln(t.t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+           - (ln(coalesce(rc.c, 0.0) + {DSIR_ALPHA})
+              - ln(t.r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+         ) AS logw
+  FROM gb g
+  LEFT JOIN tc ON g.b = tc.b
+  LEFT JOIN rc ON g.b = rc.b
+  CROSS JOIN tot t
+  GROUP BY 1
+),
+sel AS (
+  SELECT d.doc_id,
+         coalesce(dw.logw, 0.0)
+         + (- ln(- ln(
+             (CAST('0x' || substr(
+                md5('{DSIR_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % {_GM} + 0.5) / {_GM}.0
+           ))) AS k
+  FROM documents d LEFT JOIN dw USING (doc_id)
+)
+SELECT doc_id, round(k, {DSIR_DECIMALS}) + 0.0 AS sel_key,
+       row_number() OVER (
+         ORDER BY round(k, {DSIR_DECIMALS}) + 0.0 DESC, doc_id
+       ) AS rank
+FROM sel
+QUALIFY rank <= {DSIR_K}
+"""
+
+
 SHH_BUCKETS = 8
 SHH_CAPACITY = 4096  # >> per-bucket distinct users at every SF
 SHH_K = 20
@@ -1247,6 +1365,7 @@ QUERIES = {
     "dedup_bloom_antijoin": dedup_bloom_antijoin,
     "graph_pagerank": graph_pagerank,
     "streaming_heavy_hitters_topk": streaming_heavy_hitters_topk,
+    "mix_dsir_selection": mix_dsir_selection,
 }
 
 ORACLE = {
@@ -1271,4 +1390,5 @@ ORACLE = {
     "dedup_bloom_antijoin": ORACLE_BLOOM_ANTIJOIN,
     "graph_pagerank": _oracle_pagerank(),
     "streaming_heavy_hitters_topk": ORACLE_STREAMING_HH,
+    "mix_dsir_selection": ORACLE_DSIR,
 }

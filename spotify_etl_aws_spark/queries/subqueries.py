@@ -31,7 +31,12 @@ Cross-engine float determinism (the conventions of
 - money sums ride the int-cents lane (exact longs; the one division is
   performed on identical longs by both engines, and the 2-dp rounding
   boundary was probed at all three SFs — min distance 0.21 grid units,
-  with the sf0.01 total exactly divisible by 7);
+  with the sf0.01 total exactly divisible by 7). Q22 rides it end to
+  end: its totacctbal is an exact-cents sum divided once, and its
+  above-average THRESHOLD compares integer cents against avg(cents) —
+  an exact-integer sum divided by an exact count, so both engines hold
+  the identical double and membership can never flip on summation
+  order;
 - ``unit_cost`` (Q2 shape) is emitted RAW, not rounded: the data holds
   exact half-cent unit costs (probed: distance-to-boundary 0.0 at 2 and
   4 dp), where engine rounding rules could legitimately disagree — but
@@ -80,9 +85,12 @@ LIMIT 20
 """
 
 _Q22_SQL = """
-SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         / CAST(100 AS DOUBLE) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+      (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
 GROUP BY c_nationkey
 ORDER BY c_nationkey
