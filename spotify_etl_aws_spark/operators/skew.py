@@ -45,13 +45,21 @@ def detect_hot_keys(
     df: DataFrame, on: str | list[str], min_fraction: float = 0.01
 ) -> list:
     """One aggregation job returning the join-key values owning more
-    than ``min_fraction`` of the rows — the inputs for targeted
-    salting. Output is driver-sized by construction: at most
-    ``1/min_fraction`` keys can each exceed that fraction."""
+    than ``min_fraction`` of the NON-NULL-key rows — the inputs for
+    targeted salting. NULL-key rows are excluded from both the
+    candidates and the denominator (a NULL key never matches in an
+    equi-join, so it cannot be a join hot key — and the sketched
+    variant's MG partials drop NULLs, so the two detectors now apply
+    ``min_fraction`` to the same total and agree on borderline keys).
+    Output is driver-sized by construction: at most ``1/min_fraction``
+    keys can each exceed that fraction."""
     on_cols = [on] if isinstance(on, str) else list(on)
-    total = df.count()
+    keyed = df
+    for c in on_cols:
+        keyed = keyed.filter(F.col(c).isNotNull())
+    total = keyed.count()
     rows = (
-        df.groupBy(*on_cols)
+        keyed.groupBy(*on_cols)
         .count()
         .filter(F.col("count") > total * min_fraction)
         .select(*on_cols)

@@ -193,9 +193,12 @@ def build_training_corpus(
 
     ``shard_tokens`` additionally assigns every output row a
     TOKEN-balanced ``shard_id`` over the deterministic epoch order
-    (``operators/ordering.py:assign_token_shards``) and partitions the
-    corpus write by (split, shard_id) — equal-work input files for the
-    trainer's data loader regardless of document-length skew.
+    (``operators/ordering.py:assign_token_shards``), computed PER
+    SPLIT (each split's cumulative sum starts at 0), and partitions
+    the corpus write by (split, shard_id) — so each (split, shard)
+    file carries ``shard_tokens ± max_doc`` tokens of its own split:
+    equal-work input files for the trainer's data loader regardless of
+    document-length skew.
 
     ``neardup_keep_best_col`` switches the near-dup cluster election
     from keep-first (minimum doc_id) to keep-BEST: the cluster member
@@ -448,7 +451,20 @@ def build_training_corpus(
     if shard_tokens is not None:
         from ..operators.ordering import assign_token_shards
 
-        out = assign_token_shards(out, shard_tokens, shard_seed)
+        # shard PER SPLIT: each split's running token sum starts at 0,
+        # so every (split, shard_id) file carries shard_tokens ±
+        # max_doc tokens OF THAT SPLIT — the equal-work input-file
+        # contract. (A single global assignment divides each global
+        # shard's tokens among the splits it straddles, leaving
+        # per-split files only statistically balanced.) Job count is
+        # #splits, each over its own slice.
+        sharded = None
+        for name in split_names:
+            part = assign_token_shards(
+                out.filter(F.col("split") == name), shard_tokens, shard_seed
+            )
+            sharded = part if sharded is None else sharded.unionByName(part)
+        out = sharded
         out.write.mode("overwrite").partitionBy("split", "shard_id").parquet(
             path
         )

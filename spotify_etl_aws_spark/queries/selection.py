@@ -554,6 +554,14 @@ def stats_countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: est_ge_exact / est_within_eps are hard-coded TRUE — they hold
+# PROBABILISTICALLY (~1.8%/key failure odds at depth 4) and are
+# deterministic only on the fixed fixture + xxhash64 + width. A
+# fixture/width/hash change can flip one with no code bug; the margin
+# guard (tests/test_sketches.py::TestProbabilisticOracleMargins)
+# asserts the observed slack stays under HALF the bound so erosion
+# surfaces there with numbers first. Same applies to
+# ORACLE_HLL_DISTINCT and ORACLE_STREAMING_SKETCH below.
 ORACLE_COUNTMIN = f"""
 WITH toks AS (
   SELECT t.term

@@ -345,6 +345,30 @@ class TestSketchedHotKeys:
         assert sketched == exact
         assert all(isinstance(k, int) for k in sketched)
 
+    def test_null_keys_share_one_denominator(self, spark):
+        """NULL-key rows are excluded from BOTH detectors' totals: a
+        borderline key that clears min_fraction only over the non-null
+        denominator must be hot in both (a NULL key never matches an
+        equi-join, so it can never be a join hot key)."""
+        from spotify_etl_aws_spark.operators.skew import (
+            detect_hot_keys,
+            detect_hot_keys_sketched,
+        )
+
+        # 30 "hot" of 95 non-null (31.6% > 0.3) but 30/145 = 20.7%
+        # with the 50 NULL rows in the denominator — the old exact
+        # detector missed it while the sketched one found it
+        rows = (
+            [("hot",)] * 30
+            + [(f"t{i}",) for i in range(65)]
+            + [(None,)] * 50
+        )
+        df = spark.createDataFrame(rows, "k string").repartition(3)
+        exact = detect_hot_keys(df, "k", min_fraction=0.3)
+        sketched = detect_hot_keys_sketched(df, "k", min_fraction=0.3)
+        assert exact == ["hot"]
+        assert sketched == exact
+
     def test_no_false_negatives_at_tiny_capacity(self, spark):
         """Even with a capacity far too small for the tail, every
         truly-hot key survives (the MG undercount certificate widens
@@ -456,3 +480,142 @@ class TestHll:
         }
         assert abs(est["a"] - 100) <= 5
         assert est["b"] == 30  # small cardinalities are exact in HLL++
+
+
+class TestProbabilisticOracleMargins:
+    """The declared sketch contracts (ORACLE_COUNTMIN,
+    ORACLE_HLL_DISTINCT, ORACLE_STREAMING_SKETCH in
+    queries/selection.py) hard-code TRUE for bounds that hold only
+    probabilistically (~1.8%/key failure odds for CM at depth 4) —
+    deterministic on the FIXED fixture + hash, but a fixture
+    regeneration, width change, or hash change could flip one. These
+    tests assert the observed slack sits WELL inside the bound so any
+    erosion surfaces here, with numbers, instead of as an opaque
+    oracle hash mismatch."""
+
+    def test_countmin_margin(self, spark, sf_dir):
+        import math
+
+        from spotify_etl_aws_spark.operators.sketches import (
+            cm_estimate,
+            count_min_sketch,
+        )
+        from spotify_etl_aws_spark.queries.selection import (
+            CM_DEPTH,
+            CM_TOPN,
+            CM_WIDTH,
+            _term_stream,
+        )
+
+        terms = _term_stream(spark, sf_dir)
+        sketch = count_min_sketch(terms, "term", depth=CM_DEPTH, width=CM_WIDTH)
+        top = (
+            terms.groupBy("term")
+            .agg(F.count("*").alias("exact"))
+            .orderBy(F.desc("exact"), F.asc("term"))
+            .limit(CM_TOPN)
+        )
+        est = cm_estimate(sketch, top, "term", depth=CM_DEPTH, width=CM_WIDTH)
+        rows = top.join(est, "term").collect()
+        slack = math.ceil(math.e / CM_WIDTH * terms.count())
+        worst = max(r["est"] - r["exact"] for r in rows)
+        assert worst >= 0  # counters only overcount
+        assert worst <= slack / 2, (
+            f"CM overcount {worst} is inside the bound ({slack}) but past "
+            "half of it — ORACLE_COUNTMIN hard-codes est_within_eps=TRUE, "
+            "so erosion here will eventually fail the oracle opaquely; "
+            "widen CM_WIDTH or regenerate expectations now"
+        )
+
+    def test_hll_margin(self, spark, sf_dir):
+        from spotify_etl_aws_spark.functions.text import tokens
+        from spotify_etl_aws_spark.operators.sketches import (
+            hll_distinct_sketch,
+            hll_estimate,
+        )
+        from spotify_etl_aws_spark.queries.selection import HLL_LG_K, HLL_REL_BOUND
+        from spotify_etl_aws_spark.sources.readers import load_table
+
+        terms = (
+            load_table(spark, sf_dir, "documents")
+            .select("lang", F.explode(tokens("text")).alias("term"))
+            .filter(F.col("term") != "")
+        )
+        est = {
+            r["lang"]: r["estimate"]
+            for r in hll_estimate(
+                hll_distinct_sketch(terms, "term", by="lang", lg_k=HLL_LG_K)
+            ).collect()
+        }
+        exact = {
+            r["lang"]: r["n"]
+            for r in terms.groupBy("lang")
+            .agg(F.count_distinct("term").alias("n"))
+            .collect()
+        }
+        worst = max(abs(est[g] - exact[g]) / exact[g] for g in exact)
+        assert worst <= HLL_REL_BOUND / 2, (
+            f"HLL relative error {worst:.4f} is inside the 5-sigma bound "
+            f"({HLL_REL_BOUND:.4f}) but past half of it — "
+            "ORACLE_HLL_DISTINCT hard-codes within_bound=TRUE; investigate "
+            "before the oracle fails opaquely"
+        )
+
+    def test_streaming_countmin_margin(self, spark, sf_dir):
+        import math
+
+        from spotify_etl_aws_spark.queries.selection import (
+            SK_DEPTH,
+            SK_USERS,
+            SK_WIDTH,
+        )
+        from spotify_etl_aws_spark.sources.readers import load_table
+        from spotify_etl_aws_spark.streaming.pipeline import (
+            read_table_stream,
+            run_available_now,
+        )
+        from spotify_etl_aws_spark.streaming.sketches import (
+            cm_estimate_windowed,
+            windowed_count_min_stream,
+        )
+
+        src = read_table_stream(spark, sf_dir, "events")
+        sketch = run_available_now(
+            windowed_count_min_stream(
+                src, "ts", "user_id", "1 hour", "1 hour", SK_DEPTH, SK_WIDTH
+            ),
+            "cm_margin",
+            output_mode="append",
+        )
+        keys = spark.createDataFrame(
+            [(i,) for i in range(SK_USERS)], "user_id long"
+        )
+        est = cm_estimate_windowed(sketch, keys, "user_id", SK_DEPTH, SK_WIDTH)
+        ev = load_table(spark, sf_dir, "events").select(
+            F.window("ts", "1 hour").alias("w"), "user_id"
+        )
+        exact = (
+            ev.filter(F.col("user_id") < SK_USERS)
+            .groupBy("w", "user_id")
+            .agg(F.count("*").alias("exact"))
+        )
+        n_win = ev.groupBy("w").agg(F.count("*").alias("n_w"))
+        rows = (
+            est.join(exact, ["w", "user_id"], "left")
+            .join(n_win, "w")
+            .select(
+                F.coalesce("exact", F.lit(0)).alias("exact"), "est", "n_w"
+            )
+            .collect()
+        )
+        assert rows
+        worst_frac = max(
+            (r["est"] - r["exact"]) / max(1.0, math.e / SK_WIDTH * r["n_w"])
+            for r in rows
+        )
+        assert all(r["est"] >= r["exact"] for r in rows)
+        assert worst_frac <= 0.5, (
+            f"streaming CM overcount reached {worst_frac:.2f} of its "
+            "per-window bound — ORACLE_STREAMING_SKETCH hard-codes "
+            "est_within_eps=TRUE; investigate before it fails opaquely"
+        )

@@ -130,3 +130,48 @@ def test_ladder_output_sharded_by_tokens(spark, tmp_path):
     max_doc = max(r["n_tokens"] for r in rows)
     for sid in sorted(sums)[:-1]:
         assert 800 - max_doc < sums[sid] < 800 + max_doc
+
+
+def test_ladder_shards_balanced_per_split(spark, tmp_path):
+    """With MULTIPLE splits, token balance holds within each split
+    independently: every non-final (split, shard_id) group carries
+    shard_tokens ± max_doc tokens of its OWN split (the per-split
+    assignment — a global one only balances across splits combined)."""
+    import random
+
+    from spotify_etl_aws_spark.plans.curation import build_training_corpus
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=rng.randint(20, 120))))
+         for i in range(160)],
+        "doc_id long, text string",
+    )
+    out = build_training_corpus(
+        spark,
+        docs,
+        None,
+        str(tmp_path / "corpus"),
+        quality_cutoff=0.0,
+        pii_scrub=False,
+        repetition_filter=False,
+        pack_budget=256,
+        split_weights={"train": 0.8, "val": 0.2},
+        shard_tokens=700,
+    )
+    rows = out.collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows) == 160
+    by_split: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_split.setdefault(r["split"], {})
+        by_split[r["split"]][r["shard_id"]] = (
+            by_split[r["split"]].get(r["shard_id"], 0) + r["n_tokens"]
+        )
+    assert set(by_split) == {"train", "val"}
+    max_doc = max(r["n_tokens"] for r in rows)
+    for split, sums in by_split.items():
+        # shard ids are contiguous from 0 within each split
+        assert sorted(sums) == list(range(len(sums)))
+        for sid in sorted(sums)[:-1]:
+            assert 700 - max_doc < sums[sid] < 700 + max_doc, (split, sid)
