@@ -1312,18 +1312,24 @@ def _oracle_pagerank() -> str:
     (the k-means E+M-chain precedent from vector_ann_ivf_bucketed):
     every arithmetic step is the identical IEEE op sequence, so the
     only cross-engine drift is summation order — ~1e-17 absolute
-    against a 1e-{PR_DECIMALS} grid."""
+    against a 1e-{PR_DECIMALS} grid. Every CTE that later levels
+    reference more than once is MATERIALIZED: each it{{k}} feeds three
+    consumers (dangling, contribs, next ranks), and letting the
+    planner inline them compounds ~3× per unrolled level — at 10×
+    amplified edges the un-hinted chain spilled past 80 GB of temp."""
     parts = [
         f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
                   'c' || CAST(o_custkey AS VARCHAR) AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
-it0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+od AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1
+),
+it0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
     ]
     for k in range(1, PR_ITERATIONS + 1):
         p = k - 1
@@ -1337,7 +1343,7 @@ c{k} AS (
   FROM e JOIN od USING (src) JOIN it{p} ON e.src = it{p}.node
   GROUP BY 1
 ),
-it{k} AS (
+it{k} AS MATERIALIZED (
   SELECT n.node,
          (1.0 - {PR_DAMPING}) / nn.n
          + {PR_DAMPING} * (coalesce(c.contrib, 0.0) + d.dm / nn.n) AS pr
