@@ -124,6 +124,33 @@ ORDER BY numwait DESC, s_name
 LIMIT 10
 """
 
+# Recursive CTE (Spark 4 WITH RECURSIVE — run VERBATIM on both
+# engines): roll every part's retail price up its key-decade ancestor
+# chain (parent(k) = ⌊k/10⌋, a synthetic-but-deterministic hierarchy
+# over the real key space — the BOM/org-chart shape). All-integer
+# arithmetic: the walk is floor division on BIGINTs (exact doubles
+# below 2^53 either way), the money sum rides the int-cents lane, so
+# the hash comparison is exact with no rounding lane at all. Each
+# node's chain is strictly decreasing → no duplicate (node, anc)
+# rows, depth ≤ ⌈log10(max key)⌉ recursion levels.
+_RECURSIVE_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT CAST(p_partkey AS BIGINT) AS node, CAST(p_partkey AS BIGINT) AS anc
+  FROM part
+  UNION ALL
+  SELECT node, CAST(floor(anc / 10) AS BIGINT) AS anc FROM anc WHERE anc >= 10
+)
+SELECT a.anc AS part_root,
+       CAST(count(*) AS BIGINT) AS subtree_parts,
+       CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS subtree_cents
+FROM anc a
+JOIN part p ON a.node = p.p_partkey
+JOIN part r ON a.anc = r.p_partkey
+GROUP BY a.anc
+ORDER BY a.anc
+"""
+
 _TABLES = ("customer", "orders", "lineitem", "part", "supplier")
 
 
@@ -171,12 +198,31 @@ def sql_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q21_SQL)
 
 
+def sql_recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4): per-part subtree
+    rollup over the key-decade ancestor hierarchy — count and
+    int-cents retail total of every part's descendants. The oracle is
+    the identical statement run by DuckDB's recursive executor, so
+    both the iterative fixpoint semantics AND the dialect text are
+    covered."""
+    # Spark guards runaway recursion at 1M rows by default; the
+    # ancestor walk is provably bounded (|part| × ⌈log10(max key)⌉
+    # rows — ~1.3M at the 10× amplified fixture), so size the guard to
+    # the workload instead of letting it fail a legitimate walk. Left
+    # set on the session: it is a safety limit, not a semantics knob,
+    # and the DataFrame is lazy (restoring it pre-action would revert
+    # the limit before execution reads it).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1 << 30))
+    return _run(spark, sf_dir, _RECURSIVE_SQL)
+
+
 QUERIES = {
     "sql_q17_avg_yearly": sql_q17_avg_yearly,
     "sql_q18_large_orders": sql_q18_large_orders,
     "sql_q22_big_spender_gap": sql_q22_big_spender_gap,
     "sql_q2_min_cost_supplier": sql_q2_min_cost_supplier,
     "sql_q21_waiting_suppliers": sql_q21_waiting_suppliers,
+    "sql_recursive_subtree_rollup": sql_recursive_subtree_rollup,
 }
 
 ORACLE = {
@@ -185,4 +231,5 @@ ORACLE = {
     "sql_q22_big_spender_gap": _Q22_SQL,
     "sql_q2_min_cost_supplier": _Q2_SQL,
     "sql_q21_waiting_suppliers": _Q21_SQL,
+    "sql_recursive_subtree_rollup": _RECURSIVE_SQL,
 }

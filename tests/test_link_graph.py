@@ -130,6 +130,22 @@ def test_warc_to_pagerank_link_farm(spark, tmp_path):
     assert prior["organic.example"] == pytest.approx(got["organic.example"])
 
 
+def test_host_edges_single_shuffle_no_python(spark):
+    """Edge building is all JVM (Generate + projections, no UDF, no
+    Arrow pass) and shuffles exactly once — the pair-dedup Exchange."""
+    pages = spark.createDataFrame(
+        [("http://a.example/", ["http://b.example/"])],
+        "url string, out_links array<string>",
+    )
+    plan = (
+        host_edges(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # distinct only
+    assert "Generate explode" in plan  # map-side fan-out
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "Python", "Arrow"):
+        assert bad not in plan, bad
+
+
 def test_authority_prior_unknown_host_zero(spark):
     docs = spark.createDataFrame(
         [("known.example", "t"), ("unknown.example", "t")], "host string, text string"
