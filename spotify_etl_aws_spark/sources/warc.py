@@ -661,6 +661,7 @@ def incremental_crawl(
     min_text_chars: int = 1,
     main_text: bool = True,
     max_files_per_batch: int = 64,
+    emit_links: bool = False,
 ) -> None:
     """The STREAMING lane of crawl ingestion: WARC shards land in
     ``crawl_dir`` and each FILE is parsed exactly once (checkpointed
@@ -683,6 +684,14 @@ def incremental_crawl(
     exactly-once semantics at both hops. Cross-shard DOMAIN CAPS are
     deliberately not incremental (a cap is a corpus-wide order
     statistic) — apply ``domain_caps`` in the periodic batch rebuild.
+
+    ``emit_links=True`` additionally lands each batch's host-level
+    link edges (``operators/urls.py:host_edges`` over the same parse
+    pass) under ``edges/epoch=N`` in the SAME atomic commit as the
+    docs — the incremental producer for the periodic PageRank
+    authority rebuild (``operators/graph.py``): union the epoch edge
+    sets, ``distinct()``, iterate. Like the domain caps, the rank
+    itself is a corpus-wide statistic and stays a batch job.
     """
     from ..operators.urls import blocklist_filter, with_url_parts
 
@@ -694,12 +703,15 @@ def incremental_crawl(
         .load(crawl_dir)
     )
     gen = _warc_kernel(
-        record_types, min_text_chars, html_main_text if main_text else html_text
+        record_types,
+        min_text_chars,
+        html_main_text if main_text else html_text,
+        links=emit_links,
     )
 
     def land_batch(batch_df: DataFrame, epoch_id: int) -> None:
         pages = batch_df.select("path", "content").mapInPandas(
-            gen, schema=WARC_SCHEMA
+            gen, schema=WARC_LINKS_SCHEMA if emit_links else WARC_SCHEMA
         )
         docs = with_url_parts(pages).filter(F.col("host").isNotNull())
         if blocked_domains:
@@ -714,18 +726,23 @@ def incremental_crawl(
             "warc_date",
         ).dropDuplicates(["doc_id"])
         # atomic-visibility epoch commit: stage -> rename -> marker,
-        # so a crash mid-write never exposes a half-written epoch
+        # so a crash mid-write never exposes a half-written epoch —
+        # and with emit_links, docs and edges become visible TOGETHER
         from .sinks import commit_epoch
 
-        commit_epoch(
-            out_dir,
-            epoch_id,
-            {
-                f"docs/epoch={epoch_id}": (
-                    lambda p: out.write.mode("overwrite").parquet(p)
-                )
-            },
-        )
+        writes = {
+            f"docs/epoch={epoch_id}": (
+                lambda p: out.write.mode("overwrite").parquet(p)
+            )
+        }
+        if emit_links:
+            from ..operators.urls import host_edges
+
+            edges = host_edges(pages.filter(F.col("url").isNotNull()))
+            writes[f"edges/epoch={epoch_id}"] = (
+                lambda p: edges.write.mode("overwrite").parquet(p)
+            )
+        commit_epoch(out_dir, epoch_id, writes)
 
     q = (
         stream.writeStream.foreachBatch(land_batch)

@@ -83,7 +83,12 @@ def test_host_edges_resolution_and_dedup(spark):
 
 def _page(url: str, hrefs: list[str]) -> bytes:
     body = "".join(f'<a href="{h}">l</a>' for h in hrefs)
-    html = f"<html><body><p>page content here</p>{body}</body></html>"
+    # >= 5 prose words so the boilerplate-stripping main-text extractor
+    # (incremental_crawl's default) keeps the page
+    html = (
+        "<html><body><p>page content here with enough prose words to "
+        f"clear the extractor</p>{body}</body></html>"
+    )
     return _record("response", _http(html.encode()), url)
 
 
@@ -144,6 +149,66 @@ def test_host_edges_single_shuffle_no_python(spark):
     assert "Generate explode" in plan  # map-side fan-out
     for bad in ("CartesianProduct", "BroadcastNestedLoop", "Python", "Arrow"):
         assert bad not in plan, bad
+
+
+def test_incremental_crawl_lands_edges_atomically(spark, tmp_path):
+    """incremental_crawl(emit_links=True): each wave's host-level
+    edges land under edges/epoch=N in the SAME atomic commit as the
+    docs, replays add nothing, and the accumulated edge set feeds
+    pagerank — the incremental producer for the periodic authority
+    rebuild."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from spotify_etl_aws_spark.sources.warc import incremental_crawl
+
+    land = tmp_path / "crawl_land"
+    land.mkdir()
+    out, ckpt = str(tmp_path / "crawl_out"), str(tmp_path / "crawl_ckpt")
+
+    def shard(name, pages):
+        recs = b"".join(
+            _page(url, hrefs)  # includes enough prose to pass min chars
+            for url, hrefs in pages
+        )
+        (land / name).write_bytes(gzip.compress(recs))
+
+    shard(
+        "w1.warc.gz",
+        [
+            ("http://a.example/", ["http://b.example/", "/self-rel"]),
+            ("http://b.example/", ["http://c.example/x"]),
+        ],
+    )
+    incremental_crawl(spark, str(land), out, ckpt, emit_links=True)
+    edges = spark.read.parquet(f"{out}/edges")
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == {("a.example", "b.example"), ("b.example", "c.example")}
+    assert "epoch" in edges.columns
+
+    # replay: nothing new lands on either dataset
+    incremental_crawl(spark, str(land), out, ckpt, emit_links=True)
+    assert spark.read.parquet(f"{out}/edges").count() == 2
+    n_docs = spark.read.parquet(f"{out}/docs").count()
+
+    # wave 2 adds one page; its edges land in a NEW epoch
+    shard("w2.warc.gz", [("http://c.example/x", ["http://a.example/"])])
+    incremental_crawl(spark, str(land), out, ckpt, emit_links=True)
+    edges = spark.read.parquet(f"{out}/edges")
+    assert edges.count() == 3
+    assert edges.select("epoch").distinct().count() == 2
+    assert spark.read.parquet(f"{out}/docs").count() == n_docs + 1
+
+    # the periodic rebuild: union epochs -> distinct -> pagerank
+    ranks = pagerank(edges.select("src", "dst"), iterations=4)
+    got_pr = {r.node: r.pr for r in ranks.collect()}
+    want = ref_pagerank(
+        [("a.example", "b.example"), ("b.example", "c.example"),
+         ("c.example", "a.example")],
+        iterations=4,
+    )
+    assert set(got_pr) == set(want)
+    for v in want:
+        assert abs(got_pr[v] - want[v]) < 1e-12
 
 
 def test_authority_prior_unknown_host_zero(spark):
