@@ -738,7 +738,12 @@ def incremental_crawl(
         if emit_links:
             from ..operators.urls import host_edges
 
-            edges = host_edges(pages.filter(F.col("url").isNotNull()))
+            # edges derive from the BLOCKLIST-FILTERED docs frame (it
+            # carries out_links through with_url_parts): a blocked spam
+            # domain must not cast authority votes any more than it
+            # lands content — though blocked DESTINATIONS still appear
+            # as dst nodes (links TO them are real observations)
+            edges = host_edges(docs)
             writes[f"edges/epoch={epoch_id}"] = (
                 lambda p: edges.write.mode("overwrite").parquet(p)
             )

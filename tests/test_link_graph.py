@@ -177,22 +177,31 @@ def test_incremental_crawl_lands_edges_atomically(spark, tmp_path):
         [
             ("http://a.example/", ["http://b.example/", "/self-rel"]),
             ("http://b.example/", ["http://c.example/x"]),
+            # blocked domain: neither its doc NOR its authority vote lands
+            ("http://spam.example/", ["http://a.example/"]),
         ],
     )
-    incremental_crawl(spark, str(land), out, ckpt, emit_links=True)
+    blocked = ["spam.example"]
+    incremental_crawl(
+        spark, str(land), out, ckpt, blocked_domains=blocked, emit_links=True
+    )
     edges = spark.read.parquet(f"{out}/edges")
     got = {(r.src, r.dst) for r in edges.collect()}
     assert got == {("a.example", "b.example"), ("b.example", "c.example")}
     assert "epoch" in edges.columns
 
     # replay: nothing new lands on either dataset
-    incremental_crawl(spark, str(land), out, ckpt, emit_links=True)
+    incremental_crawl(
+        spark, str(land), out, ckpt, blocked_domains=blocked, emit_links=True
+    )
     assert spark.read.parquet(f"{out}/edges").count() == 2
     n_docs = spark.read.parquet(f"{out}/docs").count()
 
     # wave 2 adds one page; its edges land in a NEW epoch
     shard("w2.warc.gz", [("http://c.example/x", ["http://a.example/"])])
-    incremental_crawl(spark, str(land), out, ckpt, emit_links=True)
+    incremental_crawl(
+        spark, str(land), out, ckpt, blocked_domains=blocked, emit_links=True
+    )
     edges = spark.read.parquet(f"{out}/edges")
     assert edges.count() == 3
     assert edges.select("epoch").distinct().count() == 2
