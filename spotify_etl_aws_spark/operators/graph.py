@@ -49,16 +49,35 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    tol: float | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """(node, pr) for every node incident to ``edges`` (either side),
     after ``iterations`` synchronous power-iteration steps from the
-    uniform start. Duplicate edges are collapsed (a link counts once,
-    the host-graph convention); self-loops count as ordinary edges.
-    NULL endpoints are dropped."""
+    teleport distribution. Duplicate edges are collapsed (a link
+    counts once, the host-graph convention); self-loops count as
+    ordinary edges. NULL endpoints are dropped.
+
+    ``tol``: early-exit tolerance — stop as soon as
+    max|pr − pr_prev| ≤ tol (an L∞ fixpoint test; ``iterations``
+    becomes the cap). Costs one tiny checkpointed-frames join per
+    iteration; None (default) keeps the fixed-iteration behavior the
+    `graph_pagerank` oracle unrolls.
+
+    ``teleport``: PERSONALIZED PageRank — a (node, weight) frame; the
+    restart distribution (and the dangling-mass redistribution, the
+    standard PPR convention) becomes weight/Σweight over the graph
+    nodes listed, 0 elsewhere, biasing authority toward the seed set
+    (topic-focused crawl priors). Weights of nodes absent from the
+    graph are ignored; the start vector is the teleport distribution.
+    None keeps the uniform 1/n teleport — and the EXACT arithmetic
+    shape (lit((1−d)/n), lit(dangling/n)) the oracle replays."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if tol is not None and tol <= 0.0:
+        raise ValueError(f"tol must be positive, got {tol}")
     e = (
         edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -79,9 +98,30 @@ def pagerank(
     # frame, so join edges⋈outdeg once and checkpoint the result —
     # 10 iterations pay for 1 probe build instead of 10
     e_deg = e.join(outdeg, "src").localCheckpoint()
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iterations):
-        ranks = ranks.localCheckpoint()
+    if teleport is None:
+        tele = None
+        ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
+    else:
+        w = teleport.select(
+            F.col("node"), F.col("weight").cast("double").alias("__w")
+        ).filter(F.col("__w") > 0.0)
+        seeded = nodes.join(w, "node")  # graph nodes only
+        total = seeded.agg(F.sum("__w")).collect()[0][0]
+        if not total:
+            raise ValueError(
+                "teleport has no positive-weight node present in the graph"
+            )
+        tele = (
+            nodes.join(seeded.select("node", "__w"), "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("__w"), F.lit(0.0)) / F.lit(float(total))
+                 ).alias("t"),
+            )
+            .localCheckpoint()
+        )
+        ranks = tele.select("node", F.col("t").alias("pr")).localCheckpoint()
+    for it in range(iterations):
         dangling = (
             ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
             .agg(F.sum("pr"))
@@ -94,14 +134,38 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = nodes.join(
-            contribs, nodes.node == contribs.dst, "left"
-        ).select(
-            "node",
-            (
+        joined = nodes.join(contribs, nodes.node == contribs.dst, "left")
+        c = F.coalesce(F.col("contrib"), F.lit(0.0))
+        if tele is None:
+            expr = (
                 F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("pr"),
-        )
+                + F.lit(damping) * (c + F.lit(dangling / n))
+            )
+            new_ranks = joined.select("node", expr.alias("pr"))
+        else:
+            expr = (
+                F.lit(1.0 - damping) * F.col("t")
+                + F.lit(damping) * (c + F.lit(dangling) * F.col("t"))
+            )
+            new_ranks = joined.join(tele, "node").select(
+                "node", expr.alias("pr")
+            )
+        if tol is None and it == iterations - 1:
+            # final frame stays LIVE (un-checkpointed) so callers see
+            # the real iteration plan (the no-cartesian pin reads it)
+            ranks = new_ranks
+            break
+        new_ranks = new_ranks.localCheckpoint()
+        if tol is not None:
+            delta = (
+                new_ranks.select("node", F.col("pr").alias("__new"))
+                .join(ranks, "node")
+                .agg(F.max(F.abs(F.col("__new") - F.col("pr"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

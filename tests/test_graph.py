@@ -15,19 +15,28 @@ import pyspark.sql.functions as F
 from spotify_etl_aws_spark.operators.graph import pagerank
 
 
-def ref_pagerank(edges, iterations=10, d=0.85):
+def ref_pagerank(edges, iterations=10, d=0.85, teleport=None):
     edges = set(edges)
     nodes = sorted({u for e in edges for u in e})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
     outdeg = Counter(u for u, _ in edges)
-    pr = np.full(n, 1.0 / n)
+    if teleport is None:
+        t = np.full(n, 1.0 / n)
+        pr = np.full(n, 1.0 / n)
+    else:
+        t = np.zeros(n)
+        for v, w in teleport.items():
+            if v in idx and w > 0:
+                t[idx[v]] = w
+        t = t / t.sum()
+        pr = t.copy()
     for _ in range(iterations):
         dang = sum(pr[idx[v]] for v in nodes if outdeg.get(v, 0) == 0)
         contrib = np.zeros(n)
         for u, v in edges:
             contrib[idx[v]] += pr[idx[u]] / outdeg[u]
-        pr = (1 - d) / n + d * (contrib + dang / n)
+        pr = (1 - d) * t + d * (contrib + dang * t)
     return {v: pr[idx[v]] for v in nodes}
 
 
@@ -102,3 +111,51 @@ def test_bad_params_raise(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, tol=0.0)
+    with pytest.raises(ValueError):
+        pagerank(
+            df,
+            teleport=spark.createDataFrame(
+                [("not-in-graph", 1.0)], "node string, weight double"
+            ),
+        )
+
+
+def test_tolerance_early_exit_matches_fixpoint(spark):
+    """tol stops the iteration at the L∞ fixpoint test: the converged
+    result must sit within tol of a deep fixed-iteration run, and the
+    tolerance path must agree with the no-tol path run to the same
+    depth (same per-iteration arithmetic)."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r.node: r.pr
+        for r in pagerank(df, iterations=200, tol=1e-10).collect()
+    }
+    deep = ref_pagerank(EDGES, iterations=200)
+    for v in deep:
+        assert abs(got[v] - deep[v]) < 1e-8
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_teleport_matches_reference(spark):
+    """PPR: restart (and dangling) mass flows to the seed set; exact
+    parity with the numpy reference; seeds outrank their uniform
+    scores while mass stays 1; weights of absent nodes are ignored."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = {"a": 3.0, "e": 1.0}
+    tele = spark.createDataFrame(
+        list(seeds.items()) + [("ghost-node", 5.0)],
+        "node string, weight double",
+    )
+    got = {
+        r.node: r.pr
+        for r in pagerank(df, iterations=7, teleport=tele).collect()
+    }
+    want = ref_pagerank(EDGES, iterations=7, teleport=seeds)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    uniform = ref_pagerank(EDGES, iterations=7)
+    assert got["a"] > uniform["a"]  # seed bias is visible
