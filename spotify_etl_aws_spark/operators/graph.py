@@ -51,6 +51,7 @@ def pagerank(
     damping: float = 0.85,
     tol: float | None = None,
     teleport: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, pr) for every node incident to ``edges`` (either side),
     after ``iterations`` synchronous power-iteration steps from the
@@ -71,19 +72,38 @@ def pagerank(
     (topic-focused crawl priors). Weights of nodes absent from the
     graph are ignored; the start vector is the teleport distribution.
     None keeps the uniform 1/n teleport — and the EXACT arithmetic
-    shape (lit((1−d)/n), lit(dangling/n)) the oracle replays."""
+    shape (lit((1−d)/n), lit(dangling/n)) the oracle replays.
+
+    ``weight_col``: WEIGHTED edges (the CommonCrawl host graph carries
+    link counts) — a node's rank flows to each successor
+    proportionally to edge weight (pr·w/Σ_out w) instead of 1/outdeg.
+    Duplicate (src, dst) rows SUM their weights (vs the unweighted
+    collapse); non-positive/NULL weights are dropped."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if tol is not None and tol <= 0.0:
         raise ValueError(f"tol must be positive, got {tol}")
-    e = (
-        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    keyed = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    if weight_col is None:
+        e = (
+            keyed.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+    else:
+        e = (
+            keyed.filter(F.col(weight_col) > 0)
+            .select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -93,7 +113,10 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("pr", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    if weight_col is None:
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    else:
+        outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     # loop-invariant: every iteration probes the SAME (src, dst, deg)
     # frame, so join edges⋈outdeg once and checkpoint the result —
     # 10 iterations pay for 1 probe build instead of 10
@@ -128,9 +151,14 @@ def pagerank(
             .collect()[0][0]
             or 0.0
         )
+        share = (
+            F.col("pr") / F.col("deg")
+            if weight_col is None
+            else F.col("pr") * F.col("w") / F.col("deg")
+        )
         contribs = (
             e_deg.join(ranks, e_deg.src == ranks.node)
-            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .select("dst", share.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )

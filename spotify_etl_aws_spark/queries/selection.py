@@ -1227,6 +1227,107 @@ QUALIFY rank <= {DSIR_K}
 """
 
 
+PPR_ITERATIONS = 5
+PPR_DAMPING = 0.85
+# 7dp: min boundary distance 5.5e-3 / 7.0e-5 / 1.1e-5 grid units at
+# the three SFs (8dp sat at 1.9e-9 at sf0.001 — drift-order, rejected)
+PPR_DECIMALS = 7
+
+
+def graph_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED personalized PageRank (operators/graph.py:pagerank with
+    weight_col + teleport): rank flows proportionally to lineitem
+    volume per (supplier, customer) pair, and the restart/dangling
+    mass returns to a seed supplier set (s_suppkey % 7 == 1, weights
+    1 + suppkey % 3) — the topic-focused authority-prior shape. The
+    oracle unrolls the identical weighted recurrence with the teleport
+    vector as a CTE; 7dp rounded emit (margins probed per SF)."""
+    from ..operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        F.lit(1.0).alias("w"),  # operator sums duplicates -> pair counts
+    )
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 1)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            ),
+            (F.lit(1) + F.col("s_suppkey") % 3).cast("double").alias("weight"),
+        )
+    )
+    ranks = pagerank(
+        edges,
+        iterations=PPR_ITERATIONS,
+        damping=PPR_DAMPING,
+        teleport=seeds,
+        weight_col="w",
+    )
+    return ranks.select(
+        "node", (F.round("pr", PPR_DECIMALS) + F.lit(0.0)).alias("pr")
+    )
+
+
+def _oracle_ppr_weighted() -> str:
+    """The graph_pagerank unroll generalized to weighted flow
+    (pr·w/Σ_out w) and a teleport-vector CTE — every CTE consumed more
+    than once per level is MATERIALIZED (see _oracle_pagerank)."""
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         'c' || CAST(o_custkey AS VARCHAR) AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS MATERIALIZED (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
+seeds AS (
+  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+         CAST(1 + s_suppkey % 3 AS DOUBLE) AS wt
+  FROM supplier WHERE s_suppkey % 7 = 1
+),
+tot AS (SELECT sum(wt) AS s FROM seeds JOIN nodes USING (node)),
+tele AS MATERIALIZED (
+  SELECT n.node, coalesce(se.wt, 0.0) / t.s AS t
+  FROM nodes n LEFT JOIN seeds se USING (node), tot t
+),
+it0 AS MATERIALIZED (SELECT node, t AS pr FROM tele)"""
+    ]
+    for k in range(1, PPR_ITERATIONS + 1):
+        p = k - 1
+        parts.append(f""",
+d{k} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dm FROM it{p}
+  WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = it{p}.node)
+),
+c{k} AS (
+  SELECT e.dst AS node, sum(it{p}.pr * e.w / od.deg) AS contrib
+  FROM e JOIN od USING (src) JOIN it{p} ON e.src = it{p}.node
+  GROUP BY 1
+),
+it{k} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - {PPR_DAMPING}) * tl.t
+         + {PPR_DAMPING} * (coalesce(c.contrib, 0.0) + d.dm * tl.t) AS pr
+  FROM nodes n
+  JOIN tele tl USING (node)
+  CROSS JOIN d{k} d
+  LEFT JOIN c{k} c ON n.node = c.node
+)""")
+    parts.append(
+        f"\nSELECT node, round(pr, {PPR_DECIMALS}) + 0.0 AS pr"
+        f" FROM it{PPR_ITERATIONS}"
+    )
+    return "".join(parts)
+
+
 SHH_BUCKETS = 8
 SHH_CAPACITY = 4096  # >> per-bucket distinct users at every SF
 SHH_K = 20
@@ -1380,6 +1481,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "streaming_heavy_hitters_topk": streaming_heavy_hitters_topk,
     "mix_dsir_selection": mix_dsir_selection,
+    "graph_ppr_weighted": graph_ppr_weighted,
 }
 
 ORACLE = {
@@ -1405,4 +1507,5 @@ ORACLE = {
     "graph_pagerank": _oracle_pagerank(),
     "streaming_heavy_hitters_topk": ORACLE_STREAMING_HH,
     "mix_dsir_selection": ORACLE_DSIR,
+    "graph_ppr_weighted": _oracle_ppr_weighted(),
 }
