@@ -1227,6 +1227,49 @@ QUALIFY rank <= {DSIR_K}
 """
 
 
+def streaming_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join (the production enrichment shape §2.9 still
+    lacked a declared lane for): the event stream inner-joins the
+    static customer dimension — broadcast, so stream micro-batches
+    never shuffle for the join — then windowed counts per market
+    segment under the 1h watermark, append mode (each closed window
+    emitted exactly once). The oracle replays the join and the
+    append-mode cutoff (window end ≤ ms-truncated max ts − 1h)."""
+    from ..streaming.pipeline import read_table_stream, run_available_now
+
+    src = read_table_stream(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = run_available_now(agg, "static_enrich", output_mode="append")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "c_mktsegment",
+        "cnt",
+    )
+
+
+ORACLE_STATIC_ENRICH = """
+WITH wm AS (
+  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
+),
+j AS (
+  SELECT date_trunc('hour', e.ts) AS w, c.c_mktsegment
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey, wm
+  WHERE epoch_us(date_trunc('hour', e.ts)) + 3600000000 <= wm.wm_us
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+FROM j GROUP BY 1, 2
+"""
+
+
 PPR_ITERATIONS = 5
 PPR_DAMPING = 0.85
 # 7dp: min boundary distance 5.5e-3 / 7.0e-5 / 1.1e-5 grid units at
@@ -1482,6 +1525,7 @@ QUERIES = {
     "streaming_heavy_hitters_topk": streaming_heavy_hitters_topk,
     "mix_dsir_selection": mix_dsir_selection,
     "graph_ppr_weighted": graph_ppr_weighted,
+    "streaming_static_enrich_counts": streaming_static_enrich_counts,
 }
 
 ORACLE = {
@@ -1508,4 +1552,5 @@ ORACLE = {
     "streaming_heavy_hitters_topk": ORACLE_STREAMING_HH,
     "mix_dsir_selection": ORACLE_DSIR,
     "graph_ppr_weighted": _oracle_ppr_weighted(),
+    "streaming_static_enrich_counts": ORACLE_STATIC_ENRICH,
 }
