@@ -1,0 +1,132 @@
+"""Time-series gap filling (north-star §2.11 time-series lane — the
+``time_bucket_gapfill`` + ``locf``/``interpolate`` family TimescaleDB
+ships and plain SQL engines lack).
+
+An aggregated series (bucket_ts, dims..., value) usually has holes:
+hours where a (dim) emitted nothing produce NO row, and every
+downstream consumer (charts, rate-of-change, joins against other
+series) wants the DENSE grid. ``gapfill`` densifies and fills:
+
+- **grid**: the complete per-dim bucket lattice over [start, end] —
+  ``sequence()`` + ``explode`` (map-side Generate) cross-joined with
+  the DISTINCT dim combinations (dim-cardinality rows, broadcast);
+- **locf**: last observation carried forward. Implemented with the
+  engine-portable two-window trick (a cumulative ``count(value)``
+  assigns every row to the fill-group opened by the last non-null
+  observation; ``first_value`` within (dims, group) recovers it) —
+  no IGNORE NULLS dependency, so the DuckDB oracle can replay it
+  verbatim;
+- **linear**: interpolation between the bracketing observations,
+  ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)`` on epoch
+  seconds — exact integer time deltas, one double division. Points
+  outside the observed range stay NULL (no extrapolation; locf's
+  trailing carry is the deliberate difference).
+
+Scale posture: the filled frame is series-cardinality × bucket-count
+rows — the SMALL, post-aggregation side of a pipeline (the raw events
+were already reduced by the upstream groupBy). Both fill methods are
+window functions partitioned on the dims: ONE hash exchange of the
+aggregated series, no self-joins, no per-gap probes. The grid build
+never touches the fact table (distinct dims come from the aggregated
+frame itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_grid(
+    series: DataFrame,
+    ts_col: str,
+    by: list[str],
+    step_seconds: int,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """The dense (dims × buckets) lattice: one row per dim combination
+    per bucket in [start, end] (inclusive; defaults = the series'
+    global min/max bucket). ``step_seconds`` must match the upstream
+    bucketing. Left-join the sparse series onto this to expose gaps
+    as NULLs."""
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
+    if start is None or end is None:
+        row = series.agg(
+            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        ).collect()[0]
+        start = start if start is not None else row["lo"]
+        end = end if end is not None else row["hi"]
+    if start is None:  # empty series
+        return series.select(*by, ts_col).limit(0)
+    buckets = F.explode(
+        F.sequence(
+            F.lit(start).cast("timestamp"),
+            F.lit(end).cast("timestamp"),
+            F.expr(f"INTERVAL {int(step_seconds)} SECOND"),
+        )
+    ).alias(ts_col)
+    dims = series.select(*by).distinct()
+    return dims.crossJoin(series.sparkSession.range(1).select(buckets))
+
+
+def gapfill(
+    series: DataFrame,
+    ts_col: str,
+    by: list[str],
+    value_col: str,
+    step_seconds: int,
+    method: str = "locf",
+    start=None,
+    end=None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Densify ``series`` to the full time grid and fill ``value_col``
+    gaps per dim group. Returns the grid columns plus ``out_col``
+    (default ``value_col``): observed values verbatim, gaps filled by
+    ``method`` ('locf' or 'linear'), unfillable edges NULL."""
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be 'locf' or 'linear', got {method!r}")
+    out_col = out_col or value_col
+    grid = time_grid(series, ts_col, by, step_seconds, start, end)
+    dense = grid.join(
+        series.select(*by, ts_col, F.col(value_col).alias("__v")),
+        [*by, ts_col],
+        "left",
+    )
+    asc = Window.partitionBy(*by).orderBy(F.col(ts_col).asc())
+    # cumulative non-null count: every row belongs to the fill group
+    # opened by the last observation at or before it (group 0 = the
+    # leading all-NULL prefix, which must stay NULL)
+    dense = dense.withColumn("__grp", F.count("__v").over(asc))
+    prev_w = Window.partitionBy(*by, "__grp").orderBy(F.col(ts_col).asc())
+    prev_v = F.when(
+        F.col("__grp") > 0, F.first("__v").over(prev_w)
+    )
+    if method == "locf":
+        out = dense.withColumn(out_col, prev_v)
+        return out.select(*by, ts_col, out_col)
+    desc = Window.partitionBy(*by).orderBy(F.col(ts_col).desc())
+    dense = dense.withColumn("__grp_n", F.count("__v").over(desc))
+    next_w = Window.partitionBy(*by, "__grp_n").orderBy(F.col(ts_col).desc())
+    prev_t = F.when(
+        F.col("__grp") > 0, F.first(F.when(F.col("__v").isNotNull(), F.col(ts_col))).over(prev_w)
+    )
+    next_v = F.when(F.col("__grp_n") > 0, F.first("__v").over(next_w))
+    next_t = F.when(
+        F.col("__grp_n") > 0,
+        F.first(F.when(F.col("__v").isNotNull(), F.col(ts_col))).over(next_w),
+    )
+    frac = (
+        (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_t))
+        / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t))
+    )
+    interp = prev_v + (next_v - prev_v) * frac
+    out = dense.withColumn(
+        out_col,
+        F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        ),
+    )
+    return out.select(*by, ts_col, out_col)

@@ -1270,6 +1270,150 @@ FROM j GROUP BY 1, 2
 """
 
 
+# sparse slice: at value > 200 the (type, hour) lattice is mostly
+# holes at every SF (3585/3432/2231 empty cells of ~3600 at
+# sf0.001/0.01/0.1), so both fill methods AND the NULL edges are
+# genuinely exercised — threshold 30 left sf0.1 gap-free (vacuous)
+GAPFILL_MIN_VALUE = 200.0
+
+
+def _gapfill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse per-(event_type, hour) int-cents sums — the aggregated
+    series both gap-fill lanes densify."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > GAPFILL_MIN_VALUE)
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+
+
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap fill, last-observation-carried-forward
+    (operators/gapfill.py — the TimescaleDB time_bucket_gapfill+locf
+    shape): the sparse per-type hourly cents series densified to the
+    global hour lattice; leading edges stay NULL. All-integer values,
+    so the oracle (the same two-window fill-group trick, no IGNORE
+    NULLS dependency) matches exactly."""
+    from ..operators.gapfill import gapfill
+
+    out = gapfill(
+        _gapfill_series(spark, sf_dir),
+        "bucket", ["event_type"], "cents", 3600, method="locf",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("cents").alias("cents_locf"),
+    )
+
+
+_GAPFILL_BASE_CTE = f"""
+s AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value > {GAPFILL_MIN_VALUE} GROUP BY 1, 2
+),
+grid AS (
+  -- the TABLE generate_series takes only constants; the LIST form
+  -- accepts columns, so unnest it
+  SELECT d.event_type,
+         unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT DISTINCT event_type FROM s) d,
+       (SELECT min(bucket) AS lo, max(bucket) AS hi FROM s) b
+),
+dense AS (
+  SELECT g.event_type, g.bucket, s.cents AS v
+  FROM grid g
+  LEFT JOIN s ON s.event_type = g.event_type AND s.bucket = g.bucket
+)
+"""
+
+ORACLE_GAPFILL_LOCF = f"""
+WITH {_GAPFILL_BASE_CTE.strip()},
+grp AS (
+  SELECT *,
+         count(v) OVER (PARTITION BY event_type ORDER BY bucket) AS fg
+  FROM dense
+)
+SELECT event_type,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CASE WHEN fg > 0 THEN
+         first_value(v) OVER (PARTITION BY event_type, fg ORDER BY bucket)
+       END AS cents_locf
+FROM grp
+"""
+
+
+def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by linear interpolation between the bracketing
+    observations (no extrapolation — range edges stay NULL). v_lin is
+    emitted RAW, not rounded (the Q2 unit_cost precedent): midpoint
+    interps of cent values land on EXACT half-cent decimal ties
+    (probed: boundary distance 0 at 3-4dp), where the two engines'
+    round() implementations legitimately disagree on the SAME double
+    (BigDecimal-exact vs float-multiply) — but every operand chain
+    (cents/100, diffs, the one exact-integer-delta division,
+    multiply-add in identical association) is correctly rounded from
+    identical operands, so the raw doubles are bit-equal and hash
+    identically. (Time fractions from seconds vs microseconds are the
+    same real scaled by 1e6, hence the same double.)"""
+    from ..operators.gapfill import gapfill
+
+    series = _gapfill_series(spark, sf_dir).select(
+        "bucket",
+        "event_type",
+        (F.col("cents") / F.lit(100.0).cast("double")).alias("v"),
+    )
+    out = gapfill(
+        series, "bucket", ["event_type"], "v", 3600, method="linear"
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        (F.col("v") + F.lit(0.0)).alias("v_lin"),
+    )
+
+
+ORACLE_GAPFILL_LINEAR = f"""
+WITH {_GAPFILL_BASE_CTE.strip()},
+dv AS (
+  SELECT event_type, bucket, v / CAST(100.0 AS DOUBLE) AS v
+  FROM dense
+),
+grp AS (
+  SELECT *,
+         count(v) OVER (PARTITION BY event_type ORDER BY bucket) AS fg,
+         count(v) OVER (PARTITION BY event_type ORDER BY bucket DESC) AS fgn
+  FROM dv
+),
+br AS (
+  SELECT *,
+         CASE WHEN fg > 0 THEN
+           first_value(v) OVER (PARTITION BY event_type, fg ORDER BY bucket)
+         END AS pv,
+         CASE WHEN fg > 0 THEN
+           first_value(bucket) OVER (PARTITION BY event_type, fg ORDER BY bucket)
+         END AS pt,
+         CASE WHEN fgn > 0 THEN
+           first_value(v) OVER (PARTITION BY event_type, fgn ORDER BY bucket DESC)
+         END AS nv,
+         CASE WHEN fgn > 0 THEN
+           first_value(bucket) OVER (PARTITION BY event_type, fgn ORDER BY bucket DESC)
+         END AS nt
+  FROM grp
+)
+SELECT event_type,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv) * ((epoch_us(bucket) - epoch_us(pt))
+                                / (epoch_us(nt) - epoch_us(pt)))
+       END + 0.0 AS v_lin
+FROM br
+"""
+
+
 PPR_ITERATIONS = 5
 PPR_DAMPING = 0.85
 # 7dp: min boundary distance 5.5e-3 / 7.0e-5 / 1.1e-5 grid units at
@@ -1526,6 +1670,8 @@ QUERIES = {
     "mix_dsir_selection": mix_dsir_selection,
     "graph_ppr_weighted": graph_ppr_weighted,
     "streaming_static_enrich_counts": streaming_static_enrich_counts,
+    "ts_gapfill_locf": ts_gapfill_locf,
+    "ts_gapfill_linear": ts_gapfill_linear,
 }
 
 ORACLE = {
@@ -1553,4 +1699,6 @@ ORACLE = {
     "mix_dsir_selection": ORACLE_DSIR,
     "graph_ppr_weighted": _oracle_ppr_weighted(),
     "streaming_static_enrich_counts": ORACLE_STATIC_ENRICH,
+    "ts_gapfill_locf": ORACLE_GAPFILL_LOCF,
+    "ts_gapfill_linear": ORACLE_GAPFILL_LINEAR,
 }
