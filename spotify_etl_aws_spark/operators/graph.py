@@ -43,6 +43,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """(node, dist): minimum hop count from the seed set (``sources``
+    must carry a ``node`` column; seeds are dist 0 even when absent
+    from the edge list), breadth-first to ``max_hops``. Nodes never
+    reached are absent from the result — the caller left-joins if it
+    wants NULL-distance rows.
+
+    The traversal primitive under shortest-path/reachability/
+    neighborhood queries, the iterative-join twin of
+    ``connected_components``: per hop ONE frontier⋈edges equi-join
+    (frontier is the newly-discovered set only, never the full
+    visited set), one distinct, and one anti-join against visited —
+    all keyed on node id, AQE-coalesced. Driver state is O(1) (a
+    row-count per hop for the empty-frontier exit); visited/frontier
+    are localCheckpoint-ed so each hop's work executes once and the
+    DAG stays flat. ``directed=False`` unions the reversed edge set
+    once, up front."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint()
+    visited = (
+        sources.select(F.col("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

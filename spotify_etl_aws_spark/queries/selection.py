@@ -1276,6 +1276,52 @@ FROM j GROUP BY 1, 2
 # genuinely exercised — threshold 30 left sf0.1 gap-free (vacuous)
 GAPFILL_MIN_VALUE = 200.0
 
+BFS_MAX_HOPS = 8
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS (operators/graph.py:bfs_levels — per-hop
+    frontier⋈edges join + visited anti-join, O(1) driver state) over
+    the part key-decade tree (parent ⌊k/10⌋ → child k, the
+    sql_recursive_subtree_rollup hierarchy read downward), seeded at
+    the single-digit roots: dist(p_k) = digits(k) − 1, depth ≤
+    {BFS_MAX_HOPS}. All-integer result, so the recursive-CTE oracle
+    (min dist per node) matches exactly."""
+    from ..operators.graph import bfs_levels
+
+    part = t(spark, sf_dir, "part").select("p_partkey")
+    edges = part.filter(F.col("p_partkey") >= 10).select(
+        F.concat(
+            F.lit("p"), F.expr("p_partkey div 10").cast("string")
+        ).alias("src"),
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("dst"),
+    )
+    seeds = part.filter(F.col("p_partkey") < 10).select(
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("node")
+    )
+    out = bfs_levels(edges, seeds, max_hops=BFS_MAX_HOPS)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+ORACLE_BFS_LEVELS = f"""
+WITH RECURSIVE e AS (
+  SELECT 'p' || CAST(p_partkey // 10 AS VARCHAR) AS src,
+         'p' || CAST(p_partkey AS VARCHAR) AS dst
+  FROM part WHERE p_partkey >= 10
+),
+seeds AS (
+  SELECT 'p' || CAST(p_partkey AS VARCHAR) AS node
+  FROM part WHERE p_partkey < 10
+),
+r(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.node = e.src
+  WHERE r.dist < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(dist) AS INT) AS dist FROM r GROUP BY node
+"""
+
 
 def _gapfill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse per-(event_type, hour) int-cents sums — the aggregated
@@ -1672,6 +1718,7 @@ QUERIES = {
     "streaming_static_enrich_counts": streaming_static_enrich_counts,
     "ts_gapfill_locf": ts_gapfill_locf,
     "ts_gapfill_linear": ts_gapfill_linear,
+    "graph_bfs_levels": graph_bfs_levels,
 }
 
 ORACLE = {
@@ -1701,4 +1748,5 @@ ORACLE = {
     "streaming_static_enrich_counts": ORACLE_STATIC_ENRICH,
     "ts_gapfill_locf": ORACLE_GAPFILL_LOCF,
     "ts_gapfill_linear": ORACLE_GAPFILL_LINEAR,
+    "graph_bfs_levels": ORACLE_BFS_LEVELS,
 }

@@ -12,7 +12,7 @@ import pytest
 
 import pyspark.sql.functions as F
 
-from spotify_etl_aws_spark.operators.graph import pagerank
+from spotify_etl_aws_spark.operators.graph import bfs_levels, pagerank
 
 
 def ref_pagerank(edges, iterations=10, d=0.85, teleport=None, weights=None):
@@ -200,3 +200,68 @@ def test_personalized_teleport_matches_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     uniform = ref_pagerank(EDGES, iterations=7)
     assert got["a"] > uniform["a"]  # seed bias is visible
+
+
+def ref_bfs(edges, seeds, max_hops=10, directed=True):
+    adj: dict = {}
+    for u, v in set(edges):
+        adj.setdefault(u, set()).add(v)
+        if not directed:
+            adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+BFS_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "b"),  # cycle b-c-d
+    ("a", "e"), ("x", "y"),                          # y unreachable from a
+]
+
+
+def test_bfs_matches_reference_directed_and_undirected(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    for directed in (True, False):
+        got = {
+            r.node: r.dist
+            for r in bfs_levels(df, seeds, directed=directed).collect()
+        }
+        want = ref_bfs(BFS_EDGES, ["a"], directed=directed)
+        assert got == want, directed
+    # directed: x/y never reached; undirected: still a separate component
+    assert "y" not in ref_bfs(BFS_EDGES, ["a"], directed=True)
+
+
+def test_bfs_max_hops_and_seed_not_in_graph(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a",), ("ghost",)], "node string"
+    )
+    got = {
+        r.node: r.dist for r in bfs_levels(df, seeds, max_hops=1).collect()
+    }
+    # one hop only; detached seed still reported at dist 0
+    assert got == {"a": 0, "ghost": 0, "b": 1, "e": 1}
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_levels(df, seeds, max_hops=-1)
+
+
+def test_bfs_multi_seed_takes_min_distance(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+    got = {r.node: r.dist for r in bfs_levels(df, seeds).collect()}
+    want = ref_bfs(BFS_EDGES, ["a", "c"])
+    assert got == want
+    assert got["d"] == 1  # via c, not a->b->c->d
