@@ -1279,6 +1279,44 @@ GAPFILL_MIN_VALUE = 200.0
 BFS_MAX_HOPS = 8
 
 
+def reshape_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (DataFrame ``unpivot``, the wide→long reshape —
+    agg_pivot's inverse surface): per-nation customer metrics
+    (count, int-cents balance sum, min/max cents) melted to
+    (nation, metric, val) long form. All-BIGINT measures so the melt
+    is hash-exact; the oracle is the UNION ALL expansion."""
+    cust = t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(cents).alias("sum_cents"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+    return wide.unpivot(
+        ["c_nationkey"],
+        ["n_cust", "sum_cents", "min_cents", "max_cents"],
+        "metric",
+        "val",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH w AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(min(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+         CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_cents
+  FROM customer GROUP BY 1
+)
+SELECT c_nationkey, 'n_cust' AS metric, n_cust AS val FROM w
+UNION ALL SELECT c_nationkey, 'sum_cents', sum_cents FROM w
+UNION ALL SELECT c_nationkey, 'min_cents', min_cents FROM w
+UNION ALL SELECT c_nationkey, 'max_cents', max_cents FROM w
+"""
+
+
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop BFS (operators/graph.py:bfs_levels — per-hop
     frontier⋈edges join + visited anti-join, O(1) driver state) over
@@ -1719,6 +1757,7 @@ QUERIES = {
     "ts_gapfill_locf": ts_gapfill_locf,
     "ts_gapfill_linear": ts_gapfill_linear,
     "graph_bfs_levels": graph_bfs_levels,
+    "reshape_unpivot_melt": reshape_unpivot_melt,
 }
 
 ORACLE = {
@@ -1749,4 +1788,5 @@ ORACLE = {
     "ts_gapfill_locf": ORACLE_GAPFILL_LOCF,
     "ts_gapfill_linear": ORACLE_GAPFILL_LINEAR,
     "graph_bfs_levels": ORACLE_BFS_LEVELS,
+    "reshape_unpivot_melt": ORACLE_UNPIVOT,
 }
