@@ -1278,6 +1278,96 @@ GAPFILL_MIN_VALUE = 200.0
 
 BFS_MAX_HOPS = 8
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+RETENTION_PERIOD_DAYS = 7
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel (operators/events_analytics.py:funnel):
+    users completing view → click → purchase, each step strictly
+    after the previous conversion time. All-integer counts; the
+    oracle chains the same min-after-previous self-joins."""
+    from ..operators.events_analytics import funnel
+
+    return funnel(t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+ORACLE_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t GROUP BY 1
+)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_type,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle retention (operators/events_analytics.py:
+    retention_cohorts): {RETENTION_PERIOD_DAYS}-day cohorts anchored
+    at the global first event date; active_users per (cohort,
+    offset). All-integer; the oracle replays the same bucketing."""
+    from ..operators.events_analytics import retention_cohorts
+
+    return retention_cohorts(
+        t(spark, sf_dir, "events"), period_days=RETENTION_PERIOD_DAYS
+    )
+
+
+ORACLE_RETENTION = f"""
+WITH a AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+k AS (
+  SELECT user_id AS u,
+         CAST(floor(datediff('day', a.d0, CAST(ts AS DATE))
+                    / {RETENTION_PERIOD_DAYS}) AS INT) AS p
+  FROM events, a
+),
+f AS (SELECT u, min(p) AS cohort FROM k GROUP BY 1),
+act AS (SELECT DISTINCT u, p FROM k)
+SELECT (SELECT d0 FROM a) + f.cohort * {RETENTION_PERIOD_DAYS}
+         AS cohort_start,
+       act.p - f.cohort AS offset,
+       count(DISTINCT act.u) AS active_users
+FROM act JOIN f USING (u)
+GROUP BY 1, 2
+"""
+
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-flow bigram matrix (operators/events_analytics.py:
+    type_transitions): consecutive per-user (prev_type, next_type)
+    counts in (ts, event_id) order — deterministic because event_id
+    breaks timestamp ties identically on both engines."""
+    from ..operators.events_analytics import type_transitions
+
+    return type_transitions(t(spark, sf_dir, "events"))
+
+
+ORACLE_TRANSITIONS = """
+WITH o AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events
+)
+SELECT prev AS prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
 
 def reshape_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt (DataFrame ``unpivot``, the wide→long reshape —
@@ -1758,6 +1848,9 @@ QUERIES = {
     "ts_gapfill_linear": ts_gapfill_linear,
     "graph_bfs_levels": graph_bfs_levels,
     "reshape_unpivot_melt": reshape_unpivot_melt,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "events_transitions": events_transitions,
 }
 
 ORACLE = {
@@ -1789,4 +1882,7 @@ ORACLE = {
     "ts_gapfill_linear": ORACLE_GAPFILL_LINEAR,
     "graph_bfs_levels": ORACLE_BFS_LEVELS,
     "reshape_unpivot_melt": ORACLE_UNPIVOT,
+    "events_funnel": ORACLE_FUNNEL,
+    "events_retention": ORACLE_RETENTION,
+    "events_transitions": ORACLE_TRANSITIONS,
 }
