@@ -1278,6 +1278,75 @@ GAPFILL_MIN_VALUE = 200.0
 
 BFS_MAX_HOPS = 8
 
+RH_BITS = 16
+RH_BANDS = 4
+RH_SEED = "rh-v1"
+RH_THRESHOLD = 0.45  # EMB_DUP_THRESHOLD — the IVF lane's cut
+
+
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs
+    (operators/embedding_lsh.py — the fit-free SimHash-for-vectors
+    rung next to the learned-IVF lane, same 0.45 verify cut): md5-
+    derived Rademacher planes (engine-regenerable), {RH_BITS}-bit
+    signatures in {RH_BANDS} bands, exact-cosine verification. The
+    oracle regenerates planes/signatures/bands relationally and
+    verifies with list_dot_product. Sign margins probed
+    (1.1e-4/3.2e-4/5.2e-5 min |⟨w,x⟩|, vs ~1e-14 drift); threshold
+    margin ≥ 1.4e-4; 4dp rounding margin ≥ 1.8e-3 grid units."""
+    from ..operators.embedding_lsh import embedding_lsh_pairs
+    from .vector import _embeddings
+
+    pairs = embedding_lsh_pairs(
+        _embeddings(spark, sf_dir),
+        RH_THRESHOLD,
+        n_bits=RH_BITS,
+        bands=RH_BANDS,
+        seed=RH_SEED,
+    )
+    return pairs.select(
+        "vec_a", "vec_b", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine")
+    )
+
+
+ORACLE_EMB_LSH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+w AS (
+  SELECT i.i AS i, j.j AS j,
+         CASE WHEN CAST('0x' || substr(md5('{RH_SEED}:' || i.i || ':' || j.j),
+                         1, 15) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM unnest(range(0, {RH_BITS})) i(i),
+       unnest(range(0, 64)) j(j)
+),
+proj AS (
+  SELECT e.vec_id, w.i, sum(w.s * e.v[w.j + 1]) AS p
+  FROM e, w GROUP BY 1, 2
+),
+bandv AS (
+  SELECT vec_id, i // {RH_BITS // RH_BANDS} AS band,
+         string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY i) AS bv
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bandv a
+  JOIN bandv b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))), 4) + 0.0 AS cosine
+FROM cand
+JOIN e ea ON vec_a = ea.vec_id
+JOIN e eb ON vec_b = eb.vec_id
+WHERE list_dot_product(ea.v, eb.v)
+      / (sqrt(list_dot_product(ea.v, ea.v))
+         * sqrt(list_dot_product(eb.v, eb.v))) >= {RH_THRESHOLD}
+"""
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 RETENTION_PERIOD_DAYS = 7
 
@@ -1851,6 +1920,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_transitions": events_transitions,
+    "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
 }
 
 ORACLE = {
@@ -1885,4 +1955,5 @@ ORACLE = {
     "events_funnel": ORACLE_FUNNEL,
     "events_retention": ORACLE_RETENTION,
     "events_transitions": ORACLE_TRANSITIONS,
+    "dedup_embedding_lsh_pairs": ORACLE_EMB_LSH,
 }
