@@ -1888,6 +1888,98 @@ it{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.py:scd2_compress —
+    the warehouse temporal op the reference's latest-only dims imply;
+    SURVEY.md §3.2): per-user DAILY snapshot (last event_type of the
+    day, (ts, event_id) tie-break) run-length-compressed into
+    versioned [valid_from, valid_to) rows with an is_current flag.
+    All columns integer/date/string/bool — hash-exact; the oracle
+    replays snapshot → change-flag → version → min/lead relationally.
+    """
+    from ..operators.scd import scd2_compress
+
+    ev = t(spark, sf_dir, "events")
+    snap = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.max_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("event_type")
+        )
+    )
+    return scd2_compress(snap, ["user_id"], ["event_type"], "day")
+
+
+ORACLE_SCD2 = """
+WITH r AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+snap AS (SELECT user_id, day, event_type FROM r WHERE rn = 1),
+v AS (
+  SELECT user_id, day, event_type,
+         CASE WHEN lag(day) OVER w IS NULL
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS flag
+  FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+ver AS (
+  SELECT user_id, day, event_type,
+         CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY day)
+              AS BIGINT) AS version
+  FROM v
+),
+hist AS (
+  SELECT user_id, event_type, version, min(day) AS valid_from
+  FROM ver GROUP BY user_id, event_type, version
+)
+SELECT user_id, event_type, version, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins apply (operators/scd.py:apply_cdc): the events
+    stream read as a change feed — 'error' rows are tombstones, every
+    other event upserts the user's (event_type, int-cents value).
+    max_by(struct, struct) partial aggregation, NO window sort (plan
+    test pins it); users whose final event is a tombstone are absent.
+    """
+    from ..operators.scd import apply_cdc
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return apply_cdc(ev, ["user_id"], ["ts", "event_id"], "op")
+
+
+ORACLE_CDC = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts, event_id, event_type, cents
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -1921,6 +2013,8 @@ QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
     "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
+    "dim_scd2_history": dim_scd2_history,
+    "cdc_latest_snapshot": cdc_latest_snapshot,
 }
 
 ORACLE = {
@@ -1956,4 +2050,6 @@ ORACLE = {
     "events_retention": ORACLE_RETENTION,
     "events_transitions": ORACLE_TRANSITIONS,
     "dedup_embedding_lsh_pairs": ORACLE_EMB_LSH,
+    "dim_scd2_history": ORACLE_SCD2,
+    "cdc_latest_snapshot": ORACLE_CDC,
 }
