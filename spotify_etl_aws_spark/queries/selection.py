@@ -1980,6 +1980,62 @@ FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+IVL_BIN_DAYS = 32  # ~ the 1..30-day ship->receipt transit length
+IVL_EPOCH = "1990-01-01"
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (operators/intervals.py — the
+    big-big ranges-on-both-sides shape join_range_binned's point
+    variant can't express): per supplier, the number of lineitem
+    PAIRS whose ship->receipt transit windows overlap — a concurrency
+    measure. Binned equi-join with the count-once filter (no
+    distinct); the oracle runs the naive theta join. All-integer.
+    The fixture carries no l_receiptdate, so the transit length is
+    the deterministic 1 + iid % 30 days (TPC-H's receipt = ship +
+    1..30 convention) — identical integer math on both engines.
+    """
+    from ..operators.intervals import interval_overlap_join
+
+    day = lambda c: F.datediff(F.col(c), F.to_date(F.lit(IVL_EPOCH)))
+    iv = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+            day("l_shipdate").cast("long").alias("ds"),
+        )
+        .withColumn("de", F.col("ds") + 1 + F.col("iid") % 30)
+    )
+    a = iv.select("l_suppkey", F.col("iid").alias("id_a"),
+                  F.col("ds").alias("s_a"), F.col("de").alias("e_a"))
+    b = iv.select("l_suppkey", F.col("iid").alias("id_b"),
+                  F.col("ds").alias("s_b"), F.col("de").alias("e_b"))
+    pairs = interval_overlap_join(
+        a, b, "s_a", "e_a", "s_b", "e_b",
+        on=["l_suppkey"], bin_size=IVL_BIN_DAYS,
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_overlaps")
+    )
+
+
+ORACLE_IVL_OVERLAP = f"""
+WITH iv AS (
+  SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS iid,
+         datediff('day', DATE '{IVL_EPOCH}', l_shipdate) AS s,
+         datediff('day', DATE '{IVL_EPOCH}', l_shipdate)
+           + 1 + (l_orderkey * 10 + l_linenumber) % 30 AS e
+  FROM lineitem
+)
+SELECT a.l_suppkey AS l_suppkey, CAST(count(*) AS BIGINT) AS n_overlaps
+FROM iv a JOIN iv b
+  ON a.l_suppkey = b.l_suppkey AND a.iid < b.iid
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2015,6 +2071,7 @@ QUERIES = {
     "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
     "dim_scd2_history": dim_scd2_history,
     "cdc_latest_snapshot": cdc_latest_snapshot,
+    "join_interval_overlap": join_interval_overlap,
 }
 
 ORACLE = {
@@ -2052,4 +2109,5 @@ ORACLE = {
     "dedup_embedding_lsh_pairs": ORACLE_EMB_LSH,
     "dim_scd2_history": ORACLE_SCD2,
     "cdc_latest_snapshot": ORACLE_CDC,
+    "join_interval_overlap": ORACLE_IVL_OVERLAP,
 }
