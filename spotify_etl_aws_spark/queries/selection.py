@@ -2036,6 +2036,57 @@ GROUP BY 1
 """
 
 
+RANGE_WINDOW_DAYS = 90
+
+
+def window_time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (§2.5 — the frame family the
+    row-frame lanes don't cover): per order, the same customer's
+    trailing-{RANGE_WINDOW_DAYS}-day order count and int-cents spend,
+    RANGE BETWEEN N PRECEDING AND CURRENT ROW over epoch-day longs.
+    RANGE frames include orderdate PEERS, so same-day orders agree on
+    both engines regardless of intra-day order — no tie-break needed.
+    All-integer.
+    """
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit(IVL_EPOCH))
+    ).cast("long")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-RANGE_WINDOW_DAYS, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        F.count("*").over(w).alias("n_win"),
+        F.sum("cents").over(w).alias("cents_win"),
+    )
+
+
+ORACLE_RANGE_WINDOW = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '{IVL_EPOCH}', CAST(o_orderdate AS DATE)) AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, d,
+       CAST(count(*) OVER w AS BIGINT) AS n_win,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_win
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN {RANGE_WINDOW_DAYS} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2072,6 +2123,7 @@ QUERIES = {
     "dim_scd2_history": dim_scd2_history,
     "cdc_latest_snapshot": cdc_latest_snapshot,
     "join_interval_overlap": join_interval_overlap,
+    "window_time_range_agg": window_time_range_agg,
 }
 
 ORACLE = {
@@ -2110,4 +2162,5 @@ ORACLE = {
     "dim_scd2_history": ORACLE_SCD2,
     "cdc_latest_snapshot": ORACLE_CDC,
     "join_interval_overlap": ORACLE_IVL_OVERLAP,
+    "window_time_range_agg": ORACLE_RANGE_WINDOW,
 }
