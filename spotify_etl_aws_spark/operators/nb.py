@@ -1,0 +1,124 @@
+"""Multinomial Naive Bayes text classifier — the one-pass trainable
+stand-in for the fastText-style language/quality filters every
+large-corpus curation pipeline runs (CCNet's fastText lang-id, the
+GPT-3 quality classifier; north-star §2.11c). DSIR reweights by
+hashed-n-gram ratios; this is its SUPERVISED sibling: fit per-class
+token log-likelihoods in one aggregation pass, score by a broadcast
+join — no SGD, no Python in the hot path.
+
+Model: add-alpha multinomial NB over lowercased whitespace tokens
+(``functions/text.py:tokens``). ``logp(tok|c) = ln((n_{tok,c} + a) /
+(n_c + a*V))`` over the FULL vocab x class grid (zero cells get the
+smoothed floor — a broadcast-size cross join, vocab x classes);
+``prior(c) = ln(N_c / N)``.
+
+Scale posture (100 TB): training is one (token, label) groupBy with
+map-side combine — shuffle bounded by vocab x classes, not corpus
+size; the model and priors are vocab-sized and broadcast to the
+scorers. Scoring explodes docs to distinct-token counts (one shuffle
+keyed by doc), broadcast-joins the model, and reduces per (doc,
+class); the arg-max is a 1-per-class-rows window per doc sharing the
+scoring shuffle's partitioning. Unknown-at-scoring tokens carry no
+signal and are dropped (standard NB practice; documented contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _doc_tokens(docs: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    return (
+        docs.select(*id_cols, F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the model. Returns ``(token_logp, priors)``:
+    ``token_logp`` = (token, label, logp) over the full vocab x class
+    grid; ``priors`` = (label, logprior). Both are vocab/class-sized —
+    broadcast them at scoring time."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    toks = _doc_tokens(docs, [label_col], text_col)
+    counts = toks.groupBy("token", label_col).agg(
+        F.count("*").alias("cnt")
+    )
+    class_tot = toks.groupBy(label_col).agg(F.count("*").alias("tot"))
+    vocab = counts.select("token").distinct()
+    # V is a single driver scalar (vocab cardinality) — bounded model
+    # state, same posture as the sketch merges
+    v_size = vocab.count()
+    # deliberate vocab x classes expansion; the class side is
+    # |classes| rows, so broadcast it rather than a CartesianProduct
+    grid = vocab.crossJoin(F.broadcast(class_tot))
+    token_logp = (
+        grid.join(counts, ["token", label_col], "left")
+        .select(
+            "token",
+            label_col,
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.col("tot") + F.lit(alpha * v_size))
+            ).alias("logp"),
+        )
+    )
+    n_docs = docs.count()
+    priors = docs.groupBy(label_col).agg(
+        F.log(F.count("*") / F.lit(float(n_docs))).alias("logprior")
+    )
+    return token_logp, priors
+
+
+def nb_classify(
+    docs: DataFrame,
+    token_logp: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """(id, predicted label, score): the arg-max class per document,
+    score = logprior + sum over the doc's known tokens of
+    count * logp. Ties break to the smallest label. Documents with NO
+    in-vocab tokens are absent (no evidence — filter upstream or
+    union a priors-only default if they must classify).
+    ``score_decimals`` ranks (and emits) ROUNDED scores — the house
+    engine-portability convention for oracle-checked cuts."""
+    doc_toks = _doc_tokens(docs, [id_col], text_col).groupBy(
+        id_col, "token"
+    ).agg(F.count("*").alias("n_t"))
+    scored = (
+        doc_toks.join(F.broadcast(token_logp), "token")
+        .groupBy(id_col, label_col)
+        .agg(F.sum(F.col("n_t") * F.col("logp")).alias("ll"))
+        .join(F.broadcast(priors), label_col)
+        .select(
+            id_col,
+            label_col,
+            (F.col("ll") + F.col("logprior")).alias("score"),
+        )
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn(
+            "score", F.round("score", score_decimals) + F.lit(0.0)
+        )
+    w = W.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col(label_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -2087,6 +2087,80 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY d
 """
 
 
+NB_DECIMALS = 4
+
+
+def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (operators/nb.py —
+    the one-pass trainable stand-in for CCNet/fastText-style corpus
+    filters; DSIR's supervised sibling): fit add-1 NB on (lang, text)
+    over whitespace tokens, classify the same corpus, emit the
+    arg-max lang and its {NB_DECIMALS}dp score. Ranking is on ROUNDED
+    scores with a lang tie-break per house convention; the oracle
+    refits the identical model relationally. Margins probed per
+    fixture (top-2 gap and 4dp grid distance vs ~1e-12 drift)."""
+    from ..operators.nb import nb_classify, nb_train
+
+    docs = t(spark, sf_dir, "documents")
+    token_logp, priors = nb_train(docs, text_col="text", label_col="lang")
+    out = nb_classify(
+        docs,
+        token_logp,
+        priors,
+        id_col="doc_id",
+        text_col="text",
+        label_col="lang",
+        score_decimals=NB_DECIMALS,
+    )
+    return out.select(
+        "doc_id", F.col("lang").alias("pred_lang"), "score"
+    )
+
+
+ORACLE_NB = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, t.term AS token
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+counts AS (SELECT token, lang, count(*) AS cnt FROM toks GROUP BY 1, 2),
+class_tot AS (SELECT lang, count(*) AS tot FROM toks GROUP BY 1),
+vocab AS (SELECT DISTINCT token FROM counts),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM vocab),
+logp AS (
+  SELECT g.token, g.lang,
+         ln((coalesce(c.cnt, 0) + 1.0) / (g.tot + 1.0 * v.vs)) AS logp
+  FROM (SELECT token, lang, tot FROM vocab CROSS JOIN class_tot) g
+  LEFT JOIN counts c ON g.token = c.token AND g.lang = c.lang
+  CROSS JOIN v
+),
+priors AS (
+  SELECT lang,
+         ln(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE))
+           AS logprior
+  FROM documents GROUP BY 1
+),
+doc_toks AS (SELECT doc_id, token, count(*) AS n_t FROM toks GROUP BY 1, 2),
+sc AS (
+  SELECT dt.doc_id, lp.lang, sum(dt.n_t * lp.logp) AS ll
+  FROM doc_toks dt JOIN logp lp ON dt.token = lp.token
+  GROUP BY 1, 2
+),
+scf AS (
+  SELECT sc.doc_id, sc.lang,
+         round(sc.ll + p.logprior, {NB_DECIMALS}) + 0.0 AS score
+  FROM sc JOIN priors p ON sc.lang = p.lang
+),
+r AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM scf
+)
+SELECT doc_id, lang AS pred_lang, score FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2124,6 +2198,7 @@ QUERIES = {
     "cdc_latest_snapshot": cdc_latest_snapshot,
     "join_interval_overlap": join_interval_overlap,
     "window_time_range_agg": window_time_range_agg,
+    "text_nb_lang_classifier": text_nb_lang_classifier,
 }
 
 ORACLE = {
@@ -2163,4 +2238,5 @@ ORACLE = {
     "cdc_latest_snapshot": ORACLE_CDC,
     "join_interval_overlap": ORACLE_IVL_OVERLAP,
     "window_time_range_agg": ORACLE_RANGE_WINDOW,
+    "text_nb_lang_classifier": ORACLE_NB,
 }
