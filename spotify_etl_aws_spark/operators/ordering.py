@@ -96,6 +96,33 @@ def assign_token_shards(
     """
     if shard_tokens < 1:
         raise ValueError(f"shard_tokens must be >= 1, got {shard_tokens}")
+    # integral `div`, not floor(a / b): double division can round a
+    # boundary-exact quotient up a whole shard at extreme magnitudes
+    return (
+        _epoch_cum_before(
+            df, seed, tokens_col, id_col, num_range_parts, order_fn
+        )
+        .withColumn(
+            "shard_id", F.expr(f"__cum div {int(shard_tokens)}")
+        )
+        .drop("__order", "__pid", "__cum")
+    )
+
+
+def _epoch_cum_before(
+    df: DataFrame,
+    seed: int,
+    tokens_col: str,
+    id_col: str,
+    num_range_parts: int,
+    order_fn,
+) -> DataFrame:
+    """Epoch-ordered frame + exact ``__cum`` (tokens strictly before
+    the row in training order) via the distributed prefix-sum: range
+    partition + localCheckpoint, per-partition totals prefix-summed
+    on the driver (``num_range_parts`` scalars), per-partition window
+    adds the offset. Leaves ``__order``/``__pid``/``__cum`` for the
+    caller to consume and drop."""
     from pyspark.sql import Window as W
 
     key = (order_fn or order_key)(seed, id_col).alias("__order")
@@ -134,13 +161,56 @@ def assign_token_shards(
     cum_before = F.coalesce(
         F.sum(tokens_col).over(w), F.lit(0).cast("long")
     ) + F.element_at(offset_map, F.col("__pid"))
-    # integral `div`, not floor(a / b): double division can round a
-    # boundary-exact quotient up a whole shard at extreme magnitudes
+    return parts.withColumn("__cum", cum_before.cast("long"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    seed: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_range_parts: int = 32,
+    order_fn=None,
+) -> DataFrame:
+    """GPT-style concat-and-split sequence packing: lay the epoch-
+    ordered token stream end-to-end and cut fixed ``seq_len``
+    windows; emit one row per (document, sequence it spans) with the
+    exact span arithmetic a data loader needs to assemble batches:
+
+    - ``seq_id``      — the training sequence (0-based),
+    - ``seq_start``   — where the chunk begins INSIDE the sequence,
+    - ``doc_offset``  — where the chunk begins inside the document,
+    - ``n_in_seq``    — chunk length.
+
+    Every sequence except the last is exactly full (sum of its
+    ``n_in_seq`` = ``seq_len``) and every document's chunks partition
+    its tokens — no padding waste, documents crossing boundaries are
+    split (the trainer's attention mask handles the joins, as in GPT
+    pretraining). Zero-token documents produce no rows.
+
+    Scale shape: the same distributed prefix sum as
+    ``assign_token_shards`` (no single-partition window), then a
+    per-row explode of ``len/seq_len + 1`` sequence spans — fully
+    map-side after the one range exchange.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    parts = _epoch_cum_before(
+        df, seed, tokens_col, id_col, num_range_parts, order_fn
+    )
+    n = F.col(tokens_col).cast("long")
+    first = F.expr(f"__cum div {int(seq_len)}")
+    last = F.expr(f"(__cum + {tokens_col} - 1) div {int(seq_len)}")
+    seq_lo = F.col("seq_id") * seq_len
+    chunk_start = F.greatest(F.col("__cum"), seq_lo)
+    chunk_end = F.least(F.col("__cum") + n, seq_lo + seq_len)
     return (
-        parts.withColumn("__cum", cum_before.cast("long"))
-        .withColumn(
-            "shard_id", F.expr(f"__cum div {int(shard_tokens)}")
-        )
+        parts.filter(n > 0)
+        .withColumn("seq_id", F.explode(F.sequence(first, last)))
+        .withColumn("seq_start", chunk_start - seq_lo)
+        .withColumn("doc_offset", chunk_start - F.col("__cum"))
+        .withColumn("n_in_seq", chunk_end - chunk_start)
         .drop("__order", "__pid", "__cum")
     )
 

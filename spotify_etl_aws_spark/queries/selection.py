@@ -2161,6 +2161,72 @@ SELECT doc_id, lang AS pred_lang, score FROM r WHERE rn = 1
 """
 
 
+PACK_SEQ_LEN = 2048
+PACK_SEED = 5
+
+
+def order_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split sequence packing
+    (operators/ordering.py:pack_sequences): the document corpus laid
+    end-to-end in portable-md5 epoch order and cut into
+    {PACK_SEQ_LEN}-token training sequences — one row per (document,
+    sequence spanned) with seq_start / doc_offset / n_in_seq span
+    arithmetic. Same distributed exact prefix sum as
+    order_token_shards; the oracle re-derives it with one window +
+    unnest(range(...)). All-integer."""
+    from ..operators.ordering import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    out = pack_sequences(
+        docs, PACK_SEQ_LEN, PACK_SEED, order_fn=_md5_order
+    )
+    return out.select(
+        "doc_id", "n_tokens", "seq_id", "seq_start", "doc_offset",
+        "n_in_seq",
+    )
+
+
+ORACLE_PACK_SEQ = rf"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tokens,
+         md5('{PACK_SEED}' || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum
+  FROM d
+),
+x AS (
+  SELECT doc_id, n_tokens, cum, s.seq_id
+  FROM c, unnest(range(cum // {PACK_SEQ_LEN},
+                       (cum + n_tokens - 1) // {PACK_SEQ_LEN} + 1))
+         AS s(seq_id)
+  WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(cum, seq_id * {PACK_SEQ_LEN})
+            - seq_id * {PACK_SEQ_LEN} AS BIGINT) AS seq_start,
+       CAST(greatest(cum, seq_id * {PACK_SEQ_LEN}) - cum AS BIGINT)
+         AS doc_offset,
+       CAST(least(cum + n_tokens, (seq_id + 1) * {PACK_SEQ_LEN})
+            - greatest(cum, seq_id * {PACK_SEQ_LEN}) AS BIGINT)
+         AS n_in_seq
+FROM x
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2199,6 +2265,7 @@ QUERIES = {
     "join_interval_overlap": join_interval_overlap,
     "window_time_range_agg": window_time_range_agg,
     "text_nb_lang_classifier": text_nb_lang_classifier,
+    "order_pack_sequences": order_pack_sequences,
 }
 
 ORACLE = {
@@ -2239,4 +2306,5 @@ ORACLE = {
     "join_interval_overlap": ORACLE_IVL_OVERLAP,
     "window_time_range_agg": ORACLE_RANGE_WINDOW,
     "text_nb_lang_classifier": ORACLE_NB,
+    "order_pack_sequences": ORACLE_PACK_SEQ,
 }
