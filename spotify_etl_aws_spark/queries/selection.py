@@ -2227,6 +2227,74 @@ FROM x
 """
 
 
+DIFF_REMOVE_MOD = 97  # keys absent from the OLD snapshot ('added')
+DIFF_CHANGE_MOD = 13  # keys whose segment mutates in NEW ('changed')
+
+
+def dim_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.py:snapshot_diff — the
+    what-changed-since-yesterday audit the reference's overwrite-only
+    dims can't answer): two deterministic customer snapshots — OLD
+    drops custkey % {DIFF_REMOVE_MOD} == 0, NEW rewrites the segment
+    of custkey % {DIFF_CHANGE_MOD} == 0 — full-outer diffed into
+    added/removed/changed/unchanged plus per-row changed-column
+    lists. One hash join; all string/int, hash-exact."""
+    from ..operators.diff import snapshot_diff
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    old = cust.filter(F.col("c_custkey") % DIFF_REMOVE_MOD != 0)
+    new = cust.withColumn(
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % DIFF_CHANGE_MOD == 0, F.lit("CHANGED")
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    return snapshot_diff(
+        old, new, ["c_custkey"], ["c_mktsegment", "c_nationkey"]
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH o AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+  WHERE c_custkey % {DIFF_REMOVE_MOD} <> 0
+),
+n AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % {DIFF_CHANGE_MOD} = 0 THEN 'CHANGED'
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_nationkey
+  FROM customer
+),
+j AS (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_mktsegment AS c_mktsegment_old,
+         o.c_nationkey AS c_nationkey_old,
+         n.c_mktsegment AS c_mktsegment_new,
+         n.c_nationkey AS c_nationkey_new,
+         o.c_custkey IS NULL AS is_added,
+         n.c_custkey IS NULL AS is_removed,
+         o.c_mktsegment IS DISTINCT FROM n.c_mktsegment AS seg_chg,
+         o.c_nationkey IS DISTINCT FROM n.c_nationkey AS nat_chg
+  FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey, c_mktsegment_old, c_nationkey_old,
+       c_mktsegment_new, c_nationkey_new,
+       CASE WHEN is_added THEN 'added'
+            WHEN is_removed THEN 'removed'
+            WHEN seg_chg OR nat_chg THEN 'changed'
+            ELSE 'unchanged' END AS diff_status,
+       CASE WHEN NOT is_added AND NOT is_removed AND (seg_chg OR nat_chg)
+            THEN concat_ws(',',
+                   CASE WHEN seg_chg THEN 'c_mktsegment' END,
+                   CASE WHEN nat_chg THEN 'c_nationkey' END)
+            ELSE '' END AS changed_cols
+FROM j
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2266,6 +2334,7 @@ QUERIES = {
     "window_time_range_agg": window_time_range_agg,
     "text_nb_lang_classifier": text_nb_lang_classifier,
     "order_pack_sequences": order_pack_sequences,
+    "dim_snapshot_diff": dim_snapshot_diff,
 }
 
 ORACLE = {
@@ -2307,4 +2376,5 @@ ORACLE = {
     "window_time_range_agg": ORACLE_RANGE_WINDOW,
     "text_nb_lang_classifier": ORACLE_NB,
     "order_pack_sequences": ORACLE_PACK_SEQ,
+    "dim_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
 }
