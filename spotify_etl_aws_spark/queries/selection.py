@@ -2295,6 +2295,61 @@ FROM j
 """
 
 
+SESSION_WINDOW_GAP_MIN = 30
+
+
+def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SESSION WINDOW aggregation (F.session_window — the
+    SessionWindow exec node; the custom-state sessionize lanes cover
+    the semantics, this covers Spark's BUILT-IN surface): per-user
+    gap-merged sessions over events with count + int-cents value sum.
+    Spark merges when the gap is <= {SESSION_WINDOW_GAP_MIN} min
+    (verified empirically: an exactly-gap-sized step stays in the
+    session), so the islands oracle breaks strictly-greater. Session
+    end = last event + gap."""
+    gap = f"{SESSION_WINDOW_GAP_MIN} minutes"
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = ev.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("cents_sum"),
+    )
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "cents_sum",
+    )
+
+
+ORACLE_SESSION_WINDOW = f"""
+WITH o AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w
+                   > INTERVAL {SESSION_WINDOW_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, cents,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts)
+              AS BIGINT) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_WINDOW_GAP_MIN} MINUTE
+         AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2335,6 +2390,7 @@ QUERIES = {
     "text_nb_lang_classifier": text_nb_lang_classifier,
     "order_pack_sequences": order_pack_sequences,
     "dim_snapshot_diff": dim_snapshot_diff,
+    "agg_session_window": agg_session_window,
 }
 
 ORACLE = {
@@ -2377,4 +2433,5 @@ ORACLE = {
     "text_nb_lang_classifier": ORACLE_NB,
     "order_pack_sequences": ORACLE_PACK_SEQ,
     "dim_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "agg_session_window": ORACLE_SESSION_WINDOW,
 }

@@ -54,7 +54,12 @@ def oracle_con(sf_dir):
 
 
 def _cell(v) -> str:
-    if v is None:
+    # pd.isna covers None, float NaN, AND pd.NaT — a null date/timestamp
+    # arrives as None from Spark but NaT from DuckDB's datetime64 column;
+    # both must normalize to the same marker (same guard as tools/sweep.py)
+    if v is None or (
+        not isinstance(v, (str, bytes, list)) and pd.isna(v)
+    ):
         return "\\N"
     if isinstance(v, float):
         if math.isnan(v):
