@@ -91,17 +91,17 @@ def scd2_compress(
     )
 
 
-def apply_cdc(
+def latest_by_key(
     df: DataFrame,
     key_cols: Sequence[str],
     seq_cols: Sequence[str],
-    op_col: str,
-    delete_op: str = "D",
 ) -> DataFrame:
-    """Change feed → latest snapshot, deletes applied.
+    """The latest row per key (greatest ``seq_cols`` tuple), ALL
+    columns kept — including any tombstone marker, which is what makes
+    this the mergeable kernel of CDC folding: latest-of-latest equals
+    latest-of-all (associative), so micro-batches can fold into a
+    running state without resurrecting deleted keys.
 
-    Per key the row with the greatest ``seq_cols`` tuple wins; if its
-    ``op_col`` equals ``delete_op`` the key is absent from the output.
     Implemented as ``max_by(struct(<all cols>), struct(seq_cols))`` —
     a partially-aggregating reduction (map-side combine), NOT a
     row_number window, so the change feed is never globally sorted.
@@ -115,9 +115,25 @@ def apply_cdc(
             F.struct(*[F.col(c) for c in seq_cols]),
         ).alias("__last")
     )
-    out = latest.select(
+    return latest.select(
         *key_cols, *[F.col(f"__last.{c}").alias(c) for c in payload]
     )
+
+
+def apply_cdc(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Change feed → latest snapshot, deletes applied.
+
+    Per key the row with the greatest ``seq_cols`` tuple wins; if its
+    ``op_col`` equals ``delete_op`` the key is absent from the output.
+    See ``latest_by_key`` for the shuffle posture.
+    """
+    out = latest_by_key(df, key_cols, seq_cols)
     return out.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
 
 

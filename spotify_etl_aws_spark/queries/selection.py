@@ -2350,6 +2350,29 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (streaming/cdc.py:run_cdc_upsert — the
+    foreachBatch fold of cdc_latest_snapshot's change feed into a
+    persisted latest-wins state, tombstones kept in state so replayed
+    older changes can't resurrect deletes). The fold is associative,
+    so the final snapshot must equal the batch apply_cdc — the oracle
+    IS the batch lane's oracle."""
+    from ..streaming.cdc import run_cdc_upsert
+    from ..streaming.pipeline import read_table_stream
+
+    src = read_table_stream(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return run_cdc_upsert(src, ["user_id"], ["ts", "event_id"], "op")
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2391,6 +2414,7 @@ QUERIES = {
     "order_pack_sequences": order_pack_sequences,
     "dim_snapshot_diff": dim_snapshot_diff,
     "agg_session_window": agg_session_window,
+    "streaming_cdc_upsert": streaming_cdc_upsert,
 }
 
 ORACLE = {
@@ -2434,4 +2458,5 @@ ORACLE = {
     "order_pack_sequences": ORACLE_PACK_SEQ,
     "dim_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "agg_session_window": ORACLE_SESSION_WINDOW,
+    "streaming_cdc_upsert": ORACLE_CDC,
 }
