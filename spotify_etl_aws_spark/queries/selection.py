@@ -2373,6 +2373,47 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_cdc_upsert(src, ["user_id"], ["ts", "event_id"], "op")
 
 
+ZORDER_BITS = 16
+
+
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order/Morton layout keys (operators/zorder.py — the
+    Delta/Iceberg OPTIMIZE ZORDER clustering primitive; sorting by
+    this key gives every parquet file a tight min/max bounding box in
+    BOTH dimensions, the 100 TB scan-pruning lever): interleaved
+    (p_size, int-cents price-bucket) bits for every part. Pure
+    integer shift/mask arithmetic — the oracle re-derives the
+    interleave with an unnest(range)-summed twin."""
+    from ..operators.zorder import zvalue
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("x"),
+        F.expr(
+            "CAST(round(p_retailprice * 100) AS BIGINT) div 1000"
+        ).alias("y"),
+    )
+    return p.select(
+        "p_partkey", "x", "y",
+        zvalue(["x", "y"], bits=ZORDER_BITS).alias("zval"),
+    )
+
+
+ORACLE_ZORDER = f"""
+WITH d AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+         CAST(round(p_retailprice * 100) AS BIGINT) // 1000 AS y
+  FROM part
+)
+SELECT p_partkey, x, y,
+       CAST(sum(((x >> i.i) & 1) * (CAST(1 AS BIGINT) << (2 * i.i))
+              + ((y >> i.i) & 1) * (CAST(1 AS BIGINT) << (2 * i.i + 1)))
+            AS BIGINT) AS zval
+FROM d, unnest(range(0, {ZORDER_BITS})) i(i)
+GROUP BY p_partkey, x, y
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2415,6 +2456,7 @@ QUERIES = {
     "dim_snapshot_diff": dim_snapshot_diff,
     "agg_session_window": agg_session_window,
     "streaming_cdc_upsert": streaming_cdc_upsert,
+    "layout_zorder_keys": layout_zorder_keys,
 }
 
 ORACLE = {
@@ -2459,4 +2501,5 @@ ORACLE = {
     "dim_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "agg_session_window": ORACLE_SESSION_WINDOW,
     "streaming_cdc_upsert": ORACLE_CDC,
+    "layout_zorder_keys": ORACLE_ZORDER,
 }
