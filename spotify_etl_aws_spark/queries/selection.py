@@ -2414,6 +2414,77 @@ GROUP BY p_partkey, x, y
 """
 
 
+QUANTILE_PROBES = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9,
+                   "p99": 0.99}
+QUANTILE_SAMPLES = 256
+
+
+def stats_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summary (operators/quantiles.py — the rank
+    rung of the sketch ladder next to MG/CM/HLL/Bloom) emitted as a
+    DETERMINISTIC two-sided rank contract over lineitem int-cents
+    prices: count(x <= est) >= target and count(x < est) < target + B
+    with B = sum_p (k_p - 1). Unlike the CM/HLL contracts the bound
+    is worst-case (no failure probability) and holds for ANY physical
+    partitioning, so the hard-coded-TRUE oracle is sound by theorem,
+    not by fixture; the estimate itself is partitioning-dependent and
+    deliberately NOT emitted."""
+    from ..operators.quantiles import (
+        estimate_quantiles,
+        quantile_summary,
+        summary_bounds,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    rows = [
+        r.asDict()
+        for r in quantile_summary(
+            li, "cents", samples=QUANTILE_SAMPLES
+        ).collect()
+    ]  # bounded driver state: partitions x samples rows
+    est, n = estimate_quantiles(rows, list(QUANTILE_PROBES.values()))
+    b, _ = summary_bounds(rows)
+    import math
+
+    probes = spark.createDataFrame(
+        [
+            (label, int(est[q]), max(1, math.ceil(q * n)))
+            for label, q in QUANTILE_PROBES.items()
+        ],
+        "q_label string, est long, target long",
+    )
+    return (
+        li.crossJoin(F.broadcast(probes))
+        .groupBy("q_label", "target")
+        .agg(
+            F.sum((F.col("cents") <= F.col("est")).cast("long")).alias(
+                "cnt_le"
+            ),
+            F.sum((F.col("cents") < F.col("est")).cast("long")).alias(
+                "cnt_lt"
+            ),
+        )
+        .select(
+            "q_label",
+            (F.col("cnt_le") >= F.col("target")).alias("est_not_too_small"),
+            (F.col("cnt_lt") < F.col("target") + F.lit(b)).alias(
+                "est_not_too_large"
+            ),
+        )
+    )
+
+
+# Unlike ORACLE_COUNTMIN's probabilistic TRUEs, these hold by the
+# deterministic worst-case theorem for EVERY partitioning/fixture —
+# a failure here is a code bug, full stop.
+ORACLE_QUANTILE = """
+SELECT t.q_label, TRUE AS est_not_too_small, TRUE AS est_not_too_large
+FROM (VALUES ('p25'), ('p50'), ('p75'), ('p90'), ('p99')) AS t(q_label)
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2457,6 +2528,7 @@ QUERIES = {
     "agg_session_window": agg_session_window,
     "streaming_cdc_upsert": streaming_cdc_upsert,
     "layout_zorder_keys": layout_zorder_keys,
+    "stats_quantile_contract": stats_quantile_contract,
 }
 
 ORACLE = {
@@ -2502,4 +2574,5 @@ ORACLE = {
     "agg_session_window": ORACLE_SESSION_WINDOW,
     "streaming_cdc_upsert": ORACLE_CDC,
     "layout_zorder_keys": ORACLE_ZORDER,
+    "stats_quantile_contract": ORACLE_QUANTILE,
 }
