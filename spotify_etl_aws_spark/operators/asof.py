@@ -51,11 +51,22 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tie_breakers: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (inclusive) as-of join. ``left`` and ``right`` must share
-    only the ``on`` key columns; right payload = every other right column
-    (including ``right_ts`` itself, so callers can read the matched time).
+    """As-of join, inclusive. ``direction='backward'`` (default)
+    attaches the LATEST right row at-or-before the left timestamp;
+    ``'forward'`` the EARLIEST right row at-or-after it (pandas
+    merge_asof's directions). Forward is the same one-exchange
+    composition with the scan order reversed — same cost. ``left``
+    and ``right`` must share only the ``on`` key columns; right
+    payload = every other right column (including ``right_ts`` itself,
+    so callers can read the matched time).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    fwd = direction == "forward"
     on_cols = [on] if isinstance(on, str) else list(on)
     left_payload = [c for c in left.columns if c not in on_cols]
     right_payload = [c for c in right.columns if c not in on_cols]
@@ -87,7 +98,13 @@ def asof_join(
     def _tb(c: str):  # tie-breakers naming right payload live inside the struct
         return F.col(f"{_PAY}.{c}") if c in right_payload else F.col(c)
 
-    order = [F.col(_ATS).asc(), F.col(_SIDE).asc()] + [
+    # forward: scan timestamps descending so "last right seen" is the
+    # EARLIEST right at-or-after; right still sorts before left at
+    # equal timestamps (side asc) to keep the join inclusive. Among
+    # tied right rows the carried payload is the latest in residual
+    # order either way, so tie_breakers keep their meaning.
+    ts_ord = F.col(_ATS).desc() if fwd else F.col(_ATS).asc()
+    order = [ts_ord, F.col(_SIDE).asc()] + [
         _tb(c).asc() for c in (tie_breakers or [])
     ]
     w = (

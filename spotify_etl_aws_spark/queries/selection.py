@@ -2485,6 +2485,40 @@ FROM (VALUES ('p25'), ('p50'), ('p75'), ('p90'), ('p99')) AS t(q_label)
 """
 
 
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward' —
+    pandas merge_asof's other direction, same one-exchange union +
+    running-last composition with the scan reversed): for each event,
+    the customer's EARLIEST order date at-or-after the event time —
+    the "next touchpoint" attribution shape. Oracle = the min()
+    correlated twin of join_asof's max()."""
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+    joined = asof_join(
+        ev, o, on="user_id", left_ts="ts", right_ts="order_ts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("order_ts").cast("date").alias("next_order_date"),
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+SELECT e.event_id, e.user_id,
+       CAST((SELECT min(o.o_orderdate) FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+            AS DATE) AS next_order_date
+FROM events e
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2529,6 +2563,7 @@ QUERIES = {
     "streaming_cdc_upsert": streaming_cdc_upsert,
     "layout_zorder_keys": layout_zorder_keys,
     "stats_quantile_contract": stats_quantile_contract,
+    "join_asof_forward": join_asof_forward,
 }
 
 ORACLE = {
@@ -2575,4 +2610,5 @@ ORACLE = {
     "streaming_cdc_upsert": ORACLE_CDC,
     "layout_zorder_keys": ORACLE_ZORDER,
     "stats_quantile_contract": ORACLE_QUANTILE,
+    "join_asof_forward": ORACLE_ASOF_FORWARD,
 }

@@ -106,6 +106,51 @@ def test_asof_join_matches_reference(spark, rng):
             assert got[(lr.k, lr.lv)] == (want.rts, want.rv)
 
 
+def test_asof_join_forward_matches_reference(spark, rng):
+    """forward asof == argmin{right_ts >= left_ts} per key (earliest
+    at-or-after, inclusive), against the brute-force reference; among
+    tied right timestamps the residual-order-latest payload wins, as
+    in the backward direction."""
+    keys = [1, 2]
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        Row(k=k, lts=base + dt.timedelta(minutes=rng.randint(0, 300)), lv=i)
+        for i, k in enumerate(rng.choices(keys, k=40))
+    ]
+    right_rows = [
+        Row(
+            k=k,
+            rts=(None if rng.random() < 0.15
+                 else base + dt.timedelta(minutes=rng.randint(0, 300))),
+            rv=100 + i,
+        )
+        for i, k in enumerate(rng.choices(keys, k=25))
+    ]
+    left = spark.createDataFrame(left_rows)
+    right = spark.createDataFrame(right_rows)
+    got = {
+        (r.k, r.lv): (r.rts, r.rv)
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            tie_breakers=["rv"], direction="forward",
+        ).collect()
+    }
+    assert len(got) == len(left_rows)
+    for lr in left_rows:
+        cands = [
+            rr for rr in right_rows
+            if rr.k == lr.k and rr.rts is not None and rr.rts >= lr.lts
+        ]
+        want = min(cands, key=lambda rr: (rr.rts, -rr.rv), default=None)
+        if want is None:
+            assert got[(lr.k, lr.lv)] == (None, None)
+        else:
+            assert got[(lr.k, lr.lv)] == (want.rts, want.rv)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                  direction="sideways")
+
+
 def test_partial_date_normalization_total(spark, rng):
     """For every input: len-4 -> Jan 1, len-7 -> first of month,
     len-10 -> itself, anything else -> NULL (never raises)."""
