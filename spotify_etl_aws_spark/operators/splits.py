@@ -134,3 +134,71 @@ def sample_exact_k_per_stratum(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+ES_DENOM = float(1 << 60)  # the md5-top-60-bits uniform's denominator
+
+
+def es_key(
+    weight_col: str, id_col: str = "doc_id", salt: str = "v1"
+) -> Column:
+    """The Efraimidis–Spirakis weighted-sampling key, engine-portable:
+    ``ln(u) / w`` with ``u = (top-60 md5 bits + 0.5) / 2^60`` (never 0
+    or 1). Taking the k LARGEST keys draws a without-replacement
+    sample where each item's inclusion odds are proportional to its
+    weight (Efraimidis & Spirakis 2006, the ln-transformed
+    formulation). SQL twin:
+    ``ln((CAST('0x'||substr(md5(salt||':'||id),1,15) AS BIGINT) + 0.5)
+    / 2^60) / w``."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(ES_DENOM)
+    return F.log(u) / F.col(weight_col).cast("double")
+
+
+def sample_weighted_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    key_decimals: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the ``k``
+    rows with the largest ``es_key`` — inclusion probability rises
+    with ``weight_col`` (all weights must be > 0; non-positive rows
+    are rejected loudly, a silent drop would skew every inclusion
+    odds downstream).
+
+    The cut is ``orderBy(key desc, id).limit(k)`` — per-partition
+    top-k heaps (TakeOrderedAndProject), never a single-reducer
+    global window. ``key_decimals`` ranks on the ROUNDED key (house
+    oracle-portability doctrine; probe grid margins per fixture).
+    Returns the input columns plus ``es_key``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bad = df.filter(
+        F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} rows have NULL or non-positive {weight_col!r}; "
+            "ES sampling needs strictly positive weights"
+        )
+    key = es_key(weight_col, id_col, salt)
+    if key_decimals is not None:
+        key = F.round(key, key_decimals) + F.lit(0.0)
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -2519,6 +2519,48 @@ FROM events e
 """
 
 
+ES_SAMPLE_K = 200
+ES_SALT = "es-v1"
+ES_KEY_DECIMALS = 8
+
+
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement
+    (operators/splits.py:sample_weighted_topk — Efraimidis–Spirakis
+    2006 with portable-md5 uniforms; the quality-weighted corpus
+    subsampling op next to the uniform exact-k stratum sampler):
+    the {ES_SAMPLE_K} documents with the largest ln(u)/n_chars keys —
+    inclusion odds rise with document length. Heap-based top-k
+    (TakeOrderedAndProject, plan-pinned in tests), ranked on the
+    {ES_KEY_DECIMALS}dp-rounded key with an id tie-break; grid
+    margins probed at 3 SFs + 10× (≥ 3.0e-5 grid units vs ~1e-8
+    drift)."""
+    from ..operators.splits import sample_weighted_topk
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sample_weighted_topk(
+        docs,
+        ES_SAMPLE_K,
+        "n_chars",
+        salt=ES_SALT,
+        key_decimals=ES_KEY_DECIMALS,
+    )
+
+
+ORACLE_ES_SAMPLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         round(ln((CAST('0x' || substr(md5('{ES_SALT}:'
+                         || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   + 0.5) / {float(1 << 60)!r}) / n_chars,
+               {ES_KEY_DECIMALS}) + 0.0 AS es_key
+  FROM documents
+)
+SELECT doc_id, n_chars, es_key
+FROM k ORDER BY es_key DESC, doc_id LIMIT {ES_SAMPLE_K}
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2564,6 +2606,7 @@ QUERIES = {
     "layout_zorder_keys": layout_zorder_keys,
     "stats_quantile_contract": stats_quantile_contract,
     "join_asof_forward": join_asof_forward,
+    "sample_weighted_docs": sample_weighted_docs,
 }
 
 ORACLE = {
@@ -2611,4 +2654,5 @@ ORACLE = {
     "layout_zorder_keys": ORACLE_ZORDER,
     "stats_quantile_contract": ORACLE_QUANTILE,
     "join_asof_forward": ORACLE_ASOF_FORWARD,
+    "sample_weighted_docs": ORACLE_ES_SAMPLE,
 }
