@@ -2561,6 +2561,135 @@ FROM k ORDER BY es_key DESC, doc_id LIMIT {ES_SAMPLE_K}
 """
 
 
+ASOF_LOOKBACK_DAYS = 3
+
+
+def dim_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (operators/scd.py:
+    scd2_point_in_time — the AS OF join every SCD2 warehouse dim
+    exists to serve; the reference's latest-only dims can't answer
+    it, SURVEY.md §3.2): the per-user event-type history from
+    ``dim_scd2_history`` probed at each user's event days shifted
+    back ``ASOF_LOOKBACK_DAYS`` — "what was this user's state three
+    days before each activity day". Probes before the user's first
+    version surface with NULL attributes (left join). Equi-join on
+    the dimension key with a residual [valid_from, valid_to) range
+    predicate — a plain hash join, never a nested loop; each probe
+    matches at most one version because versions partition the
+    timeline. All columns integer/date/string/bool — hash-exact.
+    """
+    from ..operators.scd import scd2_compress, scd2_point_in_time
+
+    ev = t(spark, sf_dir, "events")
+    snap = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.max_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("event_type")
+        )
+    )
+    hist = scd2_compress(snap, ["user_id"], ["event_type"], "day")
+    probes = (
+        ev.select(
+            "user_id",
+            F.date_sub(F.to_date("ts"), ASOF_LOOKBACK_DAYS).alias(
+                "probe_day"
+            ),
+        )
+        .distinct()
+    )
+    return scd2_point_in_time(hist, probes, ["user_id"], "probe_day")
+
+
+ORACLE_SCD2_ASOF = f"""
+WITH r AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+snap AS (SELECT user_id, day, event_type FROM r WHERE rn = 1),
+v AS (
+  SELECT user_id, day, event_type,
+         CASE WHEN lag(day) OVER w IS NULL
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS flag
+  FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+ver AS (
+  SELECT user_id, day, event_type,
+         CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY day)
+              AS BIGINT) AS version
+  FROM v
+),
+hist AS (
+  SELECT user_id, event_type, version, min(day) AS valid_from
+  FROM ver GROUP BY user_id, event_type, version
+),
+h AS (
+  SELECT user_id, event_type, version, valid_from,
+         lead(valid_from) OVER w2 AS valid_to,
+         lead(valid_from) OVER w2 IS NULL AS is_current
+  FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+),
+p AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) - {ASOF_LOOKBACK_DAYS} AS probe_day
+  FROM events
+)
+SELECT p.user_id, p.probe_day, h.event_type, h.version, h.valid_from,
+       h.valid_to, h.is_current
+FROM p LEFT JOIN h ON h.user_id = p.user_id
+  AND h.valid_from <= p.probe_day
+  AND (h.valid_to IS NULL OR p.probe_day < h.valid_to)
+"""
+
+
+SKEW_SALT = 4
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py:salted_join —
+    the hot-key mitigation every 100 TB fact⋈dim join needs when one
+    key owns a disproportionate share of the fact table): events
+    LEFT-joined to the customer dimension with every fact row salted
+    across ``SKEW_SALT`` reducers and the dimension replicated to
+    match, then rolled up per (segment, event_type). The contract is
+    ROW-IDENTITY with the plain join — the oracle is the unsalted SQL
+    join, so the sweep proves salting never changes results (spurious
+    replication or dropped unmatched rows would break the hash).
+    Unmatched users land in the NULL-segment group with a NULL
+    account sum; counts BIGINT, money int-cents — hash-exact.
+    """
+    from ..operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_cents"),
+    )
+    joined = salted_join(ev, dim, "user_id", salt=SKEW_SALT, how="left")
+    return joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("acct_cents").alias("acct_cents_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_SKEW_SALTED = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acct_cents_sum,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2607,6 +2736,8 @@ QUERIES = {
     "stats_quantile_contract": stats_quantile_contract,
     "join_asof_forward": join_asof_forward,
     "sample_weighted_docs": sample_weighted_docs,
+    "dim_scd2_asof_lookup": dim_scd2_asof_lookup,
+    "join_skew_salted": join_skew_salted,
 }
 
 ORACLE = {
@@ -2655,4 +2786,6 @@ ORACLE = {
     "stats_quantile_contract": ORACLE_QUANTILE,
     "join_asof_forward": ORACLE_ASOF_FORWARD,
     "sample_weighted_docs": ORACLE_ES_SAMPLE,
+    "dim_scd2_asof_lookup": ORACLE_SCD2_ASOF,
+    "join_skew_salted": ORACLE_SKEW_SALTED,
 }
