@@ -31,6 +31,7 @@ from . import (
     streaming,
     subqueries,
     text,
+    tpch,
     udfs,
     vector,
 )
@@ -46,7 +47,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_oracle.py verifies the full inventory locally.
 _MODULES = [
     vector, udfs, multimodal, streaming, dedup, text, relational, selection,
-    subqueries,
+    subqueries, tpch,
 ]
 
 
