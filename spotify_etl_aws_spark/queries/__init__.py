@@ -28,6 +28,7 @@ from . import (
     multimodal,
     relational,
     selection,
+    sqlsurface,
     streaming,
     subqueries,
     text,
@@ -47,7 +48,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_oracle.py verifies the full inventory locally.
 _MODULES = [
     vector, udfs, multimodal, streaming, dedup, text, relational, selection,
-    subqueries, tpch,
+    subqueries, tpch, sqlsurface,
 ]
 
 

@@ -1,0 +1,271 @@
+"""Extended SQL/engine surface lanes (SURVEY.md §2.4/2.5/2.8 + §2.1)
+— the remaining ANSI-SQL and source-format surfaces a reference user
+grows into that no earlier lane exercised:
+
+- ``stats_corr_exact``        — Pearson correlation + population
+  covariance per group, computed from INTEGER co-moments (n, Σx, Σy,
+  Σxy, Σx², Σy² as exact BIGINTs) so the one formula evaluation —
+  identical operand chain, IEEE sqrt/÷ are correctly rounded on both
+  engines — yields bit-identical doubles. Spark's built-in ``corr()``
+  is deliberately NOT used for the contract: it streams Welford-style
+  co-moments whose float accumulation order differs from DuckDB's.
+  At 100 TB the co-moment aggregation is one partial-agg shuffle of
+  six longs per group — the same cost as any sum.
+- ``window_distribution_funcs`` — ntile / rank / percent_rank /
+  cume_dist (§2.5's distribution family; the rank/lag lanes did not
+  cover them). percent_rank and cume_dist are ratios of the same
+  exact integers on both engines; the window orders by exact cents
+  with a custkey tie-break so every rank is unique and the LIMIT cut
+  is total-order deterministic.
+- ``agg_grouping_sets``       — explicit GROUP BY GROUPING SETS with
+  ``grouping()`` flags (rollup/cube lanes exist; the arbitrary-sets
+  surface is distinct — Catalyst plans one Expand + one aggregation,
+  not four scans). Int-cents sums; subtotal NULL keys hash as NULL on
+  both engines.
+- ``join_lateral_posexplode`` — LATERAL/table-generator surface:
+  ``posexplode`` over the leading tokens of each document (Spark
+  plans a Generate node, never a join); the oracle rebuilds positions
+  with generate_series + list_extract. 0-based positions on both
+  sides.
+- ``text_regex_redact``       — entity-masking curation shape (the
+  PII-scrub step of a training pipeline): whole-word regexp_replace
+  plus a per-doc match count. Word-boundary ``\\b`` semantics agree
+  across Java regex and DuckDB's RE2 for plain-ASCII tokens; DuckDB
+  needs the explicit 'g' flag to match Spark's replace-all.
+- ``source_csv_roundtrip``    — CSV sink + source fidelity
+  (§2.1: the one text format no lane touched): Spark writes a
+  header-ful CSV projection of customer to a scratch dir, reads it
+  back with a declared schema, and aggregates; the oracle computes
+  the same aggregate straight from parquet, so any quoting/typing/
+  header loss in the round trip breaks the hash. All money int-cents
+  BEFORE the write so the CSV carries integers, not float reprs.
+
+Reference cites: the reference's analytics stop at f-string SQL over
+DuckDB (`ingestion/ingestion/bronze/bronze.py:139-166`) and dbt models
+(`dbt/spotify_etl_aws/models/core/*.sql`); these lanes are engine
+surface beyond it, per the north-star §2.11 mandate.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.readers import load_table as t
+
+# ---------------------------------------------------------------- #
+# shared-text lanes: the oracle IS the Spark SQL text               #
+# ---------------------------------------------------------------- #
+
+_CORR_SQL = """
+SELECT l_returnflag,
+       n, sx, sy, sxy, sxx, syy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_disc,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop
+FROM (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+) m
+ORDER BY l_returnflag
+"""
+
+_WDIST_SQL = """
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey)
+ORDER BY c_mktsegment, rnk, c_custkey
+LIMIT 200
+"""
+
+_GSETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+def _shared(sql: str, tables: tuple[str, ...]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for name in tables:
+            t(spark, sf_dir, name).createOrReplaceTempView(name)
+        return spark.sql(sql)
+    return run
+
+
+stats_corr_exact = _shared(_CORR_SQL, ("lineitem",))
+stats_corr_exact.__doc__ = (
+    "Exact-co-moment Pearson corr + covar_pop of (quantity, "
+    "discount_pct) per returnflag — integer sums, one identical "
+    "formula evaluation per group on both engines."
+)
+window_distribution_funcs = _shared(_WDIST_SQL, ("customer",))
+window_distribution_funcs.__doc__ = (
+    "ntile/rank/percent_rank/cume_dist over per-segment customers "
+    "ordered by exact cents with a custkey tie-break."
+)
+agg_grouping_sets = _shared(_GSETS_SQL, ("lineitem",))
+agg_grouping_sets.__doc__ = (
+    "Explicit GROUPING SETS with grouping() flags and int-cents sums "
+    "— one Expand + one aggregation, not four scans."
+)
+
+
+# ---------------------------------------------------------------- #
+# DataFrame lanes with a DuckDB-dialect oracle                      #
+# ---------------------------------------------------------------- #
+
+LATERAL_MAX_POS = 5
+LATERAL_MAX_DOC = 100
+
+
+def join_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generator (LATERAL VIEW) surface: 0-based ``posexplode``
+    of each document's first ``LATERAL_MAX_POS`` tokens. Spark plans a
+    Generate node — per-row expansion map-side, no join, no shuffle;
+    text never leaves its partition."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < LATERAL_MAX_DOC
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.slice(F.split(F.col("text"), " "), 1, LATERAL_MAX_POS)
+        ).alias("pos", "token"),
+    )
+
+
+ORACLE_LATERAL = f"""
+SELECT doc_id, CAST(g.i - 1 AS INT) AS pos,
+       list_extract(string_split(text, ' '), g.i) AS token
+FROM documents,
+     generate_series(1, {LATERAL_MAX_POS}) AS g(i)
+WHERE doc_id < {LATERAL_MAX_DOC}
+  AND g.i <= len(string_split(text, ' '))
+"""
+
+
+REDACT_PATTERN = r"\b(customer|key)\b"
+
+
+def text_regex_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-masking curation shape (the PII-scrub step): whole-word
+    redaction of a token set plus the per-document match count. Pure
+    JVM ``regexp_replace`` — map-side, no UDF, text never shuffles;
+    the output projects the redacted text's length and count, not the
+    full text, so the compare stays narrow."""
+    docs = t(spark, sf_dir, "documents")
+    red = F.regexp_replace(F.col("text"), REDACT_PATTERN, "<ENT>")
+    n_hits = (
+        F.size(F.split(F.col("text"), REDACT_PATTERN)) - F.lit(1)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_hits.alias("n_redacted"),
+        F.length(red).alias("redacted_len"),
+        F.substring(red, 1, 80).alias("redacted_head"),
+    )
+
+
+ORACLE_REDACT = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS BIGINT)
+         AS n_redacted,
+       CAST(length(regexp_replace(text, '{REDACT_PATTERN}', '<ENT>', 'g'))
+         AS INT) AS redacted_len,
+       substring(regexp_replace(text, '{REDACT_PATTERN}', '<ENT>', 'g'),
+                 1, 80) AS redacted_head
+FROM documents
+"""
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("acct_cents", T.LongType()),
+    ]
+)
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source fidelity: write a header-ful CSV projection
+    of customer (money already int-cents so the text file carries
+    integers), read it back with a declared schema, aggregate per
+    segment. Any quoting/typing/header loss breaks the hash against
+    the parquet-direct oracle. The scratch dir is per-fixture and
+    overwritten each run; at scale the same path writes one CSV part
+    per task — the write is embarrassingly parallel."""
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"csv_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    proj = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_cents"),
+    )
+    proj.write.mode("overwrite").option("header", True).csv(scratch)
+    back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(scratch)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("acct_cents").alias("acct_cents_sum"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
+ORACLE_CSV = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_cents_sum,
+       CAST(min(c_custkey) AS BIGINT) AS min_custkey,
+       CAST(max(c_custkey) AS BIGINT) AS max_custkey
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "stats_corr_exact": stats_corr_exact,
+    "window_distribution_funcs": window_distribution_funcs,
+    "agg_grouping_sets": agg_grouping_sets,
+    "join_lateral_posexplode": join_lateral_posexplode,
+    "text_regex_redact": text_regex_redact,
+    "source_csv_roundtrip": source_csv_roundtrip,
+}
+
+ORACLE = {
+    "stats_corr_exact": _CORR_SQL,
+    "window_distribution_funcs": _WDIST_SQL,
+    "agg_grouping_sets": _GSETS_SQL,
+    "join_lateral_posexplode": ORACLE_LATERAL,
+    "text_regex_redact": ORACLE_REDACT,
+    "source_csv_roundtrip": ORACLE_CSV,
+}

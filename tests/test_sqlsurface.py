@@ -1,0 +1,72 @@
+"""Plan + behavior pins for the extended-surface lanes
+(``queries/sqlsurface.py``). The sweep proves values; these pin the
+physical shapes that matter at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_etl_aws_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lateral_posexplode_is_generate_no_shuffle(spark, sf_dir):
+    """posexplode must plan as a map-side Generate — per-row expansion
+    with no join and no exchange; document text never shuffles."""
+    plan = _plan(spark, sf_dir, "join_lateral_posexplode")
+    assert "Generate" in plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """GROUPING SETS must plan ONE Expand feeding one aggregation —
+    not one scan per set."""
+    plan = _plan(spark, sf_dir, "agg_grouping_sets")
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_corr_exact_is_one_aggregation(spark, sf_dir):
+    """The six co-moments ride one partial-agg shuffle; the corr
+    formula is projected after, never a second pass over lineitem."""
+    plan = _plan(spark, sf_dir, "stats_corr_exact")
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_redact_is_mapside(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_regex_redact")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_csv_roundtrip_preserves_every_row(spark, sf_dir):
+    """Totals over the CSV-read frame must equal the parquet source —
+    header handling or quoting bugs would drop/garble rows."""
+    got = QUERIES["source_csv_roundtrip"](spark, sf_dir)
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    n_csv = got.agg({"n_customers": "sum"}).collect()[0][0]
+    n_pq = load_table(spark, sf_dir, "customer").count()
+    assert n_csv == n_pq
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stats_corr_exact",
+        "window_distribution_funcs",
+        "agg_grouping_sets",
+        "join_lateral_posexplode",
+        "text_regex_redact",
+        "source_csv_roundtrip",
+    ],
+)
+def test_nonempty_at_smallest_sf(spark, name):
+    assert QUERIES[name](spark, "/root/testdata/sf0.001").count() > 0, name
