@@ -252,6 +252,86 @@ GROUP BY c_mktsegment
 """
 
 
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source fidelity (§2.1's remaining built-in columnar
+    format): write a slim int-cents lineitem projection as ORC, read
+    it back, aggregate per (returnflag, linestatus) against the
+    parquet-direct oracle. ORC is Spark-native (no extra package);
+    any type mangling in the round trip breaks the hash."""
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"orc_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    proj = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    proj.write.mode("overwrite").orc(scratch)
+    back = spark.read.orc(scratch)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_cents").alias("price_cents_sum"),
+    )
+
+
+ORACLE_ORC = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents_sum
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+PRUNE_YEAR = 1997
+
+
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition pruning — THE layout
+    lever at 100 TB: orders written ``partitionBy(o_year)``, read back
+    with a partition predicate, aggregated per month. The year filter
+    must prune at PLANNING time (PartitionFilters in the scan, only
+    the matching directory's files listed — pinned in
+    tests/test_sqlsurface.py); the oracle aggregates the same year
+    straight from the unpartitioned parquet."""
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"part_orders_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(scratch)
+    back = spark.read.parquet(scratch).filter(F.col("o_year") == PRUNE_YEAR)
+    return back.groupBy(
+        F.month("o_orderdate").cast("int").alias("o_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").alias("price_cents_sum"),
+    )
+
+
+ORACLE_PRUNE = f"""
+SELECT CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents_sum
+FROM orders
+WHERE year(o_orderdate) = {PRUNE_YEAR}
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -259,6 +339,8 @@ QUERIES = {
     "join_lateral_posexplode": join_lateral_posexplode,
     "text_regex_redact": text_regex_redact,
     "source_csv_roundtrip": source_csv_roundtrip,
+    "source_orc_roundtrip": source_orc_roundtrip,
+    "sink_partitioned_pruning": sink_partitioned_pruning,
 }
 
 ORACLE = {
@@ -268,4 +350,6 @@ ORACLE = {
     "join_lateral_posexplode": ORACLE_LATERAL,
     "text_regex_redact": ORACLE_REDACT,
     "source_csv_roundtrip": ORACLE_CSV,
+    "source_orc_roundtrip": ORACLE_ORC,
+    "sink_partitioned_pruning": ORACLE_PRUNE,
 }

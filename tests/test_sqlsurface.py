@@ -57,6 +57,41 @@ def test_csv_roundtrip_preserves_every_row(spark, sf_dir):
     assert n_csv == n_pq
 
 
+def test_partitioned_write_prunes_at_planning_time(spark, sf_dir):
+    """The o_year predicate must land in PartitionFilters (directory
+    pruning before any file is opened) — at 100 TB this is reading one
+    year, not the whole table. Also: no row-level o_year filter should
+    remain, and only the matching partition's files are listed."""
+    import os
+    import tempfile
+
+    df = QUERIES["sink_partitioned_pruning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.find("FileScan"):]
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "o_year" in pf and "1997" in pf, scan[:600]
+    # behavioral twin: the pruned read must equal reading ONLY the
+    # matching partition directory (inputFiles() reports the
+    # pre-pruning listing, so it can't serve as the proof)
+    sub = os.path.join(
+        tempfile.gettempdir(),
+        f"part_orders_{os.path.basename(os.path.normpath(sf_dir))}",
+        "o_year=1997",
+    )
+    n_direct = spark.read.parquet(sub).count()
+    n_pruned = df.agg({"n_orders": "sum"}).collect()[0][0]
+    assert n_pruned == n_direct
+
+
+def test_orc_roundtrip_preserves_every_row(spark, sf_dir):
+    got = QUERIES["source_orc_roundtrip"](spark, sf_dir)
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    n_orc = got.agg({"n_rows": "sum"}).collect()[0][0]
+    n_pq = load_table(spark, sf_dir, "lineitem").count()
+    assert n_orc == n_pq
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -66,6 +101,8 @@ def test_csv_roundtrip_preserves_every_row(spark, sf_dir):
         "join_lateral_posexplode",
         "text_regex_redact",
         "source_csv_roundtrip",
+        "source_orc_roundtrip",
+        "sink_partitioned_pruning",
     ],
 )
 def test_nonempty_at_smallest_sf(spark, name):
