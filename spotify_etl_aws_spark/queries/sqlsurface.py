@@ -343,6 +343,16 @@ QUERIES = {
     "sink_partitioned_pruning": sink_partitioned_pruning,
 }
 
+# Composite-state streaming lane — defined with the other streaming
+# lanes (queries/streaming.py) but REGISTERED here: new queries append
+# after the driver's frozen 50-query window.
+from .streaming import (  # noqa: E402
+    ORACLE_TWS_PROFILES,
+    streaming_type_profiles,
+)
+
+QUERIES["streaming_type_profiles"] = streaming_type_profiles
+
 ORACLE = {
     "stats_corr_exact": _CORR_SQL,
     "window_distribution_funcs": _WDIST_SQL,
@@ -353,3 +363,5 @@ ORACLE = {
     "source_orc_roundtrip": ORACLE_ORC,
     "sink_partitioned_pruning": ORACLE_PRUNE,
 }
+
+ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES

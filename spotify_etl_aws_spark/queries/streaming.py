@@ -304,6 +304,45 @@ GROUP BY user_id
 """
 
 
+def streaming_type_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-state stateful operator (streaming/stateful.py:
+    user_type_profiles_gs — per-user row count + event-type histogram
+    in one GroupState tuple; the transformWithStateInPandas twin
+    ``user_type_profiles`` is kept behind the documented protobuf
+    seam). One AvailableNow pass makes the emitted profile equal the
+    batch aggregate, so the composite-state lane is fully
+    oracle-checked; top_type tie-breaks on the smallest type string on
+    both engines. All columns integer/string — hash-exact."""
+    from ..streaming.stateful import user_type_profiles_gs
+
+    src = read_table_stream(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    return run_available_now(
+        user_type_profiles_gs(src), "type_profiles", output_mode="update"
+    )
+
+
+ORACLE_TWS_PROFILES = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT c.user_id,
+       CAST(sum(c.cnt) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       min(r.event_type) AS top_type
+FROM c JOIN r ON r.user_id = c.user_id AND r.rn = 1
+GROUP BY c.user_id
+"""
+
+
 QUERIES = {
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_dedup_events": streaming_dedup_events,
@@ -311,6 +350,8 @@ QUERIES = {
     "streaming_sessionize": streaming_sessionize,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
+    # streaming_tws_type_profiles registers in queries/sqlsurface.py:
+    # new lanes append AFTER the driver's frozen 50-query window.
 }
 
 ORACLE = {
