@@ -332,6 +332,59 @@ GROUP BY 1
 """
 
 
+PACK_BUDGET = 1500
+PACK_SHARD_SPAN = 1000
+
+
+def order_pack_whole_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit packing (operators/packing.py:
+    pack_sequences — the no-split counterpart of the concat-and-split
+    ``order_pack_sequences`` lane): documents walk in id order inside
+    contiguous id-range shards, a new pack opens when the 1500-char
+    budget would overflow, pack_id = first doc's id. The greedy
+    recurrence is inherently sequential, so the oracle replays it as a
+    recursive CTE advancing every shard one document per level —
+    the packer's exact state machine re-derived relationally. All
+    columns integer: hash-exact."""
+    from ..operators.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(
+        docs,
+        budget=PACK_BUDGET,
+        tokens_col="n_chars",
+        shard_span=PACK_SHARD_SPAN,
+    )
+
+
+ORACLE_PACK_DOCS = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, n_chars AS tok,
+         CAST(floor(doc_id / {PACK_SHARD_SPAN}) AS BIGINT) AS shard,
+         row_number() OVER (PARTITION BY floor(doc_id / {PACK_SHARD_SPAN})
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT shard, rn, doc_id, tok,
+         doc_id AS pack_id, 0 AS pack_pos, tok AS used
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.tok,
+         CASE WHEN w.used + d.tok > {PACK_BUDGET} THEN d.doc_id
+              ELSE w.pack_id END AS pack_id,
+         CASE WHEN w.used + d.tok > {PACK_BUDGET} THEN 0
+              ELSE w.pack_pos + 1 END AS pack_pos,
+         CASE WHEN w.used + d.tok > {PACK_BUDGET} THEN d.tok
+              ELSE w.used + d.tok END AS used
+  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1
+)
+SELECT doc_id, pack_id, CAST(pack_pos AS INT) AS pack_pos,
+       CAST(tok AS BIGINT) AS n_tokens
+FROM walk
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -341,6 +394,7 @@ QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_orc_roundtrip": source_orc_roundtrip,
     "sink_partitioned_pruning": sink_partitioned_pruning,
+    "order_pack_whole_docs": order_pack_whole_docs,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -362,6 +416,7 @@ ORACLE = {
     "source_csv_roundtrip": ORACLE_CSV,
     "source_orc_roundtrip": ORACLE_ORC,
     "sink_partitioned_pruning": ORACLE_PRUNE,
+    "order_pack_whole_docs": ORACLE_PACK_DOCS,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES
