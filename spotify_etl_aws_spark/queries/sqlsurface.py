@@ -385,6 +385,136 @@ FROM walk
 """
 
 
+UDTF_MAX_DOC = 30
+UDTF_MAX_POS = 4
+
+
+def udtf_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.10's remaining member after pandas_udf /
+    grouped-agg / applyInPandas / mapInPandas): a table function
+    expanding each document into its leading (pos, token, token_len)
+    rows, applied via a LATERAL join in SQL. UDTFs run row-at-a-time in
+    Python — the SLOW path, kept off hot lanes by design (posexplode
+    covers this exact expansion JVM-side in ``join_lateral_posexplode``)
+    — so the lane bounds itself to {UDTF_MAX_DOC} docs; it exists to
+    prove the dialect surface, not to recommend the plan. The oracle
+    rebuilds the expansion relationally."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class _SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")[:UDTF_MAX_POS]):
+                yield i, w, len(w)
+
+    spark.udtf.register("split_tokens", _SplitTokens)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(f"""
+        SELECT d.doc_id, s.pos, s.token, s.token_len
+        FROM documents d, LATERAL split_tokens(d.text) s
+        WHERE d.doc_id < {UDTF_MAX_DOC}
+    """)
+
+
+ORACLE_UDTF = f"""
+SELECT doc_id, CAST(g.i - 1 AS INT) AS pos,
+       list_extract(string_split(text, ' '), g.i) AS token,
+       CAST(length(list_extract(string_split(text, ' '), g.i)) AS INT)
+         AS token_len
+FROM documents, generate_series(1, {UDTF_MAX_POS}) AS g(i)
+WHERE doc_id < {UDTF_MAX_DOC}
+  AND g.i <= len(string_split(text, ' '))
+"""
+
+
+def window_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window surface: carry the last non-null value
+    forward per user (values at 'error' events nullified) via
+    ``last(..., ignorenulls=True)`` over a running row frame — the
+    direct LOCF the gap-filling lane deliberately avoided (it uses the
+    portable two-window trick; this lane exercises the native
+    semantics on both engines). The carried doubles are raw stored
+    values — no arithmetic, so cross-engine reprs are identical
+    (+0.0 collapses IEEE -0.0 on both sides)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.last(v, ignorenulls=True).over(w) + F.lit(0.0)).alias("filled"),
+    )
+
+
+ORACLE_IGNORE_NULLS = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 0.0
+         AS filled
+FROM events
+"""
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (mergeSchema): epoch 1 writes a slim
+    orders projection, epoch 2 adds an ``o_year`` column; one
+    ``mergeSchema`` read spans both, with epoch-1 rows surfacing NULL
+    years. The aggregate per (epoch, o_year) must match the oracle's
+    UNION ALL reconstruction — missing-column fill, not row loss. At
+    100 TB this is the additive-column lake migration done without
+    rewriting old epochs."""
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"schema_evo_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders = t(spark, sf_dir, "orders")
+    slim = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    e1 = slim.filter(F.col("o_orderkey") % 2 == 0)
+    e2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    e1.write.mode("overwrite").parquet(os.path.join(scratch, "epoch=1"))
+    e2.write.mode("overwrite").parquet(os.path.join(scratch, "epoch=2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(scratch, "epoch=1"), os.path.join(scratch, "epoch=2")
+    )
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").alias("price_cents_sum"),
+    )
+
+
+ORACLE_SCHEMA_EVO = """
+WITH both_epochs AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(NULL AS INT) AS o_year
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+         CAST(year(o_orderdate) AS INT)
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_year, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_cents) AS BIGINT) AS price_cents_sum
+FROM both_epochs
+GROUP BY o_year
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -395,6 +525,9 @@ QUERIES = {
     "source_orc_roundtrip": source_orc_roundtrip,
     "sink_partitioned_pruning": sink_partitioned_pruning,
     "order_pack_whole_docs": order_pack_whole_docs,
+    "udtf_split_tokens": udtf_split_tokens,
+    "window_ignore_nulls_locf": window_ignore_nulls_locf,
+    "source_schema_evolution": source_schema_evolution,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -417,6 +550,9 @@ ORACLE = {
     "source_orc_roundtrip": ORACLE_ORC,
     "sink_partitioned_pruning": ORACLE_PRUNE,
     "order_pack_whole_docs": ORACLE_PACK_DOCS,
+    "udtf_split_tokens": ORACLE_UDTF,
+    "window_ignore_nulls_locf": ORACLE_IGNORE_NULLS,
+    "source_schema_evolution": ORACLE_SCHEMA_EVO,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES
