@@ -515,6 +515,39 @@ GROUP BY o_year
 """
 
 
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource surface (Spark 4
+    ``pyspark.sql.datasource``; sources/pysource.py): the documents
+    table read through a user-defined connector — one InputPartition
+    per parquet fragment, executor-side pyarrow reads yielding Arrow
+    batches (the REST-pagination fan-out pattern, offline and
+    deterministic). The per-language aggregate must match the
+    parquet-direct oracle: no row lost or re-typed crossing the Python
+    source boundary."""
+    from ..sources.pysource import register
+
+    register(spark)
+    docs = spark.read.format("parquet_pages").load(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_PYSOURCE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -528,6 +561,7 @@ QUERIES = {
     "udtf_split_tokens": udtf_split_tokens,
     "window_ignore_nulls_locf": window_ignore_nulls_locf,
     "source_schema_evolution": source_schema_evolution,
+    "source_python_datasource": source_python_datasource,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -553,6 +587,7 @@ ORACLE = {
     "udtf_split_tokens": ORACLE_UDTF,
     "window_ignore_nulls_locf": ORACLE_IGNORE_NULLS,
     "source_schema_evolution": ORACLE_SCHEMA_EVO,
+    "source_python_datasource": ORACLE_PYSOURCE,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES

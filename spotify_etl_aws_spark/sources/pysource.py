@@ -1,0 +1,85 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API)
+— the user-defined connector surface (SURVEY.md §2.1): the reference
+ingests a paged REST API with hand-rolled request loops
+(`ingestion/ingestion/raw/raw.py:86-141`); Spark 4 lets that same
+pagination become a first-class ``spark.read.format(...)`` source with
+partition planning, so pages fetch IN PARALLEL across executors and
+land as ordinary DataFrame rows.
+
+``ParquetPagesSource`` is the offline, deterministic instance of that
+pattern: "pages" are the parquet fragments under a path (one
+``InputPartition`` per file — the planning step a REST source would do
+by probing total/limit), and each partition's ``read()`` pulls only
+its own file via pyarrow — an executor-side fetch, exactly where a
+REST page GET would run. No JVM code, no protobuf (unlike
+transformWithState, this API's worker protocol is Arrow-only, verified
+in-container).
+
+Scale posture: planning lists files on the driver (O(files) metadata);
+all row data flows executor-side through Arrow batches, one partition
+per file — the same fan-out a parquet scan gets, here under user
+control (a real connector would shard by page ranges / key ranges).
+The lane's aggregate-vs-parquet-direct oracle proves no row is lost or
+re-typed crossing the Python source boundary.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def _fragment_files(path: str) -> list[str]:
+    """A dataset path is either one parquet file or a directory of
+    part-files (the amplified fixtures) — return the fragment list."""
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+class ParquetPagesSource(DataSource):
+    """``spark.read.format("parquet_pages").load(path)``: parquet
+    fragments as the pages of a custom Python connector."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "parquet_pages"
+
+    def schema(self) -> str:
+        return DOCS_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _PagesReader(self.options)
+
+
+class _PagesReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self._path = options["path"]
+
+    def partitions(self) -> list[InputPartition]:
+        files = _fragment_files(self._path)
+        if not files:
+            raise FileNotFoundError(f"no parquet fragments under {self._path}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition: InputPartition):
+        import pyarrow.parquet as pq
+
+        cols = [f.split()[0] for f in DOCS_SCHEMA.split(", ")]
+        table = pq.read_table(partition.value, columns=cols)
+        # Arrow batches straight through — no per-row Python objects.
+        yield from table.to_batches()
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ParquetPagesSource)

@@ -92,6 +92,30 @@ def test_orc_roundtrip_preserves_every_row(spark, sf_dir):
     assert n_orc == n_pq
 
 
+def test_python_datasource_partition_per_fragment(spark, tmp_path):
+    """The custom connector must plan one InputPartition per parquet
+    fragment — the fan-out is the point of a DataSource over a driver
+    loop. Write a 4-fragment dataset, read through the source, and pin
+    the partition count and row fidelity."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.sources.pysource import register
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    register(spark)
+    out = str(tmp_path / "docs4")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(out)
+    # drop Spark's _SUCCESS marker from the fragment glob's view: the
+    # source lists *.parquet only, so the marker is already excluded
+    back = spark.read.format("parquet_pages").load(out)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == docs.count()
+    a = back.agg(F.sum("n_chars")).collect()[0][0]
+    b = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert a == b
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -103,6 +127,11 @@ def test_orc_roundtrip_preserves_every_row(spark, sf_dir):
         "source_csv_roundtrip",
         "source_orc_roundtrip",
         "sink_partitioned_pruning",
+        "order_pack_whole_docs",
+        "udtf_split_tokens",
+        "window_ignore_nulls_locf",
+        "source_schema_evolution",
+        "source_python_datasource",
     ],
 )
 def test_nonempty_at_smallest_sf(spark, name):
