@@ -548,6 +548,79 @@ GROUP BY lang
 """
 
 
+def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source (sources/pysource.py:
+    _PagesStreamReader): the documents pages replayed one fragment per
+    micro-batch under an offset cursor ({next fragment index} —
+    checkpointable, range-replayable), complete-mode aggregated per
+    (lang, source) into a memory sink. AvailableNow can't drain this
+    source (the Simple-reader protocol prefetches ONE read() ahead, so
+    an availableNow query caps at the first prefetched offset — one
+    batch); the lane instead polls the stream's committed end offset
+    until the cursor reaches the fragment count, the multi-batch
+    analogue of the other streaming lanes' single AvailableNow pass.
+    The whole feed crossing the custom stream boundary must hash-match
+    the batch oracle."""
+    import ast
+    import json
+    import tempfile as _tf
+    import time
+    import uuid
+
+    from ..sources.pysource import _fragment_files, register
+
+    def _parse_offset(s: str) -> dict:
+        # the Python-source offset serializes as a dict repr (single
+        # quotes), not JSON — accept either
+        try:
+            return json.loads(s)
+        except json.JSONDecodeError:
+            return ast.literal_eval(s)
+
+    register(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_files = len(_fragment_files(path))
+    docs = spark.readStream.format("parquet_pages").load(path)
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+    name = f"py_ds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", _tf.mkdtemp(prefix="ckpt_py_ds_")
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                end = _parse_offset(p["sources"][0]["endOffset"] or "{}")
+                if end.get("i", -1) >= n_files and p["numInputRows"] == 0:
+                    break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(f"stream never drained {n_files} fragments")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return spark.table(name)
+
+
+ORACLE_PY_STREAM = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -562,6 +635,7 @@ QUERIES = {
     "window_ignore_nulls_locf": window_ignore_nulls_locf,
     "source_schema_evolution": source_schema_evolution,
     "source_python_datasource": source_python_datasource,
+    "streaming_python_datasource": streaming_python_datasource,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -588,6 +662,7 @@ ORACLE = {
     "window_ignore_nulls_locf": ORACLE_IGNORE_NULLS,
     "source_schema_evolution": ORACLE_SCHEMA_EVO,
     "source_python_datasource": ORACLE_PYSOURCE,
+    "streaming_python_datasource": ORACLE_PY_STREAM,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES

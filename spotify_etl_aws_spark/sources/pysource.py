@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 DOCS_SCHEMA = (
@@ -61,6 +62,9 @@ class ParquetPagesSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _PagesReader(self.options)
 
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _PagesStreamReader(self.options)
+
 
 class _PagesReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -79,6 +83,40 @@ class _PagesReader(DataSourceReader):
         table = pq.read_table(partition.value, columns=cols)
         # Arrow batches straight through — no per-row Python objects.
         yield from table.to_batches()
+
+
+class _PagesStreamReader(SimpleDataSourceStreamReader):
+    """The same pages as a STREAM: each micro-batch consumes one
+    fragment, the offset is the next fragment index — a replayable,
+    checkpoint-compatible cursor (``readBetweenOffsets`` re-serves any
+    committed range for recovery, exactly the REST-cursor replay
+    contract). The Simple reader variant reads on the DRIVER — right
+    for low-throughput page feeds; a high-throughput connector would
+    implement the partition-planned ``streamReader`` instead (same
+    offset algebra, executor-side reads)."""
+
+    def __init__(self, options) -> None:
+        self._files = _fragment_files(options["path"])
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, i: int):
+        import pyarrow.parquet as pq
+
+        cols = [f.split()[0] for f in DOCS_SCHEMA.split(", ")]
+        table = pq.read_table(self._files[i], columns=cols)
+        return zip(*(table.column(c).to_pylist() for c in cols))
+
+    def read(self, start: dict):
+        i = start["i"]
+        if i >= len(self._files):
+            return iter([]), {"i": i}
+        return self._rows(i), {"i": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for i in range(start["i"], end["i"]):
+            yield from self._rows(i)
 
 
 def register(spark) -> None:
