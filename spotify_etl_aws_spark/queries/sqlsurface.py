@@ -621,6 +621,54 @@ GROUP BY lang, source
 """
 
 
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python SINK with two-phase commit (sources/pysource.py:
+    JsonlCommitSource): a slim int-cents customer projection written
+    through the DataSourceWriter protocol — executors stage
+    part-*.jsonl files and return commit messages, the driver's
+    commit() publishes a _MANIFEST.json naming them, and the read-back
+    trusts ONLY manifest-listed files. The per-segment aggregate must
+    hash-match the parquet-direct oracle: a dropped part, a stray file,
+    or JSON re-typing would all break it."""
+    import shutil
+
+    from ..sources.pysource import read_jsonl_committed, register
+
+    register(spark)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"jsonl_commit_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    proj = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_cents"),
+    )
+    proj.write.format("jsonl_commit").option("path", scratch).mode(
+        "append"
+    ).save()
+    back = read_jsonl_committed(
+        spark,
+        scratch,
+        "c_custkey bigint, c_mktsegment string, acct_cents bigint",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("acct_cents").alias("acct_cents_sum"),
+    )
+
+
+ORACLE_PY_SINK = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acct_cents_sum
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -636,6 +684,7 @@ QUERIES = {
     "source_schema_evolution": source_schema_evolution,
     "source_python_datasource": source_python_datasource,
     "streaming_python_datasource": streaming_python_datasource,
+    "sink_python_datasource": sink_python_datasource,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -663,6 +712,7 @@ ORACLE = {
     "source_schema_evolution": ORACLE_SCHEMA_EVO,
     "source_python_datasource": ORACLE_PYSOURCE,
     "streaming_python_datasource": ORACLE_PY_STREAM,
+    "sink_python_datasource": ORACLE_PY_SINK,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES

@@ -121,3 +121,102 @@ class _PagesStreamReader(SimpleDataSourceStreamReader):
 
 def register(spark) -> None:
     spark.dataSource.register(ParquetPagesSource)
+    spark.dataSource.register(JsonlCommitSource)
+
+
+# ------------------------------------------------------------------ #
+# custom Python SINK: two-phase-commit JSONL writer                   #
+# ------------------------------------------------------------------ #
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _PartMessage(WriterCommitMessage):
+    part_file: str
+    n_rows: int
+
+
+class JsonlCommitSource(DataSource):
+    """``df.write.format("jsonl_commit").option("path", p).save()``:
+    a user-defined sink with the TWO-PHASE COMMIT contract the
+    DataSourceWriter API exists for — executors write staged
+    ``part-*.jsonl`` files and return commit messages; ``commit()``
+    runs ONCE on the driver after every task succeeded and publishes a
+    ``_MANIFEST.json`` naming the parts (with row counts); ``abort()``
+    removes strays. Readers trust ONLY manifest-listed files, so a
+    half-failed write is invisible — the same stage→publish discipline
+    as the repo's atomic epoch sink (`sources/sinks.py:163`), here at
+    the connector layer."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options["path"], [f.name for f in schema])
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, path: str, cols: list[str]) -> None:
+        self._path = path
+        self._cols = cols
+
+    def write(self, iterator) -> _PartMessage:
+        import json
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self._path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self._path, fname)
+        n = 0
+        with open(full, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self._cols, row))) + "\n")
+                n += 1
+        return _PartMessage(part_file=fname, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+
+        manifest = {
+            "parts": [
+                {"file": m.part_file, "rows": m.n_rows}
+                for m in sorted(
+                    (m for m in messages if m is not None),
+                    key=lambda m: m.part_file,
+                )
+            ],
+            "total_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self._path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self._path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self._path, m.part_file))
+                except FileNotFoundError:
+                    pass
+
+
+def read_jsonl_committed(spark, path: str, schema: str):
+    """Read back ONLY manifest-listed parts (the reader half of the
+    two-phase contract)."""
+    import json
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, p["file"]) for p in manifest["parts"]]
+    return spark.read.schema(schema).json(files)

@@ -92,6 +92,40 @@ def test_orc_roundtrip_preserves_every_row(spark, sf_dir):
     assert n_orc == n_pq
 
 
+def test_python_sink_reader_trusts_only_manifest(spark, tmp_path):
+    """Two-phase-commit discipline: a stray part file that never made
+    it into _MANIFEST.json (a crashed task's leftover, a concurrent
+    writer's stage) must be invisible to the committed read."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.sources.pysource import (
+        read_jsonl_committed,
+        register,
+    )
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    register(spark)
+    out = str(tmp_path / "committed")
+    proj = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    proj.write.format("jsonl_commit").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == proj.count()
+    # plant a stray (uncommitted) part file
+    with open(os.path.join(out, "part-99999-stray.jsonl"), "w") as f:
+        f.write('{"c_custkey": 999999, "c_mktsegment": "GHOST"}\n')
+    back = read_jsonl_committed(
+        spark, out, "c_custkey bigint, c_mktsegment string"
+    )
+    assert back.count() == proj.count()
+    assert back.filter(F.col("c_mktsegment") == "GHOST").count() == 0
+
+
 def test_python_datasource_partition_per_fragment(spark, tmp_path):
     """The custom connector must plan one InputPartition per parquet
     fragment — the fan-out is the point of a DataSource over a driver
