@@ -669,6 +669,71 @@ GROUP BY c_mktsegment
 """
 
 
+TRIANGLE_YEAR = 1997
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting (operators/graph.py:triangle_count —
+    degree-ordered wedge counting, the Cohen/Suri–Vassilvitskii shape)
+    over the parts-co-ordered-together graph: vertices are parts,
+    edges connect parts sharing a {TRIANGLE_YEAR} order. The oracle
+    re-derives the same edges and counts triangles by brute canonical
+    3-way self-join, and re-derives the wedge count from the same
+    (degree, id) orientation — so the orientation bound itself (the
+    thing that kills hub skew at scale) is cross-engine checked, not
+    just the final count. All-integer single row."""
+    from ..operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    in_year = orders.filter(
+        (F.col("o_orderdate") >= F.lit(f"{TRIANGLE_YEAR}-01-01"))
+        & (F.col("o_orderdate") < F.lit(f"{TRIANGLE_YEAR + 1}-01-01"))
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    li = li.join(in_year, "l_orderkey")
+    l2 = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_count(pairs)
+
+
+ORACLE_TRIANGLES = f"""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= DATE '{TRIANGLE_YEAR}-01-01'
+    AND o.o_orderdate < DATE '{TRIANGLE_YEAR + 1}-01-01'
+),
+e AS (
+  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM li l1 JOIN li l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS b
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+outdeg AS (SELECT a, CAST(count(*) AS BIGINT) AS od FROM oriented GROUP BY a)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(sum(od * (od - 1) / 2) AS BIGINT) FROM outdeg) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -685,6 +750,7 @@ QUERIES = {
     "source_python_datasource": source_python_datasource,
     "streaming_python_datasource": streaming_python_datasource,
     "sink_python_datasource": sink_python_datasource,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -713,6 +779,7 @@ ORACLE = {
     "source_python_datasource": ORACLE_PYSOURCE,
     "streaming_python_datasource": ORACLE_PY_STREAM,
     "sink_python_datasource": ORACLE_PY_SINK,
+    "graph_triangle_count": ORACLE_TRIANGLES,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES

@@ -265,3 +265,64 @@ def test_bfs_multi_seed_takes_min_distance(spark):
     want = ref_bfs(BFS_EDGES, ["a", "c"])
     assert got == want
     assert got["d"] == 1  # via c, not a->b->c->d
+
+
+# ---------------------------------------------------------------- #
+# triangle counting                                                 #
+# ---------------------------------------------------------------- #
+
+from itertools import combinations
+
+from spotify_etl_aws_spark.operators.graph import triangle_count
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return triangle_count(df).collect()[0]
+
+
+def test_triangles_k4(spark):
+    """K4 has C(4,3)=4 triangles, 6 edges, and (under any orientation
+    of a 4-clique) exactly 4 wedges at the apexes — one per triangle,
+    so wedges == triangles here."""
+    k4 = [(a, b) for a, b in combinations([1, 2, 3, 4], 2)]
+    r = _tri(spark, k4)
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+
+def test_triangles_path_and_star_have_none(spark):
+    r = _tri(spark, [(1, 2), (2, 3), (3, 4)])
+    assert r.n_triangles == 0
+    # star: the hub has degree n but ZERO out-degree under the
+    # orientation, so wedge count is 0 — the skew-kill property itself
+    star = [(0, i) for i in range(1, 30)]
+    r = _tri(spark, star)
+    assert (r.n_wedges, r.n_triangles) == (0, 0)
+
+
+def test_triangles_dedup_and_direction_insensitive(spark):
+    """Duplicate, reversed, and self-loop inputs must not change the
+    count: one triangle however the edges arrive."""
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1), (2, 3)]
+    r = _tri(spark, messy)
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+
+
+def test_triangles_match_brute_force(spark):
+    """Random-ish deterministic graph vs a Python brute force."""
+    edges = [((i * 7) % 23, (i * 11 + 3) % 23) for i in range(60)]
+    adj = {}
+    canon = {
+        (min(u, v), max(u, v)) for u, v in edges if u != v
+    }
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    brute = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    r = _tri(spark, edges)
+    assert r.n_triangles == brute
+    assert r.n_edges == len(canon)
