@@ -734,6 +734,104 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
 """
 
 
+def udf_cogroup_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup().applyInPandas`` surface (the §2.10 member the
+    scalar/grouped-agg/grouped-map/mapInPandas lanes didn't touch):
+    events and orders cogrouped per user/customer key, each key's two
+    pandas frames merged by arbitrary Python — here the full-outer
+    per-user profile (event count, order count, int-cents order total)
+    including users with only one side present. Both sides shuffle once
+    on the key; the merge is Arrow-batched per key. The oracle is the
+    equivalent full-outer aggregate join."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id")
+    od = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+    def merge(key, ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(od_pdf)],
+                "order_cents_sum": [int(od_pdf["price_cents"].sum())],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, n_events bigint, n_orders bigint, "
+            "order_cents_sum bigint",
+        )
+    )
+
+
+ORACLE_COGROUP = """
+WITH e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY user_id),
+o AS (SELECT o_custkey AS user_id, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS order_cents_sum
+      FROM orders GROUP BY o_custkey)
+SELECT coalesce(e.user_id, o.user_id) AS user_id,
+       coalesce(e.n_events, 0) AS n_events,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(o.order_cents_sum, 0) AS order_cents_sum
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+"""
+
+
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface: a whole-partition transform receiving
+    raw ``pyarrow.RecordBatch``es — one step lower than mapInPandas
+    (no pandas conversion at all; the zero-copy path for kernels that
+    speak Arrow natively, like the repo's GEMM near-dup kernels). The
+    batch function bucket-codes each document's length with pyarrow
+    compute; the aggregate per (lang, len_bucket) faces the relational
+    oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def code(batches):
+        for b in batches:
+            bucket = pc.floor(
+                pc.divide(pc.cast(b.column(2), pa.float64()), 100.0)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    b.column(1),
+                    pc.cast(bucket, pa.int64()),
+                ],
+                ["doc_id", "lang", "len_bucket"],
+            )
+
+    coded = docs.mapInArrow(
+        code, "doc_id bigint, lang string, len_bucket bigint"
+    )
+    return coded.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+ORACLE_MAP_ARROW = """
+SELECT lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -751,6 +849,8 @@ QUERIES = {
     "streaming_python_datasource": streaming_python_datasource,
     "sink_python_datasource": sink_python_datasource,
     "graph_triangle_count": graph_triangle_count,
+    "udf_cogroup_user_join": udf_cogroup_user_join,
+    "udf_map_in_arrow": udf_map_in_arrow,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -780,6 +880,8 @@ ORACLE = {
     "streaming_python_datasource": ORACLE_PY_STREAM,
     "sink_python_datasource": ORACLE_PY_SINK,
     "graph_triangle_count": ORACLE_TRIANGLES,
+    "udf_cogroup_user_join": ORACLE_COGROUP,
+    "udf_map_in_arrow": ORACLE_MAP_ARROW,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES
