@@ -317,19 +317,32 @@ def triangle_count(
     o1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("x"))
     o2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("y"))
     wedges = o1.join(o2, "apex").filter(F.col("x") < F.col("y"))
-    # the closing edge is oriented x->y or y->x depending on degrees;
-    # canonical (min, max) of the pair matches the undirected edge set
-    closed = wedges.join(
-        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
-        ["x", "y"],
-        "left_semi",
+    # the closing probe is a LEFT join with a match flag (not a semi
+    # join + second count): wedge total and closed total then come out
+    # of ONE aggregation over ONE execution of the wedge join — the
+    # expensive lineage never recomputes
+    closing = e.select(
+        F.col("u").alias("x"), F.col("v").alias("y"), F.lit(1).alias("__hit")
     )
-    n_vertices = deg.count()
+    wedge_stats = (
+        wedges.join(closing, ["x", "y"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("__hit").alias("n_triangles"),
+        )
+        .collect()[0]
+    )
     n_edges = e.count()
-    n_wedges = wedges.count()
-    n_triangles = closed.count()
+    n_vertices = deg.count()
     spark = edges.sparkSession
     return spark.createDataFrame(
-        [(n_vertices, n_edges, n_wedges, n_triangles)],
+        [
+            (
+                n_vertices,
+                n_edges,
+                wedge_stats["n_wedges"],
+                wedge_stats["n_triangles"],
+            )
+        ],
         "n_vertices bigint, n_edges bigint, n_wedges bigint, n_triangles bigint",
     )
