@@ -832,6 +832,62 @@ GROUP BY 1, 2
 """
 
 
+def streaming_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING sink (sources/pysource.py:
+    _JsonlStreamWriter — the fourth connector quadrant): the events
+    stream written through the DataSourceStreamWriter protocol, every
+    micro-batch staging part files and publishing an idempotent
+    per-batch manifest (a replayed batch REPLACES its manifest —
+    effectively exactly-once under Spark's batch-replay recovery).
+    The read-back of all committed batches, aggregated per event_type,
+    must hash-match the batch oracle."""
+    import shutil
+    import uuid
+
+    from ..sources.pysource import read_jsonl_stream_committed, register
+    from ..streaming.pipeline import read_table_stream
+
+    register(spark)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"jsonl_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    src = read_table_stream(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    q = (
+        src.writeStream.format("jsonl_commit")
+        .option("path", scratch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"ckpt_pysink_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = read_jsonl_stream_committed(
+        spark, scratch, "event_id bigint, user_id bigint, event_type string"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+ORACLE_PY_STREAM_SINK = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(event_id) AS BIGINT) AS min_event,
+       CAST(max(event_id) AS BIGINT) AS max_event
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -851,6 +907,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "udf_cogroup_user_join": udf_cogroup_user_join,
     "udf_map_in_arrow": udf_map_in_arrow,
+    "streaming_python_sink": streaming_python_sink,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -882,6 +939,7 @@ ORACLE = {
     "graph_triangle_count": ORACLE_TRIANGLES,
     "udf_cogroup_user_join": ORACLE_COGROUP,
     "udf_map_in_arrow": ORACLE_MAP_ARROW,
+    "streaming_python_sink": ORACLE_PY_STREAM_SINK,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES

@@ -161,6 +161,11 @@ class JsonlCommitSource(DataSource):
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _JsonlWriter(self.options["path"], [f.name for f in schema])
 
+    def streamWriter(self, schema, overwrite: bool):
+        return _JsonlStreamWriter(
+            self.options["path"], [f.name for f in schema]
+        )
+
 
 class _JsonlWriter(DataSourceWriter):
     def __init__(self, path: str, cols: list[str]) -> None:
@@ -219,4 +224,67 @@ def read_jsonl_committed(spark, path: str, schema: str):
     with open(os.path.join(path, "_MANIFEST.json")) as f:
         manifest = json.load(f)
     files = [os.path.join(path, p["file"]) for p in manifest["parts"]]
+    return spark.read.schema(schema).json(files)
+
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """The streaming half of the two-phase contract: every micro-batch
+    stages its part files, then ``commit(messages, batchId)`` publishes
+    a per-batch ``_MANIFEST-<batchId>.json`` — idempotently (a replayed
+    batch after driver recovery REPLACES its manifest rather than
+    double-publishing, which is what makes the sink effectively
+    exactly-once under Spark's batch-replay recovery model). abort()
+    removes the batch's staged parts."""
+
+    def __init__(self, path: str, cols: list[str]) -> None:
+        self._path = path
+        self._cols = cols
+
+    def write(self, iterator) -> _PartMessage:
+        return _JsonlWriter(self._path, self._cols).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        manifest = {
+            "batch_id": batchId,
+            "parts": [
+                {"file": m.part_file, "rows": m.n_rows}
+                for m in sorted(
+                    (m for m in messages if m is not None),
+                    key=lambda m: m.part_file,
+                )
+            ],
+            "total_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self._path, f"_MANIFEST-{batchId}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(
+            tmp, os.path.join(self._path, f"_MANIFEST-{batchId}.json")
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self._path, m.part_file))
+                except FileNotFoundError:
+                    pass
+
+
+def read_jsonl_stream_committed(spark, path: str, schema: str):
+    """Read back every part named by any per-batch manifest — staged
+    strays and aborted batches stay invisible."""
+    import json
+
+    files = []
+    for mf in sorted(glob.glob(os.path.join(path, "_MANIFEST-*.json"))):
+        with open(mf) as f:
+            files.extend(
+                os.path.join(path, p["file"]) for p in json.load(f)["parts"]
+            )
     return spark.read.schema(schema).json(files)
