@@ -126,6 +126,32 @@ def test_python_sink_reader_trusts_only_manifest(spark, tmp_path):
     assert back.filter(F.col("c_mktsegment") == "GHOST").count() == 0
 
 
+def test_stream_sink_replayed_batch_replaces_manifest(tmp_path):
+    """Recovery semantics: when Spark replays a batch after a driver
+    failure, the re-commit must REPLACE the batch's manifest (and the
+    first attempt's parts become invisible orphans) — publishing both
+    attempts would double-count."""
+    import json
+    import os
+
+    from spotify_etl_aws_spark.sources.pysource import (
+        _JsonlStreamWriter,
+        _PartMessage,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    w = _JsonlStreamWriter(out, ["a"])
+    first = [_PartMessage(part_file="part-old.jsonl", n_rows=7)]
+    w.commit(first, batchId=3)
+    replay = [_PartMessage(part_file="part-new.jsonl", n_rows=7)]
+    w.commit(replay, batchId=3)
+    with open(os.path.join(out, "_MANIFEST-3.json")) as f:
+        manifest = json.load(f)
+    assert [p["file"] for p in manifest["parts"]] == ["part-new.jsonl"]
+    assert manifest["total_rows"] == 7
+
+
 def test_python_datasource_partition_per_fragment(spark, tmp_path):
     """The custom connector must plan one InputPartition per parquet
     fragment — the fan-out is the point of a DataSource over a driver
