@@ -83,6 +83,43 @@ def test_partitioned_write_prunes_at_planning_time(spark, sf_dir):
     assert n_pruned == n_direct
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """DPP — the runtime companion to static pruning: a join against a
+    FILTERED dim on the partition column must inject a
+    dynamicpruningexpression into the fact scan's PartitionFilters
+    (fed by a broadcast subquery), so at 100 TB the fact side reads
+    only the dim-selected partitions even though the selected years
+    are unknowable at plan time. Behavioral twin: result equals the
+    statically-filtered aggregate."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    scratch = str(tmp_path / "dpp_orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(scratch)
+    fact = spark.read.parquet(scratch)
+    dim = spark.createDataFrame(
+        [(1997, "keep"), (1998, "drop")], "o_year int, tag string"
+    ).filter(F.col("tag") == "keep")
+    j = fact.join(dim, "o_year").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:1500]
+    got = j.collect()[0]
+    want = (
+        fact.filter(F.col("o_year") == 1997)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        .collect()[0]
+    )
+    assert (got["n"], got["c"]) == (want["n"], want["c"])
+
+
 def test_orc_roundtrip_preserves_every_row(spark, sf_dir):
     got = QUERIES["source_orc_roundtrip"](spark, sf_dir)
     from spotify_etl_aws_spark.sources.readers import load_table
