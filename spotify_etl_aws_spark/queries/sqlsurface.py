@@ -40,6 +40,32 @@ grows into that no earlier lane exercised:
   header loss in the round trip breaks the hash. All money int-cents
   BEFORE the write so the CSV carries integers, not float reprs.
 
+Later round-7 additions registered here (module order keeps every new
+lane after the driver's frozen 50-query window):
+
+- I/O and layout: ``source_orc_roundtrip``,
+  ``sink_partitioned_pruning`` (planning-time partition pruning,
+  plan-pinned), ``source_schema_evolution`` (mergeSchema added-column
+  epochs);
+- the custom Python connector quadrant (sources/pysource.py):
+  ``source_python_datasource`` (partition-per-fragment batch reads),
+  ``streaming_python_datasource`` (offset-cursored stream reads with
+  a drain-loop runner), ``sink_python_datasource`` (two-phase-commit
+  manifest sink), ``streaming_python_sink`` (per-batch idempotent
+  manifests);
+- Python execution surface: ``udtf_split_tokens`` (LATERAL UDTF),
+  ``udf_cogroup_user_join`` (cogrouped applyInPandas),
+  ``udf_map_in_arrow`` (raw RecordBatch transform);
+- windows: ``window_ignore_nulls_locf`` (native IGNORE NULLS LOCF);
+- training-data ops: ``order_pack_whole_docs`` (next-fit whole-doc
+  packing vs a recursive-CTE replay of its greedy state machine);
+- graph analytics: ``graph_triangle_count`` (degree-ordered wedge
+  counting; the oracle re-derives both the brute triangle count and
+  the orientation's wedge count);
+- composite-state streaming: ``streaming_type_profiles`` (declared
+  GroupState lane; the transformWithStateInPandas twin sits behind
+  the documented protobuf seam in streaming/stateful.py).
+
 Reference cites: the reference's analytics stop at f-string SQL over
 DuckDB (`ingestion/ingestion/bronze/bronze.py:139-166`) and dbt models
 (`dbt/spotify_etl_aws/models/core/*.sql`); these lanes are engine
