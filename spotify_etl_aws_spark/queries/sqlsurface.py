@@ -914,6 +914,101 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------- #
+# ColBERT-style late-interaction MaxSim retrieval                   #
+# --------------------------------------------------------------- #
+
+MAXSIM_SUB = 4       # token sub-vectors per 64-dim embedding
+MAXSIM_DIM = 16      # dims per sub-vector
+MAXSIM_QUERIES = 3   # vec_id < 3 are the query "documents"
+MAXSIM_K = 10
+MAXSIM_DP = 4
+
+
+def _maxsim_score(cos_fn) -> str:
+    """score = ((m0+m1)+m2)+m3 with m_i = greatest over j of
+    cos(q_i, d_j) — FIXED association order on both engines, so the
+    only cross-engine float freedom is inside each dot product (the
+    16-term accumulation), absorbed by the probed 4dp rounding grid
+    (min boundary distance 4.8e-5 grid units across all four
+    fixtures; 10× boundary ties are exact duplicate vectors, cut
+    deterministically by the did tie-break)."""
+    m = [
+        "greatest({})".format(
+            ", ".join(cos_fn(i, j) for j in range(MAXSIM_SUB))
+        )
+        for i in range(MAXSIM_SUB)
+    ]
+    return f"((({m[0]} + {m[1]}) + {m[2]}) + {m[3]})"
+
+
+def _maxsim_cos_spark(i: int, j: int) -> str:
+    qs = (
+        f"transform(slice(q.embedding, {MAXSIM_DIM * i + 1}, {MAXSIM_DIM}),"
+        " x -> CAST(x AS DOUBLE))"
+    )
+    ds = (
+        f"transform(slice(d.embedding, {MAXSIM_DIM * j + 1}, {MAXSIM_DIM}),"
+        " x -> CAST(x AS DOUBLE))"
+    )
+    dot = "aggregate(zip_with({}, {}, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+    return (
+        f"({dot.format(qs, ds)} / "
+        f"(sqrt({dot.format(qs, qs)}) * sqrt({dot.format(ds, ds)})))"
+    )
+
+
+def _maxsim_cos_duck(i: int, j: int) -> str:
+    qs = (
+        f"list_transform(q.embedding[{MAXSIM_DIM * i + 1}:"
+        f"{MAXSIM_DIM * (i + 1)}], x -> CAST(x AS DOUBLE))"
+    )
+    ds = (
+        f"list_transform(d.embedding[{MAXSIM_DIM * j + 1}:"
+        f"{MAXSIM_DIM * (j + 1)}], x -> CAST(x AS DOUBLE))"
+    )
+    return (
+        f"(list_dot_product({qs}, {ds}) / "
+        f"(sqrt(list_dot_product({qs}, {qs})) * "
+        f"sqrt(list_dot_product({ds}, {ds}))))"
+    )
+
+
+def _maxsim_sql(score: str) -> str:
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, d.vec_id AS did,
+         round({score}, {MAXSIM_DP}) AS maxsim
+  FROM (SELECT * FROM embeddings WHERE vec_id < {MAXSIM_QUERIES}) q
+  JOIN embeddings d ON d.vec_id <> q.vec_id
+),
+r AS (SELECT qid, did, maxsim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY maxsim DESC, did) AS rn
+      FROM scored)
+SELECT qid, did, maxsim, CAST(rn AS BIGINT) AS rnk
+FROM r WHERE rn <= {MAXSIM_K}
+"""
+
+
+def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia
+    2020): each 64-dim embedding is treated as 4 token sub-vectors of
+    16 dims; MaxSim(q, d) = Σ_i max_j cos(q_i, d_j) — the sum over
+    query tokens of each token's best match in the document. Top-10
+    per query with the house (rounded score, id) cut. The dot/max/sum
+    chain runs JVM-side via array HOFs (bounded: 3 queries ×
+    16 cos terms per doc — the query side is 3 rows, so the non-equi
+    join is a 3-row broadcast, legitimate at any corpus size; a real
+    deployment would prefilter candidates with the IVF/LSH lanes and
+    apply MaxSim as the re-rank stage, exactly ColBERT's posture)."""
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_maxsim_sql(_maxsim_score(_maxsim_cos_spark)))
+
+
+ORACLE_MAXSIM = _maxsim_sql(_maxsim_score(_maxsim_cos_duck))
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -934,6 +1029,7 @@ QUERIES = {
     "udf_cogroup_user_join": udf_cogroup_user_join,
     "udf_map_in_arrow": udf_map_in_arrow,
     "streaming_python_sink": streaming_python_sink,
+    "search_maxsim_late_interaction": search_maxsim_late_interaction,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -966,6 +1062,7 @@ ORACLE = {
     "udf_cogroup_user_join": ORACLE_COGROUP,
     "udf_map_in_arrow": ORACLE_MAP_ARROW,
     "streaming_python_sink": ORACLE_PY_STREAM_SINK,
+    "search_maxsim_late_interaction": ORACLE_MAXSIM,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES
