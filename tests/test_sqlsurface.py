@@ -229,6 +229,7 @@ def test_python_datasource_partition_per_fragment(spark, tmp_path):
         "window_ignore_nulls_locf",
         "source_schema_evolution",
         "source_python_datasource",
+        "search_maxsim_late_interaction",
     ],
 )
 def test_nonempty_at_smallest_sf(spark, name):
