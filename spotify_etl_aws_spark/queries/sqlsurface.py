@@ -1009,6 +1009,60 @@ def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFram
 ORACLE_MAXSIM = _maxsim_sql(_maxsim_score(_maxsim_cos_duck))
 
 
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the TimescaleDB ``time_weight('LOCF')``
+    shape, completing the gap-fill family): each event's value holds
+    until the user's next event; the per-user average weights each
+    value by its holding duration. Fully exact lane: values are exact
+    cents in the fixture (probed: max |value·100 − round| 3.6e-12),
+    durations are exact epoch-microsecond BIGINT deltas, so the
+    weighted sum is pure integer arithmetic (max per-user ≈ 1.3e16,
+    far under int64) and the final division maps the same two BIGINTs
+    to the same double on both engines. Last event per user carries no
+    duration (no closing bound); single-event users drop out via the
+    segment filter."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vcents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "dur_us"
+        ),
+    ).filter(F.col("dur_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur_us").alias("dur_us_total"),
+        F.sum(F.col("vcents") * F.col("dur_us")).alias("weighted_cents_us"),
+        (
+            F.sum(F.col("vcents") * F.col("dur_us"))
+            / F.sum("dur_us").cast("double")
+        ).alias("twa_cents"),
+    )
+
+
+ORACLE_TIME_WEIGHTED = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS vcents,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dur_us) AS BIGINT) AS dur_us_total,
+       CAST(sum(vcents * dur_us) AS BIGINT) AS weighted_cents_us,
+       CAST(sum(vcents * dur_us) AS BIGINT)
+         / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) AS twa_cents
+FROM seg WHERE dur_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -1030,6 +1084,7 @@ QUERIES = {
     "udf_map_in_arrow": udf_map_in_arrow,
     "streaming_python_sink": streaming_python_sink,
     "search_maxsim_late_interaction": search_maxsim_late_interaction,
+    "ts_time_weighted_avg": ts_time_weighted_avg,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -1063,6 +1118,7 @@ ORACLE = {
     "udf_map_in_arrow": ORACLE_MAP_ARROW,
     "streaming_python_sink": ORACLE_PY_STREAM_SINK,
     "search_maxsim_late_interaction": ORACLE_MAXSIM,
+    "ts_time_weighted_avg": ORACLE_TIME_WEIGHTED,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES
