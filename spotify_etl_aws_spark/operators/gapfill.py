@@ -130,3 +130,104 @@ def gapfill(
         ),
     )
     return out.select(*by, ts_col, out_col)
+
+
+def lttb_downsample(
+    df,
+    series_col: str,
+    x_col: str,
+    y_col: str,
+    n_out: int,
+    order_cols: list[str] | None = None,
+):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    the visualization/observability reducer: keep ``n_out`` points per
+    series preserving visual shape). First and last points are always
+    kept; the middle points split into ``n_out − 2`` equal-count
+    buckets, and each bucket keeps the point forming the largest
+    triangle with the PREVIOUSLY selected point and the NEXT bucket's
+    centroid — a sequential recurrence, so each series packs inside
+    one Arrow batch (parallel ACROSS series, sequential within, the
+    same distributed shape as ``pack_sequences``).
+
+    Determinism contract: ``x_col``/``y_col`` must be integer columns
+    (epoch-millis / int-cents in the declared lane); the triangle
+    comparison uses the centroid-scaled cross product — pure int64
+    arithmetic, no division anywhere — with ties broken on the
+    smallest row number, so the selection is bit-reproducible and
+    oracle-checkable (the DuckDB twin replays the recurrence as a
+    recursive CTE advancing every series one bucket per level).
+    Series with ≤ ``n_out`` points are excluded (nothing to reduce).
+
+    Returns (series, rn, x, y, step): ``rn`` the 1-based position in
+    the series, ``step`` the selection order (0 = first point,
+    n_out − 1 = last point).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    order = order_cols if order_cols is not None else [x_col]
+    w = Window.partitionBy(series_col).orderBy(*order)
+    wn = Window.partitionBy(series_col)
+    prepared = (
+        df.select(
+            F.col(series_col).alias("__s"),
+            F.col(x_col).cast("long").alias("__x"),
+            F.col(y_col).cast("long").alias("__y"),
+            *[F.col(c) for c in order if c not in (x_col, y_col)],
+        )
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("__s").orderBy(*order)))
+        .withColumn("__n", F.count(F.lit(1)).over(
+            Window.partitionBy("__s")))
+        .filter(F.col("__n") > n_out)
+        .select("__s", "__rn", "__x", "__y", "__n")
+    )
+    B = n_out - 2
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn")
+        xs = [int(v) for v in pdf["__x"]]
+        ys = [int(v) for v in pdf["__y"]]
+        n = len(pdf)
+        # middle array index i in [1, n-2] -> bucket (i-1)*B // (n-2)
+        buckets: list[list[int]] = [[] for _ in range(B)]
+        for i in range(1, n - 1):
+            buckets[(i - 1) * B // (n - 2)].append(i)
+        sel = [0]
+        for b in range(B):
+            if b < B - 1:
+                nxt = buckets[b + 1]
+            else:
+                nxt = [n - 1]
+            cnt = len(nxt)
+            sx = sum(xs[j] for j in nxt)
+            sy = sum(ys[j] for j in nxt)
+            x0, y0 = xs[sel[-1]], ys[sel[-1]]
+            best = None
+            for i in buckets[b]:
+                area2 = abs(
+                    (xs[i] - x0) * (sy - cnt * y0)
+                    - (sx - cnt * x0) * (ys[i] - y0)
+                )
+                key = (-area2, i)
+                if best is None or key < best[0]:
+                    best = (key, i)
+            sel.append(best[1])
+        sel.append(n - 1)
+        s = pdf["__s"].iloc[0]
+        return pd.DataFrame(
+            {
+                "series": [s] * len(sel),
+                "rn": [i + 1 for i in sel],
+                "x": [xs[i] for i in sel],
+                "y": [ys[i] for i in sel],
+                "step": list(range(len(sel))),
+            }
+        )
+
+    return prepared.groupBy("__s").applyInPandas(
+        kernel, "series bigint, rn bigint, x bigint, y bigint, step int"
+    )

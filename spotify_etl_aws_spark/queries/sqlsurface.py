@@ -1063,6 +1063,89 @@ GROUP BY user_id
 """
 
 
+LTTB_N_OUT = 12
+_LTTB_B = LTTB_N_OUT - 2
+
+
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling
+    (operators/gapfill.py:lttb_downsample; Steinarsson 2013) — each
+    user's event series reduced to {LTTB_N_OUT} shape-preserving
+    points on the (epoch-millis, int-cents) plane. The triangle
+    comparison is the centroid-scaled cross product: pure int64
+    arithmetic with a smallest-rn tie-break, so the greedy selection
+    is bit-reproducible; the oracle replays the recurrence as a
+    recursive CTE advancing every series one bucket per level (the
+    ``order_pack_whole_docs`` pattern), with the same windowed argmax
+    inside the recursive term."""
+    from ..operators.gapfill import lttb_downsample
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000").alias("x_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("y_cents"),
+    )
+    return lttb_downsample(
+        ev,
+        series_col="user_id",
+        x_col="x_ms",
+        y_col="y_cents",
+        n_out=LTTB_N_OUT,
+        order_cols=["ts", "event_id"],
+    )
+
+
+ORACLE_LTTB = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id AS s,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         epoch_us(ts) // 1000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+pl AS (SELECT * FROM pts WHERE n > {LTTB_N_OUT}),
+cand AS (
+  SELECT s, rn, x, y, CAST((rn - 2) * {_LTTB_B} // (n - 2) AS BIGINT) AS b
+  FROM pl WHERE rn >= 2 AND rn <= n - 1
+),
+nxt AS (
+  SELECT s, b AS bb, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS cnt
+  FROM cand GROUP BY s, b
+),
+anchors AS (
+  SELECT s, bb - 1 AS b, sx, sy, cnt FROM nxt WHERE bb >= 1
+  UNION ALL
+  SELECT s, {_LTTB_B - 1} AS b, x AS sx, y AS sy, 1 AS cnt
+  FROM pl WHERE rn = n
+),
+walk AS (
+  SELECT s, 0 AS step, rn AS sel_rn, x AS sel_x, y AS sel_y
+  FROM pl WHERE rn = 1
+  UNION ALL
+  SELECT s, step, rn AS sel_rn, x AS sel_x, y AS sel_y FROM (
+    SELECT c.s, w.step + 1 AS step, c.rn, c.x, c.y,
+           row_number() OVER (PARTITION BY c.s ORDER BY
+             abs((c.x - w.sel_x) * (a.sy - a.cnt * w.sel_y)
+               - (a.sx - a.cnt * w.sel_x) * (c.y - w.sel_y)) DESC,
+             c.rn) AS pick
+    FROM walk w
+    JOIN cand c ON c.s = w.s AND c.b = w.step
+    JOIN anchors a ON a.s = w.s AND a.b = w.step
+    WHERE w.step < {_LTTB_B}
+  ) WHERE pick = 1
+)
+SELECT s AS series, sel_rn AS rn, sel_x AS x, sel_y AS y,
+       CAST(step AS INT) AS step
+FROM walk
+UNION ALL
+SELECT s, rn, x, y, {LTTB_N_OUT - 1} FROM pl WHERE rn = n
+"""
+
+
 QUERIES = {
     "stats_corr_exact": stats_corr_exact,
     "window_distribution_funcs": window_distribution_funcs,
@@ -1085,6 +1168,7 @@ QUERIES = {
     "streaming_python_sink": streaming_python_sink,
     "search_maxsim_late_interaction": search_maxsim_late_interaction,
     "ts_time_weighted_avg": ts_time_weighted_avg,
+    "ts_lttb_downsample": ts_lttb_downsample,
 }
 
 # Composite-state streaming lane — defined with the other streaming
@@ -1119,6 +1203,7 @@ ORACLE = {
     "streaming_python_sink": ORACLE_PY_STREAM_SINK,
     "search_maxsim_late_interaction": ORACLE_MAXSIM,
     "ts_time_weighted_avg": ORACLE_TIME_WEIGHTED,
+    "ts_lttb_downsample": ORACLE_LTTB,
 }
 
 ORACLE["streaming_type_profiles"] = ORACLE_TWS_PROFILES
