@@ -139,6 +139,7 @@ def lttb_downsample(
     y_col: str,
     n_out: int,
     order_cols: list[str] | None = None,
+    max_series_points: int = 50_000_000,
 ):
     """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
     the visualization/observability reducer: keep ``n_out`` points per
@@ -162,21 +163,29 @@ def lttb_downsample(
     Returns (series, rn, x, y, step): ``rn`` the 1-based position in
     the series, ``step`` the selection order (0 = first point,
     n_out − 1 = last point).
+
+    ``max_series_points`` bounds the per-series Arrow buffer: a single
+    series longer than this fails FAST with a sized error instead of
+    silently buffering unbounded pandas memory in one straggler task
+    (same posture as ``decontaminate.max_bench``). Pre-bucket a longer
+    series (e.g. two-level LTTB: coarse epoch split, then LTTB per
+    split) before calling.
     """
     import pandas as pd
     from pyspark.sql import Window
 
     if n_out < 3:
         raise ValueError(f"n_out must be >= 3, got {n_out}")
-    order = order_cols if order_cols is not None else [x_col]
-    w = Window.partitionBy(series_col).orderBy(*order)
-    wn = Window.partitionBy(series_col)
+    # x_col/y_col are renamed to __x/__y by the select below, so order
+    # refs to them must follow the rename (order_cols=None means "by x").
+    rename = {x_col: "__x", y_col: "__y"}
+    order = [rename.get(c, c) for c in (order_cols or [x_col])]
     prepared = (
         df.select(
             F.col(series_col).alias("__s"),
             F.col(x_col).cast("long").alias("__x"),
             F.col(y_col).cast("long").alias("__y"),
-            *[F.col(c) for c in order if c not in (x_col, y_col)],
+            *[F.col(c) for c in (order_cols or []) if c not in (x_col, y_col)],
         )
         .withColumn("__rn", F.row_number().over(
             Window.partitionBy("__s").orderBy(*order)))
@@ -186,8 +195,16 @@ def lttb_downsample(
         .select("__s", "__rn", "__x", "__y", "__n")
     )
     B = n_out - 2
+    limit = int(max_series_points)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > limit:
+            raise ValueError(
+                f"lttb_downsample: series {pdf['__s'].iloc[0]!r} has "
+                f"{len(pdf)} points > max_series_points={limit}; "
+                "pre-bucket the series (two-level LTTB) or raise the "
+                "guard explicitly"
+            )
         pdf = pdf.sort_values("__rn")
         xs = [int(v) for v in pdf["__x"]]
         ys = [int(v) for v in pdf["__y"]]

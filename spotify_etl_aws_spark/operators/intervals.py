@@ -52,23 +52,35 @@ def interval_overlap_join(
     ls, le = F.col(left_start), F.col(left_end)
     rs, re_ = F.col(right_start), F.col(right_end)
 
-    def bins(start, end):
+    # Exact-integer floor division: `floor(col / B)` is DOUBLE division,
+    # which rounds for |bounds| > 2^53 and could place the explode bins
+    # and the count-once bin differently (dropping/duplicating pairs).
+    # `div` truncates toward zero, so adjust negative non-exact cases
+    # down to get true floor semantics — pure int64 throughout.
+    def fdiv(x_sql: str):
+        x = f"CAST(({x_sql}) AS LONG)"
+        return F.expr(
+            f"(({x}) div {bin_size}) - "
+            f"(CASE WHEN ({x}) % {bin_size} < 0 THEN 1 ELSE 0 END)"
+        )
+
+    def bins(start_name, end_name):
         return F.explode(
-            F.sequence(
-                F.floor(start / bin_size).cast("long"),
-                F.floor(end / bin_size).cast("long"),
-            )
+            F.sequence(fdiv(f"`{start_name}`"), fdiv(f"`{end_name}`"))
         ).alias("__jbin")
 
-    lb = left.select("*", bins(ls, le))
-    rb = right.select("*", bins(rs, re_))
+    lb = left.select("*", bins(left_start, left_end))
+    rb = right.select("*", bins(right_start, right_end))
     keys = list(on) + ["__jbin"]
     return (
         lb.join(rb, keys)
         .filter((ls <= re_) & (rs <= le))
         .filter(
             F.col("__jbin")
-            == F.floor(F.greatest(ls, rs) / bin_size).cast("long")
+            == fdiv(
+                f"greatest(CAST(`{left_start}` AS LONG),"
+                f" CAST(`{right_start}` AS LONG))"
+            )
         )
         .drop("__jbin")
     )

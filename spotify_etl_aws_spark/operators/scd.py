@@ -131,10 +131,13 @@ def apply_cdc(
 
     Per key the row with the greatest ``seq_cols`` tuple wins; if its
     ``op_col`` equals ``delete_op`` the key is absent from the output.
-    See ``latest_by_key`` for the shuffle posture.
+    A NULL winning op is KEPT (null-safe inequality): a malformed feed
+    must not silently lose keys — ``op != 'D'`` would yield NULL and
+    drop them without signal. See ``latest_by_key`` for the shuffle
+    posture.
     """
     out = latest_by_key(df, key_cols, seq_cols)
-    return out.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    return out.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(op_col)
 
 
 def scd2_point_in_time(

@@ -207,12 +207,16 @@ def sql_recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered."""
     # Spark guards runaway recursion at 1M rows by default; the
     # ancestor walk is provably bounded (|part| × ⌈log10(max key)⌉
-    # rows — ~1.3M at the 10× amplified fixture), so size the guard to
-    # the workload instead of letting it fail a legitimate walk. Left
-    # set on the session: it is a safety limit, not a semantics knob,
-    # and the DataFrame is lazy (restoring it pre-action would revert
-    # the limit before execution reads it).
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1 << 30))
+    # rows), so size the guard TO THE WORKLOAD — 12 levels per part row
+    # (metadata-cheap parquet count), floor 2M — instead of a blanket
+    # 2^30 that would disable the runaway guard for every later query
+    # on the shared session (the DataFrame is lazy, so the limit must
+    # still be in force at action time; a bounded value keeps the
+    # session safe without a restore hook).
+    n_part = t(spark, sf_dir, "part").count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(2_000_000, 12 * n_part))
+    )
     return _run(spark, sf_dir, _RECURSIVE_SQL)
 
 

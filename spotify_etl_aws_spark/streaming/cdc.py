@@ -90,8 +90,10 @@ def run_cdc_upsert(
             )
         else:
             out = spark.read.parquet(current[0])
+        # null-safe: a NULL winning op is kept, not silently dropped
+        # (mirrors operators/scd.py apply_cdc)
         final = (
-            out.filter(F.col(op_col) != F.lit(delete_op))
+            out.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
             .drop(op_col)
             .localCheckpoint()  # detach before the temp state dies
         )

@@ -96,3 +96,32 @@ def test_integer_values_survive_locf(spark):
     got = {r.bucket.hour: r.v for r in out.collect()}
     assert got == {0: 5, 1: 5, 2: 9}
     assert dict(out.dtypes)["v"] == "bigint"
+
+
+def test_lttb_default_order_cols(spark):
+    # regression: order_cols=None must order by the post-rename "__x"
+    # (previously referenced the dropped original x_col and failed
+    # with UNRESOLVED_COLUMN)
+    from spotify_etl_aws_spark.operators.gapfill import lttb_downsample
+
+    rows = [(1, x, (x * 37) % 101) for x in range(40)]
+    df = spark.createDataFrame(rows, "s long, x long, y long")
+    out = lttb_downsample(df, "s", "x", "y", n_out=5)
+    got = out.orderBy("step").collect()
+    assert len(got) == 5
+    assert got[0].x == 0 and got[-1].x == 39  # endpoints always kept
+    # explicit order_cols naming x_col itself follows the rename
+    out2 = lttb_downsample(df, "s", "x", "y", n_out=5, order_cols=["x"])
+    assert [r.x for r in out2.orderBy("step").collect()] == [
+        r.x for r in got
+    ]
+
+
+def test_lttb_max_series_points_guard(spark):
+    from spotify_etl_aws_spark.operators.gapfill import lttb_downsample
+
+    rows = [(1, x, x) for x in range(50)]
+    df = spark.createDataFrame(rows, "s long, x long, y long")
+    out = lttb_downsample(df, "s", "x", "y", n_out=5, max_series_points=10)
+    with pytest.raises(Exception, match="max_series_points"):
+        out.collect()

@@ -89,3 +89,20 @@ def test_validates_bin_size(spark):
     a = _df(spark, [(0, 1, 0, 5)], "a")
     with pytest.raises(ValueError, match="bin_size"):
         interval_overlap_join(a, a, "as", "ae", "as", "ae", bin_size=0)
+
+
+def test_huge_bounds_beyond_double_precision(spark):
+    # bin ids must come from exact int64 floor division: doubles round
+    # above 2^53, so float binning could place the explode bins and the
+    # count-once bin differently and drop/duplicate pairs
+    base = (1 << 60) + 1  # not representable as double
+    a_rows = [(0, 1, base, base + 10), (0, 2, base + 100, base + 130)]
+    b_rows = [(0, 7, base + 5, base + 6), (0, 8, base + 131, base + 140)]
+    a = _df(spark, a_rows, "a")
+    b = _df(spark, b_rows, "b")
+    out = interval_overlap_join(
+        a, b, "as", "ae", "bs", "be", on=["k"], bin_size=7
+    ).collect()
+    got = {(r.aid, r.bid) for r in out}
+    assert got == {(1, 7)}
+    assert len(out) == 1  # count-once: no duplicate from shared bins

@@ -183,3 +183,12 @@ def test_point_in_time_join(spark):
     assert got[(9, _d(4))] is None  # unknown key kept (left join)
     # at most one version matches each fact
     assert out.count() == facts.count()
+
+
+def test_apply_cdc_null_op_kept_not_dropped(spark):
+    # a NULL winning op must not vanish silently (op != 'D' yields
+    # NULL and would drop the key); null-safe filter keeps it
+    rows = [(1, 1, "U", 10), (1, 2, None, 20), (2, 2, "D", 0)]
+    out = apply_cdc(_cdc(spark, rows), ["uid"], ["seq"], "op")
+    got = {r.uid: (r.seq, r.val) for r in out.collect()}
+    assert got == {1: (2, 20)}

@@ -80,3 +80,15 @@ def test_nonempty_at_smallest_sf(spark, name):
     an empty result would hash-match trivially and verify nothing."""
     df = QUERIES[name](spark, "/root/testdata/sf0.001")
     assert df.count() > 0, name
+
+
+def test_recursive_rollup_bounds_recursion_guard(spark):
+    """The recursion limit must be sized to the workload (12 rows per
+    part), NOT blanket-raised to 2^30 — a later runaway recursive
+    query on the shared session must still hit a real guard."""
+    df = QUERIES["sql_recursive_subtree_rollup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() > 0
+    limit = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+    assert limit <= 16_000_000, limit
