@@ -201,11 +201,17 @@ def pagerank(
         )
         ranks = tele.select("node", F.col("t").alias("pr")).localCheckpoint()
     for it in range(iterations):
-        dangling = (
+        # dangling mass rides the SAME action as the rank update: the
+        # 1-row anti-join aggregate enters the plan as a SCALAR
+        # SUBQUERY (DataFrame.scalar(), Spark 4) — no join, no
+        # driver-side collect(), so the tol=None path dispatches ONE
+        # Python action per iteration instead of two. Arithmetic is
+        # bit-identical to the former literal: same double sum, same
+        # IEEE divide by n.
+        dang = (
             ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-            .agg(F.sum("pr"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dang"))
+            .scalar()
         )
         share = (
             F.col("pr") / F.col("deg")
@@ -223,13 +229,13 @@ def pagerank(
         if tele is None:
             expr = (
                 F.lit((1.0 - damping) / n)
-                + F.lit(damping) * (c + F.lit(dangling / n))
+                + F.lit(damping) * (c + dang / F.lit(float(n)))
             )
             new_ranks = joined.select("node", expr.alias("pr"))
         else:
             expr = (
                 F.lit(1.0 - damping) * F.col("t")
-                + F.lit(damping) * (c + F.lit(dangling) * F.col("t"))
+                + F.lit(damping) * (c + dang * F.col("t"))
             )
             new_ranks = joined.join(tele, "node").select(
                 "node", expr.alias("pr")

@@ -2690,6 +2690,88 @@ GROUP BY 1, 2
 """
 
 
+def streaming_python_dist_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-PLANNED custom Python streaming source
+    (sources/pysource.py:_PagesDistStreamReader — the executor-side
+    half the Simple reader's docstring deferred to): the documents
+    table staged as four parquet fragments, streamed through
+    ``parquet_pages_dist`` where every micro-batch fans its offset
+    range out to one task per (fragment, row-group) — reads run in
+    EXECUTORS via pyarrow row-group pulls, the driver sees only footer
+    metadata. Complete-mode per-(lang, source) aggregate into a memory
+    sink; draining polls the committed end offset to the fragment
+    count (same protocol as ``streaming_python_datasource``). The
+    whole feed crossing the distributed Python source boundary must
+    hash-match the batch oracle."""
+    import ast
+    import glob as _glob
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from ..sources.pysource import register
+
+    register(spark)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"pydist_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    t(spark, sf_dir, "documents").repartition(4).write.parquet(scratch)
+    n_files = len(_glob.glob(os.path.join(scratch, "*.parquet")))
+    docs = spark.readStream.format("parquet_pages_dist").load(scratch)
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    name = f"py_dist_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pydist_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                raw = p["sources"][0]["endOffset"] or "{}"
+                try:
+                    end = json.loads(raw)
+                except json.JSONDecodeError:
+                    end = ast.literal_eval(raw)
+                if end.get("i", -1) >= n_files and p["numInputRows"] == 0:
+                    break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(f"stream never drained {n_files} fragments")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)
+
+
+ORACLE_PY_DIST_STREAM = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2738,6 +2820,7 @@ QUERIES = {
     "sample_weighted_docs": sample_weighted_docs,
     "dim_scd2_asof_lookup": dim_scd2_asof_lookup,
     "join_skew_salted": join_skew_salted,
+    "streaming_python_dist_source": streaming_python_dist_source,
 }
 
 ORACLE = {
@@ -2788,4 +2871,5 @@ ORACLE = {
     "sample_weighted_docs": ORACLE_ES_SAMPLE,
     "dim_scd2_asof_lookup": ORACLE_SCD2_ASOF,
     "join_skew_salted": ORACLE_SKEW_SALTED,
+    "streaming_python_dist_source": ORACLE_PY_DIST_STREAM,
 }
