@@ -411,6 +411,72 @@ sql_q20_quarter_share_suppliers.__doc__ = (
     "integer thresholds."
 )
 
+def q4_cobucketed(li: DataFrame, o: DataFrame) -> DataFrame:
+    """Q4 on the co-bucketed layout — the 100 TB posture for the one
+    TPC-H lane whose 100× ratio didn't bend (BASELINE.md "three
+    decades" table: 10.5× at 100×, cost = the unbucketed
+    lineitem⋈orders exchange).
+
+    Expected layout (``save_bucketed``, same bucket count B): ``li``
+    bucketed on ``l_orderkey``, ``o`` on ``o_orderkey``. The EXISTS
+    decorrelates to a left-semi join whose BOTH sides are co-bucketed
+    — ZERO data-sized exchange; the only shuffle left is the
+    5-row priority aggregate. Same result contract as ``_Q4_SQL``.
+    """
+    from pyspark.sql import functions as F
+
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    late = li.select("l_orderkey", "l_shipdate")
+    cond = (o_f["o_orderkey"] == late["l_orderkey"]) & (
+        late["l_shipdate"] > F.date_add(o_f["o_orderdate"], 90)
+    )
+    return (
+        o_f.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q16_cobucketed(
+    li: DataFrame, p: DataFrame, s: DataFrame
+) -> DataFrame:
+    """Q16 on the co-bucketed layout (the other unbent 100× lane:
+    8.6× at 100×, cost = the part⋈lineitem exchange).
+
+    Expected layout: ``li`` bucketed on ``l_partkey``, ``p`` on
+    ``p_partkey``, same B. part⋈lineitem joins with ZERO exchange;
+    the NOT IN exclusion stays a broadcast anti-join (supplier is
+    1/60th of lineitem at every SF); the remaining shuffle is the
+    count-distinct aggregate over the (brand, type, size) groups.
+    Same result contract as ``_Q16_SQL``.
+    """
+    from pyspark.sql import functions as F
+
+    p_f = p.filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = s.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        p_f.join(li, p_f["p_partkey"] == li["l_partkey"])
+        .join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(30)
+    )
+
+
 QUERIES = {
     "sql_q4_priority_lateness": sql_q4_priority_lateness,
     "sql_q6_revenue_delta": sql_q6_revenue_delta,

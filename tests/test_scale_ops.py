@@ -305,3 +305,82 @@ def test_compact_dataset_rejects_remote_paths(spark, tmp_path):
     for bad in ("s3a://bucket/table", "hdfs://nn:8020/warehouse/t"):
         with pytest.raises(ValueError, match="local-filesystem-only"):
             compact_dataset(spark, bad)
+
+
+def test_q4_cobucketed_plan_and_parity(spark, sf_dir):
+    """The q4 100 TB posture (round-7 verdict item 1): lineitem and
+    orders co-bucketed on orderkey semi-join with ZERO data-sized
+    exchange — every remaining Exchange keys on the 5-row priority
+    aggregate, never on orderkey — and the result is row-identical to
+    the verbatim-SQL lane."""
+    import re
+
+    from spotify_etl_aws_spark.queries.tpch import (
+        q4_cobucketed,
+        sql_q4_priority_lateness,
+    )
+
+    save_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "b4_li", 4,
+        ["l_orderkey"], ["l_orderkey"],
+    )
+    save_bucketed(
+        load_table(spark, sf_dir, "orders"), "b4_o", 4,
+        ["o_orderkey"], ["o_orderkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = q4_cobucketed(spark.table("b4_li"), spark.table("b4_o"))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "orderkey" not in m.group(1), plan
+        want = sorted(
+            map(tuple, sql_q4_priority_lateness(spark, sf_dir).collect())
+        )
+        assert sorted(map(tuple, q.collect())) == want and want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_q16_cobucketed_plan_and_parity(spark, sf_dir):
+    """The q16 posture: part and lineitem co-bucketed on partkey join
+    with no partkey exchange; the supplier NOT-IN exclusion broadcasts
+    (never shuffles the fact); remaining Exchanges carry only the
+    (brand, type, size, suppkey) distinct-aggregate rows. Result
+    row-identical to the verbatim-SQL lane."""
+    import re
+
+    from spotify_etl_aws_spark.queries.tpch import (
+        q16_cobucketed,
+        sql_q16_supplier_variety,
+    )
+
+    save_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "b16_li", 4,
+        ["l_partkey"], ["l_partkey"],
+    )
+    save_bucketed(
+        load_table(spark, sf_dir, "part"), "b16_p", 4,
+        ["p_partkey"], ["p_partkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = q16_cobucketed(
+            spark.table("b16_li"),
+            spark.table("b16_p"),
+            load_table(spark, sf_dir, "supplier"),
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "partkey" not in m.group(1), plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        want = sorted(
+            map(tuple, sql_q16_supplier_variety(spark, sf_dir).collect())
+        )
+        assert sorted(map(tuple, q.collect())) == want and want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
