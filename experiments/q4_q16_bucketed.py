@@ -67,7 +67,11 @@ def main() -> None:
 
     spark = get_spark(
         app_name="q4q16-bucketed",
-        extra_conf={"spark.sql.warehouse.dir": WAREHOUSE},
+        extra_conf={
+            "spark.sql.warehouse.dir": WAREHOUSE,
+            # context-level conf: needed by the amortization section
+            "spark.scheduler.mode": "FAIR",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -144,7 +148,6 @@ def main() -> None:
     # the scan+dispatch floor)
     import threading
 
-    spark.conf.set("spark.scheduler.mode", "FAIR")
     for name, fn in [("q4", q4b), ("q16", q16b)]:
         n = 4
         t0 = time.perf_counter()
