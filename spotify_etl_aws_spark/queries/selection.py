@@ -2701,17 +2701,16 @@ def streaming_python_dist_source(
     range out to one task per (fragment, row-group) — reads run in
     EXECUTORS via pyarrow row-group pulls, the driver sees only footer
     metadata. Complete-mode per-(lang, source) aggregate into a memory
-    sink; draining polls the committed end offset to the fragment
-    count (same protocol as ``streaming_python_datasource``). The
-    whole feed crossing the distributed Python source boundary must
-    hash-match the batch oracle."""
-    import ast
-    import glob as _glob
-    import json
+    sink, drained by Trigger.AvailableNow — which WORKS here, unlike
+    the Simple reader (its one-prefetched-read() protocol caps an
+    AvailableNow query at the first offset, hence that lane's polling
+    loop; the full reader's ``latestOffset()`` is honored, test-pinned
+    in ``tests/test_pysource_dist.py``). The whole feed crossing the
+    distributed Python source boundary must hash-match the batch
+    oracle."""
     import os
     import shutil
     import tempfile
-    import time
     import uuid
 
     from ..sources.pysource import register
@@ -2723,7 +2722,6 @@ def streaming_python_dist_source(
     )
     shutil.rmtree(scratch, ignore_errors=True)
     t(spark, sf_dir, "documents").repartition(4).write.parquet(scratch)
-    n_files = len(_glob.glob(os.path.join(scratch, "*.parquet")))
     docs = spark.readStream.format("parquet_pages_dist").load(scratch)
     agg = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2737,27 +2735,14 @@ def streaming_python_dist_source(
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pydist_"))
-        .trigger(processingTime="0 seconds")
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        deadline = time.monotonic() + 300
-        while time.monotonic() < deadline:
-            p = q.lastProgress
-            if p and p["sources"]:
-                raw = p["sources"][0]["endOffset"] or "{}"
-                try:
-                    end = json.loads(raw)
-                except json.JSONDecodeError:
-                    end = ast.literal_eval(raw)
-                if end.get("i", -1) >= n_files and p["numInputRows"] == 0:
-                    break
-            time.sleep(0.2)
-        else:
-            raise TimeoutError(f"stream never drained {n_files} fragments")
+        if not q.awaitTermination(300):
+            raise TimeoutError("availableNow run did not finish in 300s")
     finally:
         q.stop()
-        q.awaitTermination(60)
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)
 

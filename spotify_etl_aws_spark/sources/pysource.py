@@ -157,7 +157,9 @@ class _PagesDistStreamReader(DataSourceStreamReader):
     over the re-listed, sorted fragment set) re-serves exactly the
     committed range. Assumes fragments are immutable and append in
     lexicographic order (part-NNNNN naming), the same contract as the
-    Simple reader.
+    Simple reader. Unlike the Simple reader, Trigger.AvailableNow
+    drains this reader completely (``latestOffset()`` is honored;
+    test-pinned), so no polling loop is needed.
     """
 
     def __init__(self, options) -> None:

@@ -179,6 +179,35 @@ def test_checkpoint_restart_does_not_reserve_committed(spark, tmp_path):
     assert not set(first) & set(second) or len(first + second) == 2 * docs_n
 
 
+def test_available_now_drains_fully(spark, tmp_path):
+    """Unlike the Simple reader (whose one-prefetched-read() protocol
+    caps an AvailableNow query at the first offset — the lane polls
+    instead), the partition-planned reader's latestOffset() is honored
+    by Trigger.AvailableNow: one run drains every visible fragment and
+    terminates."""
+    register(spark)
+    path = str(tmp_path / "docs")
+    _stage(spark, path, 4)
+    agg = (
+        spark.readStream.format("parquet_pages_dist")
+        .load(path)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "an_drain_test"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table(name).agg(F.sum("n")).collect()[0][0]
+    assert got == load_table(spark, SF, "documents").count()
+
+
 def test_batch_read_still_works_through_dist_source(spark, tmp_path):
     register(spark)
     path = str(tmp_path / "docs")
