@@ -106,3 +106,33 @@ def test_huge_bounds_beyond_double_precision(spark):
     got = {(r.aid, r.bid) for r in out}
     assert got == {(1, 7)}
     assert len(out) == 1  # count-once: no duplicate from shared bins
+
+
+@pytest.mark.parametrize("bin_size", [3, 64])
+def test_brute_force_parity_huge_and_negative_coords(spark, bin_size):
+    """Randomized parity sweep in the regimes double arithmetic gets
+    wrong: magnitudes beyond 2^53 (both signs) mixed with small ones,
+    so any float rounding in bin assignment or the count-once filter
+    would show as a dropped or duplicated pair."""
+    rng = random.Random(97)
+    anchors = [0, -(1 << 60), (1 << 60) + 7, -(1 << 54), (1 << 53)]
+    a_rows, b_rows = [], []
+    for i in range(80):
+        k = rng.randrange(3)
+        base = rng.choice(anchors) + rng.randrange(-200, 200)
+        a_rows.append((k, i, base, base + rng.randrange(0, 50)))
+    for i in range(80):
+        k = rng.randrange(3)
+        base = rng.choice(anchors) + rng.randrange(-200, 200)
+        b_rows.append((k, i, base, base + rng.randrange(0, 50)))
+    out = interval_overlap_join(
+        _df(spark, a_rows, "a"),
+        _df(spark, b_rows, "b"),
+        "as", "ae", "bs", "be",
+        on=["k"],
+        bin_size=bin_size,
+    ).collect()
+    got = [(r.k, r.aid, r.bid) for r in out]
+    want = _brute(a_rows, b_rows)
+    assert sorted(got) == sorted(want)  # also proves count-once
+    assert want, "vacuous: no overlapping pairs generated"
