@@ -1,0 +1,181 @@
+"""Exact edit-distance (Levenshtein) string self-join via segment
+partitioning — the entity-resolution / fuzzy-dedup join the q-gram and
+shingle lanes can't express (they bound set overlap, not edit
+operations). The reference has no string-similarity machinery at all
+(its dbt models never leave exact equality), so this is gap inventory
+(SURVEY.md §2.11a ladder).
+
+Algorithm (PassJoin, Li/Deng/Wang/Feng, VLDB 2012, simplified
+fixed-±d position windows): a naive edit-distance join is a quadratic
+theta join — the classic 100 TB killer. Segmenting makes it an
+EQUI-join by pigeonhole:
+
+- every string, as the INDEXED side, splits into ``d + 1`` contiguous
+  segments (lengths ``⌊L/(d+1)⌋`` or ``⌈L/(d+1)⌉``). At most ``d``
+  edit operations cannot touch all ``d + 1`` segments, so any string
+  within distance ``d`` contains at least one segment VERBATIM;
+- every string, as the PROBE side, enumerates the substrings that
+  could equal a segment of a partner of length ``Lb ∈ [L−d, L+d]``:
+  for each candidate partner length and segment index, the substring
+  of the segment's length at positions within ``±d`` of the segment's
+  home position (insertions/deletions shift a surviving segment by at
+  most ``d``);
+- candidates meet on the equi-key ``(Lb, segment_index, substring)``
+  — one hash join, no theta anywhere — and the exact
+  ``levenshtein(a, b) <= d`` verify (JVM-side ``F.levenshtein``)
+  discards false positives.
+
+Probe fan-out is ``(2d+1)`` lengths × ``(d+1)`` segments × ``≤(2d+1)``
+positions ≈ 75 rows per string at ``d = 2`` — constant per string, so
+the join scales like the data, not its square; segment equality is
+selective precisely because segments are ``~L/(d+1)`` characters
+long. Self-join symmetry: a pair within distance ``d`` is found with
+either side as the probe (both, in fact), so candidates normalize to
+``(lo, hi)`` and dedup with one ``distinct``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def editdistance_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b) whose ``str_col`` values are
+    within Levenshtein distance ``max_dist``, with the exact distance.
+    Returns (id_a, id_b, dist). NULL strings are dropped; every string
+    must be longer than ``max_dist`` (shorter strings cannot fill
+    ``d + 1`` non-empty segments — the operator fails loud rather than
+    silently missing pairs).
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    d = int(max_dist)
+    k = d + 1  # segment count
+
+    s = (
+        df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .withColumn("L", F.length("s"))
+    )
+
+    # loud guard: segment partitioning needs L >= d + 1
+    n_short = s.filter(F.col("L") <= d).limit(1).count()
+    if n_short:
+        raise ValueError(
+            f"editdistance_join: strings of length <= max_dist={d} "
+            "present; segment partitioning requires length > max_dist "
+            "(filter or route short strings separately)"
+        )
+
+    # segment geometry for a string of length L (0-based):
+    #   base = L div k, rem = L % k
+    #   len_i  = base + (1 if i < rem else 0)
+    #   start_i = i*base + min(i, rem)
+    seg_len = f"(L div {k}) + (CASE WHEN i < L % {k} THEN 1 ELSE 0 END)"
+    seg_start = f"i * (L div {k}) + least(i, L % {k})"
+
+    indexed = (
+        s.select(
+            F.col("id").alias("b_id"),
+            F.col("s").alias("b_s"),
+            F.col("L"),
+            F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
+        )
+        .select(
+            "b_id",
+            "b_s",
+            F.col("L").alias("Lb"),
+            "i",
+            F.expr(f"substring(b_s, ({seg_start}) + 1, {seg_len})").alias(
+                "seg"
+            ),
+        )
+    )
+
+    probe = (
+        s.select(
+            F.col("id").alias("a_id"),
+            F.col("s").alias("a_s"),
+            F.col("L").alias("La"),
+            F.explode(
+                F.expr(f"sequence(greatest(L - {d}, {k}), L + {d})")
+            ).alias("L"),  # candidate partner length Lb (>= k)
+        )
+        .select(
+            "a_id",
+            "a_s",
+            "La",
+            F.col("L").alias("Lb"),
+            F.col("L"),
+            F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
+        )
+        .select(
+            "a_id",
+            "a_s",
+            "La",
+            "Lb",
+            "i",
+            F.expr(f"CAST(({seg_len}) AS INT)").alias("slen"),
+            F.expr(f"CAST(({seg_start}) AS INT)").alias("sstart"),
+        )
+        .filter(F.col("slen") <= F.col("La"))
+        .select(
+            "a_id",
+            "a_s",
+            "Lb",
+            "i",
+            "slen",
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(sstart - {d}, 0), "
+                    f"least(sstart + {d}, La - slen))"
+                )
+            ).alias("p"),
+        )
+        # an inverted window makes sequence() run DESCENDING: those
+        # positions are out-of-alignment, their substrings truncate to
+        # < slen and can never equal a full-length segment — harmless
+        # to correctness; p >= 0 cuts the bulk of them
+        .filter(F.col("p") >= 0)
+        .select(
+            "a_id",
+            "a_s",
+            "Lb",
+            "i",
+            F.expr("substring(a_s, p + 1, slen)").alias("seg"),
+        )
+    )
+
+    cands = (
+        probe.join(indexed, ["Lb", "i", "seg"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("id_a"),
+            F.greatest("a_id", "b_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    named = s.select(F.col("id"), F.col("s"))
+    return (
+        cands.join(
+            named.select(
+                F.col("id").alias("id_a"), F.col("s").alias("s_a")
+            ),
+            "id_a",
+        )
+        .join(
+            named.select(
+                F.col("id").alias("id_b"), F.col("s").alias("s_b")
+            ),
+            "id_b",
+        )
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
+    )

@@ -2757,6 +2757,88 @@ GROUP BY lang, source
 """
 
 
+EDITDIST_D = 2
+EDITDIST_TITLE_LEN = 30
+
+
+def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance join (operators/editdist.py — PassJoin-style
+    segment partitioning, Li et al. VLDB 2012): document pairs whose
+    30-char title prefixes are within Levenshtein distance 2 — the
+    entity-resolution / fuzzy-title dedup the shingle lanes can't
+    express (they bound set overlap, not edit operations). The planted
+    near-duplicate docs surface here as distance-0/1/2 title pairs at
+    every SF. Candidates come from ONE equi-join on
+    (partner_length, segment_index, segment) — pigeonhole over d+1
+    segments guarantees completeness; ``F.levenshtein`` verifies
+    exactly. The oracle replays the identical segmentation relationally
+    (DuckDB generate_series + substr + levenshtein), and the operator
+    is independently brute-force-parity-tested against a pure-Python
+    DP over random strings (tests/test_editdist.py)."""
+    from ..operators.editdist import editdistance_join
+
+    titles = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(text, 1, {EDITDIST_TITLE_LEN})").alias("title"),
+    )
+    out = editdistance_join(titles, "doc_id", "title", EDITDIST_D)
+    return out.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+ORACLE_EDITDIST = f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id AS id, substr(text, 1, {EDITDIST_TITLE_LEN}) AS s,
+         length(substr(text, 1, {EDITDIST_TITLE_LEN})) AS L
+  FROM documents
+),
+si AS (  -- select-list unnest: lateral generate_series is unsupported
+  SELECT id, s, L, unnest(generate_series(0, 2)) AS i FROM s
+),
+idx AS MATERIALIZED (
+  SELECT id AS b_id, L AS Lb, i,
+         substr(s, (i * (L // 3) + least(i, L % 3)) + 1,
+                (L // 3) + (CASE WHEN i < L % 3 THEN 1 ELSE 0 END)) AS seg
+  FROM si
+),
+pl AS (
+  SELECT id, s, L,
+         unnest(generate_series(greatest(L - 2, 3), L + 2)) AS Lb
+  FROM s
+),
+pli AS (
+  SELECT id, s, L, Lb, unnest(generate_series(0, 2)) AS i FROM pl
+),
+pp AS (
+  SELECT id AS a_id, s AS a_s, L AS La, Lb, i,
+         (Lb // 3) + (CASE WHEN i < Lb % 3 THEN 1 ELSE 0 END) AS slen,
+         (i * (Lb // 3) + least(i, Lb % 3)) AS sstart
+  FROM pli
+  WHERE (Lb // 3) + (CASE WHEN i < Lb % 3 THEN 1 ELSE 0 END) <= L
+),
+probe AS (
+  SELECT a_id, Lb, i, slen,
+         unnest(generate_series(greatest(sstart - 2, 0),
+                                least(sstart + 2, La - slen))) AS p,
+         a_s
+  FROM pp
+  WHERE least(sstart + 2, La - slen) >= greatest(sstart - 2, 0)
+),
+cand AS (
+  SELECT DISTINCT least(a_id, b_id) AS id_a, greatest(a_id, b_id) AS id_b
+  FROM (SELECT a_id, Lb, i, substr(a_s, p + 1, slen) AS seg FROM probe) pr
+  JOIN idx USING (Lb, i, seg)
+  WHERE a_id <> b_id
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS dist
+FROM cand c
+JOIN s sa ON sa.id = c.id_a
+JOIN s sb ON sb.id = c.id_b
+WHERE levenshtein(sa.s, sb.s) <= 2
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2806,6 +2888,7 @@ QUERIES = {
     "dim_scd2_asof_lookup": dim_scd2_asof_lookup,
     "join_skew_salted": join_skew_salted,
     "streaming_python_dist_source": streaming_python_dist_source,
+    "dedup_editdistance_pairs": dedup_editdistance_pairs,
 }
 
 ORACLE = {
@@ -2857,4 +2940,5 @@ ORACLE = {
     "dim_scd2_asof_lookup": ORACLE_SCD2_ASOF,
     "join_skew_salted": ORACLE_SKEW_SALTED,
     "streaming_python_dist_source": ORACLE_PY_DIST_STREAM,
+    "dedup_editdistance_pairs": ORACLE_EDITDIST,
 }

@@ -1,0 +1,148 @@
+"""Segment-partition edit-distance join (operators/editdist.py):
+brute-force parity against a pure-Python Levenshtein DP over random
+strings, planted single-edit families, Spark-levenshtein parity with
+the reference DP, the short-string loud guard, no-duplicate pairs, and
+the equi-join (no theta/cartesian) plan pin."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from spotify_etl_aws_spark.operators.editdist import editdistance_join
+
+
+def ref_lev(a: str, b: str) -> int:
+    """Textbook unit-cost DP — the independent reference both engines'
+    builtins must agree with."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute(rows, d):
+    out = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            dist = ref_lev(sa, sb)
+            if dist <= d:
+                lo, hi = sorted((ia, ib))
+                out.add((lo, hi, dist))
+    return out
+
+
+def _run(spark, rows, d):
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = editdistance_join(df, "id", "s", d).collect()
+    return {(r.id_a, r.id_b, r.dist) for r in got}
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_matches_brute_force_random_strings(spark, d):
+    rng = random.Random(41 + d)
+    alpha = "abcde"  # small alphabet -> dense near matches
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(d + 1, 14))))
+        for i in range(120)
+    ]
+    got = _run(spark, rows, d)
+    want = _brute(rows, d)
+    assert got == want
+    assert want, "vacuous: no pairs generated"
+
+
+def test_planted_edit_families(spark):
+    """One base string with a substitution, an insertion, a deletion
+    (each at start / middle / end), plus an unrelated string — each
+    edited copy pairs with the base at distance 1."""
+    base = "the quick brown fox"
+    rows = [
+        (0, base),
+        (1, "xhe quick brown fox"),   # sub at start
+        (2, "the quick crown fox"),   # sub in middle
+        (3, "the quick brown foy"),   # sub at end
+        (4, "tthe quick brown fox"),  # insert at start
+        (5, "the quiick brown fox"),  # insert in middle
+        (6, "the quick brown foxx"),  # insert at end
+        (7, "he quick brown fox"),    # delete at start
+        (8, "the quck brown fox"),    # delete in middle
+        (9, "the quick brown fo"),    # delete at end
+        (10, "completely different"),
+    ]
+    got = _run(spark, rows, 1)
+    want = _brute(rows, 1)
+    assert got == want
+    for i in range(1, 10):
+        assert (0, i, 1) in got
+
+
+def test_unicode_strings(spark):
+    rows = [
+        (0, "naïve café"),
+        (1, "naive café"),     # é/e substitution -> dist 1 in chars
+        (2, "naïve cafés"),    # append
+        (3, "날씨가 좋다"),
+        (4, "날씨가 좋아"),
+    ]
+    got = _run(spark, rows, 1)
+    assert got == _brute(rows, 1)
+    assert (3, 4, 1) in got
+
+
+def test_spark_levenshtein_matches_reference_dp(spark):
+    rng = random.Random(7)
+    alpha = "abcdefg"
+    pairs = [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 20))),
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 20))),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select(F.levenshtein("a", "b").alias("d")).collect()
+    for (a, b), r in zip(pairs, got):
+        assert r.d == ref_lev(a, b), (a, b)
+
+
+def test_duckdb_levenshtein_matches_reference_dp():
+    import duckdb
+
+    rng = random.Random(11)
+    alpha = "abcdef"
+    con = duckdb.connect()
+    for _ in range(200):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 15)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 15)))
+        d = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert d == ref_lev(a, b), (a, b)
+
+
+def test_short_string_guard_is_loud(spark):
+    df = spark.createDataFrame([(0, "ab"), (1, "abcdef")], "id long, s string")
+    with pytest.raises(ValueError, match="length > max_dist"):
+        editdistance_join(df, "id", "s", 2)
+    with pytest.raises(ValueError, match="max_dist"):
+        editdistance_join(df, "id", "s", 0)
+
+
+def test_no_duplicate_pairs_and_plan_is_equi(spark):
+    rows = [(i, "abcabcabc"[: 4 + (i % 5)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = editdistance_join(df, "id", "s", 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = [(r.id_a, r.id_b) for r in out.collect()]
+    assert len(got) == len(set(got))
