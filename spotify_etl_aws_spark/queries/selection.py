@@ -2839,6 +2839,124 @@ WHERE levenshtein(sa.s, sb.s) <= 2
 """
 
 
+DTW_K = 20
+
+
+def ts_dtw_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k DTW sequence similarity search (operators/dtw.py —
+    REPOSE ICDE 2021 posture, Spark-idiomatic: parallel across series,
+    exact integer DP within): every user's DAILY spend series
+    (sum of int-cents per day, ordered by day) ranked by dynamic-time-
+    warping distance to the minimum-user_id user's series; the
+    {DTW_K} nearest (dist, user_id tie-break). Pure int64 arithmetic
+    end to end, so the DP is bit-reproducible. The oracle replays the
+    DP as a recursive CTE advancing every candidate ONE DP ROW per
+    level, with the within-row recurrence
+    ``cur[j] = c_j + min(b_j, cur[j-1])`` closed into window functions
+    via the min-plus prefix scan
+    ``cur[j] = S_j + min_{{k<=j}}(b_k − S_{{k-1}})`` (S = running sum
+    of cell costs, b = min of the two previous-row predecessors)."""
+    from ..operators.dtw import dtw_topk_search
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("day")
+            ),
+        )
+    )
+    q_user = ev.agg(F.min("user_id")).collect()[0][0]
+    query = [
+        int(r.v)
+        for r in daily.filter(F.col("user_id") == q_user)
+        .orderBy("day")
+        .collect()
+    ]
+    cands = daily.filter(F.col("user_id") != q_user)
+    out = dtw_topk_search(
+        cands, query, DTW_K, id_col="user_id", pos_col="pos", val_col="v"
+    )
+    return out.select(F.col("series_id").alias("user_id"), "dtw_dist")
+
+
+_DTW_INF = 1 << 60
+
+ORACLE_DTW = f"""
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+qu AS MATERIALIZED (SELECT min(user_id) AS quid FROM events),
+q AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS j, v AS w
+  FROM daily, qu WHERE user_id = quid
+),
+cand AS MATERIALIZED (
+  SELECT user_id AS id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+              AS BIGINT) AS i,
+         v
+  FROM daily, qu WHERE user_id <> quid
+),
+jj AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS j UNION ALL SELECT j FROM q),
+dp AS (
+  -- DP row i = 0: reachable only at j = 0
+  SELECT c.id, CAST(0 AS BIGINT) AS i, jj.j,
+         CASE WHEN jj.j = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST({_DTW_INF} AS BIGINT) END AS cost
+  FROM (SELECT DISTINCT id FROM cand) c, jj
+  UNION ALL
+  -- advance every candidate one DP row: the sequential
+  -- cur[j] = c_j + min(b_j, cur[j-1]) closes into
+  -- S_j + running_min(b_k - S_(k-1))
+  SELECT id, i, j,
+         CASE WHEN j = 0 THEN CAST({_DTW_INF} AS BIGINT)
+              ELSE s_run + m_run END AS cost
+  FROM (
+    SELECT id, i, j,
+           sum(c) OVER (PARTITION BY id ORDER BY j
+                        ROWS UNBOUNDED PRECEDING) AS s_run,
+           min(b - s_prev) OVER (PARTITION BY id ORDER BY j
+                                 ROWS UNBOUNDED PRECEDING) AS m_run
+    FROM (
+      SELECT id, i, j, c, b,
+             coalesce(sum(c) OVER (PARTITION BY id ORDER BY j
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS s_prev
+      FROM (
+        SELECT d.id, d.i + 1 AS i, d.j,
+               CASE WHEN d.j = 0 THEN NULL ELSE abs(a.v - q.w) END AS c,
+               CASE WHEN d.j = 0 THEN NULL
+                    ELSE least(d.cost,
+                               lag(d.cost) OVER (PARTITION BY d.id
+                                                 ORDER BY d.j)) END AS b
+        FROM dp d
+        JOIN cand a ON a.id = d.id AND a.i = d.i + 1
+        LEFT JOIN q ON q.j = d.j
+      )
+    )
+  )
+),
+n_s AS (SELECT id, max(i) AS n FROM cand GROUP BY 1),
+mm AS (SELECT max(j) AS m FROM q)
+SELECT dp.id AS user_id, dp.cost AS dtw_dist
+FROM dp JOIN n_s ON n_s.id = dp.id, mm
+WHERE dp.i = n_s.n AND dp.j = mm.m
+ORDER BY dtw_dist, user_id
+LIMIT {DTW_K}
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2889,6 +3007,7 @@ QUERIES = {
     "join_skew_salted": join_skew_salted,
     "streaming_python_dist_source": streaming_python_dist_source,
     "dedup_editdistance_pairs": dedup_editdistance_pairs,
+    "ts_dtw_topk_similarity": ts_dtw_topk_similarity,
 }
 
 ORACLE = {
@@ -2941,4 +3060,5 @@ ORACLE = {
     "join_skew_salted": ORACLE_SKEW_SALTED,
     "streaming_python_dist_source": ORACLE_PY_DIST_STREAM,
     "dedup_editdistance_pairs": ORACLE_EDITDIST,
+    "ts_dtw_topk_similarity": ORACLE_DTW,
 }
