@@ -1,4 +1,4 @@
-"""Exact edit-distance (Levenshtein) string self-join via segment
+"""Exact edit-distance (Levenshtein) string join via segment
 partitioning — the entity-resolution / fuzzy-dedup join the q-gram and
 shingle lanes can't express (they bound set overlap, not edit
 operations). The reference has no string-similarity machinery at all
@@ -31,7 +31,10 @@ the join scales like the data, not its square; segment equality is
 selective precisely because segments are ``~L/(d+1)`` characters
 long. Self-join symmetry: a pair within distance ``d`` is found with
 either side as the probe (both, in fact), so candidates normalize to
-``(lo, hi)`` and dedup with one ``distinct``.
+``(lo, hi)`` and dedup with one ``distinct``. The two-table form
+(probe records vs a master table — the entity-resolution shape)
+indexes ``other`` and probes ``df``: pigeonhole completeness needs
+only one direction.
 """
 
 from __future__ import annotations
@@ -40,65 +43,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def editdistance_join(
-    df: DataFrame,
-    id_col: str,
-    str_col: str,
-    max_dist: int,
-) -> DataFrame:
-    """All unordered pairs (id_a < id_b) whose ``str_col`` values are
-    within Levenshtein distance ``max_dist``, with the exact distance.
-    Returns (id_a, id_b, dist). NULL strings are dropped; every string
-    must be longer than ``max_dist`` (shorter strings cannot fill
-    ``d + 1`` non-empty segments — the operator fails loud rather than
-    silently missing pairs).
-    """
-    if max_dist < 1:
-        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
-    d = int(max_dist)
-    k = d + 1  # segment count
-
+def _normalized(df: DataFrame, id_col: str, str_col: str, d: int, side: str):
     s = (
         df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
         .filter(F.col("s").isNotNull())
         .withColumn("L", F.length("s"))
     )
-
     # loud guard: segment partitioning needs L >= d + 1
-    n_short = s.filter(F.col("L") <= d).limit(1).count()
-    if n_short:
+    if s.filter(F.col("L") <= d).limit(1).count():
         raise ValueError(
-            f"editdistance_join: strings of length <= max_dist={d} "
-            "present; segment partitioning requires length > max_dist "
-            "(filter or route short strings separately)"
+            f"editdistance_join: {side} strings of length <= "
+            f"max_dist={d} present; segment partitioning requires "
+            "length > max_dist (filter or route short strings "
+            "separately)"
         )
+    return s
 
-    # segment geometry for a string of length L (0-based):
-    #   base = L div k, rem = L % k
-    #   len_i  = base + (1 if i < rem else 0)
-    #   start_i = i*base + min(i, rem)
-    seg_len = f"(L div {k}) + (CASE WHEN i < L % {k} THEN 1 ELSE 0 END)"
-    seg_start = f"i * (L div {k}) + least(i, L % {k})"
 
-    indexed = (
-        s.select(
-            F.col("id").alias("b_id"),
-            F.col("s").alias("b_s"),
-            F.col("L"),
-            F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
-        )
-        .select(
-            "b_id",
-            "b_s",
-            F.col("L").alias("Lb"),
-            "i",
-            F.expr(f"substring(b_s, ({seg_start}) + 1, {seg_len})").alias(
-                "seg"
-            ),
-        )
+def _indexed(s: DataFrame, d: int):
+    k = d + 1
+    return s.select(
+        F.col("id").alias("b_id"),
+        F.col("L").alias("Lb"),
+        F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
+        F.col("s").alias("b_s"),
+    ).select(
+        "b_id",
+        "Lb",
+        "i",
+        F.expr(
+            f"substring(b_s, (i * (Lb div {k}) + least(i, Lb % {k})) + 1, "
+            f"(Lb div {k}) + (CASE WHEN i < Lb % {k} THEN 1 ELSE 0 END))"
+        ).alias("seg"),
     )
 
-    probe = (
+
+def _probe(s: DataFrame, d: int):
+    k = d + 1
+    seg_len = f"(L div {k}) + (CASE WHEN i < L % {k} THEN 1 ELSE 0 END)"
+    seg_start = f"i * (L div {k}) + least(i, L % {k})"
+    return (
         s.select(
             F.col("id").alias("a_id"),
             F.col("s").alias("a_s"),
@@ -145,36 +129,76 @@ def editdistance_join(
         .filter(F.col("p") >= 0)
         .select(
             "a_id",
-            "a_s",
             "Lb",
             "i",
             F.expr("substring(a_s, p + 1, slen)").alias("seg"),
         )
     )
 
-    cands = (
-        probe.join(indexed, ["Lb", "i", "seg"])
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select(
-            F.least("a_id", "b_id").alias("id_a"),
-            F.greatest("a_id", "b_id").alias("id_b"),
+
+def editdistance_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int,
+    other: DataFrame | None = None,
+    other_id_col: str | None = None,
+    other_str_col: str | None = None,
+) -> DataFrame:
+    """Pairs whose strings are within Levenshtein distance
+    ``max_dist``, with the exact distance, as (id_a, id_b, dist).
+
+    Self-join (``other=None``): all unordered pairs (id_a < id_b)
+    within ``df``. Two-table (``other`` given — the entity-resolution
+    shape): id_a from ``df`` (probe records), id_b from ``other`` (the
+    indexed master table); ids live in separate spaces and are NOT
+    compared or deduped across tables.
+
+    NULL strings are dropped; every string must be longer than
+    ``max_dist`` (shorter strings cannot fill ``d + 1`` non-empty
+    segments — the operator fails loud rather than silently missing
+    pairs).
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    d = int(max_dist)
+
+    sa = _normalized(df, id_col, str_col, d, "probe-side")
+    if other is None:
+        sb = sa
+    else:
+        sb = _normalized(
+            other,
+            other_id_col or id_col,
+            other_str_col or str_col,
+            d,
+            "indexed-side",
         )
-        .distinct()
+
+    raw = _probe(sa, d).join(_indexed(sb, d), ["Lb", "i", "seg"])
+    if other is None:
+        cands = (
+            raw.filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                F.least("a_id", "b_id").alias("id_a"),
+                F.greatest("a_id", "b_id").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        cands = raw.select(
+            F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b")
+        ).distinct()
+
+    left_names = sa.select(
+        F.col("id").alias("id_a"), F.col("s").alias("s_a")
     )
-    named = s.select(F.col("id"), F.col("s"))
+    right_names = sb.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b")
+    )
     return (
-        cands.join(
-            named.select(
-                F.col("id").alias("id_a"), F.col("s").alias("s_a")
-            ),
-            "id_a",
-        )
-        .join(
-            named.select(
-                F.col("id").alias("id_b"), F.col("s").alias("s_b")
-            ),
-            "id_b",
-        )
+        cands.join(left_names, "id_a")
+        .join(right_names, "id_b")
         .withColumn("dist", F.levenshtein("s_a", "s_b"))
         .filter(F.col("dist") <= d)
         .select("id_a", "id_b", "dist")

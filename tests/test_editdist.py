@@ -146,3 +146,38 @@ def test_no_duplicate_pairs_and_plan_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     got = [(r.id_a, r.id_b) for r in out.collect()]
     assert len(got) == len(set(got))
+
+
+def test_two_table_join_matches_brute(spark):
+    """Entity-resolution shape: probe records vs an indexed master
+    table — ids in separate spaces, every (probe, master) pair within
+    d returned exactly once, including id collisions across tables and
+    identical strings (dist 0)."""
+    rng = random.Random(23)
+    alpha = "abcd"
+    master = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(4, 10))))
+        for i in range(60)
+    ]
+    probes = [(i, s) for i, (_, s) in enumerate(master[:20])]  # exact hits
+    probes += [
+        (i + 100, "".join(rng.choice(alpha) for _ in range(rng.randrange(4, 10))))
+        for i in range(40)
+    ]
+    df_p = spark.createDataFrame(probes, "pid long, ps string")
+    df_m = spark.createDataFrame(master, "mid long, ms string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in editdistance_join(
+            df_p, "pid", "ps", 2,
+            other=df_m, other_id_col="mid", other_str_col="ms",
+        ).collect()
+    }
+    want = set()
+    for pid, ps in probes:
+        for mid, ms in master:
+            dd = ref_lev(ps, ms)
+            if dd <= 2:
+                want.add((pid, mid, dd))
+    assert got == want
+    assert any(dist == 0 for _, _, dist in want)  # the planted exact hits
