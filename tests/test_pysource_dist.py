@@ -214,3 +214,43 @@ def test_batch_read_still_works_through_dist_source(spark, tmp_path):
     _stage(spark, path, 3)
     back = spark.read.format("parquet_pages_dist").load(path)
     assert back.count() == load_table(spark, SF, "documents").count()
+
+
+def test_zero_row_fragment_is_consumed_not_stuck(spark, tmp_path):
+    """A fragment with zero rows still advances the cursor (its row
+    groups contribute no partitions) — the stream must drain past it
+    rather than wedging or erroring."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    register(spark)
+    path = str(tmp_path / "docs")
+    _stage(spark, path, 2)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_arrays([[], [], [], [], []], schema=schema),
+        os.path.join(path, "b-empty.parquet"),
+    )
+    got: list[int] = []
+
+    def sink(df, bid):
+        got.extend(r.doc_id for r in df.select("doc_id").collect())
+
+    q = (
+        spark.readStream.format("parquet_pages_dist")
+        .load(path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert len(got) == load_table(spark, SF, "documents").count()
