@@ -329,3 +329,35 @@ def test_lenient_warc_walk_total_on_arbitrary_bytes(data):
         assert headers["WARC-Version"].startswith("WARC/")
         assert len(body) <= len(data)
     assert stats.get("bad_records", 0) >= 0
+
+
+# DTW (operators/dtw.py): endpoint cells are on every warping path, so
+# their costs lower-bound the distance; for equal-length series the
+# diagonal path upper-bounds it by pointwise L1. Both must hold for
+# ARBITRARY integer series.
+_series = st.lists(st.integers(-1000, 1000), min_size=1, max_size=12)
+
+
+@settings(**_SETTINGS)
+@given(a=_series, b=_series)
+def test_dtw_endpoint_lower_bound(a, b):
+    from spotify_etl_aws_spark.operators.dtw import dtw_distance
+
+    d = dtw_distance(a, b)
+    lb = abs(a[0] - b[0]) if (len(a) == 1 or len(b) == 1) else (
+        abs(a[0] - b[0]) + abs(a[-1] - b[-1])
+    )
+    if len(a) == 1 and len(b) == 1:
+        assert d == abs(a[0] - b[0])
+    else:
+        assert d >= lb
+
+
+@settings(**_SETTINGS)
+@given(a=_series)
+def test_dtw_identity_and_l1_upper_bound(a):
+    from spotify_etl_aws_spark.operators.dtw import dtw_distance
+
+    assert dtw_distance(a, a) == 0
+    b = [v + 3 for v in a]
+    assert dtw_distance(a, b) <= 3 * len(a)  # diagonal path bound
