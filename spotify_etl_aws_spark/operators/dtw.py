@@ -73,8 +73,26 @@ def dtw_topk_search(
     q = [int(x) for x in query]
     limit = int(max_len)
 
+    # long-id contract, validated IN the plan (rides the main action,
+    # no extra job): a non-numeric id column (e.g. UUID strings) would
+    # cast to NULL, silently collapsing every series into one group —
+    # raise with the offending value instead
+    id_cast = F.col(id_col).cast("long")
     prepared = series.select(
-        F.col(id_col).cast("long").alias("__id"),
+        F.when(
+            id_cast.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"dtw_topk_search: id column {id_col!r} must "
+                        "cast to long (long-id contract); got "
+                    ),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(id_cast)
+        .alias("__id"),
         F.col(pos_col).cast("long").alias("__pos"),
         F.col(val_col).cast("long").alias("__val"),
     )

@@ -44,20 +44,29 @@ from pyspark.sql import functions as F
 
 
 def _normalized(df: DataFrame, id_col: str, str_col: str, d: int, side: str):
-    s = (
-        df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
-        .filter(F.col("s").isNotNull())
-        .withColumn("L", F.length("s"))
+    s = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).filter(
+        F.col("s").isNotNull()
     )
-    # loud guard: segment partitioning needs L >= d + 1
-    if s.filter(F.col("L") <= d).limit(1).count():
-        raise ValueError(
-            f"editdistance_join: {side} strings of length <= "
-            f"max_dist={d} present; segment partitioning requires "
-            "length > max_dist (filter or route short strings "
-            "separately)"
-        )
-    return s
+    # loud guard: segment partitioning needs L >= d + 1. Folded INTO
+    # the length projection (raise_error under CASE WHEN) so validation
+    # rides the main join action instead of dispatching an eager
+    # .limit(1).count() job per side at construction time — the
+    # operator stays fully lazy, zero extra jobs (pinned in
+    # tests/test_editdist.py::test_construction_dispatches_no_jobs).
+    # Every candidate string flows through _probe/_indexed, and both
+    # read L, so the guard cannot be projection-pruned away.
+    msg = (
+        f"editdistance_join: {side} string of length <= max_dist={d} "
+        "present; segment partitioning requires length > max_dist "
+        "(filter or route short strings separately): "
+    )
+    return s.withColumn(
+        "L",
+        F.when(
+            F.length("s") <= d,
+            F.raise_error(F.concat(F.lit(msg), F.col("s"))).cast("int"),
+        ).otherwise(F.length("s")),
+    )
 
 
 def _indexed(s: DataFrame, d: int):

@@ -2716,11 +2716,16 @@ def streaming_python_dist_source(
     from ..sources.pysource import register
 
     register(spark)
+    # uuid-suffixed scratch: keying on basename(sf_dir) alone raced
+    # concurrent runs against same-basename fixtures (one run rmtree'd
+    # the fragments another was still streaming); the checkpoint dir is
+    # likewise per-run and removed in the same finally
+    run_id = uuid.uuid4().hex[:8]
     scratch = os.path.join(
         tempfile.gettempdir(),
-        f"pydist_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"pydist_{os.path.basename(os.path.normpath(sf_dir))}_{run_id}",
     )
-    shutil.rmtree(scratch, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_pydist_")
     t(spark, sf_dir, "documents").repartition(4).write.parquet(scratch)
     docs = spark.readStream.format("parquet_pages_dist").load(scratch)
     agg = docs.groupBy("lang", "source").agg(
@@ -2729,12 +2734,12 @@ def streaming_python_dist_source(
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
-    name = f"py_dist_stream_{uuid.uuid4().hex[:8]}"
+    name = f"py_dist_stream_{run_id}"
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pydist_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -2744,6 +2749,7 @@ def streaming_python_dist_source(
     finally:
         q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

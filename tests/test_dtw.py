@@ -105,3 +105,15 @@ def test_validates_params(spark):
         dtw_topk_search(df, [1], k=0)
     with pytest.raises(ValueError, match="query series is empty"):
         dtw_topk_search(df, [], k=1)
+
+
+def test_non_numeric_id_raises_contract_error(spark):
+    """UUID-style string ids cast to NULL long — before the guard the
+    groupBy collapsed every series into one group and the kernel died
+    with a cryptic TypeError; now the plan raises naming the long-id
+    contract and the offending value."""
+    rows = [("a1b2c3", 0, 5), ("a1b2c3", 1, 7), ("ffee00", 0, 2)]
+    df = spark.createDataFrame(rows, "series_id string, pos long, val long")
+    out = dtw_topk_search(df, [1, 2], k=1)
+    with pytest.raises(Exception, match="long-id contract"):
+        out.collect()

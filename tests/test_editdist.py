@@ -130,11 +130,34 @@ def test_duckdb_levenshtein_matches_reference_dp():
 
 
 def test_short_string_guard_is_loud(spark):
+    # the guard rides the main action (raise_error in the length
+    # projection), so it fires at collect time, not construction
     df = spark.createDataFrame([(0, "ab"), (1, "abcdef")], "id long, s string")
-    with pytest.raises(ValueError, match="length > max_dist"):
-        editdistance_join(df, "id", "s", 2)
+    out = editdistance_join(df, "id", "s", 2)
+    with pytest.raises(Exception, match="length > max_dist"):
+        out.collect()
     with pytest.raises(ValueError, match="max_dist"):
         editdistance_join(df, "id", "s", 0)
+
+
+def test_construction_dispatches_no_jobs(spark):
+    """The round-8 guard ran an eager .limit(1).count() per side —
+    two extra Spark jobs per call before any real work. Pin the fix:
+    constructing the join dispatches ZERO jobs (validation is folded
+    into the main action)."""
+    sc = spark.sparkContext
+    df = spark.createDataFrame(
+        [(i, "abcdefgh"[: 5 + (i % 3)]) for i in range(20)],
+        "id long, s string",
+    )
+    group = "editdist-construction-probe"
+    sc.setJobGroup(group, "pin: lazy construction")
+    try:
+        out = editdistance_join(df, "id", "s", 2)
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    finally:
+        sc.setJobGroup(None, None)
+    assert out.count() > 0  # still a working join
 
 
 def test_no_duplicate_pairs_and_plan_is_equi(spark):
