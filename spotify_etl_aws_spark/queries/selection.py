@@ -2963,6 +2963,92 @@ LIMIT {DTW_K}
 """
 
 
+def dedup_editdistance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table (entity-resolution) form of the exact edit-distance
+    join (operators/editdist.py, ``other=`` path): dirty probe records
+    matched against a canonical master table. Probe = odd-doc_id title
+    prefixes, master = even-doc_id titles — the planted near-duplicate
+    families span both parities, so every cross-parity family member
+    surfaces as a (probe_id, master_id, dist<=2) match at every SF.
+    Pigeonhole completeness needs only one direction: the master side
+    is segmented (d+1 verbatim segments), the probe side enumerates
+    ±d-shifted substrings, candidates meet on ONE equi-key
+    (partner_length, segment_index, segment) and ``F.levenshtein``
+    verifies exactly — ids live in separate spaces and are never
+    compared or deduped across tables (asymmetric output, unlike the
+    self-join lane's (lo, hi) normalization)."""
+    from ..operators.editdist import editdistance_join
+
+    titles = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(text, 1, {EDITDIST_TITLE_LEN})").alias("title"),
+    )
+    probe = titles.filter(F.col("doc_id") % 2 == 1)
+    master = titles.filter(F.col("doc_id") % 2 == 0)
+    out = editdistance_join(
+        probe, "doc_id", "title", EDITDIST_D, other=master
+    )
+    return out.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+ORACLE_EDITDIST_LOOKUP = f"""
+WITH sp AS MATERIALIZED (  -- probe side: odd doc_ids
+  SELECT doc_id AS id, substr(text, 1, {EDITDIST_TITLE_LEN}) AS s,
+         length(substr(text, 1, {EDITDIST_TITLE_LEN})) AS L
+  FROM documents WHERE doc_id % 2 = 1
+),
+sm AS MATERIALIZED (  -- master side: even doc_ids, segmented
+  SELECT doc_id AS id, substr(text, 1, {EDITDIST_TITLE_LEN}) AS s,
+         length(substr(text, 1, {EDITDIST_TITLE_LEN})) AS L
+  FROM documents WHERE doc_id % 2 = 0
+),
+smi AS (
+  SELECT id, s, L, unnest(generate_series(0, 2)) AS i FROM sm
+),
+idx AS MATERIALIZED (
+  SELECT id AS b_id, L AS Lb, i,
+         substr(s, (i * (L // 3) + least(i, L % 3)) + 1,
+                (L // 3) + (CASE WHEN i < L % 3 THEN 1 ELSE 0 END)) AS seg
+  FROM smi
+),
+pl AS (
+  SELECT id, s, L,
+         unnest(generate_series(greatest(L - 2, 3), L + 2)) AS Lb
+  FROM sp
+),
+pli AS (
+  SELECT id, s, L, Lb, unnest(generate_series(0, 2)) AS i FROM pl
+),
+pp AS (
+  SELECT id AS a_id, s AS a_s, L AS La, Lb, i,
+         (Lb // 3) + (CASE WHEN i < Lb % 3 THEN 1 ELSE 0 END) AS slen,
+         (i * (Lb // 3) + least(i, Lb % 3)) AS sstart
+  FROM pli
+  WHERE (Lb // 3) + (CASE WHEN i < Lb % 3 THEN 1 ELSE 0 END) <= L
+),
+probe AS (
+  SELECT a_id, Lb, i, slen,
+         unnest(generate_series(greatest(sstart - 2, 0),
+                                least(sstart + 2, La - slen))) AS p,
+         a_s
+  FROM pp
+  WHERE least(sstart + 2, La - slen) >= greatest(sstart - 2, 0)
+),
+cand AS (
+  SELECT DISTINCT a_id AS id_a, b_id AS id_b
+  FROM (SELECT a_id, Lb, i, substr(a_s, p + 1, slen) AS seg FROM probe) pr
+  JOIN idx USING (Lb, i, seg)
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS dist
+FROM cand c
+JOIN sp sa ON sa.id = c.id_a
+JOIN sm sb ON sb.id = c.id_b
+WHERE levenshtein(sa.s, sb.s) <= 2
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -3014,6 +3100,7 @@ QUERIES = {
     "streaming_python_dist_source": streaming_python_dist_source,
     "dedup_editdistance_pairs": dedup_editdistance_pairs,
     "ts_dtw_topk_similarity": ts_dtw_topk_similarity,
+    "dedup_editdistance_lookup": dedup_editdistance_lookup,
 }
 
 ORACLE = {
@@ -3067,4 +3154,5 @@ ORACLE = {
     "streaming_python_dist_source": ORACLE_PY_DIST_STREAM,
     "dedup_editdistance_pairs": ORACLE_EDITDIST,
     "ts_dtw_topk_similarity": ORACLE_DTW,
+    "dedup_editdistance_lookup": ORACLE_EDITDIST_LOOKUP,
 }
