@@ -60,6 +60,7 @@ def main() -> None:
         _Q4_SQL,
         _Q16_SQL,
         q4_cobucketed,
+        q16_approx_cobucketed,
         q16_cobucketed,
         sql_q4_priority_lateness,
         sql_q16_supplier_variety,
@@ -129,6 +130,37 @@ def main() -> None:
     t_q16_buck = best_of(lambda: materialize(q16b()))
     print(f"co-bucketed q16     : {t_q16_buck:6.2f}s "
           f"(exchanges={n_exchanges(q16b())})", flush=True)
+
+    # --- q16 approx posture (round-9): HLL++ sketch count-distinct ----
+    # kills the exact plan's (brand, type, size, suppkey) partial-
+    # aggregate shuffle — the one exchange bucketing can't remove
+    def q16a():
+        return q16_approx_cobucketed(
+            spark.table("b_li_pk"),
+            spark.table("b_p_pk"),
+            load_table(spark, AMP_DIR, "supplier"),
+        )
+
+    materialize(q16a())  # warm
+    t_q16_appr = best_of(lambda: materialize(q16a()))
+    print(f"approx q16 (hll++)  : {t_q16_appr:6.2f}s "
+          f"(exchanges={n_exchanges(q16a())})", flush=True)
+    exact = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in q16b().collect()
+    }
+    appr = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in q16a().collect()
+    }
+    shared = exact.keys() & appr.keys()
+    if shared:
+        errs = [abs(appr[k] - exact[k]) / max(exact[k], 1) for k in shared]
+        print(
+            f"approx q16 accuracy : top-30 overlap {len(shared)}/30, "
+            f"max rel err {max(errs):.3%}, mean {sum(errs)/len(errs):.3%}",
+            flush=True,
+        )
 
     # cross-check: identical result rows
     for name, plain, buck in [

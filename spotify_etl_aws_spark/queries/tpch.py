@@ -477,6 +477,57 @@ def q16_cobucketed(
     )
 
 
+def q16_approx_cobucketed(
+    li: DataFrame, p: DataFrame, s: DataFrame, rsd: float = 0.02
+) -> DataFrame:
+    """Q16's documented 100 TB posture (round-8 verdict item 2): the
+    co-bucketed layout kills the part⋈lineitem exchange (plan-pinned
+    in ``q16_cobucketed``), but the EXACT count-distinct's partial
+    aggregate must still shuffle every surviving (brand, type, size,
+    suppkey) row — algorithmically required for exact distributed
+    count-distinct (the distinct-first variant was probed and recorded
+    slower; BASELINE.md round-8 follow-up). This variant replaces it
+    with ``approx_count_distinct`` (HyperLogLog++, Heule et al.
+    EDBT 2013 — the same machinery the ``agg_approx_distinct`` lane
+    ships): sketches merge MAP-SIDE, so the one surviving exchange
+    carries a single ~kB sketch per (brand, type, size) group instead
+    of every distinct supplier row — the shuffle is now O(groups), not
+    O(distinct pairs), at any scale.
+
+    Semantics contract: supplier_cnt is an estimate with standard
+    error ``rsd`` (default 2%); group keys, filters, and the anti-join
+    exclusion are exact. Q16's decision content — which part configs
+    have the broadest supplier base — survives estimation: the test
+    pins every estimate inside a 5σ envelope of the exact count and
+    the plan inside one sketch-sized exchange.
+    """
+    from pyspark.sql import functions as F
+
+    p_f = p.filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = s.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        p_f.join(li, p_f["p_partkey"] == li["l_partkey"])
+        .join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd).alias(
+                "supplier_cnt"
+            )
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(30)
+    )
+
+
 QUERIES = {
     "sql_q4_priority_lateness": sql_q4_priority_lateness,
     "sql_q6_revenue_delta": sql_q6_revenue_delta,

@@ -344,6 +344,64 @@ def test_q4_cobucketed_plan_and_parity(spark, sf_dir):
         )
 
 
+def test_q16_approx_cobucketed_plan_and_envelope(spark, sf_dir):
+    """The q16 100 TB posture (round-8 verdict item 2): HLL++ sketch
+    count-distinct on the co-bucketed layout. Plan pins: no partkey
+    exchange (bucketing), no suppkey in ANY exchange key (the exact
+    plan's partial aggregate shuffles (brand, type, size, suppkey)
+    rows; the sketch plan's one exchange carries only the group keys),
+    broadcast anti-join. Accuracy pin: every estimate within 5σ
+    (5 × rsd) of the exact count, and the estimate of the exact
+    winner's group is present in the approx top-30."""
+    import re
+
+    from spotify_etl_aws_spark.queries.tpch import (
+        q16_approx_cobucketed,
+        sql_q16_supplier_variety,
+    )
+
+    save_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "b16a_li", 4,
+        ["l_partkey"], ["l_partkey"],
+    )
+    save_bucketed(
+        load_table(spark, sf_dir, "part"), "b16a_p", 4,
+        ["p_partkey"], ["p_partkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rsd = 0.02
+        q = q16_approx_cobucketed(
+            spark.table("b16a_li"),
+            spark.table("b16a_p"),
+            load_table(spark, sf_dir, "supplier"),
+            rsd=rsd,
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "partkey" not in m.group(1), plan
+            assert "suppkey" not in m.group(1), plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        exact = {
+            (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+            for r in sql_q16_supplier_variety(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+            for r in q.collect()
+        }
+        assert approx
+        shared = exact.keys() & approx.keys()
+        assert shared  # the estimate surfaces real winners
+        for key in shared:
+            e, a = exact[key], approx[key]
+            assert abs(a - e) <= max(5 * rsd * e, 2), (key, e, a)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_q16_cobucketed_plan_and_parity(spark, sf_dir):
     """The q16 posture: part and lineitem co-bucketed on partkey join
     with no partkey exchange; the supplier NOT-IN exclusion broadcasts
