@@ -12,11 +12,20 @@ Usage:
     python tools/sweep.py all             # sf0.001 + sf0.01 + sf0.1
     python tools/sweep.py /root/testdata/sf0.1
     python tools/sweep.py all -q vector_cosine_topk,dedup_embedding_cosine
+    python tools/sweep.py all --manifest SWEEP_r09.json
+
+--manifest writes the sweep as a committable artifact (round-8 verdict
+item 6): per (sf_dir, query) the row counts, schema/value verdict, and
+a sha256 over the canonical sorted cell tuples of BOTH engines — so
+"the out-of-window 93 were verified" is a checkable file, not a ledger
+sentence.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
+import json
 import math
 import os
 import sys
@@ -50,7 +59,21 @@ def _cell(v):
     return str(v)
 
 
-def sweep(spark, sf_dir: str, only: set[str] | None = None) -> tuple[list, list]:
+def _digest(cols, rows) -> str:
+    h = hashlib.sha256()
+    h.update("\x01".join(cols).encode())
+    for r in rows:
+        h.update(b"\x02")
+        h.update("\x01".join(r).encode())
+    return h.hexdigest()
+
+
+def sweep(
+    spark,
+    sf_dir: str,
+    only: set[str] | None = None,
+    manifest: dict | None = None,
+) -> tuple[list, list]:
     import __spark_entry__ as E
 
     con = duckdb.connect(config={"threads": 32})
@@ -66,30 +89,44 @@ def sweep(spark, sf_dir: str, only: set[str] | None = None) -> tuple[list, list]
             raise SystemExit(f"unknown query names: {sorted(unknown)}")
         qs = {k: v for k, v in qs.items() if k in only}
     bad, empty = [], []
+    rec = {} if manifest is None else manifest.setdefault(sf_dir, {})
     for name in qs:
         try:
             got = qs[name](spark, sf_dir).toPandas()
             if not len(got):
                 empty.append(name)
-            if name not in oracles:
-                print(f"  {name}: rows={len(got)} (rows-only)", flush=True)
-                continue
-            want = con.sql(oracles[name]).df()
             cols = sorted(got.columns)
             g = sorted(
                 tuple(_cell(v) for v in r)
                 for r in got[cols].itertuples(index=False, name=None)
             )
+            if name not in oracles:
+                rec[name] = {
+                    "rows": len(got),
+                    "check": "rows-only",
+                    "spark_hash": _digest(cols, g),
+                }
+                print(f"  {name}: rows={len(got)} (rows-only)", flush=True)
+                continue
+            want = con.sql(oracles[name]).df()
             w = sorted(
                 tuple(_cell(v) for v in r)
                 for r in want[sorted(want.columns)].itertuples(index=False, name=None)
             )
             ok = cols == sorted(want.columns) and g == w and len(got) == len(want)
+            rec[name] = {
+                "rows": len(got),
+                "oracle_rows": len(want),
+                "ok": ok,
+                "spark_hash": _digest(cols, g),
+                "oracle_hash": _digest(sorted(want.columns), w),
+            }
             print(f"  {name}: rows={len(got)}/{len(want)} ok={ok}", flush=True)
             if not ok:
                 bad.append(name)
         except Exception as exc:
             bad.append(name)
+            rec[name] = {"ok": False, "err": f"{type(exc).__name__}: {str(exc)[:200]}"}
             print(f"  {name}: ERROR {type(exc).__name__}: {str(exc)[:150]}", flush=True)
     return bad, empty
 
@@ -99,9 +136,14 @@ def main() -> None:
 
     argv = sys.argv[1:]
     only = None
+    manifest_path = None
     if "-q" in argv:
         i = argv.index("-q")
         only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    if "--manifest" in argv:
+        i = argv.index("--manifest")
+        manifest_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     arg = argv[0] if argv else "/root/testdata/sf0.01"
     dirs = (
@@ -125,11 +167,29 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
+    results: dict = {}
     for d in dirs:
         print(f"== {d}", flush=True)
-        bad, empty = sweep(spark, d, only)
+        bad, empty = sweep(spark, d, only, manifest=results)
         print(f"== {d}: MISMATCH={bad} EMPTY={empty}", flush=True)
         failures += len(bad)
+    if manifest_path:
+        doc = {
+            "generated_by": "tools/sweep.py --manifest",
+            "generated_at": dt.datetime.now(dt.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "sf_dirs": dirs,
+            "queries_swept": sorted(
+                {q for per_sf in results.values() for q in per_sf}
+            ),
+            "mismatches": failures,
+            "results": results,
+        }
+        with open(manifest_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"manifest written: {manifest_path}", flush=True)
     sys.exit(1 if failures else 0)
 
 
