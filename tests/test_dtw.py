@@ -10,7 +10,11 @@ import random
 
 import pytest
 
-from spotify_etl_aws_spark.operators.dtw import dtw_distance, dtw_topk_search
+from spotify_etl_aws_spark.operators.dtw import (
+    dtw_distance,
+    dtw_lower_bound,
+    dtw_topk_search,
+)
 
 
 def ref_dtw(a, b):
@@ -105,6 +109,106 @@ def test_validates_params(spark):
         dtw_topk_search(df, [1], k=0)
     with pytest.raises(ValueError, match="query series is empty"):
         dtw_topk_search(df, [], k=1)
+
+
+def test_lower_bound_is_admissible_and_cheap_shapes():
+    """LB never exceeds the true DTW distance (admissibility — the
+    property the pruning cascade's exactness rests on), is exact for
+    single-point series, and is 0 for identical series."""
+    rng = random.Random(17)
+    for _ in range(300):
+        a = [rng.randrange(-80, 80) for _ in range(rng.randrange(1, 16))]
+        b = [rng.randrange(-80, 80) for _ in range(rng.randrange(1, 16))]
+        lb, d = dtw_lower_bound(a, b), ref_dtw(a, b)
+        assert lb <= d, (a, b, lb, d)
+        assert lb == dtw_lower_bound(b, a)  # symmetric
+    assert dtw_lower_bound([7], [3]) == 4 == dtw_distance([7], [3])
+    a = [1, 9, 4, 4, 2]
+    assert dtw_lower_bound(a, a) == 0
+    with pytest.raises(ValueError, match="empty"):
+        dtw_lower_bound([], [1])
+
+
+def test_pruned_matches_unpruned_and_geometry_prunes(spark):
+    """The LB → seed-τ → survivors cascade returns exactly the
+    unpruned top-k, on data where pruning is provably active: a tight
+    cluster near the query plus far-flung outliers whose LB alone
+    disqualifies them (verified by replaying the cascade arithmetic in
+    pure Python)."""
+    rng = random.Random(31)
+    q = [100, 120, 110, 130, 105]
+    series = {}
+    for sid in range(15):  # near cluster
+        series[sid] = [v + rng.randrange(-5, 6) for v in q]
+    for sid in range(15, 60):  # far outliers, varied lengths
+        base = rng.randrange(1000, 9000)
+        series[sid] = [
+            base + rng.randrange(-50, 51)
+            for _ in range(rng.randrange(3, 9))
+        ]
+    k = 7
+    df = _series_df(spark, series)
+    pruned = [
+        (r.series_id, r.dtw_dist)
+        for r in dtw_topk_search(df, q, k=k, prune=True).collect()
+    ]
+    unpruned = [
+        (r.series_id, r.dtw_dist)
+        for r in dtw_topk_search(df, q, k=k, prune=False).collect()
+    ]
+    brute = sorted(
+        ((sid, ref_dtw(vals, q)) for sid, vals in series.items()),
+        key=lambda t: (t[1], t[0]),
+    )[:k]
+    assert pruned == unpruned == brute
+    # replay the heap+LB-skip logic sequentially: on this geometry the
+    # evolving τ must let the LB skip most of the outlier DPs
+    import heapq
+
+    heap, skipped = [], 0
+    for sid in sorted(series):
+        vals = series[sid]
+        if len(heap) == k and dtw_lower_bound(vals, q) > -heap[0][0]:
+            skipped += 1
+            continue
+        item = (-ref_dtw(vals, q), -sid)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+    replay = sorted((-d, -s) for d, s in heap)
+    assert [(s, d) for d, s in replay] == brute
+    assert skipped > len(series) // 2, (skipped, len(series))
+
+
+def test_series_spanning_arrow_batches(spark):
+    """The single-pass kernel carries a series across Arrow batch
+    boundaries (mapInPandas splits a sorted partition at
+    maxRecordsPerBatch rows, so one series can straddle consecutive
+    batches): force tiny batches and verify distances stay exact."""
+    rng = random.Random(77)
+    series = {
+        sid: [rng.randrange(0, 500) for _ in range(rng.randrange(20, 40))]
+        for sid in range(12)
+    }
+    q = [rng.randrange(0, 500) for _ in range(15)]
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "7")
+    try:
+        got = [
+            (r.series_id, r.dtw_dist)
+            for r in dtw_topk_search(
+                _series_df(spark, series), q, k=5
+            ).collect()
+        ]
+    finally:
+        spark.conf.set(conf, old)
+    want = sorted(
+        ((sid, ref_dtw(vals, q)) for sid, vals in series.items()),
+        key=lambda t: (t[1], t[0]),
+    )[:5]
+    assert got == want
 
 
 def test_non_numeric_id_raises_contract_error(spark):

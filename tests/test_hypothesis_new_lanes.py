@@ -361,3 +361,25 @@ def test_dtw_identity_and_l1_upper_bound(a):
     assert dtw_distance(a, a) == 0
     b = [v + 3 for v in a]
     assert dtw_distance(a, b) <= 3 * len(a)  # diagonal path bound
+
+
+@settings(**_SETTINGS)
+@given(a=_series, b=_series)
+def test_dtw_prefilter_bound_is_admissible(a, b):
+    """The pruning cascade's exactness rests on dtw_lower_bound never
+    exceeding the true distance, for ARBITRARY integer series; it must
+    also dominate the plain endpoint bound (it embeds the endpoint
+    cells exactly) and be symmetric."""
+    from spotify_etl_aws_spark.operators.dtw import (
+        dtw_distance,
+        dtw_lower_bound,
+    )
+
+    d = dtw_distance(a, b)
+    lb = dtw_lower_bound(a, b)
+    assert 0 <= lb <= d
+    assert lb == dtw_lower_bound(b, a)
+    endpoint = abs(a[0] - b[0]) if (len(a) == 1 and len(b) == 1) else (
+        abs(a[0] - b[0]) + abs(a[-1] - b[-1])
+    )
+    assert lb >= endpoint
