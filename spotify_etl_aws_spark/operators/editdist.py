@@ -145,6 +145,117 @@ def _probe(s: DataFrame, d: int):
     )
 
 
+def _candidates(sa: DataFrame, sb: DataFrame, d: int, salt: int):
+    """The candidate equi-join, optionally salted. Salting only
+    balances if the join actually SHUFFLES on the salted key — a
+    broadcast of the (small) index side would generate all candidate
+    rows inside the probe's upstream partitions, where replica
+    families are typically adjacent — so salt > 1 pins a sort-merge
+    join (the hint forces co-partitioning by (Lb, i, seg, __salt))."""
+    pa, ib = _probe(sa, d), _indexed(sb, d)
+    keys = ["Lb", "i", "seg"]
+    if salt > 1:
+        pa = pa.withColumn("__salt", F.pmod(F.hash("a_id"), F.lit(salt)))
+        ib = ib.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+        )
+        keys = keys + ["__salt"]
+        pa = pa.hint("merge")
+    return pa.join(ib, keys)
+
+
+def _salted_equijoin(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int,
+    spread_col: str,
+):
+    """Equi-join on ``key`` where ``left`` may hold a hot key with
+    large multiplicity: shard left rows by ``spread_col``'s hash,
+    replicate right rows across shards (each (left, right) pair still
+    meets exactly once), and pin a sort-merge join so the spread
+    happens in a shuffle."""
+    if salt <= 1:
+        return left.join(right, key)
+    l = left.withColumn(
+        "__xsalt", F.pmod(F.hash(spread_col), F.lit(salt))
+    ).hint("merge")
+    r = right.withColumn(
+        "__xsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l.join(r, [key, "__xsalt"]).drop("__xsalt")
+
+
+def _collapsed_join(
+    sa: DataFrame, sb: DataFrame, d: int, salt: int, self_mode: bool
+) -> DataFrame:
+    """The ``collapse_exact`` plan: run the segment join over DISTINCT
+    strings only (one ``levenshtein`` per distinct pair, however many
+    copies exist), then expand group memberships back to id pairs with
+    salted joins. A replica family of H copies costs H index rows and
+    ONE verification in rep space instead of ~H² candidate rows and
+    ~H²/2 verifications; the H²/2 output pairs are the contract and
+    are generated by pure expansion joins with no distinct and no
+    per-pair verification."""
+    reps_a = sa.select("s", "L").distinct()
+    reps_b = reps_a if self_mode else sb.select("s", "L").distinct()
+    # rep space: the string IS the id (least/greatest + != work on
+    # strings, so the core candidate pipeline applies unchanged)
+    ra = reps_a.select(F.col("s").alias("id"), "s", "L")
+    rb = reps_b.select(F.col("s").alias("id"), "s", "L")
+    raw = _candidates(ra, rb, d, salt)
+    if self_mode:
+        rp = (
+            raw.filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                F.least("a_id", "b_id").alias("s_x"),
+                F.greatest("a_id", "b_id").alias("s_y"),
+            )
+            .distinct()
+        )
+    else:
+        rp = raw.select(
+            F.col("a_id").alias("s_x"), F.col("b_id").alias("s_y")
+        ).distinct()
+    rp = rp.withColumn("dist", F.levenshtein("s_x", "s_y")).filter(
+        F.col("dist") <= d
+    )
+
+    la = sa.select(F.col("s").alias("s_x"), F.col("id").alias("ia"))
+    lb = sb.select(F.col("s").alias("s_y"), F.col("id").alias("ib"))
+    # expand: members of x first (la carries the hot multiplicity →
+    # spread by member id), then members of y (left side now carries
+    # |group_x| × partners rows → spread by ia)
+    step1 = _salted_equijoin(la, rp, "s_x", salt, "ia")
+    step2 = _salted_equijoin(step1, lb, "s_y", salt, "ia")
+    if self_mode:
+        # distinct-string groups are disjoint row sets, so ia != ib
+        cross = step2.select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "dist",
+        )
+        # within-group pairs: identical strings, distance 0 by
+        # definition — pure expansion, no verification
+        wl = sa.select("s", F.col("id").alias("ia"))
+        wr = sa.select("s", F.col("id").alias("ib"))
+        within = (
+            _salted_equijoin(wl, wr, "s", salt, "ia")
+            .filter(F.col("ia") < F.col("ib"))
+            .select(
+                F.col("ia").alias("id_a"),
+                F.col("ib").alias("id_b"),
+                F.lit(0).alias("dist"),
+            )
+        )
+        return cross.unionByName(within)
+    return step2.select(
+        F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "dist"
+    )
+
+
 def editdistance_join(
     df: DataFrame,
     id_col: str,
@@ -153,6 +264,8 @@ def editdistance_join(
     other: DataFrame | None = None,
     other_id_col: str | None = None,
     other_str_col: str | None = None,
+    salt: int = 1,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Pairs whose strings are within Levenshtein distance
     ``max_dist``, with the exact distance, as (id_a, id_b, dist).
@@ -167,9 +280,35 @@ def editdistance_join(
     ``max_dist`` (shorter strings cannot fill ``d + 1`` non-empty
     segments — the operator fails loud rather than silently missing
     pairs).
+
+    ``salt > 1``: hot-key fallback for power-law replica families. A
+    title with H near-identical copies makes its segment keys emit
+    ~H² candidate rows from ONE reduce task — and AQE's skew-join
+    split cannot help, because skew detection reads the shuffle's
+    map-output (INPUT) sizes, which stay modest while the join OUTPUT
+    explodes quadratically (measured: a 600-copy family leaves the
+    plan un-split at 258× the median partition;
+    experiments/editdist_skew.py). Salting splits each probe row to
+    one of ``salt`` shards by id hash and replicates index rows
+    across all shards, so every (probe, index) pair still meets
+    exactly once while the hot key's candidate generation spreads
+    over ``salt`` tasks. Costs ×salt index-side rows — leave at 1 for
+    near-uniform data; results are identical either way (test-pinned).
+
+    ``collapse_exact=True``: the duplicate-heavy posture. Exact
+    duplicates collapse to one representative per distinct string
+    BEFORE the segment join, so a family of H copies costs H index
+    rows and ONE levenshtein instead of ~H² candidate rows and ~H²/2
+    verifications; the contractually-required H²/2 output pairs are
+    generated by pure salted expansion joins (no distinct, no
+    verification). Identical results (test-pinned); costs one extra
+    distinct plus two expansion joins — leave off for
+    low-duplication data.
     """
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     d = int(max_dist)
 
     sa = _normalized(df, id_col, str_col, d, "probe-side")
@@ -184,7 +323,10 @@ def editdistance_join(
             "indexed-side",
         )
 
-    raw = _probe(sa, d).join(_indexed(sb, d), ["Lb", "i", "seg"])
+    if collapse_exact:
+        return _collapsed_join(sa, sb, d, int(salt), self_mode=other is None)
+
+    raw = _candidates(sa, sb, d, int(salt))
     if other is None:
         cands = (
             raw.filter(F.col("a_id") != F.col("b_id"))

@@ -42,24 +42,46 @@ def _brute(rows, d):
     return out
 
 
-def _run(spark, rows, d):
+def _run(spark, rows, d, **kw):
     df = spark.createDataFrame(rows, "id long, s string")
-    got = editdistance_join(df, "id", "s", d).collect()
+    got = editdistance_join(df, "id", "s", d, **kw).collect()
     return {(r.id_a, r.id_b, r.dist) for r in got}
 
 
 @pytest.mark.parametrize("d", [1, 2, 3])
-def test_matches_brute_force_random_strings(spark, d):
+@pytest.mark.parametrize("collapse", [False, True])
+def test_matches_brute_force_random_strings(spark, d, collapse):
     rng = random.Random(41 + d)
-    alpha = "abcde"  # small alphabet -> dense near matches
+    alpha = "abcde"  # small alphabet -> dense near matches AND exact
+    # duplicates at the short lengths (covers collapse_exact's
+    # within-group expansion)
     rows = [
         (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(d + 1, 14))))
         for i in range(120)
     ]
-    got = _run(spark, rows, d)
+    got = _run(spark, rows, d, collapse_exact=collapse)
     want = _brute(rows, d)
     assert got == want
     assert want, "vacuous: no pairs generated"
+
+
+def test_collapse_exact_duplicate_heavy_families(spark):
+    """The collapse_exact posture on its target shape: replica
+    families (one 40-copy, one 7-copy, near-copies bridging them,
+    plus uniques) — identical results to the direct path and to
+    brute force, with and without salt."""
+    base = "power law replica title"
+    near = "power law replica titre"  # dist 1 from base
+    rows = [(i, base) for i in range(40)]
+    rows += [(100 + i, near) for i in range(7)]
+    rows += [(200 + i, f"unique string number {i:02d}") for i in range(30)]
+    want = _brute(rows, 2)
+    direct = _run(spark, rows, 2)
+    collapsed = _run(spark, rows, 2, collapse_exact=True)
+    collapsed_salted = _run(spark, rows, 2, collapse_exact=True, salt=16)
+    assert direct == collapsed == collapsed_salted == want
+    # the families really expand: 40*39/2 + 7*6/2 within + 40*7 across
+    assert len(want) >= 780 + 21 + 280
 
 
 def test_planted_edit_families(spark):
@@ -171,6 +193,74 @@ def test_no_duplicate_pairs_and_plan_is_equi(spark):
     assert len(got) == len(set(got))
 
 
+def test_planted_skew_salt_balances_hot_key(spark):
+    """Power-law replica family: one title with hundreds of copies
+    makes its segment keys emit ~H² candidate rows from ONE reduce
+    task — and AQE's skew-join split cannot help, because skew
+    detection reads the shuffle's map-output (INPUT) sizes, which stay
+    modest while the join OUTPUT explodes quadratically (the probe
+    measured 258× the median partition with zero skew splits). Pins:
+    (a) the unsalted candidate join really does straggle (>4× median),
+    (b) salt spreads it to within 4× of the median partition,
+    (c) salted results are identical and the plan stays equi-join."""
+    import statistics
+
+    from spotify_etl_aws_spark.operators.editdist import (
+        _candidates,
+        _normalized,
+    )
+
+    rng = random.Random(3)
+    alpha = "abcdefghijklmnop"
+    hot = "the hot duplicated title xx"
+    rows = [(i, hot) for i in range(600)]
+    rows += [
+        (
+            1000 + i,
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(20, 28))),
+        )
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    d = 2
+
+    def partition_counts(salt: int):
+        s = _normalized(df, "id", "s", d, "probe-side")
+        raw = _candidates(s, s, d, salt)
+        return sorted(
+            r["count"]
+            for r in raw.groupBy(F.spark_partition_id()).count().collect()
+        )
+
+    # AQE's size-based partition COALESCING merges the small uniform
+    # partitions and would hide the hash distribution this test pins
+    # (it merges small partitions; it never splits the hot one) —
+    # measure with coalescing off so partition ids reflect the shuffle
+    coalesce_conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_conf)
+    spark.conf.set(coalesce_conf, "false")
+    try:
+        unsalted = partition_counts(1)
+        assert unsalted[-1] > 4 * statistics.median(unsalted), unsalted
+        salted = partition_counts(64)
+        assert salted[-1] <= 4 * statistics.median(salted), salted
+    finally:
+        spark.conf.set(coalesce_conf, old)
+
+    # end-to-end: identical pairs, and the salted plan stays pure
+    # equi-join (the explode adds rows, never a theta condition)
+    plain = editdistance_join(df, "id", "s", d)
+    with_salt = editdistance_join(df, "id", "s", d, salt=64)
+    plan = with_salt._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got_p = {(r.id_a, r.id_b, r.dist) for r in plain.collect()}
+    got_s = {(r.id_a, r.id_b, r.dist) for r in with_salt.collect()}
+    assert got_p == got_s and got_p
+    with pytest.raises(ValueError, match="salt"):
+        editdistance_join(df, "id", "s", d, salt=0)
+
+
 def test_two_table_join_matches_brute(spark):
     """Entity-resolution shape: probe records vs an indexed master
     table — ids in separate spaces, every (probe, master) pair within
@@ -189,18 +279,20 @@ def test_two_table_join_matches_brute(spark):
     ]
     df_p = spark.createDataFrame(probes, "pid long, ps string")
     df_m = spark.createDataFrame(master, "mid long, ms string")
-    got = {
-        (r.id_a, r.id_b, r.dist)
-        for r in editdistance_join(
-            df_p, "pid", "ps", 2,
-            other=df_m, other_id_col="mid", other_str_col="ms",
-        ).collect()
-    }
     want = set()
     for pid, ps in probes:
         for mid, ms in master:
             dd = ref_lev(ps, ms)
             if dd <= 2:
                 want.add((pid, mid, dd))
-    assert got == want
+    for collapse in (False, True):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in editdistance_join(
+                df_p, "pid", "ps", 2,
+                other=df_m, other_id_col="mid", other_str_col="ms",
+                collapse_exact=collapse,
+            ).collect()
+        }
+        assert got == want, f"collapse_exact={collapse}"
     assert any(dist == 0 for _, _, dist in want)  # the planted exact hits
