@@ -612,13 +612,12 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_sum"),
     )
     name = f"py_ds_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = _tf.mkdtemp(prefix="ckpt_py_ds_")
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option(
-            "checkpointLocation", _tf.mkdtemp(prefix="ckpt_py_ds_")
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
         .start()
     )
@@ -636,6 +635,11 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(60)
+        # the memory sink holds the result; the per-run checkpoint has
+        # no reader after stop — remove it (leak class of ADVICE r8)
+        import shutil as _sh
+
+        _sh.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -882,17 +886,23 @@ def streaming_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = read_table_stream(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_pysink_{uuid.uuid4().hex[:6]}_")
     q = (
         src.writeStream.format("jsonl_commit")
         .option("path", scratch)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"ckpt_pysink_{uuid.uuid4().hex[:6]}_"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        q.awaitTermination(300)
+    finally:
+        # read-back consumes the scratch manifests, never the
+        # checkpoint — remove it (leak class of ADVICE r8). scratch
+        # itself must OUTLIVE this call (the returned DataFrame reads
+        # it lazily), so it stays a stable per-fixture path cleared at
+        # the start of the next run.
+        shutil.rmtree(ckpt, ignore_errors=True)
     back = read_jsonl_stream_committed(
         spark, scratch, "event_id bigint, user_id bigint, event_type string"
     )
