@@ -174,13 +174,24 @@ def main() -> None:
             sys.exit(1)
         print(f"parity {name}          : OK ({len(got)} rows)", flush=True)
 
+    # --- bare-scan floor for the q16 adjudication ----------------------
+    # the minimal work ANY q16 plan must do: materialize the fact's two
+    # join/aggregate columns off the bucketed layout
+    t_floor = best_of(
+        lambda: materialize(
+            spark.table("b_li_pk").select("l_partkey", "l_suppkey")
+        )
+    )
+    print(f"q16 scan floor      : {t_floor:6.2f}s "
+          f"(l_partkey+l_suppkey off the bucketed fact)", flush=True)
+
     # --- FAIR-scheduler amortization on the bucketed layout -----------
     # (the q5 adjudication's second leg: a 1000-executor cluster never
     # runs one 5-row-result query alone; concurrent submissions share
     # the scan+dispatch floor)
     import threading
 
-    for name, fn in [("q4", q4b), ("q16", q16b)]:
+    for name, fn in [("q4", q4b), ("q16", q16b), ("q16a", q16a)]:
         n = 4
         t0 = time.perf_counter()
         th = [
