@@ -244,6 +244,79 @@ def long_series_scenario(spark, n_cands=5_000, n_pts=1_000) -> None:
     )
 
 
+def banded_scenario(spark, n_cands=150_000, n_pts=60, band=5) -> None:
+    """What the Sakoe-Chiba band buys (round-9 close of the
+    unconstrained boundary): a bulk of PHASE-SHIFTED copies of the
+    query — same value multiset, different order — is invisible to
+    any value-set bound (the only admissible family without a band;
+    LB ≈ endpoint terms ≈ 0 here) but glaring to the LB_Keogh
+    envelope the band makes admissible. Same heap kernel, banded DP
+    (O(n·band) per candidate instead of O(n·m)), banded LB."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.operators.dtw import (
+        dtw_lower_bound,
+        dtw_topk_search,
+    )
+
+    print(
+        f"== scenario 4: banded search, phase-shifted bulk "
+        f"({n_cands} candidates x {n_pts} points, band={band})"
+    )
+    # a RAMP query: rotating its interior preserves the value multiset
+    # AND the endpoints, so the value-set bound reads ~0 — only the
+    # band's positional envelope can see the shift
+    query = [1_000 * i for i in range(n_pts)]
+    n_near = n_cands // 100
+    pos = F.col("pos")
+    base = spark.range(n_cands).select(
+        F.col("id").alias("sid"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_pts - 1))).alias("pos"),
+    )
+    # near: the query + per-sid jitter; bulk: endpoints kept, interior
+    # ramp rotated by 6..(n_pts-8) positions (same value multiset)
+    shift = F.lit(6) + (F.col("sid") % (n_pts - 13))
+    inner = n_pts - 2
+    val = F.when(
+        F.col("sid") < n_near,
+        F.lit(1_000) * pos + (F.col("sid") * 31 + pos * 17) % 97,
+    ).otherwise(
+        F.when(pos == 0, F.lit(0))
+        .when(pos == n_pts - 1, F.lit(1_000) * (n_pts - 1))
+        .otherwise(F.lit(1_000) * (F.lit(1) + ((pos - 1 + shift) % inner)))
+    )
+    cands = base.select("sid", "pos", val.cast("long").alias("val"))
+
+    out = {}
+    for prune in (True, False):
+        t0 = time.perf_counter()
+        got = [
+            (r.series_id, r.dtw_dist)
+            for r in dtw_topk_search(
+                cands, query, DTW_K, id_col="sid", pos_col="pos",
+                val_col="val", prune=prune, band=band,
+            ).collect()
+        ]
+        out[prune] = (got, time.perf_counter() - t0)
+    assert out[True][0] == out[False][0]
+    assert all(s < n_near for s, _ in out[True][0])
+    # bound contrast on one bulk series (sid = n_near):
+    s0 = 6 + (n_near % (n_pts - 13))
+    bulk = (
+        [0]
+        + [1_000 * (1 + ((p - 1 + s0) % inner)) for p in range(1, n_pts - 1)]
+        + [1_000 * (n_pts - 1)]
+    )
+    print(
+        f"banded 150k  : heap+LB {out[True][1]:6.2f}s  "
+        f"exhaustive {out[False][1]:6.2f}s  "
+        f"speedup {out[False][1] / out[True][1]:4.2f}x  "
+        f"(bulk series: value-set LB {dtw_lower_bound(bulk, query)}, "
+        f"banded LB_Keogh {dtw_lower_bound(bulk, query, band=band)})",
+        flush=True,
+    )
+
+
 def main() -> None:
     from spotify_etl_aws_spark.session import get_spark
 
@@ -252,6 +325,7 @@ def main() -> None:
     lane_scenario(spark)
     separated_scenario(spark)
     long_series_scenario(spark)
+    banded_scenario(spark)
 
 
 if __name__ == "__main__":

@@ -76,24 +76,102 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def dtw_distance(a, b) -> int:
-    """Exact integer DTW distance between two int sequences."""
+#: cell penalty standing in for "forbidden" in the oracle's banded DP
+#: (the min-plus prefix-scan closure must run over every j, so
+#: out-of-band cells carry a cost no feasible path can reach instead
+#: of being absent; 2^50 dwarfs any cent-scaled path total while
+#: row-length × CELL_INF sums stay far inside int64)
+CELL_INF = 1 << 50
+
+
+def dtw_distance(a, b, band: int | None = None) -> int:
+    """Exact integer DTW distance between two int sequences.
+
+    ``band``: optional Sakoe-Chiba radius — warping cells are
+    restricted to ``|i − j| <= band`` (1-based positions). Requires
+    ``band >= |len(a) − len(b)|`` (otherwise no warping path exists:
+    the operator fails loud). ``band=None`` is the unconstrained DP.
+    """
     a = [int(x) for x in a]
     b = [int(x) for x in b]
     if not a or not b:
         raise ValueError("dtw_distance: empty series")
+    w = None
+    if band is not None:
+        w = int(band)
+        if w < 0:
+            raise ValueError(f"band must be >= 0, got {band}")
+        if abs(len(a) - len(b)) > w:
+            raise ValueError(
+                f"dtw_distance: band={w} < length difference "
+                f"{abs(len(a) - len(b))}; no warping path exists "
+                "within the band"
+            )
     m = len(b)
     INF = 1 << 62
     prev = [INF] * (m + 1)
     prev[0] = 0  # D(0, 0); D(0, j>0) stays INF
-    for ai in a:
+    for i, ai in enumerate(a, 1):
         cur = [INF] * (m + 1)
-        for j in range(1, m + 1):
+        jlo = 1 if w is None else max(1, i - w)
+        jhi = m if w is None else min(m, i + w)
+        for j in range(jlo, jhi + 1):
             best = min(prev[j], cur[j - 1], prev[j - 1])
             if best < INF:
                 cur[j] = abs(ai - b[j - 1]) + best
         prev = cur
     return prev[m]
+
+
+def sakoe_chiba_envelope(q, band: int):
+    """(L, U) envelope of ``q`` under a Sakoe-Chiba band: for each
+    candidate position j (1-based, up to ``len(q) + band`` — the
+    longest feasible partner), the min/max of q over the positions a
+    banded warping path allows j to align with
+    (``q[max(1, j−band) .. min(m, j+band)]``). This is the LB_Keogh
+    envelope (Keogh & Ratanamahatana, KAIS 2005) — admissible HERE
+    because the band restores the positional structure the
+    unconstrained DP lacks."""
+    import numpy as np
+
+    w = int(band)
+    if w < 0:
+        raise ValueError(f"band must be >= 0, got {band}")
+    qa = np.asarray([int(x) for x in q], dtype=np.int64)
+    m = len(qa)
+    if not m:
+        raise ValueError("sakoe_chiba_envelope: empty series")
+    L = np.empty(m + w, dtype=np.int64)
+    U = np.empty(m + w, dtype=np.int64)
+    for j in range(1, m + w + 1):
+        lo, hi = max(1, j - w), min(m, j + w)
+        window = qa[lo - 1 : hi]
+        L[j - 1], U[j - 1] = window.min(), window.max()
+    return L, U
+
+
+def _envelope_bound(
+    x, Ly, Uy, y_first: int, y_last: int, y_len: int
+) -> int:
+    """LB_Keogh-style one-direction bound for BANDED DTW: endpoints
+    exact (cells (1,1) and (n,m) are on every path — distinct cells
+    unless both series are single points), each interior x_j at least
+    its distance to y's banded envelope at position j. Caller
+    guarantees feasibility (len(x) <= len(envelope))."""
+    import numpy as np
+
+    end = abs(int(x[0]) - y_first)
+    if len(x) > 1 or y_len > 1:
+        end += abs(int(x[-1]) - y_last)
+    if len(x) <= 2:
+        return end
+    interior = np.asarray(x[1:-1], dtype=np.int64)
+    lo = Ly[1 : len(x) - 1]
+    hi = Uy[1 : len(x) - 1]
+    near = np.maximum(
+        np.maximum(interior - hi, lo - interior), 0
+    )
+    return end + int(near.sum())
 
 
 def _hybrid_bound(x, y) -> int:
@@ -120,16 +198,38 @@ def _hybrid_bound(x, y) -> int:
     return end + int(near.sum())
 
 
-def dtw_lower_bound(a, b) -> int:
-    """Admissible lower bound on ``dtw_distance(a, b)`` — max of the
-    hybrid endpoint+set bound in both directions (each direction sums
-    over one series' points; both are valid, the max is tighter).
-    O((n+m) log(n+m)) vs the DP's O(n·m)."""
+def dtw_lower_bound(a, b, band: int | None = None) -> int:
+    """Admissible lower bound on ``dtw_distance(a, b, band)`` — max of
+    the hybrid endpoint+set bound in both directions (each direction
+    sums over one series' points; both are valid, the max is tighter).
+    O((n+m) log(n+m)) vs the DP's O(n·m).
+
+    With ``band``, additionally takes the LB_Keogh envelope bounds in
+    both directions — the positional structure the band restores makes
+    them admissible (banded DTW >= unconstrained DTW, so the value-set
+    bounds stay valid too; the max of all four is tightest). Same
+    feasibility contract as ``dtw_distance``."""
     a = [int(v) for v in a]
     b = [int(v) for v in b]
     if not a or not b:
         raise ValueError("dtw_lower_bound: empty series")
-    return max(_hybrid_bound(a, b), _hybrid_bound(b, a))
+    lb = max(_hybrid_bound(a, b), _hybrid_bound(b, a))
+    if band is None:
+        return lb
+    w = int(band)
+    if abs(len(a) - len(b)) > w:
+        raise ValueError(
+            f"dtw_lower_bound: band={w} < length difference "
+            f"{abs(len(a) - len(b))}; no warping path exists within "
+            "the band"
+        )
+    Lb_, Ub_ = sakoe_chiba_envelope(b, w)
+    La_, Ua_ = sakoe_chiba_envelope(a, w)
+    return max(
+        lb,
+        _envelope_bound(a, Lb_, Ub_, b[0], b[-1], len(b)),
+        _envelope_bound(b, La_, Ua_, a[0], a[-1], len(a)),
+    )
 
 
 def dtw_topk_search(
@@ -141,6 +241,7 @@ def dtw_topk_search(
     val_col: str = "val",
     max_len: int = 100_000,
     prune: bool = True,
+    band: int | None = None,
 ) -> DataFrame:
     """Top-k series nearest to ``query`` under exact integer DTW.
 
@@ -155,7 +256,16 @@ def dtw_topk_search(
     ``prune=False`` exact-scores every series (one ``applyInPandas``
     group each) — the verification twin. Results are identical by
     construction (pinned in tests/test_dtw.py).
-    """
+
+    ``band``: optional Sakoe-Chiba radius (the practitioner form for
+    long series — REPOSE-style systems constrain the warp). SEARCH
+    semantics for infeasibility: a candidate whose length differs from
+    the query's by more than ``band`` has no warping path and is
+    DROPPED (it is simply "not similar"), unlike ``dtw_distance``
+    which raises on a direct call. The band restores positional
+    structure, so the LB gains the LB_Keogh envelope term — the
+    tighter bound unconstrained DTW cannot have (measured boundary,
+    BASELINE.md round 9)."""
     import heapq
 
     import pandas as pd
@@ -167,6 +277,11 @@ def dtw_topk_search(
     q = [int(x) for x in query]
     limit = int(max_len)
     topk = int(k)
+    w = None if band is None else int(band)
+    if w is not None:
+        if w < 0:
+            raise ValueError(f"band must be >= 0, got {band}")
+        env_L, env_U = sakoe_chiba_envelope(q, w)
 
     # long-id contract, validated IN the plan (rides the main action,
     # no extra job): a non-numeric id column (e.g. UUID strings) would
@@ -200,15 +315,26 @@ def dtw_topk_search(
                 "or raise the guard explicitly"
             )
 
+    def _infeasible(n: int) -> bool:
+        return w is not None and abs(n - len(q)) > w
+
     if not prune:
         # exhaustive twin: one Arrow batch per series, exact DP each.
         # The DP runs on Python ints (no silent int64 wraparound);
         # results are bounded by sum(|a_i - b_j|) over the path, well
         # inside int64 for cent-scaled fixtures.
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "series_id": pd.Series([], dtype="int64"),
+                    "dtw_dist": pd.Series([], dtype="int64"),
+                }
+            )
             _check_len(pdf["__id"].iloc[0], len(pdf))
+            if _infeasible(len(pdf)):
+                return empty
             pdf = pdf.sort_values("__pos")
-            d = dtw_distance(pdf["__val"].tolist(), q)
+            d = dtw_distance(pdf["__val"].tolist(), q, band=w)
             return pd.DataFrame(
                 {"series_id": [int(pdf["__id"].iloc[0])], "dtw_dist": [d]}
             )
@@ -227,9 +353,21 @@ def dtw_topk_search(
 
         def consider(sid: int, vals: list[int]) -> None:
             _check_len(sid, len(vals))
-            if len(heap) == topk and dtw_lower_bound(vals, q) > -heap[0][0]:
-                return  # dist >= LB > τ: cannot enter the top-k
-            d = dtw_distance(vals, q)
+            if _infeasible(len(vals)):
+                return  # no warping path within the band: dropped
+            if len(heap) == topk:
+                tau = -heap[0][0]
+                lb = max(_hybrid_bound(vals, q), _hybrid_bound(q, vals))
+                if w is not None and lb <= tau:
+                    lb = max(
+                        lb,
+                        _envelope_bound(
+                            vals, env_L, env_U, q[0], q[-1], len(q)
+                        ),
+                    )
+                if lb > tau:
+                    return  # dist >= LB > τ: cannot enter the top-k
+            d = dtw_distance(vals, q, band=w)
             item = (-d, -sid)
             if len(heap) < topk:
                 heapq.heappush(heap, item)

@@ -2963,6 +2963,142 @@ LIMIT {DTW_K}
 """
 
 
+DTW_BAND = 7
+
+
+def ts_dtw_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sakoe-Chiba BANDED DTW top-k (operators/dtw.py, ``band=7``) —
+    the practitioner form for sequence search: warping cells are
+    restricted to ``|i − j| <= 7`` (a week of warp on daily series),
+    which (a) bounds the DP to O(n·band) per candidate and (b)
+    restores the positional structure that makes the LB_Keogh
+    envelope bound admissible — the tighter prefilter the
+    unconstrained lane measurably cannot have (BASELINE.md round 9).
+    Candidates whose day-count differs from the query's by more than
+    the band have no warping path and are dropped (search semantics;
+    the direct ``dtw_distance`` call raises instead — both pinned in
+    tests/test_dtw.py). The oracle replays the banded DP in the same
+    recursive min-plus-scan CTE as the unconstrained lane, with
+    out-of-band cells carrying a 2^50 penalty no feasible path can
+    reach (the scan must run over every j, so forbidden cells are
+    penalized rather than absent; for feasible candidates the DP
+    minimum never touches one, making both engines' values exact
+    banded DTW)."""
+    from ..operators.dtw import dtw_topk_search
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("day")
+            ),
+        )
+    )
+    q_user = ev.agg(F.min("user_id")).collect()[0][0]
+    query = [
+        int(r.v)
+        for r in daily.filter(F.col("user_id") == q_user)
+        .orderBy("day")
+        .collect()
+    ]
+    cands = daily.filter(F.col("user_id") != q_user)
+    out = dtw_topk_search(
+        cands,
+        query,
+        DTW_K,
+        id_col="user_id",
+        pos_col="pos",
+        val_col="v",
+        band=DTW_BAND,
+    )
+    return out.select(F.col("series_id").alias("user_id"), "dtw_dist")
+
+
+_DTW_CELL_INF = 1 << 50
+
+ORACLE_DTW_BANDED = f"""
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+qu AS MATERIALIZED (SELECT min(user_id) AS quid FROM events),
+q AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS j, v AS w
+  FROM daily, qu WHERE user_id = quid
+),
+mm AS MATERIALIZED (SELECT max(j) AS m FROM q),
+cand0 AS MATERIALIZED (
+  SELECT user_id AS id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+              AS BIGINT) AS i,
+         v
+  FROM daily, qu WHERE user_id <> quid
+),
+lens AS (SELECT id, max(i) AS n FROM cand0 GROUP BY 1),
+cand AS MATERIALIZED (  -- band feasibility: |n - m| <= band
+  SELECT c.* FROM cand0 c JOIN lens l ON l.id = c.id, mm
+  WHERE abs(l.n - mm.m) <= {DTW_BAND}
+),
+jj AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS j UNION ALL SELECT j FROM q),
+dp AS (
+  -- DP row i = 0: reachable only at j = 0
+  SELECT c.id, CAST(0 AS BIGINT) AS i, jj.j,
+         CASE WHEN jj.j = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST({_DTW_INF} AS BIGINT) END AS cost
+  FROM (SELECT DISTINCT id FROM cand) c, jj
+  UNION ALL
+  -- advance every candidate one DP row; out-of-band cells carry the
+  -- 2^50 penalty (the scan runs over every j, so forbidden cells are
+  -- penalized, not absent — no feasible minimum ever touches one)
+  SELECT id, i, j,
+         CASE WHEN j = 0 THEN CAST({_DTW_INF} AS BIGINT)
+              ELSE s_run + m_run END AS cost
+  FROM (
+    SELECT id, i, j,
+           sum(c) OVER (PARTITION BY id ORDER BY j
+                        ROWS UNBOUNDED PRECEDING) AS s_run,
+           min(b - s_prev) OVER (PARTITION BY id ORDER BY j
+                                 ROWS UNBOUNDED PRECEDING) AS m_run
+    FROM (
+      SELECT id, i, j, c, b,
+             coalesce(sum(c) OVER (PARTITION BY id ORDER BY j
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS s_prev
+      FROM (
+        SELECT d.id, d.i + 1 AS i, d.j,
+               CASE WHEN d.j = 0 THEN NULL
+                    WHEN abs((d.i + 1) - d.j) > {DTW_BAND}
+                      THEN CAST({_DTW_CELL_INF} AS BIGINT)
+                    ELSE abs(a.v - q.w) END AS c,
+               CASE WHEN d.j = 0 THEN NULL
+                    ELSE least(d.cost,
+                               lag(d.cost) OVER (PARTITION BY d.id
+                                                 ORDER BY d.j)) END AS b
+        FROM dp d
+        JOIN cand a ON a.id = d.id AND a.i = d.i + 1
+        LEFT JOIN q ON q.j = d.j
+      )
+    )
+  )
+),
+n_s AS (SELECT id, max(i) AS n FROM cand GROUP BY 1)
+SELECT dp.id AS user_id, dp.cost AS dtw_dist
+FROM dp JOIN n_s ON n_s.id = dp.id, mm
+WHERE dp.i = n_s.n AND dp.j = mm.m
+ORDER BY dtw_dist, user_id
+LIMIT {DTW_K}
+"""
+
+
 def dedup_editdistance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table (entity-resolution) form of the exact edit-distance
     join (operators/editdist.py, ``other=`` path): dirty probe records
@@ -3101,6 +3237,7 @@ QUERIES = {
     "dedup_editdistance_pairs": dedup_editdistance_pairs,
     "ts_dtw_topk_similarity": ts_dtw_topk_similarity,
     "dedup_editdistance_lookup": dedup_editdistance_lookup,
+    "ts_dtw_banded_topk": ts_dtw_banded_topk,
 }
 
 ORACLE = {
@@ -3155,4 +3292,5 @@ ORACLE = {
     "dedup_editdistance_pairs": ORACLE_EDITDIST,
     "ts_dtw_topk_similarity": ORACLE_DTW,
     "dedup_editdistance_lookup": ORACLE_EDITDIST_LOOKUP,
+    "ts_dtw_banded_topk": ORACLE_DTW_BANDED,
 }

@@ -211,6 +211,97 @@ def test_series_spanning_arrow_batches(spark):
     assert got == want
 
 
+def ref_banded(a, b, w):
+    """Full-matrix banded reference DP, cells |i-j| <= w only."""
+    n, m = len(a), len(b)
+    INF = float("inf")
+    D = [[INF] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if abs(i - j) > w:
+                continue
+            D[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+            )
+    return D[n][m]
+
+
+def test_banded_distance_matches_reference_and_orders():
+    from spotify_etl_aws_spark.operators.dtw import dtw_lower_bound
+
+    rng = random.Random(13)
+    for _ in range(200):
+        n = rng.randrange(1, 14)
+        m = rng.randrange(max(1, n - 3), n + 4)
+        a = [rng.randrange(-60, 60) for _ in range(n)]
+        b = [rng.randrange(-60, 60) for _ in range(m)]
+        w = rng.randrange(abs(n - m), abs(n - m) + 5)
+        got = dtw_distance(a, b, band=w)
+        assert got == ref_banded(a, b, w), (a, b, w)
+        # restricting paths can only increase the distance; a band
+        # covering the whole matrix equals the unconstrained DP
+        assert got >= dtw_distance(a, b)
+        assert dtw_distance(a, b, band=max(n, m)) == dtw_distance(a, b)
+        # the banded LB (value-set + LB_Keogh envelope) is admissible
+        lb = dtw_lower_bound(a, b, band=w)
+        assert lb <= got, (a, b, w, lb, got)
+        assert lb >= dtw_lower_bound(a, b)  # at least as tight
+    with pytest.raises(ValueError, match="no warping path"):
+        dtw_distance([1, 2, 3, 4, 5], [1], band=2)
+    with pytest.raises(ValueError, match="band must be"):
+        dtw_distance([1], [1], band=-1)
+
+
+def test_banded_envelope_prunes_same_regime():
+    """The round-9 boundary close: on same-regime series where the
+    value-set bound is hopeless (~27 % tight, 0 % skip measured), the
+    band's positional envelope separates phase-shifted candidates —
+    LB_Keogh reaches past the value-set floor."""
+    from spotify_etl_aws_spark.operators.dtw import dtw_lower_bound
+
+    rng = random.Random(99)
+    q = [1000 * ((7 * i) % 13) for i in range(40)]
+    # same VALUE SET, different order (a phase shift the value-set
+    # bound cannot see at all)
+    shifted = q[20:] + q[:20]
+    w = 3
+    unbanded_lb = dtw_lower_bound(shifted, q)
+    banded_lb = dtw_lower_bound(shifted, q, band=w)
+    banded_d = dtw_distance(shifted, q, band=w)
+    assert banded_lb <= banded_d
+    # measured: 39000 vs 13000 (the unbanded bound is pure endpoint
+    # terms here — the interior value-set distance is exactly 0 on a
+    # permutation); the envelope sees the phase shift
+    assert banded_lb > 2 * unbanded_lb, (unbanded_lb, banded_lb, banded_d)
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_banded_topk_matches_brute_and_drops_infeasible(spark, prune):
+    rng = random.Random(21)
+    w = 4
+    series = {}
+    for sid in range(50):
+        n = rng.randrange(3, 16)
+        series[sid] = [rng.randrange(0, 50) for _ in range(n)]
+    q = [10, 25, 30, 20, 15, 40, 5, 30]  # len 8
+    got = [
+        (r.series_id, r.dtw_dist)
+        for r in dtw_topk_search(
+            _series_df(spark, series), q, k=9, prune=prune, band=w
+        ).collect()
+    ]
+    feas = {
+        sid: vals for sid, vals in series.items() if abs(len(vals) - 8) <= w
+    }
+    assert len(feas) < len(series)  # infeasible candidates planted
+    want = sorted(
+        ((sid, ref_banded(vals, q, w)) for sid, vals in feas.items()),
+        key=lambda t: (t[1], t[0]),
+    )[:9]
+    assert got == want
+
+
 def test_non_numeric_id_raises_contract_error(spark):
     """UUID-style string ids cast to NULL long — before the guard the
     groupBy collapsed every series into one group and the kernel died
