@@ -3185,6 +3185,33 @@ WHERE levenshtein(sa.s, sb.s) <= 2
 """
 
 
+def dedup_editdistance_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``collapse_exact`` plan of the edit-distance self-join on
+    real data (operators/editdist.py:_collapsed_join — the round-9
+    duplicate-heavy posture, 22× faster than the direct path at 10^4
+    replicas, BASELINE.md): exact-duplicate titles collapse to one
+    representative per distinct string before the segment join (one
+    levenshtein per distinct pair), and the id-level pairs come from
+    pure expansion joins — the planted dist-0 title duplicates in the
+    documents fixture exercise the within-group branch. Same contract
+    and SAME ORACLE as ``dedup_editdistance_pairs``: the two plans
+    must agree bit-for-bit, and the driver checks this one too."""
+    from ..operators.editdist import editdistance_join
+
+    titles = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(text, 1, {EDITDIST_TITLE_LEN})").alias("title"),
+    )
+    out = editdistance_join(
+        titles, "doc_id", "title", EDITDIST_D, collapse_exact=True
+    )
+    return out.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -3238,6 +3265,7 @@ QUERIES = {
     "ts_dtw_topk_similarity": ts_dtw_topk_similarity,
     "dedup_editdistance_lookup": dedup_editdistance_lookup,
     "ts_dtw_banded_topk": ts_dtw_banded_topk,
+    "dedup_editdistance_collapsed": dedup_editdistance_collapsed,
 }
 
 ORACLE = {
@@ -3293,4 +3321,5 @@ ORACLE = {
     "ts_dtw_topk_similarity": ORACLE_DTW,
     "dedup_editdistance_lookup": ORACLE_EDITDIST_LOOKUP,
     "ts_dtw_banded_topk": ORACLE_DTW_BANDED,
+    "dedup_editdistance_collapsed": ORACLE_EDITDIST,
 }
