@@ -1,0 +1,234 @@
+"""Perceptual image hashing + Hamming near-duplicate join (north-star,
+SURVEY.md §2.11a/§2.11d intersection): find visually-near-duplicate
+images in a binary media column without an all-pairs scan.
+
+The reference pipeline has no image dedup (its media handling stops at
+metadata passthrough); this is the LLM-training-data operator a 100 TB
+multimodal corpus needs: the classic crawl-dedup stack (dHash —
+"difference hash", the gradient variant of Krawetz's average hash —
+then banded LSH over the 64/56-bit hash, exact Hamming verify on
+candidates only). Public algorithm; no library needed — the repo's own
+codecs (operators/multimodal.py, operators/jpeg.py) decode the bytes
+and numpy does the downsample.
+
+Scale shape (the point of the design):
+
+- ``dhash_media`` is a mapInPandas kernel — one Arrow batch of image
+  bytes in, one int64 hash per image out. Embarrassingly parallel
+  across images; a billion images cost a billion independent decodes
+  spread over the cluster, never a bigger matrix. The decode is the
+  repo's pure-Python/numpy codec seam — a deployment swaps in
+  PIL/libvips inside the SAME kernel signature.
+- ``hamming_near_pairs`` is the cheap-filter→exact-verify house
+  pattern (LSH before cosine, segments before levenshtein, envelopes
+  before DTW): split the B-bit hash into ``bands`` fixed windows; by
+  pigeonhole, any pair within Hamming distance d < bands agrees
+  exactly on ≥1 band, so ONE equi-join on (band_index, band_value)
+  finds every qualifying pair — no theta join, no cartesian anywhere
+  in the plan (test-pinned). Verify is a JVM-side
+  ``bit_count(a ^ b)`` — no Python in the verify path.
+- Hot bands (e.g. the all-zero gradient band every flat/monochrome
+  image shares) are the skew risk at corpus scale — the same shape as
+  the edit-distance segment join's replica families. The operator
+  exposes ``max_band_bucket``: band buckets larger than the cap are
+  dropped from CANDIDATE GENERATION only, loudly countable by the
+  caller via ``band_bucket_sizes`` (a dropped bucket weakens recall
+  for near-flat images but never produces a wrong pair; exact-verify
+  still gates everything emitted). Default None = exact recall.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: dHash geometry: GRID_ROWS x GRID_COLS luminance grid, horizontal
+#: gradient sign -> GRID_ROWS * (GRID_COLS - 1) bits. 8x8 -> 56 bits,
+#: which keeps every hash strictly inside a non-negative int64 (no
+#: sign-bit arithmetic on either engine) and splits evenly into 8
+#: 7-bit LSH bands.
+GRID_ROWS = 8
+GRID_COLS = 8
+HASH_BITS = GRID_ROWS * (GRID_COLS - 1)  # 56
+
+
+def dhash_bytes(data: bytes, rows: int = GRID_ROWS, cols: int = GRID_COLS) -> int:
+    """dHash of one encoded image: decode, grayscale, block-mean
+    downsample to (rows x cols), emit sign of each horizontal
+    gradient. Bit k = r*(cols-1)+c is set iff cell[r][c] > cell[r][c+1]
+    (strict; ties -> 0 on both engines). Pixel dims must be exact
+    multiples of the grid so the block mean is a true partition mean —
+    real thumbnails resample first; this operator fails loud instead
+    of silently interpolating."""
+    import numpy as np
+
+    from .multimodal import decode_image
+
+    img = decode_image(data)
+    if img.width % cols or img.height % rows:
+        raise ValueError(
+            f"dhash_bytes: image {img.width}x{img.height} is not a "
+            f"multiple of the {rows}x{cols} grid; resample first "
+            "(resize_media) so block means are exact partition means"
+        )
+    px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, 3
+    )
+    gray = px.astype(np.float64).mean(axis=2)
+    bh, bw = img.height // rows, img.width // cols
+    cells = gray.reshape(rows, bh, cols, bw).mean(axis=(1, 3))
+    bits = cells[:, :-1] > cells[:, 1:]
+    weights = 1 << np.arange(rows * (cols - 1), dtype=np.uint64).reshape(
+        rows, cols - 1
+    )
+    return int((bits.astype(np.uint64) * weights).sum())
+
+
+def dhash_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    rows: int = GRID_ROWS,
+    cols: int = GRID_COLS,
+) -> DataFrame:
+    """(id, media binary) -> (id, phash long) via an Arrow-batched
+    mapInPandas kernel. Decode + downsample run per-image inside the
+    task; only the 8-byte hash ever shuffles."""
+    import pandas as pd
+
+    proj = df.select(F.col(id_col).alias("__id"), F.col(media_col).alias("__m"))
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "phash": [
+                        dhash_bytes(bytes(b), rows, cols) for b in pdf["__m"]
+                    ],
+                }
+            )
+
+    out = proj.mapInPandas(_hash, schema="__id long, phash long")
+    return out.select(F.col("__id").alias(id_col), "phash")
+
+
+def band_buckets(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str = "phash",
+    bits: int = HASH_BITS,
+    bands: int = 8,
+) -> DataFrame:
+    """Explode each hash into (id, band, band_val) LSH bucket rows —
+    all JVM-side bit arithmetic (shiftrightunsigned + mask), no UDF."""
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide into bands ({bands})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask)).alias(
+                "band_val"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return hashes.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+
+
+def hamming_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_distance: int = 4,
+    bits: int = HASH_BITS,
+    bands: int = 8,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with Hamming(hash_a, hash_b) <=
+    ``max_distance``, via banded LSH candidates + exact bit_count
+    verify. Exact (100% recall) whenever ``max_distance < bands``:
+    <= max_distance differing bits can touch at most max_distance
+    bands, leaving >= 1 band identical — the pigeonhole guarantee the
+    MinHash/SimHash/edit-distance lanes all ride.
+
+    ``max_band_bucket``: optional skew valve — drop candidate buckets
+    larger than the cap (see module docstring). Off by default.
+
+    Returns (id_a, id_b, hamming) with hamming as bigint.
+    """
+    if max_distance >= bands:
+        raise ValueError(
+            f"hamming_near_pairs: pigeonhole exactness needs "
+            f"max_distance ({max_distance}) < bands ({bands})"
+        )
+    bb = band_buckets(hashes, id_col, hash_col, bits, bands)
+    if max_band_bucket is not None:
+        counts = bb.groupBy("band", "band_val").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        bb = (
+            bb.join(
+                F.broadcast(
+                    counts.filter(F.col("__n") > max_band_bucket).select(
+                        "band", "band_val"
+                    )
+                ),
+                ["band", "band_val"],
+                "left_anti",
+            )
+        )
+    a = bb.select(
+        F.col(id_col).alias("id_a"), "band", "band_val"
+    )
+    b = bb.select(
+        F.col(id_col).alias("id_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha")
+    )
+    hb = hashes.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb")
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def band_bucket_sizes(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bits: int = HASH_BITS,
+    bands: int = 8,
+) -> DataFrame:
+    """Diagnostic: (band, band_val, n) bucket sizes, descending — the
+    skew census a caller reads before picking ``max_band_bucket``."""
+    return (
+        band_buckets(hashes, id_col, hash_col, bits, bands)
+        .groupBy("band", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+    )

@@ -3212,6 +3212,146 @@ def dedup_editdistance_collapsed(
     )
 
 
+# ---- perceptual-hash image near-dup (round 9) ----
+#
+# The image corpus is generated IN the lane (like multimodal_images):
+# groups of 4 consecutive doc_ids share one base image; members 1-3
+# perturb exactly one 8x8 block, moving the dHash by <= 4 bits (each
+# changed cell touches at most its left and right gradient bit). Cell
+# luminance rides a 2-round xorshift-interleaved 31-bit LCG mixer —
+# pure int64 arithmetic both engines compute exactly, with enough
+# avalanche that distinct groups land ~28 bits apart (a plain LCG or
+# multiplicative hash leaves shift-lattice structure that made distinct
+# groups collide at hamming <= 4; measured before this mixer was
+# chosen). The Spark side never touches the formula after ENCODE: real
+# BMP bytes are encoded, decoded, block-mean downsampled, and gradient
+# -signed by the phash kernel — the oracle recomputes the expected
+# hashes analytically and replays the same banded join, so a hash
+# match proves the full encode -> decode -> downsample -> pack -> LSH
+# pipeline preserved every luminance comparison.
+PHASH_GROUP = 4          # docs per duplicate family
+PHASH_MAXDIST = 4        # Hamming threshold (< bands=8: pigeonhole-exact)
+_PHASH_MIX_SQL = """
+mix1 AS (
+  SELECT *, ((k * 64 + i + 12345) % 2147483648 * 1103515245 + 12345)
+            % 2147483648 AS s1
+  FROM cells
+),
+mix2 AS (SELECT *, xor(s1, s1 >> 16) AS s2 FROM mix1),
+mix3 AS (SELECT *, (s2 * 65539 + 1013904223) % 2147483648 AS s3 FROM mix2),
+mixed AS (SELECT doc_id, r, c, i, k, m, xor(s3, s3 >> 13) AS s4 FROM mix3)
+"""
+
+
+def _phash_cells(doc_id: int):
+    """The shared analytic pixel formula: 8x8 block luminances for one
+    doc — numpy int64, exactly what ORACLE_IMAGE_PHASH computes in SQL."""
+    import numpy as np
+
+    m31 = 2147483648
+    g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+    k = (g * 8191 + 2999) % 100003
+    i = np.arange(64, dtype=np.int64)
+    s1 = ((k * 64 + i + 12345) % m31 * 1103515245 + 12345) % m31
+    s2 = s1 ^ (s1 >> 16)
+    s3 = (s2 * 65539 + 1013904223) % m31
+    v = 20 + (s3 ^ (s3 >> 13)) % 199
+    if m > 0:
+        p = (k + 17 * m) % 64
+        v = v.copy()
+        v[p] = v[p] + 80 if v[p] < 120 else v[p] - 80
+    return v.reshape(8, 8)
+
+
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs (operators/phash.py): real
+    64x64 BMP encode (mapInPandas) -> real decode + block-mean dHash
+    (mapInPandas, numpy) -> banded LSH Hamming join (JVM bit ops).
+    Returns (doc_a, doc_b, hamming <= 4). The reference has no image
+    dedup; this is the multimodal-corpus operator the training-data
+    ladder needs (same cheap-filter->exact-verify shape as MinHash/
+    SimHash/edit-distance)."""
+    from ..operators.multimodal import encode_bmp
+    from ..operators.phash import dhash_media, hamming_near_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            media = []
+            for did in pdf["doc_id"]:
+                cells = _phash_cells(int(did)).astype(np.uint8)
+                px = np.repeat(np.repeat(cells, 8, 0), 8, 1)  # 64x64 gray
+                buf = np.repeat(px[:, :, None], 3, 2)  # B=G=R
+                media.append(encode_bmp(64, 64, buf.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, "doc_id long, media binary")
+    hashes = dhash_media(media)
+    pairs = hamming_near_pairs(hashes, max_distance=PHASH_MAXDIST)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+# The oracle recomputes each doc's 56-bit dHash analytically from the
+# pixel formula (block means are exact: blocks are constant), then runs
+# the SAME banded join — subquadratic on both engines, so amplified
+# sweeps stay viable.
+ORACLE_IMAGE_PHASH = f"""
+WITH grid AS (SELECT r.range AS r, c.range AS c FROM range(8) r, range(8) c),
+cells AS (
+  SELECT d.doc_id, g.r, g.c, g.r * 8 + g.c AS i,
+         ((d.doc_id // {PHASH_GROUP}) * 8191 + 2999) % 100003 AS k,
+         d.doc_id % {PHASH_GROUP} AS m
+  FROM documents d, grid g
+),
+{_PHASH_MIX_SQL},
+vals AS (
+  SELECT doc_id, r, c,
+    CASE WHEN m > 0 AND i = (k + 17 * m) % 64 THEN
+      CASE WHEN 20 + s4 % 199 < 120
+           THEN 20 + s4 % 199 + 80 ELSE 20 + s4 % 199 - 80 END
+    ELSE 20 + s4 % 199 END AS v
+  FROM mixed
+),
+bits AS (
+  SELECT a.doc_id, a.r * 7 + a.c AS bit_idx
+  FROM vals a JOIN vals b
+    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 7 AND a.v > b.v
+),
+hashes AS (
+  SELECT d.doc_id, COALESCE(SUM(1::BIGINT << bit_idx), 0) AS phash
+  FROM documents d LEFT JOIN bits USING (doc_id)
+  GROUP BY d.doc_id
+),
+bb AS (
+  SELECT doc_id, phash, b.range AS band,
+         (phash >> (b.range * 7)) & 127 AS band_val
+  FROM hashes, range(8) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN hashes ha ON ha.doc_id = c.doc_a
+JOIN hashes hb ON hb.doc_id = c.doc_b
+WHERE bit_count(xor(ha.phash, hb.phash)) <= {PHASH_MAXDIST}
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -3266,6 +3406,7 @@ QUERIES = {
     "dedup_editdistance_lookup": dedup_editdistance_lookup,
     "ts_dtw_banded_topk": ts_dtw_banded_topk,
     "dedup_editdistance_collapsed": dedup_editdistance_collapsed,
+    "dedup_image_phash": dedup_image_phash,
 }
 
 ORACLE = {
@@ -3322,4 +3463,5 @@ ORACLE = {
     "dedup_editdistance_lookup": ORACLE_EDITDIST_LOOKUP,
     "ts_dtw_banded_topk": ORACLE_DTW_BANDED,
     "dedup_editdistance_collapsed": ORACLE_EDITDIST,
+    "dedup_image_phash": ORACLE_IMAGE_PHASH,
 }

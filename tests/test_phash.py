@@ -1,0 +1,187 @@
+"""Perceptual-hash image dedup (operators/phash.py): dHash kernel
+parity against a direct numpy reference over random block images,
+banded-join brute-force parity (pigeonhole exactness), the grid-
+alignment loud guard, the skew valve's no-wrong-pairs contract, and
+the no-cartesian plan pin."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from spotify_etl_aws_spark.operators.multimodal import encode_bmp
+from spotify_etl_aws_spark.operators.phash import (
+    GRID_COLS,
+    GRID_ROWS,
+    HASH_BITS,
+    band_bucket_sizes,
+    dhash_bytes,
+    dhash_media,
+    hamming_near_pairs,
+)
+
+
+def _bmp_from_cells(cells: np.ndarray, block: int = 8) -> bytes:
+    px = np.repeat(np.repeat(cells.astype(np.uint8), block, 0), block, 1)
+    buf = np.repeat(px[:, :, None], 3, 2)
+    h, w = px.shape
+    return encode_bmp(w, h, buf.tobytes())
+
+
+def _ref_hash(cells: np.ndarray) -> int:
+    bits = cells[:, :-1] > cells[:, 1:]
+    w = 1 << np.arange(GRID_ROWS * (GRID_COLS - 1), dtype=np.uint64).reshape(
+        GRID_ROWS, GRID_COLS - 1
+    )
+    return int((bits.astype(np.uint64) * w).sum())
+
+
+def _brute_pairs(hashes: dict[int, int], d: int) -> set[tuple[int, int, int]]:
+    ids = sorted(hashes)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= d:
+                out.add((a, b, ham))
+    return out
+
+
+def test_dhash_kernel_matches_reference_on_random_block_images():
+    rng = random.Random(7)
+    for _ in range(25):
+        cells = np.array(
+            [[rng.randrange(256) for _ in range(GRID_COLS)] for _ in range(GRID_ROWS)],
+            dtype=np.int64,
+        )
+        assert dhash_bytes(_bmp_from_cells(cells)) == _ref_hash(cells)
+
+
+def test_dhash_is_invariant_to_block_scale():
+    # same 8x8 cell pattern at 8px and 16px blocks -> same hash (the
+    # block mean of a constant block is exact at any scale)
+    rng = random.Random(11)
+    cells = np.array(
+        [[rng.randrange(256) for _ in range(GRID_COLS)] for _ in range(GRID_ROWS)],
+        dtype=np.int64,
+    )
+    assert dhash_bytes(_bmp_from_cells(cells, 8)) == dhash_bytes(
+        _bmp_from_cells(cells, 16)
+    )
+
+
+def test_dhash_rejects_unaligned_dimensions():
+    img = encode_bmp(60, 64, b"\x00" * (60 * 64 * 3))
+    with pytest.raises(ValueError, match="not a multiple"):
+        dhash_bytes(img)
+
+
+def test_dhash_bit_range():
+    rng = random.Random(3)
+    for _ in range(10):
+        cells = np.array(
+            [[rng.randrange(256) for _ in range(GRID_COLS)] for _ in range(GRID_ROWS)],
+            dtype=np.int64,
+        )
+        h = dhash_bytes(_bmp_from_cells(cells))
+        assert 0 <= h < (1 << HASH_BITS)
+
+
+def _random_hashes(rng: random.Random, n: int, families: int):
+    """n hashes clustered into families: family base + <=4 flipped bits
+    per member, so near pairs exist at every distance 0..4."""
+    out = {}
+    for i in range(n):
+        fam = i % families
+        base_rng = random.Random(1000 + fam)
+        h = base_rng.getrandbits(HASH_BITS)
+        for _ in range(rng.randrange(5)):
+            h ^= 1 << rng.randrange(HASH_BITS)
+        out[i] = h
+    return out
+
+
+def test_banded_join_matches_brute_force(spark):
+    rng = random.Random(42)
+    hashes = _random_hashes(rng, 120, families=17)
+    df = spark.createDataFrame(
+        [(i, h) for i, h in hashes.items()], "doc_id long, phash long"
+    )
+    for d in (0, 2, 4, 7):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs(df, max_distance=d).collect()
+        }
+        assert got == _brute_pairs(hashes, d), f"d={d}"
+
+
+def test_banded_join_rejects_unprovable_threshold(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, phash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_pairs(df, max_distance=8, bands=8)
+
+
+def test_skew_valve_never_emits_wrong_pairs(spark):
+    # a hot bucket (hash 0 x 40 copies: every band collides) capped at
+    # 10 -> its pairs vanish from candidates; survivors still exact
+    rng = random.Random(5)
+    hashes = {i: 0 for i in range(40)}
+    hashes.update(
+        {100 + i: h for i, h in _random_hashes(rng, 30, families=6).items()}
+    )
+    df = spark.createDataFrame(
+        [(i, h) for i, h in hashes.items()], "doc_id long, phash long"
+    )
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(
+            df, max_distance=4, max_band_bucket=10
+        ).collect()
+    }
+    brute = _brute_pairs(hashes, 4)
+    assert capped <= brute  # nothing fabricated
+    hot = {(a, b) for a, b, _ in brute if a < 40 and b < 40}
+    assert not {(a, b) for a, b, _ in capped if a < 40 and b < 40} & hot
+    # pairs entirely outside the hot family survive untouched
+    cold = {(a, b, h) for a, b, h in brute if a >= 100 and b >= 100}
+    assert {(a, b, h) for a, b, h in capped if a >= 100} == cold
+
+
+def test_band_bucket_sizes_census(spark):
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(12)], "doc_id long, phash long"
+    )
+    top = band_bucket_sizes(df).limit(1).collect()[0]
+    assert top.n == 12 and top.band_val == 0
+
+
+def test_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, i * 37) for i in range(20)], "doc_id long, phash long"
+    )
+    plan = (
+        hamming_near_pairs(df, max_distance=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_dhash_media_end_to_end(spark):
+    rng = random.Random(9)
+    rows = []
+    expect = {}
+    for i in range(12):
+        cells = np.array(
+            [[rng.randrange(256) for _ in range(GRID_COLS)] for _ in range(GRID_ROWS)],
+            dtype=np.int64,
+        )
+        rows.append((i, bytearray(_bmp_from_cells(cells))))
+        expect[i] = _ref_hash(cells)
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r.phash for r in dhash_media(df).collect()}
+    assert got == expect
