@@ -3352,6 +3352,136 @@ WHERE bit_count(xor(ha.phash, hb.phash)) <= {PHASH_MAXDIST}
 """
 
 
+# ---- audio-fingerprint near-dup (round 9) ----
+#
+# Sibling of dedup_image_phash on the audio column: groups of 4
+# consecutive doc_ids share one clip (57 constant-amplitude blocks of
+# 32 mono PCM-16 samples, amplitudes from the same xorshift mixer with
+# audio-lane salts); members 1-3 perturb one block's amplitude, moving
+# the 56-bit energy-sign fingerprint by <= 4 bits. The Spark side
+# encodes real RIFF/WAVE bytes, decodes them, and fingerprints the
+# actual PCM (operators/audio_fp.py); candidates ride the SAME
+# hamming_near_pairs operator the image lane uses. The oracle
+# recomputes the expected fingerprints analytically (block energies
+# are exact: blocks are constant) and replays the banded join.
+AFP_GROUP = 4
+AFP_MAXDIST = 4
+AFP_BLOCK_SAMPLES = 32
+
+
+def _afp_amplitudes(doc_id: int):
+    """Shared analytic amplitude formula: 57 block amplitudes for one
+    doc — numpy int64, exactly what ORACLE_AUDIO_FP computes in SQL."""
+    import numpy as np
+
+    m31 = 2147483648
+    g, m = doc_id // AFP_GROUP, doc_id % AFP_GROUP
+    k = (g * 7919 + 4241) % 100003
+    j = np.arange(57, dtype=np.int64)
+    s1 = ((k * 57 + j + 12345) % m31 * 1103515245 + 12345) % m31
+    s2 = s1 ^ (s1 >> 16)
+    s3 = (s2 * 65539 + 1013904223) % m31
+    a = 100 + (s3 ^ (s3 >> 13)) % 19997
+    if m > 0:
+        p = (k + 13 * m) % 57
+        a = a.copy()
+        a[p] = a[p] + 5000 if a[p] < 12000 else a[p] - 5000
+    return a
+
+
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptually-near-duplicate audio pairs (operators/audio_fp.py):
+    real RIFF/WAVE encode (mapInPandas) -> real PCM decode + block-
+    energy sign fingerprint (mapInPandas, numpy) -> the image lane's
+    banded LSH Hamming join. Returns (doc_a, doc_b, hamming <= 4)."""
+    from ..operators.audio import encode_wav
+    from ..operators.audio_fp import fingerprint_media
+    from ..operators.phash import hamming_near_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            media = []
+            for did in pdf["doc_id"]:
+                amps = _afp_amplitudes(int(did))
+                pcm = np.repeat(amps, AFP_BLOCK_SAMPLES).astype("<i2")
+                media.append(
+                    encode_wav(len(pcm), 8000, pcm.tobytes())
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, "doc_id long, media binary")
+    fps = fingerprint_media(media)
+    pairs = hamming_near_pairs(
+        fps, hash_col="afp", max_distance=AFP_MAXDIST
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+ORACLE_AUDIO_FP = f"""
+WITH grid AS (SELECT range AS j FROM range(57)),
+cells AS (
+  SELECT d.doc_id, g.j,
+         ((d.doc_id // {AFP_GROUP}) * 7919 + 4241) % 100003 AS k,
+         d.doc_id % {AFP_GROUP} AS m
+  FROM documents d, grid g
+),
+mix1 AS (
+  SELECT *, ((k * 57 + j + 12345) % 2147483648 * 1103515245 + 12345)
+            % 2147483648 AS s1
+  FROM cells
+),
+mix2 AS (SELECT *, xor(s1, s1 >> 16) AS s2 FROM mix1),
+mix3 AS (SELECT *, (s2 * 65539 + 1013904223) % 2147483648 AS s3 FROM mix2),
+mixed AS (
+  SELECT doc_id, j, k, m, 100 + xor(s3, s3 >> 13) % 19997 AS a0 FROM mix3
+),
+vals AS (
+  SELECT doc_id, j,
+    CASE WHEN m > 0 AND j = (k + 13 * m) % 57 THEN
+      CASE WHEN a0 < 12000 THEN a0 + 5000 ELSE a0 - 5000 END
+    ELSE a0 END AS a
+  FROM mixed
+),
+bits AS (
+  SELECT x.doc_id, x.j AS bit_idx
+  FROM vals x JOIN vals y ON y.doc_id = x.doc_id AND y.j = x.j + 1
+  WHERE x.j < 56 AND x.a * x.a > y.a * y.a
+),
+hashes AS (
+  SELECT d.doc_id, COALESCE(SUM(1::BIGINT << bit_idx), 0) AS afp
+  FROM documents d LEFT JOIN bits USING (doc_id)
+  GROUP BY d.doc_id
+),
+bb AS (
+  SELECT doc_id, afp, b.range AS band,
+         (afp >> (b.range * 7)) & 127 AS band_val
+  FROM hashes, range(8) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bb x JOIN bb y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(ha.afp, hb.afp)) AS BIGINT) AS hamming
+FROM cand c
+JOIN hashes ha ON ha.doc_id = c.doc_a
+JOIN hashes hb ON hb.doc_id = c.doc_b
+WHERE bit_count(xor(ha.afp, hb.afp)) <= {AFP_MAXDIST}
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -3407,6 +3537,7 @@ QUERIES = {
     "ts_dtw_banded_topk": ts_dtw_banded_topk,
     "dedup_editdistance_collapsed": dedup_editdistance_collapsed,
     "dedup_image_phash": dedup_image_phash,
+    "dedup_audio_fingerprint": dedup_audio_fingerprint,
 }
 
 ORACLE = {
@@ -3464,4 +3595,5 @@ ORACLE = {
     "ts_dtw_banded_topk": ORACLE_DTW_BANDED,
     "dedup_editdistance_collapsed": ORACLE_EDITDIST,
     "dedup_image_phash": ORACLE_IMAGE_PHASH,
+    "dedup_audio_fingerprint": ORACLE_AUDIO_FP,
 }
