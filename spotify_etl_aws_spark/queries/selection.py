@@ -3293,7 +3293,13 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(_encode, "doc_id long, media binary")
     hashes = dhash_media(media)
-    pairs = hamming_near_pairs(hashes, max_distance=PHASH_MAXDIST)
+    # multi-probe posture (4x14-bit bands, r=1): same exact recall at
+    # d=4 as 8x7-bit bands (pigeonhole: d < bands*(r+1)) but collision
+    # candidates scale with the 2^14 bucket space instead of 2^7 —
+    # measured ~19x faster at 10x docs (experiments/media_dedup_scale)
+    pairs = hamming_near_pairs(
+        hashes, max_distance=PHASH_MAXDIST, bands=4, probe_radius=1
+    )
     return pairs.select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -3418,8 +3424,10 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(_encode, "doc_id long, media binary")
     fps = fingerprint_media(media)
+    # same multi-probe posture as the image lane (see there)
     pairs = hamming_near_pairs(
-        fps, hash_col="afp", max_distance=AFP_MAXDIST
+        fps, hash_col="afp", max_distance=AFP_MAXDIST,
+        bands=4, probe_radius=1,
     )
     return pairs.select(
         F.col("id_a").alias("doc_a"),

@@ -121,6 +121,36 @@ def test_banded_join_rejects_unprovable_threshold(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, phash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_near_pairs(df, max_distance=8, bands=8)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_pairs(df, max_distance=8, bands=4, probe_radius=1)
+    with pytest.raises(ValueError, match="probe_radius"):
+        hamming_near_pairs(df, max_distance=4, probe_radius=2)
+
+
+def test_multiprobe_matches_brute_force(spark):
+    # 4x14-bit bands probed at r=1 cover d <= 7 — the wide-band
+    # posture must find exactly what 8-band exact banding finds
+    rng = random.Random(77)
+    hashes = _random_hashes(rng, 100, families=13)
+    # plant pairs at the extended boundary: base + exactly 7 flips
+    base = random.Random(2000).getrandbits(HASH_BITS)
+    hashes[900] = base
+    h7 = base
+    for j in (0, 9, 18, 27, 36, 45, 54):  # one flip in every 8-bit zone
+        h7 ^= 1 << j
+    hashes[901] = h7
+    df = spark.createDataFrame(
+        [(i, h) for i, h in hashes.items()], "doc_id long, phash long"
+    )
+    for d in (3, 5, 7):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs(
+                df, max_distance=d, bands=4, probe_radius=1
+            ).collect()
+        }
+        assert got == _brute_pairs(hashes, d), f"d={d}"
+    assert (900, 901, 7) in _brute_pairs(hashes, 7)
 
 
 def test_skew_valve_never_emits_wrong_pairs(spark):
