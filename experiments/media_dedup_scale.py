@@ -12,7 +12,12 @@ to head:
    mass by ~2^7: the probe prints candidate-pair counts and walls for
    both configurations so the knob's cost model is measured, not
    asserted.
-2. **Skew valve.** `max_band_bucket` drops oversized buckets from
+2. **Wide hash.** Past the 56-bit breaking point the answer is more
+   bits, not more bands: the 240-bit variant (16x16 grid, 4x60-bit
+   words, 8x30-bit bands + r=1 probe, d <= 15) keeps candidate mass
+   equal to TRUE duplicate mass (2^30 buckets — zero background
+   collisions), measured to 500k docs on both engines.
+3. **Skew valve.** `max_band_bucket` drops oversized buckets from
    candidate generation only (recall valve, never precision). The
    probe plants 2,000 all-identical images (one mega-family: every
    band bucket holds all 2,000) inside the corpus and shows the capped
@@ -136,6 +141,86 @@ def duck_join(hashes: np.ndarray, bands: int, d: int, probe: int = 0):
     return time.time() - t0, n
 
 
+def wide_vec(n_docs: int) -> np.ndarray:
+    """Analytic 240-bit hashes (wide-lane formula), as an (n, 4) int64
+    array of 60-bit words."""
+    doc = np.arange(n_docs, dtype=np.int64)[:, None]
+    i = np.arange(256, dtype=np.int64)[None, :]
+    g, m = doc // 4, doc % 4
+    k = (g * 6991 + 5557) % 100003
+    v = 20 + mix(k * 256 + i) % 199
+    p = (k + 29 * m) % 256
+    pert = (m > 0) & (i == p)
+    v = np.where(pert, np.where(v < 120, v + 80, v - 80), v)
+    cells = v.reshape(n_docs, 16, 16)
+    bits = (cells[:, :, :-1] > cells[:, :, 1:]).reshape(n_docs, 240)
+    out = np.zeros((n_docs, 4), dtype=np.int64)
+    idx = np.arange(240)
+    for w in range(4):
+        sel = (idx // 60) == w
+        weights = (1 << (idx[sel] % 60).astype(np.uint64))
+        out[:, w] = (bits[:, sel].astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+    return out
+
+
+def spark_wide_join(spark, words: np.ndarray):
+    from spotify_etl_aws_spark.operators.phash import hamming_near_pairs_wide
+
+    df = spark.createDataFrame(
+        [(int(i), int(r[0]), int(r[1]), int(r[2]), int(r[3]))
+         for i, r in enumerate(words)],
+        "doc_id long, w0 long, w1 long, w2 long, w3 long",
+    ).repartition(32).cache()
+    df.count()
+    t0 = time.time()
+    n = hamming_near_pairs_wide(df, max_distance=15, probe_radius=1).count()
+    wall = time.time() - t0
+    df.unpersist()
+    return wall, n
+
+
+def duck_wide_join(words: np.ndarray):
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "doc_id": np.arange(len(words), dtype=np.int64),
+        **{f"w{k}": words[:, k] for k in range(4)},
+    })
+    con.register("hashes", tbl)
+    flips = ", ".join(str(1 << j) for j in range(30))
+    ham = " + ".join(
+        f"CAST(bit_count(xor(a.w{k}, b.w{k})) AS BIGINT)" for k in range(4)
+    )
+    t0 = time.time()
+    n = con.execute(f"""
+        WITH bb AS (
+          SELECT doc_id, b.range AS band,
+                 (CASE b.range // 2 WHEN 0 THEN w0 WHEN 1 THEN w1
+                                    WHEN 2 THEN w2 ELSE w3 END
+                  >> (30 * (b.range % 2))) & 1073741823 AS band_val
+          FROM hashes, range(8) b
+        ),
+        pr AS (
+          SELECT doc_id, band, xor(band_val, f) AS band_val
+          FROM bb, unnest([0, {flips}]) AS t(f)
+        ),
+        cand AS (
+          SELECT DISTINCT least(x.doc_id, y.doc_id) AS ia,
+                          greatest(x.doc_id, y.doc_id) AS ib
+          FROM pr x JOIN bb y
+            ON x.band = y.band AND x.band_val = y.band_val
+           AND x.doc_id <> y.doc_id
+        )
+        SELECT count(*) FROM cand
+        JOIN hashes a ON a.doc_id = cand.ia
+        JOIN hashes b ON b.doc_id = cand.ib
+        WHERE {ham} <= 15
+    """).fetchone()[0]
+    return time.time() - t0, n
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -169,6 +254,20 @@ def main():
                 f"spark={sw:6.2f}s duck={dw:6.2f}s ratio={sw/dw:5.2f}x",
                 flush=True,
             )
+
+    print("== scenario 3: 240-bit wide hash at the 56-bit breaking point", flush=True)
+    # the 150k point where every 56-bit geometry has gone quadratic:
+    # 30-bit buckets keep candidate mass == true-duplicate mass
+    for n in (50_000, 150_000, 500_000):
+        ws = wide_vec(n)
+        sw, sn = spark_wide_join(spark, ws)
+        dw, dn = duck_wide_join(ws)
+        assert sn == dn, f"ENGINE DISAGREEMENT wide n={n}: {sn} vs {dn}"
+        print(
+            f"  n={n:>7} wide 8x30-bit r=1 d=15: pairs={sn:>8} "
+            f"spark={sw:6.2f}s duck={dw:6.2f}s ratio={sw/dw:5.2f}x",
+            flush=True,
+        )
 
     print("== scenario 2: skew valve (2,000-replica mega-family planted)", flush=True)
     n = 50_000

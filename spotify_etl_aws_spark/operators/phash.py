@@ -265,6 +265,191 @@ def hamming_near_pairs(
     )
 
 
+# ---- wide (240-bit) variant: the billion-image posture ----
+#
+# Any fixed 56-bit geometry eventually drowns in same-bucket collision
+# mass (~N^2 * bands / 2^width; measured past ~10^5 docs in
+# experiments/media_dedup_scale.py). The scale answer is MORE BITS:
+# a 16x16 luminance grid gives 16 rows x 15 gradients = 240 bits,
+# packed into 4 x 60-bit words (each strictly inside a non-negative
+# int64). 8 x 30-bit bands + radius-1 probing guarantee recall at
+# d <= 15 (the same ~6% bit-difference threshold d=4 is on 56 bits)
+# with per-band bucket space 2^30 — random collision probability
+# 8*31/2^30 ~ 2e-7 per pair, so candidate mass stays linear into the
+# hundreds of millions of images.
+WIDE_ROWS = 16
+WIDE_COLS = 16
+WIDE_BITS = WIDE_ROWS * (WIDE_COLS - 1)  # 240
+WIDE_WORD_BITS = 60
+WIDE_WORDS = 4
+WIDE_BANDS = 8
+WIDE_BAND_BITS = 30
+
+
+def dhash_wide_bytes(data: bytes) -> tuple[int, int, int, int]:
+    """240-bit dHash of one encoded image (16x16 grid), packed
+    little-endian into 4 x 60-bit words: bit k = r*15+c lives in word
+    k // 60 at offset k % 60. Same exact-partition-mean contract as
+    ``dhash_bytes``."""
+    import numpy as np
+
+    from .multimodal import decode_image
+
+    img = decode_image(data)
+    if img.width % WIDE_COLS or img.height % WIDE_ROWS:
+        raise ValueError(
+            f"dhash_wide_bytes: image {img.width}x{img.height} is not a "
+            f"multiple of the {WIDE_ROWS}x{WIDE_COLS} grid; resample "
+            "first (resize_media) so block means are exact"
+        )
+    px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, 3
+    )
+    gray = px.astype(np.float64).mean(axis=2)
+    bh, bw = img.height // WIDE_ROWS, img.width // WIDE_COLS
+    cells = gray.reshape(WIDE_ROWS, bh, WIDE_COLS, bw).mean(axis=(1, 3))
+    bits = (cells[:, :-1] > cells[:, 1:]).reshape(-1).astype(np.uint64)
+    idx = np.arange(WIDE_BITS, dtype=np.uint64)
+    words = []
+    for w in range(WIDE_WORDS):
+        sel = (idx // WIDE_WORD_BITS) == w
+        words.append(
+            int((bits[sel] * (1 << (idx[sel] % WIDE_WORD_BITS))).sum())
+        )
+    return tuple(words)
+
+
+def dhash_media_wide(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """(id, media binary) -> (id, w0..w3 long) via mapInPandas."""
+    import pandas as pd
+
+    proj = df.select(F.col(id_col).alias("__id"), F.col(media_col).alias("__m"))
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ws = [dhash_wide_bytes(bytes(b)) for b in pdf["__m"]]
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    **{f"w{k}": [t[k] for t in ws] for k in range(WIDE_WORDS)},
+                }
+            )
+
+    out = proj.mapInPandas(
+        _hash, schema="__id long, w0 long, w1 long, w2 long, w3 long"
+    )
+    return out.select(F.col("__id").alias(id_col), "w0", "w1", "w2", "w3")
+
+
+def _wide_band_val(band: int):
+    """JVM expression for 30-bit band ``band`` of a 4x60-bit wide hash:
+    two bands per word, no band straddles a word boundary."""
+    word = F.col(f"w{band // 2}")
+    return F.shiftrightunsigned(word, WIDE_BAND_BITS * (band % 2)).bitwiseAND(
+        F.lit((1 << WIDE_BAND_BITS) - 1)
+    )
+
+
+def hamming_near_pairs_wide(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_distance: int = 15,
+    probe_radius: int = 1,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs within Hamming ``max_distance`` of the
+    240-bit hash (columns w0..w3): 8 x 30-bit bands, radius-1 probe
+    side, JVM sum-of-bit_count verify. Pigeonhole-exact for
+    max_distance < 8 * (probe_radius + 1)."""
+    if probe_radius not in (0, 1):
+        raise ValueError(
+            f"hamming_near_pairs_wide: probe_radius must be 0 or 1, "
+            f"got {probe_radius}"
+        )
+    if max_distance >= WIDE_BANDS * (probe_radius + 1):
+        raise ValueError(
+            f"hamming_near_pairs_wide: pigeonhole exactness needs "
+            f"max_distance ({max_distance}) < bands * (probe_radius+1) "
+            f"({WIDE_BANDS} * {probe_radius + 1})"
+        )
+    wcols = [f"w{k}" for k in range(WIDE_WORDS)]
+    rows = [
+        F.struct(F.lit(b).alias("band"), _wide_band_val(b).alias("band_val"))
+        for b in range(WIDE_BANDS)
+    ]
+    bb = hashes.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("bb")
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_val").alias("band_val"),
+    )
+    if max_band_bucket is not None:
+        counts = bb.groupBy("band", "band_val").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        bb = bb.join(
+            F.broadcast(
+                counts.filter(F.col("__n") > max_band_bucket).select(
+                    "band", "band_val"
+                )
+            ),
+            ["band", "band_val"],
+            "left_anti",
+        )
+    probe = bb
+    if probe_radius == 1:
+        variants = F.array(
+            F.col("band_val"),
+            *[
+                F.col("band_val").bitwiseXOR(F.lit(1 << j))
+                for j in range(WIDE_BAND_BITS)
+            ],
+        )
+        probe = bb.select(
+            id_col, "band", F.explode(variants).alias("band_val")
+        )
+    a = probe.select(F.col(id_col).alias("id_a"), "band", "band_val")
+    b = bb.select(F.col(id_col).alias("id_b"), "band", "band_val")
+    if probe_radius == 0:
+        cand = (
+            a.join(b, ["band", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        cand = (
+            a.join(b, ["band", "band_val"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+        )
+    ha = hashes.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(w).alias(f"__a{w}") for w in wcols],
+    )
+    hb = hashes.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(w).alias(f"__b{w}") for w in wcols],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"__a{w}").bitwiseXOR(F.col(f"__b{w}")))
+        for w in wcols
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def band_bucket_sizes(
     hashes: DataFrame,
     id_col: str = "doc_id",

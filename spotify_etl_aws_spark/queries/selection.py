@@ -3436,6 +3436,156 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- 240-bit wide-hash image near-dup (round 9) ----
+#
+# The billion-image posture measured in experiments/media_dedup_scale:
+# past ~10^5 docs any 56-bit banding drowns in same-bucket collision
+# mass, so the wide variant hashes a 16x16 grid into 240 bits packed
+# as 4x60-bit words — 8x30-bit bands + radius-1 probing guarantee
+# d <= 15 recall with 2^30 bucket space (zero background collisions:
+# the bucket census on this corpus maxes at the family size). Same
+# group-of-4 corpus construction, wide-lane salts.
+PHASH_WIDE_MAXDIST = 15
+
+
+def _phash_wide_cells(doc_id: int):
+    """16x16 block luminances — the wide lane's analytic formula."""
+    import numpy as np
+
+    m31 = 2147483648
+    g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+    k = (g * 6991 + 5557) % 100003
+    i = np.arange(256, dtype=np.int64)
+    s1 = ((k * 256 + i + 12345) % m31 * 1103515245 + 12345) % m31
+    s2 = s1 ^ (s1 >> 16)
+    s3 = (s2 * 65539 + 1013904223) % m31
+    v = 20 + (s3 ^ (s3 >> 13)) % 199
+    if m > 0:
+        p = (k + 29 * m) % 256
+        v = v.copy()
+        v[p] = v[p] + 80 if v[p] < 120 else v[p] - 80
+    return v.reshape(16, 16)
+
+
+def dedup_image_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """240-bit wide-hash image near-dup (operators/phash.py:
+    dhash_media_wide + hamming_near_pairs_wide): real 64x64 BMPs on a
+    16x16 grid, 4x60-bit word hashes, 8x30-bit bands with radius-1
+    multi-probe, sum-of-bit_count verify. Returns
+    (doc_a, doc_b, hamming <= 15)."""
+    from ..operators.multimodal import encode_bmp
+    from ..operators.phash import dhash_media_wide, hamming_near_pairs_wide
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            media = []
+            for did in pdf["doc_id"]:
+                cells = _phash_wide_cells(int(did)).astype(np.uint8)
+                px = np.repeat(np.repeat(cells, 4, 0), 4, 1)  # 64x64 gray
+                buf = np.repeat(px[:, :, None], 3, 2)
+                media.append(encode_bmp(64, 64, buf.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, "doc_id long, media binary")
+    hashes = dhash_media_wide(media)
+    pairs = hamming_near_pairs_wide(
+        hashes, max_distance=PHASH_WIDE_MAXDIST, probe_radius=1
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+# The oracle packs the same 240 analytic bits into 4 words and replays
+# the multi-probe banded join (31 variants per 30-bit band — same
+# pigeonhole contract, so both engines are exact at d <= 15).
+_WIDE_FLIPS = ", ".join(str(1 << j) for j in range(30))
+ORACLE_IMAGE_PHASH_WIDE = f"""
+WITH grid AS (SELECT r.range AS r, c.range AS c FROM range(16) r, range(16) c),
+cells AS (
+  SELECT d.doc_id, g.r, g.c, g.r * 16 + g.c AS i,
+         ((d.doc_id // {PHASH_GROUP}) * 6991 + 5557) % 100003 AS k,
+         d.doc_id % {PHASH_GROUP} AS m
+  FROM documents d, grid g
+),
+mix1 AS (
+  SELECT *, ((k * 256 + i + 12345) % 2147483648 * 1103515245 + 12345)
+            % 2147483648 AS s1
+  FROM cells
+),
+mix2 AS (SELECT *, xor(s1, s1 >> 16) AS s2 FROM mix1),
+mix3 AS (SELECT *, (s2 * 65539 + 1013904223) % 2147483648 AS s3 FROM mix2),
+mixed AS (SELECT doc_id, r, c, i, k, m, xor(s3, s3 >> 13) AS s4 FROM mix3),
+vals AS (
+  SELECT doc_id, r, c,
+    CASE WHEN m > 0 AND i = (k + 29 * m) % 256 THEN
+      CASE WHEN 20 + s4 % 199 < 120
+           THEN 20 + s4 % 199 + 80 ELSE 20 + s4 % 199 - 80 END
+    ELSE 20 + s4 % 199 END AS v
+  FROM mixed
+),
+bits AS (
+  SELECT a.doc_id, a.r * 15 + a.c AS bit_idx
+  FROM vals a JOIN vals b
+    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 15 AND a.v > b.v
+),
+hashes AS (
+  SELECT d.doc_id,
+    COALESCE(SUM(CASE WHEN bit_idx // 60 = 0
+                      THEN 1::BIGINT << (bit_idx % 60) END), 0) AS w0,
+    COALESCE(SUM(CASE WHEN bit_idx // 60 = 1
+                      THEN 1::BIGINT << (bit_idx % 60) END), 0) AS w1,
+    COALESCE(SUM(CASE WHEN bit_idx // 60 = 2
+                      THEN 1::BIGINT << (bit_idx % 60) END), 0) AS w2,
+    COALESCE(SUM(CASE WHEN bit_idx // 60 = 3
+                      THEN 1::BIGINT << (bit_idx % 60) END), 0) AS w3
+  FROM documents d LEFT JOIN bits USING (doc_id)
+  GROUP BY d.doc_id
+),
+bb AS (
+  SELECT doc_id, b.range AS band,
+         (CASE b.range // 2 WHEN 0 THEN w0 WHEN 1 THEN w1
+                            WHEN 2 THEN w2 ELSE w3 END
+          >> (30 * (b.range % 2))) & 1073741823 AS band_val
+  FROM hashes, range(8) b
+),
+pr AS (
+  SELECT doc_id, band, xor(band_val, f) AS band_val
+  FROM bb, unnest([0, {_WIDE_FLIPS}]) AS t(f)
+),
+cand AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+                  greatest(x.doc_id, y.doc_id) AS doc_b
+  FROM pr x JOIN bb y
+    ON x.band = y.band AND x.band_val = y.band_val
+   AND x.doc_id <> y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       (CAST(bit_count(xor(a.w0, b.w0)) AS BIGINT)
+      + CAST(bit_count(xor(a.w1, b.w1)) AS BIGINT)
+      + CAST(bit_count(xor(a.w2, b.w2)) AS BIGINT)
+      + CAST(bit_count(xor(a.w3, b.w3)) AS BIGINT)) AS hamming
+FROM cand c
+JOIN hashes a ON a.doc_id = c.doc_a
+JOIN hashes b ON b.doc_id = c.doc_b
+WHERE CAST(bit_count(xor(a.w0, b.w0)) AS BIGINT)
+    + CAST(bit_count(xor(a.w1, b.w1)) AS BIGINT)
+    + CAST(bit_count(xor(a.w2, b.w2)) AS BIGINT)
+    + CAST(bit_count(xor(a.w3, b.w3)) AS BIGINT)
+   <= {PHASH_WIDE_MAXDIST}
+"""
+
+
 ORACLE_AUDIO_FP = f"""
 WITH grid AS (SELECT range AS j FROM range(57)),
 cells AS (
@@ -3546,6 +3696,7 @@ QUERIES = {
     "dedup_editdistance_collapsed": dedup_editdistance_collapsed,
     "dedup_image_phash": dedup_image_phash,
     "dedup_audio_fingerprint": dedup_audio_fingerprint,
+    "dedup_image_phash_wide": dedup_image_phash_wide,
 }
 
 ORACLE = {
@@ -3604,4 +3755,5 @@ ORACLE = {
     "dedup_editdistance_collapsed": ORACLE_EDITDIST,
     "dedup_image_phash": ORACLE_IMAGE_PHASH,
     "dedup_audio_fingerprint": ORACLE_AUDIO_FP,
+    "dedup_image_phash_wide": ORACLE_IMAGE_PHASH_WIDE,
 }

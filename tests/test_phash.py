@@ -201,6 +201,81 @@ def test_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_wide_hash_kernel_matches_reference():
+    from spotify_etl_aws_spark.operators.phash import (
+        WIDE_BITS,
+        WIDE_COLS,
+        WIDE_ROWS,
+        dhash_wide_bytes,
+    )
+
+    rng = random.Random(31)
+    for _ in range(10):
+        cells = np.array(
+            [[rng.randrange(256) for _ in range(WIDE_COLS)] for _ in range(WIDE_ROWS)],
+            dtype=np.int64,
+        )
+        img = _bmp_from_cells(cells, block=4)
+        words = dhash_wide_bytes(img)
+        bits = (cells[:, :-1] > cells[:, 1:]).reshape(-1)
+        expect = [0, 0, 0, 0]
+        for k in range(WIDE_BITS):
+            if bits[k]:
+                expect[k // 60] |= 1 << (k % 60)
+        assert list(words) == expect
+        assert all(0 <= w < (1 << 60) for w in words)
+
+
+def _wide_brute(hashes: dict[int, tuple], d: int) -> set:
+    ids = sorted(hashes)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(
+                bin(x ^ y).count("1") for x, y in zip(hashes[a], hashes[b])
+            )
+            if ham <= d:
+                out.add((a, b, ham))
+    return out
+
+
+def test_wide_join_matches_brute_force(spark):
+    from spotify_etl_aws_spark.operators.phash import hamming_near_pairs_wide
+
+    rng = random.Random(41)
+    hashes = {}
+    for i in range(80):
+        fam = i % 11
+        base_rng = random.Random(3000 + fam)
+        ws = [base_rng.getrandbits(60) for _ in range(4)]
+        for _ in range(rng.randrange(16)):  # up to 15 flips
+            k = rng.randrange(240)
+            ws[k // 60] ^= 1 << (k % 60)
+        hashes[i] = tuple(ws)
+    df = spark.createDataFrame(
+        [(i, *ws) for i, ws in hashes.items()],
+        "doc_id long, w0 long, w1 long, w2 long, w3 long",
+    )
+    for d in (0, 7, 15):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs_wide(df, max_distance=d).collect()
+        }
+        assert got == _wide_brute(hashes, d), f"d={d}"
+
+
+def test_wide_join_rejects_unprovable_threshold(spark):
+    from spotify_etl_aws_spark.operators.phash import hamming_near_pairs_wide
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, 0, 0)], "doc_id long, w0 long, w1 long, w2 long, w3 long"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_pairs_wide(df, max_distance=16, probe_radius=1)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_pairs_wide(df, max_distance=8, probe_radius=0)
+
+
 def test_dhash_media_end_to_end(spark):
     rng = random.Random(9)
     rows = []
