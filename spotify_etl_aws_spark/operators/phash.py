@@ -54,36 +54,47 @@ GRID_COLS = 8
 HASH_BITS = GRID_ROWS * (GRID_COLS - 1)  # 56
 
 
-def dhash_bytes(data: bytes, rows: int = GRID_ROWS, cols: int = GRID_COLS) -> int:
-    """dHash of one encoded image: decode, grayscale, block-mean
-    downsample to (rows x cols), emit sign of each horizontal
-    gradient. Bit k = r*(cols-1)+c is set iff cell[r][c] > cell[r][c+1]
-    (strict; ties -> 0 on both engines). Pixel dims must be exact
-    multiples of the grid so the block mean is a true partition mean —
-    real thumbnails resample first; this operator fails loud instead
-    of silently interpolating."""
+def dhash_pixels(px, rows: int = GRID_ROWS, cols: int = GRID_COLS) -> int:
+    """dHash of one DECODED pixel buffer — (h, w, 3) uint8 array:
+    grayscale, block-mean downsample to (rows x cols), emit sign of
+    each horizontal gradient. Bit k = r*(cols-1)+c is set iff
+    cell[r][c] > cell[r][c+1] (strict; ties -> 0 on both engines).
+    Pixel dims must be exact multiples of the grid so the block mean
+    is a true partition mean — real thumbnails resample first; this
+    fails loud instead of silently interpolating."""
     import numpy as np
 
-    from .multimodal import decode_image
-
-    img = decode_image(data)
-    if img.width % cols or img.height % rows:
+    h, w = px.shape[0], px.shape[1]
+    if w % cols or h % rows:
         raise ValueError(
-            f"dhash_bytes: image {img.width}x{img.height} is not a "
-            f"multiple of the {rows}x{cols} grid; resample first "
-            "(resize_media) so block means are exact partition means"
+            f"dhash_pixels: image {w}x{h} is not a multiple of the "
+            f"{rows}x{cols} grid; resample first (resize_media) so "
+            "block means are exact partition means"
         )
-    px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
-        img.height, img.width, 3
-    )
     gray = px.astype(np.float64).mean(axis=2)
-    bh, bw = img.height // rows, img.width // cols
+    bh, bw = h // rows, w // cols
     cells = gray.reshape(rows, bh, cols, bw).mean(axis=(1, 3))
     bits = cells[:, :-1] > cells[:, 1:]
     weights = 1 << np.arange(rows * (cols - 1), dtype=np.uint64).reshape(
         rows, cols - 1
     )
     return int((bits.astype(np.uint64) * weights).sum())
+
+
+def dhash_bytes(data: bytes, rows: int = GRID_ROWS, cols: int = GRID_COLS) -> int:
+    """dHash of one ENCODED image: real decode, then ``dhash_pixels``."""
+    import numpy as np
+
+    from .multimodal import decode_image
+
+    img = decode_image(data)
+    px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, 3
+    )
+    try:
+        return dhash_pixels(px, rows, cols)
+    except ValueError as exc:
+        raise ValueError(f"dhash_bytes: {exc}") from None
 
 
 def dhash_media(

@@ -3436,6 +3436,162 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- video clip near-dup (round 9) ----
+#
+# Completes the media-dedup triad on the video column: groups of 4
+# consecutive doc_ids share one 6-frame animated GIF89a clip (32x32,
+# 8x8 grid of 4x4 blocks, luminances on the WEB-SAFE 6-level grid so
+# the GIF palette quantization is exactly the identity and the oracle
+# stays analytic); member m scrambles its first m frames entirely
+# (distinct salts — the re-edit scenario), so temporally-aligned
+# matching-frame counts are 6-max(m1,m2) by construction: rep-member
+# pairs score 5/4/3, member-member 4/3/3, and the min_frames=4 gate
+# keeps exactly 3 pairs per family (planted hist: 125x5, 250x4 at
+# sf0.01). The Spark side really encodes/decodes the animated GIF
+# (LZW both directions) and hashes actual composited frames; the
+# oracle recomputes frame hashes analytically and replays the same
+# frame-keyed multi-probe banded join.
+VIDEO_FRAMES = 6
+VIDEO_MIN_FRAMES = 4
+VIDEO_FRAME_DIST = 4
+
+
+def _video_levels(doc_id: int, frame: int):
+    """Shared analytic 6-level luminance formula for one frame."""
+    import numpy as np
+
+    m31 = 2147483648
+    g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+    k = (g * 5407 + 7573) % 100003
+    i = np.arange(64, dtype=np.int64)
+    if m > 0 and frame < m:
+        x = k * 1536 + m * 100000000 + frame * 256 + i
+    else:
+        x = k * 1536 + frame * 256 + i
+    s1 = ((x + 12345) % m31 * 1103515245 + 12345) % m31
+    s2 = s1 ^ (s1 >> 16)
+    s3 = (s2 * 65539 + 1013904223) % m31
+    return (s3 ^ (s3 >> 13)) % 6
+
+
+def dedup_video_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video clips (operators/video_fp.py): real
+    animated-GIF encode (mapInPandas, LZW) -> real frame decode +
+    per-frame dHash -> temporally-aligned multi-probe Hamming join ->
+    matching-frame count gate. Returns (doc_a, doc_b,
+    matching_frames >= 4 of 6)."""
+    from ..operators.gif import encode_gif_animation
+    from ..operators.video_fp import clip_near_pairs, frame_hashes
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            media = []
+            for did in pdf["doc_id"]:
+                frames = []
+                for f in range(VIDEO_FRAMES):
+                    cells = (51 * _video_levels(int(did), f)).astype(
+                        np.uint8
+                    ).reshape(8, 8)
+                    px = np.repeat(np.repeat(cells, 4, 0), 4, 1)
+                    frames.append(
+                        np.repeat(px[:, :, None], 3, 2).tobytes()
+                    )
+                media.append(encode_gif_animation(frames, 32, 32))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, "doc_id long, media binary")
+    fh = frame_hashes(media)
+    pairs = clip_near_pairs(
+        fh,
+        frame_distance=VIDEO_FRAME_DIST,
+        min_frames=VIDEO_MIN_FRAMES,
+        bands=4,
+        probe_radius=1,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "matching_frames",
+    )
+
+
+_VID_FLIPS = ", ".join(str(1 << j) for j in range(14))
+ORACLE_VIDEO_CLIPS = f"""
+WITH fr AS (SELECT range AS f FROM range({VIDEO_FRAMES})),
+grid AS (SELECT r.range AS r, c.range AS c FROM range(8) r, range(8) c),
+cells AS (
+  SELECT d.doc_id, fr.f, g.r, g.c, g.r * 8 + g.c AS i,
+         ((d.doc_id // {PHASH_GROUP}) * 5407 + 7573) % 100003 AS k,
+         d.doc_id % {PHASH_GROUP} AS m
+  FROM documents d, fr, grid g
+),
+args AS (
+  SELECT *, CASE WHEN m > 0 AND f < m
+                 THEN k * 1536 + m * 100000000 + f * 256 + i
+                 ELSE k * 1536 + f * 256 + i END AS x
+  FROM cells
+),
+mix1 AS (
+  SELECT *, ((x + 12345) % 2147483648 * 1103515245 + 12345)
+            % 2147483648 AS s1
+  FROM args
+),
+mix2 AS (SELECT *, xor(s1, s1 >> 16) AS s2 FROM mix1),
+mix3 AS (SELECT *, (s2 * 65539 + 1013904223) % 2147483648 AS s3 FROM mix2),
+vals AS (
+  SELECT doc_id, f, r, c, 51 * (xor(s3, s3 >> 13) % 6) AS v FROM mix3
+),
+bits AS (
+  SELECT a.doc_id, a.f, a.r * 7 + a.c AS bit_idx
+  FROM vals a JOIN vals b
+    ON b.doc_id = a.doc_id AND b.f = a.f AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 7 AND a.v > b.v
+),
+base AS (SELECT d.doc_id, fr.f FROM documents d, fr),
+hashes AS (
+  SELECT base.doc_id, base.f,
+         COALESCE(SUM(1::BIGINT << bit_idx), 0) AS fhash
+  FROM base LEFT JOIN bits
+    ON bits.doc_id = base.doc_id AND bits.f = base.f
+  GROUP BY base.doc_id, base.f
+),
+bb AS (
+  SELECT doc_id, f, fhash, b.range AS band,
+         (fhash >> (b.range * 14)) & 16383 AS band_val
+  FROM hashes, range(4) b
+),
+pr AS (
+  SELECT doc_id, f, band, xor(band_val, fl) AS band_val
+  FROM bb, unnest([0, {_VID_FLIPS}]) AS t(fl)
+),
+cand AS (
+  SELECT DISTINCT x.f, least(x.doc_id, y.doc_id) AS doc_a,
+                  greatest(x.doc_id, y.doc_id) AS doc_b
+  FROM pr x JOIN bb y
+    ON x.f = y.f AND x.band = y.band AND x.band_val = y.band_val
+   AND x.doc_id <> y.doc_id
+),
+matched AS (
+  SELECT c.doc_a, c.doc_b, c.f
+  FROM cand c
+  JOIN hashes a ON a.doc_id = c.doc_a AND a.f = c.f
+  JOIN hashes b ON b.doc_id = c.doc_b AND b.f = c.f
+  WHERE bit_count(xor(a.fhash, b.fhash)) <= {VIDEO_FRAME_DIST}
+)
+SELECT doc_a, doc_b, COUNT(*) AS matching_frames
+FROM matched
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {VIDEO_MIN_FRAMES}
+"""
+
+
 # ---- 240-bit wide-hash image near-dup (round 9) ----
 #
 # The billion-image posture measured in experiments/media_dedup_scale:
@@ -3697,6 +3853,7 @@ QUERIES = {
     "dedup_image_phash": dedup_image_phash,
     "dedup_audio_fingerprint": dedup_audio_fingerprint,
     "dedup_image_phash_wide": dedup_image_phash_wide,
+    "dedup_video_clips": dedup_video_clips,
 }
 
 ORACLE = {
@@ -3756,4 +3913,5 @@ ORACLE = {
     "dedup_image_phash": ORACLE_IMAGE_PHASH,
     "dedup_audio_fingerprint": ORACLE_AUDIO_FP,
     "dedup_image_phash_wide": ORACLE_IMAGE_PHASH_WIDE,
+    "dedup_video_clips": ORACLE_VIDEO_CLIPS,
 }
