@@ -3436,6 +3436,49 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_image_phash_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-stability composition: the SAME corpus as
+    ``dedup_image_phash`` encoded at 128x128 (16-px blocks), pushed
+    through the REAL resize kernel (operators/multimodal.py:
+    resize_media — decode, nearest-neighbor resample, re-encode) down
+    to 64x64 thumbnails, then hashed and joined identically. Block
+    structure makes the resample exact, so this lane carries the SAME
+    ORACLE as the direct lane — the driver itself verifies that
+    dedup survives the thumbnail pipeline bit-for-bit (the
+    dedup_editdistance_collapsed two-plans-one-oracle precedent)."""
+    from ..operators.multimodal import encode_bmp, resize_media
+    from ..operators.phash import dhash_media, hamming_near_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            media = []
+            for did in pdf["doc_id"]:
+                cells = _phash_cells(int(did)).astype(np.uint8)
+                px = np.repeat(np.repeat(cells, 16, 0), 16, 1)  # 128x128
+                buf = np.repeat(px[:, :, None], 3, 2)
+                media.append(encode_bmp(128, 128, buf.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, "doc_id long, media binary")
+    thumbs = resize_media(media, 64, 64)
+    hashes = dhash_media(thumbs)
+    pairs = hamming_near_pairs(
+        hashes, max_distance=PHASH_MAXDIST, bands=4, probe_radius=1
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
 # ---- video clip near-dup (round 9) ----
 #
 # Completes the media-dedup triad on the video column: groups of 4
@@ -3854,6 +3897,7 @@ QUERIES = {
     "dedup_audio_fingerprint": dedup_audio_fingerprint,
     "dedup_image_phash_wide": dedup_image_phash_wide,
     "dedup_video_clips": dedup_video_clips,
+    "dedup_image_phash_resized": dedup_image_phash_resized,
 }
 
 ORACLE = {
@@ -3914,4 +3958,5 @@ ORACLE = {
     "dedup_audio_fingerprint": ORACLE_AUDIO_FP,
     "dedup_image_phash_wide": ORACLE_IMAGE_PHASH_WIDE,
     "dedup_video_clips": ORACLE_VIDEO_CLIPS,
+    "dedup_image_phash_resized": ORACLE_IMAGE_PHASH,
 }

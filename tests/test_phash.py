@@ -72,6 +72,25 @@ def test_dhash_is_invariant_to_block_scale():
     )
 
 
+def test_dhash_is_codec_invariant():
+    # the same pixels through the BMP and PNG encoders hash
+    # identically — dedup must find a re-encoded copy (both codecs are
+    # lossless; JPEG re-encodes are the NEAR-dup case the Hamming
+    # threshold absorbs)
+    from spotify_etl_aws_spark.operators.multimodal import encode_png
+
+    rng = random.Random(19)
+    cells = np.array(
+        [[rng.randrange(256) for _ in range(GRID_COLS)] for _ in range(GRID_ROWS)],
+        dtype=np.int64,
+    )
+    px = np.repeat(np.repeat(cells.astype(np.uint8), 8, 0), 8, 1)
+    bgr = np.repeat(px[:, :, None], 3, 2)
+    bmp = encode_bmp(64, 64, bgr.tobytes())
+    png = encode_png(64, 64, bgr.tobytes())
+    assert dhash_bytes(bmp) == dhash_bytes(png) == _ref_hash(cells)
+
+
 def test_dhash_rejects_unaligned_dimensions():
     img = encode_bmp(60, 64, b"\x00" * (60 * 64 * 3))
     with pytest.raises(ValueError, match="not a multiple"):
