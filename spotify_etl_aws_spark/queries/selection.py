@@ -3479,6 +3479,58 @@ def dedup_image_phash_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- robust MAD outliers (round 9) ----
+MAD_K = 3
+MAD_MIN_GROUP = 5
+
+
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-price anomalies via median/MAD
+    (operators/robust.py) — the robust data-quality monitor: flag
+    orders whose price deviates from the customer's DISCRETE median by
+    more than 3x the customer's MAD, integer-cent exact on both
+    engines (percentile_disc semantics, no interpolation)."""
+    from ..operators.robust import mad_outliers
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return mad_outliers(
+        orders, "custkey", "cents", "orderkey", k=MAD_K,
+        min_group=MAD_MIN_GROUP,
+    )
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH base AS (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT custkey,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+  FROM base GROUP BY custkey
+  HAVING count(*) >= {MAD_MIN_GROUP}
+),
+d AS (
+  SELECT b.custkey, b.orderkey, b.cents, g.med,
+         abs(b.cents - g.med) AS abs_dev
+  FROM base b JOIN g USING (custkey)
+),
+m AS (
+  SELECT custkey,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev) AS mad
+  FROM d GROUP BY custkey
+)
+SELECT d.custkey, d.orderkey, d.cents, d.med, m.mad, d.abs_dev
+FROM d JOIN m USING (custkey)
+WHERE d.abs_dev > {MAD_K} * m.mad
+"""
+
+
 # ---- video clip near-dup (round 9) ----
 #
 # Completes the media-dedup triad on the video column: groups of 4
@@ -3898,6 +3950,7 @@ QUERIES = {
     "dedup_image_phash_wide": dedup_image_phash_wide,
     "dedup_video_clips": dedup_video_clips,
     "dedup_image_phash_resized": dedup_image_phash_resized,
+    "stats_mad_outliers": stats_mad_outliers,
 }
 
 ORACLE = {
@@ -3959,4 +4012,5 @@ ORACLE = {
     "dedup_image_phash_wide": ORACLE_IMAGE_PHASH_WIDE,
     "dedup_video_clips": ORACLE_VIDEO_CLIPS,
     "dedup_image_phash_resized": ORACLE_IMAGE_PHASH,
+    "stats_mad_outliers": ORACLE_MAD_OUTLIERS,
 }
