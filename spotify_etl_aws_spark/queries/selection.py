@@ -3479,6 +3479,186 @@ def dedup_image_phash_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Fellegi-Sunter record linkage (round 9) ----
+#
+# Probe side = a dirty copy of every customer, built in-lane with the
+# same deterministic arithmetic on both engines: one-char name
+# substitution at position custkey%8+2 (trailing block-key chars
+# intact), a synthesized phone (nation prefix + multiplicative-hash
+# digits) whose last digit flips for even custkeys, +37-cent balance
+# drift for custkey%5==0 — and every 7th probe is CORRUPTED
+# (name -> 'zz'||reverse(name), phone last digit flipped) so the
+# scoring gate, not just blocking, decides. Blocking recall is the
+# standard complementary-keys design: (nation, name-suffix-4) catches
+# every intact-suffix perturbation; phone-prefix-6 catches everything
+# else including the corrupted probes, which then FAIL the score
+# threshold (max 30 < 45) — while intended matches score >= 50 even
+# when the phone disagrees.
+FS_THRESHOLD = 45
+
+
+def _fs_frames(spark: SparkSession, sf_dir: str):
+    cust = t(spark, sf_dir, "customer")
+    phone = F.concat(
+        (F.col("c_nationkey") + 10).cast("string"),
+        F.lit("-"),
+        F.lpad(
+            ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
+        ),
+    )
+    master = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        phone.alias("phone"),
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acct_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    p = (F.col("c_custkey") % 8 + 2).cast("int")
+    dirty_name = F.concat(
+        F.substring(F.col("c_name"), F.lit(1), p - 1),
+        F.lit("x"),
+        F.col("c_name").substr(p + 1, F.lit(64)),
+    )
+    corrupt = F.col("c_custkey") % 7 == 0
+    flip_last = F.concat(
+        F.substring(phone, F.lit(1), F.length(phone) - 1), F.lit("9")
+    )
+    probe = cust.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.when(corrupt, F.concat(F.lit("zz"), F.reverse(F.col("c_name"))))
+        .otherwise(dirty_name)
+        .alias("name"),
+        F.when(corrupt | (F.col("c_custkey") % 2 == 0), flip_last)
+        .otherwise(phone)
+        .alias("phone"),
+        F.col("c_nationkey").alias("nation"),
+        (
+            F.round(F.col("c_acctbal") * 100, 0).cast("long")
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(37)).otherwise(
+                F.lit(0)
+            )
+        ).alias("acct_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return probe, master
+
+
+def link_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/linkage.py): dirty customer records against the master
+    table — two complementary blocking passes, four integer-weighted
+    field comparators (name edit distance <= 1, phone exact, balance
+    within a dollar, same market segment), threshold gate. Returns
+    (probe_id, custkey, score, per-field agree flags)."""
+    from ..operators.linkage import Comparator, fs_link
+
+    probe, master = _fs_frames(spark, sf_dir)
+    suffix4 = lambda col: F.substring(col, -4, 4)  # noqa: E731
+    comparators = [
+        Comparator(
+            "name",
+            F.levenshtein(F.col("p_name"), F.col("m_name")) <= 1,
+            40,
+            -25,
+        ),
+        Comparator("phone", F.col("p_phone") == F.col("m_phone"), 30, -15),
+        Comparator(
+            "acct",
+            F.abs(F.col("p_acct_cents") - F.col("m_acct_cents")) <= 100,
+            15,
+            -10,
+        ),
+        Comparator("seg", F.col("p_segment") == F.col("m_segment"), 10, -10),
+    ]
+    out = fs_link(
+        probe,
+        master,
+        "probe_id",
+        "custkey",
+        blocking=[
+            (
+                F.concat(F.col("p_nation").cast("string"), F.lit("|"),
+                         suffix4(F.col("p_name"))),
+                F.concat(F.col("m_nation").cast("string"), F.lit("|"),
+                         suffix4(F.col("m_name"))),
+            ),
+            (
+                F.substring(F.col("p_phone"), 1, 6),
+                F.substring(F.col("m_phone"), 1, 6),
+            ),
+        ],
+        comparators=comparators,
+        threshold=FS_THRESHOLD,
+    )
+    return out.select(
+        "probe_id", "custkey", "score",
+        "name_agree", "phone_agree", "acct_agree", "seg_agree",
+    )
+
+
+ORACLE_FS_LINK = f"""
+WITH master AS (
+  SELECT c_custkey AS custkey, c_name AS name,
+         CAST(c_nationkey + 10 AS VARCHAR) || '-' ||
+           lpad(CAST((c_custkey * 7919) % 10000000 AS VARCHAR), 7, '0')
+           AS phone,
+         c_nationkey AS nation,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
+         c_mktsegment AS segment
+  FROM customer
+),
+probe AS (
+  SELECT c_custkey AS probe_id,
+         CASE WHEN c_custkey % 7 = 0 THEN 'zz' || reverse(c_name)
+              ELSE substring(c_name, 1, CAST(c_custkey % 8 + 1 AS INT))
+                   || 'x'
+                   || substring(c_name, CAST(c_custkey % 8 + 3 AS INT), 64)
+         END AS name,
+         CASE WHEN c_custkey % 7 = 0 OR c_custkey % 2 = 0
+              THEN substring(ph, 1, length(ph) - 1) || '9'
+              ELSE ph END AS phone,
+         c_nationkey AS nation,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT)
+           + CASE WHEN c_custkey % 5 = 0 THEN 37 ELSE 0 END AS acct_cents,
+         c_mktsegment AS segment
+  FROM (
+    SELECT *, CAST(c_nationkey + 10 AS VARCHAR) || '-' ||
+              lpad(CAST((c_custkey * 7919) % 10000000 AS VARCHAR), 7, '0')
+              AS ph
+    FROM customer
+  )
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, m.custkey
+  FROM probe p JOIN master m
+    ON p.nation = m.nation
+   AND substring(p.name, length(p.name) - 3, 4)
+       = substring(m.name, length(m.name) - 3, 4)
+  UNION
+  SELECT DISTINCT p.probe_id, m.custkey
+  FROM probe p JOIN master m
+    ON substring(p.phone, 1, 6) = substring(m.phone, 1, 6)
+),
+scored AS (
+  SELECT c.probe_id, c.custkey,
+         (CASE WHEN levenshtein(p.name, m.name) <= 1 THEN 40 ELSE -25 END
+        + CASE WHEN p.phone = m.phone THEN 30 ELSE -15 END
+        + CASE WHEN abs(p.acct_cents - m.acct_cents) <= 100 THEN 15 ELSE -10 END
+        + CASE WHEN p.segment = m.segment THEN 10 ELSE -10 END)::BIGINT
+           AS score,
+         levenshtein(p.name, m.name) <= 1 AS name_agree,
+         p.phone = m.phone AS phone_agree,
+         abs(p.acct_cents - m.acct_cents) <= 100 AS acct_agree,
+         p.segment = m.segment AS seg_agree
+  FROM cand c
+  JOIN probe p ON p.probe_id = c.probe_id
+  JOIN master m ON m.custkey = c.custkey
+)
+SELECT * FROM scored WHERE score >= {FS_THRESHOLD}
+"""
+
+
 # ---- robust MAD outliers (round 9) ----
 MAD_K = 3
 MAD_MIN_GROUP = 5
@@ -3951,6 +4131,7 @@ QUERIES = {
     "dedup_video_clips": dedup_video_clips,
     "dedup_image_phash_resized": dedup_image_phash_resized,
     "stats_mad_outliers": stats_mad_outliers,
+    "link_customer_records": link_customer_records,
 }
 
 ORACLE = {
@@ -4013,4 +4194,5 @@ ORACLE = {
     "dedup_video_clips": ORACLE_VIDEO_CLIPS,
     "dedup_image_phash_resized": ORACLE_IMAGE_PHASH,
     "stats_mad_outliers": ORACLE_MAD_OUTLIERS,
+    "link_customer_records": ORACLE_FS_LINK,
 }
