@@ -109,3 +109,98 @@ def fs_link(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def fs_learn_weights(
+    pairs: DataFrame,
+    fields: list[str],
+    iters: int = 10,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> dict:
+    """Learn Fellegi–Sunter m/u probabilities by EM over candidate
+    pairs (Winkler 1988 — the unsupervised fit Splink runs): ``pairs``
+    carries one boolean ``<field>_agree`` column per field (fs_link
+    output at a permissive threshold, or any candidate table).
+
+    Latent-class EM: each pair is a match with probability p; field
+    agreements are conditionally independent given the class.
+    E-step scores every pair map-side with the CURRENT parameters
+    (pure JVM expression — exp/log of literals); M-step is ONE
+    aggregation per iteration (driver holds only the 2k+1 parameter
+    scalars). k iterations = k jobs over the candidate table; at
+    100 TB the candidate table is the blocked subset, orders of
+    magnitude smaller than the cross product, and each pass is a
+    map-side expression + partial agg.
+
+    Returns {"p": float, "m": {f: m_f}, "u": {f: u_f},
+    "w_agree": {f: log2(m/u)}, "w_disagree": {f: log2((1-m)/(1-u))}}
+    — plug w_* (scaled/rounded to ints) straight into Comparator
+    weights. Probabilities are clamped to [1e-6, 1-1e-6] so a
+    perfectly-separating field cannot produce infinite weights.
+    """
+    import math
+
+    if not fields:
+        raise ValueError("fs_learn_weights: at least one field required")
+    eps = 1e-6
+    p = float(init_p)
+    m = {f: float(init_m) for f in fields}
+    u = {f: float(init_u) for f in fields}
+    cols = [F.col(f"{f}_agree").cast("double").alias(f) for f in fields]
+    base = pairs.select(*cols)
+    for _ in range(iters):
+        log_m = F.lit(math.log(p))
+        log_u = F.lit(math.log(1.0 - p))
+        for f in fields:
+            g = F.col(f)
+            log_m = log_m + g * math.log(m[f]) + (1 - g) * math.log(1 - m[f])
+            log_u = log_u + g * math.log(u[f]) + (1 - g) * math.log(1 - u[f])
+        # responsibility via the numerically-stable logistic form
+        w = F.lit(1.0) / (F.lit(1.0) + F.exp(log_u - log_m))
+        agg = base.select(
+            w.alias("__w"), *[F.col(f) for f in fields]
+        ).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__w").alias("__sw"),
+            *[F.sum(F.col(f) * F.col("__w")).alias(f"__mw_{f}") for f in fields],
+            *[
+                F.sum(F.col(f) * (1 - F.col("__w"))).alias(f"__uw_{f}")
+                for f in fields
+            ],
+        ).collect()[0]
+        n, sw = agg["__n"], agg["__sw"]
+        clamp = lambda x: min(max(x, eps), 1.0 - eps)  # noqa: E731
+        p = clamp(sw / n)
+        for f in fields:
+            m[f] = clamp(agg[f"__mw_{f}"] / sw)
+            u[f] = clamp(agg[f"__uw_{f}"] / (n - sw))
+    return {
+        "p": p,
+        "m": m,
+        "u": u,
+        "w_agree": {f: math.log2(m[f] / u[f]) for f in fields},
+        "w_disagree": {
+            f: math.log2((1 - m[f]) / (1 - u[f])) for f in fields
+        },
+    }
+
+
+def fs_best_match(
+    linked: DataFrame, probe_id: str, master_id: str
+) -> DataFrame:
+    """Resolve ``fs_link`` output to ONE master per probe: highest
+    score, ties broken by smallest master id (deterministic — the
+    assignment a downstream merge needs). One window shuffle on the
+    probe key; no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(probe_id).orderBy(
+        F.desc("score"), F.asc(master_id)
+    )
+    return (
+        linked.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

@@ -3659,6 +3659,30 @@ SELECT * FROM scored WHERE score >= {FS_THRESHOLD}
 """
 
 
+def link_customer_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one resolution of the linkage lane
+    (operators/linkage.py:fs_best_match): each dirty probe keeps only
+    its highest-scoring master (ties -> smallest custkey) — the
+    assignment a downstream MERGE consumes. On the amplified corpus
+    (replica masters sharing names) this provably picks the smallest
+    replica per probe; at base scale it is the identity on the
+    linkage lane's output."""
+    from ..operators.linkage import fs_best_match
+
+    linked = link_customer_records(spark, sf_dir)
+    return fs_best_match(linked, "probe_id", "custkey")
+
+
+ORACLE_FS_BEST = (
+    ORACLE_FS_LINK
+    + """
+QUALIFY row_number() OVER (
+  PARTITION BY probe_id ORDER BY score DESC, custkey ASC
+) = 1
+"""
+)
+
+
 # ---- robust MAD outliers (round 9) ----
 MAD_K = 3
 MAD_MIN_GROUP = 5
@@ -4132,6 +4156,7 @@ QUERIES = {
     "dedup_image_phash_resized": dedup_image_phash_resized,
     "stats_mad_outliers": stats_mad_outliers,
     "link_customer_records": link_customer_records,
+    "link_customer_best": link_customer_best,
 }
 
 ORACLE = {
@@ -4195,4 +4220,5 @@ ORACLE = {
     "dedup_image_phash_resized": ORACLE_IMAGE_PHASH,
     "stats_mad_outliers": ORACLE_MAD_OUTLIERS,
     "link_customer_records": ORACLE_FS_LINK,
+    "link_customer_best": ORACLE_FS_BEST,
 }

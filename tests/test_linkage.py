@@ -102,6 +102,88 @@ def test_validation(spark):
                 comparators=[], threshold=0)
 
 
+def test_best_match_resolves_ties_deterministically(spark):
+    from spotify_etl_aws_spark.operators.linkage import fs_best_match
+
+    linked = spark.createDataFrame(
+        [(1, 10, 80), (1, 11, 90), (1, 12, 90), (2, 10, 50)],
+        "pid long, mid long, score long",
+    )
+    got = {(r.pid, r.mid) for r in fs_best_match(linked, "pid", "mid").collect()}
+    assert got == {(1, 11), (2, 10)}  # max score, then smallest mid
+
+
+def test_em_recovers_separating_weights(spark):
+    import math
+    import random
+
+    from spotify_etl_aws_spark.operators.linkage import fs_learn_weights
+
+    # planted two-class data: 200 matches (name agrees 95%, phone 90%),
+    # 1800 non-matches (name 5%, phone 2%) — EM must recover m >> u and
+    # hence strongly positive agreement weights for both fields
+    rng = random.Random(17)
+    rows = []
+    for i in range(2000):
+        match = i < 200
+        rows.append(
+            (
+                i,
+                rng.random() < (0.95 if match else 0.05),
+                rng.random() < (0.90 if match else 0.02),
+            )
+        )
+    df = spark.createDataFrame(rows, "pid long, name_agree boolean, phone_agree boolean")
+    fit = fs_learn_weights(df, ["name", "phone"], iters=15)
+    assert 0.05 < fit["p"] < 0.2  # ~10% matches
+    for f in ("name", "phone"):
+        assert fit["m"][f] > 0.7, fit
+        assert fit["u"][f] < 0.15, fit
+        assert fit["w_agree"][f] > 2.0  # log2(m/u) strongly positive
+        assert fit["w_disagree"][f] < -1.0
+    # parity with a local numpy-free reference EM (same init, same iters)
+    def ref_em(data, iters=15, p=0.1, m0=0.9, u0=0.1):
+        m = {0: m0, 1: m0}
+        u = {0: u0, 1: u0}
+        eps = 1e-6
+        clamp = lambda x: min(max(x, eps), 1 - eps)  # noqa: E731
+        for _ in range(iters):
+            sw = 0.0
+            mw = {0: 0.0, 1: 0.0}
+            uw = {0: 0.0, 1: 0.0}
+            for g0, g1 in data:
+                lm = math.log(p)
+                lu = math.log(1 - p)
+                for k, g in ((0, g0), (1, g1)):
+                    lm += math.log(m[k]) if g else math.log(1 - m[k])
+                    lu += math.log(u[k]) if g else math.log(1 - u[k])
+                w = 1.0 / (1.0 + math.exp(lu - lm))
+                sw += w
+                for k, g in ((0, g0), (1, g1)):
+                    if g:
+                        mw[k] += w
+                        uw[k] += 1 - w
+            n = len(data)
+            p = clamp(sw / n)
+            for k in (0, 1):
+                m[k] = clamp(mw[k] / sw)
+                u[k] = clamp(uw[k] / (n - sw))
+        return p, m, u
+
+    rp, rm, ru = ref_em([(r[1], r[2]) for r in rows])
+    assert abs(fit["p"] - rp) < 1e-9
+    assert abs(fit["m"]["name"] - rm[0]) < 1e-9
+    assert abs(fit["u"]["phone"] - ru[1]) < 1e-9
+
+
+def test_em_requires_fields(spark):
+    from spotify_etl_aws_spark.operators.linkage import fs_learn_weights
+
+    df = spark.createDataFrame([(1, True)], "pid long, x_agree boolean")
+    with pytest.raises(ValueError, match="field"):
+        fs_learn_weights(df, [])
+
+
 def test_plan_has_no_cartesian(spark):
     probe, master = _frames(spark)
     plan = (
