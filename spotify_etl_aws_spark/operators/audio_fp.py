@@ -88,5 +88,7 @@ def fingerprint_media(
                 }
             )
 
-    out = proj.mapInPandas(_fp, schema="__id long, afp long")
+    from .phash import id_ddl
+
+    out = proj.mapInPandas(_fp, schema=f"__id {id_ddl(df, id_col)}, afp long")
     return out.select(F.col("__id").alias(id_col), "afp")

@@ -171,7 +171,16 @@ def fs_learn_weights(
             ],
         ).collect()[0]
         n, sw = agg["__n"], agg["__sw"]
+        if n == 0:
+            raise ValueError(
+                "fs_learn_weights: candidate table is empty — nothing "
+                "to fit (check the blocking passes)"
+            )
         clamp = lambda x: min(max(x, eps), 1.0 - eps)  # noqa: E731
+        # sw itself is clamped into (0, n): exp() underflow can
+        # saturate every responsibility to exactly 0.0 or 1.0, which
+        # would divide by zero in the m/u updates below
+        sw = min(max(sw, eps), n - eps)
         p = clamp(sw / n)
         for f in fields:
             m[f] = clamp(agg[f"__mw_{f}"] / sw)

@@ -44,6 +44,14 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def id_ddl(df: DataFrame, id_col: str) -> str:
+    """DDL type string of ``id_col`` in ``df`` — the mapInPandas
+    output schemas below carry the id through unchanged, so the Arrow
+    field must match the INPUT type (bigint ids stay bigint, string
+    doc ids stay string) instead of hard-coding long."""
+    return df.schema[id_col].dataType.simpleString()
+
+
 #: dHash geometry: GRID_ROWS x GRID_COLS luminance grid, horizontal
 #: gradient sign -> GRID_ROWS * (GRID_COLS - 1) bits. 8x8 -> 56 bits,
 #: which keeps every hash strictly inside a non-negative int64 (no
@@ -122,7 +130,9 @@ def dhash_media(
                 }
             )
 
-    out = proj.mapInPandas(_hash, schema="__id long, phash long")
+    out = proj.mapInPandas(
+        _hash, schema=f"__id {id_ddl(df, id_col)}, phash long"
+    )
     return out.select(F.col("__id").alias(id_col), "phash")
 
 
@@ -349,7 +359,8 @@ def dhash_media_wide(
             )
 
     out = proj.mapInPandas(
-        _hash, schema="__id long, w0 long, w1 long, w2 long, w3 long"
+        _hash,
+        schema=f"__id {id_ddl(df, id_col)}, w0 long, w1 long, w2 long, w3 long",
     )
     return out.select(F.col("__id").alias(id_col), "w0", "w1", "w2", "w3")
 

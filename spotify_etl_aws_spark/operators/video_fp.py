@@ -35,7 +35,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .phash import HASH_BITS, dhash_pixels
+from .phash import HASH_BITS, dhash_pixels, id_ddl
 
 
 def frame_hashes(
@@ -70,7 +70,10 @@ def frame_hashes(
                     hs.append(dhash_pixels(px, rows, cols))
             yield pd.DataFrame({"__id": ids, "frame_idx": idxs, "fhash": hs})
 
-    out = proj.mapInPandas(_hash, schema="__id long, frame_idx long, fhash long")
+    out = proj.mapInPandas(
+        _hash,
+        schema=f"__id {id_ddl(df, id_col)}, frame_idx long, fhash long",
+    )
     return out.select(F.col("__id").alias(id_col), "frame_idx", "fhash")
 
 
@@ -138,17 +141,28 @@ def clip_near_pairs(
         F.col(id_col).alias("id_b"), "frame_idx", "band", "band_val"
     )
     # candidates: same temporal position, colliding (possibly probed)
-    # band — normalized + deduped per (pair, frame)
-    cand = (
-        a.join(b, ["frame_idx", "band", "band_val"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "frame_idx",
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+    # band. Without probing every collision surfaces symmetrically, so
+    # id_a < id_b alone dedups orientations (the phash lane's cheap
+    # branch); with probing a pair may surface only as probe->index,
+    # so both orientations are kept, normalized, deduped.
+    if probe_radius == 0:
+        cand = (
+            a.join(b, ["frame_idx", "band", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("frame_idx", "id_a", "id_b")
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        cand = (
+            a.join(b, ["frame_idx", "band", "band_val"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                "frame_idx",
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+        )
     ha = frames.select(
         F.col(id_col).alias("id_a"),
         F.col("frame_idx"),

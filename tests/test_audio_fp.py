@@ -99,3 +99,18 @@ def test_fingerprint_media_end_to_end(spark):
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     got = {r.doc_id: r.afp for r in fingerprint_media(df).collect()}
     assert got == expect
+
+
+def test_fingerprint_media_preserves_string_ids(spark):
+    from spotify_etl_aws_spark.operators.audio_fp import fingerprint_media
+
+    amps = np.array(
+        [random.Random(3).randrange(-20000, 20000) for _ in range(FP_BLOCKS)],
+        dtype=np.int64,
+    )
+    blob = bytearray(_wav_from_amps(amps))
+    df = spark.createDataFrame([("clip-1", blob)], "doc_id string, media binary")
+    out = fingerprint_media(df)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    row = out.collect()[0]
+    assert (row.doc_id, row.afp) == ("clip-1", _ref_fp(amps))

@@ -206,3 +206,11 @@ def test_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_em_rejects_empty_candidate_table(spark):
+    from spotify_etl_aws_spark.operators.linkage import fs_learn_weights
+
+    df = spark.createDataFrame([], "pid long, x_agree boolean")
+    with pytest.raises(ValueError, match="empty"):
+        fs_learn_weights(df, ["x"], iters=1)

@@ -309,3 +309,38 @@ def test_dhash_media_end_to_end(spark):
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     got = {r.doc_id: r.phash for r in dhash_media(df).collect()}
     assert got == expect
+
+
+def test_dhash_media_preserves_string_ids(spark):
+    # id_col is a parameter, not a bigint contract: the mapInPandas
+    # output schema derives the id field type from the input, so
+    # string doc ids ride through hashing AND the near-pair join
+    rng = random.Random(21)
+    cells = np.array(
+        [[rng.randrange(256) for _ in range(GRID_COLS)] for _ in range(GRID_ROWS)],
+        dtype=np.int64,
+    )
+    blob = bytearray(_bmp_from_cells(cells))
+    df = spark.createDataFrame(
+        [("doc/a", blob), ("doc/b", blob)], "doc_id string, media binary"
+    )
+    hashed = dhash_media(df)
+    assert dict(hashed.dtypes)["doc_id"] == "string"
+    got = {r.doc_id: r.phash for r in hashed.collect()}
+    assert got == {"doc/a": _ref_hash(cells), "doc/b": _ref_hash(cells)}
+    pairs = hamming_near_pairs(hashed, max_distance=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [
+        ("doc/a", "doc/b", 0)
+    ]
+
+
+def test_dhash_media_wide_preserves_string_ids(spark):
+    from spotify_etl_aws_spark.operators.phash import dhash_media_wide
+
+    px = np.zeros((16, 16), dtype=np.int64)
+    px[0, 0] = 255
+    blob = bytearray(_bmp_from_cells(px, block=1))
+    df = spark.createDataFrame([("x", blob)], "doc_id string, media binary")
+    out = dhash_media_wide(df)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert out.count() == 1

@@ -130,3 +130,41 @@ def test_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_clip_join_probe_radius_zero_matches_brute_force(spark):
+    # the r=0 branch takes the cheap id_a < id_b path (no orientation
+    # normalization) — parity against brute force pins it emits each
+    # pair exactly once with the same counts
+    rng = random.Random(17)
+    clips = {}
+    for i in range(30):
+        fam_rng = random.Random(900 + i % 5)
+        hs = [fam_rng.getrandbits(56) for _ in range(5)]
+        hs = [
+            h ^ sum(1 << rng.randrange(56) for _ in range(rng.randrange(2)))
+            if rng.random() < 0.7
+            else rng.getrandbits(56)
+            for h in hs
+        ]
+        clips[i] = hs
+    rows = [(i, f, h) for i, hs in clips.items() for f, h in enumerate(hs)]
+    df = spark.createDataFrame(rows, "doc_id long, frame_idx long, fhash long")
+    got = {
+        (r.id_a, r.id_b): r.matching_frames
+        for r in clip_near_pairs(
+            df, frame_distance=3, min_frames=2, probe_radius=0
+        ).collect()
+    }
+    assert got == _brute_clip_pairs(clips, 3, 2)
+
+
+def test_frame_hashes_preserves_string_ids(spark):
+    rng = random.Random(23)
+    grids = [_rand_grid(rng) for _ in range(3)]
+    blob = bytearray(_clip_from_level_grids(grids))
+    df = spark.createDataFrame([("clip/x", blob)], "doc_id string, media binary")
+    out = frame_hashes(df)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r.frame_idx: r.fhash for r in out.collect()}
+    assert got == {f: _ref_hash(g) for f, g in enumerate(grids)}
