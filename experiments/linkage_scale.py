@@ -15,6 +15,17 @@ What the probe answers:
 2. **Where does Spark overtake the single box?** Scoring is map-side
    expression arithmetic on candidates; the crossover tracks candidate
    volume like every candidate-generation lane in BASELINE.md.
+
+`python experiments/linkage_scale.py skew` runs the planted
+mega-block probe instead (round-9 verdict item 1): one blocking key
+holding 10^4 masters x 10^3 probes (10^7 candidate pairs in ONE
+reduce task — the shape AQE cannot split, same structural argument as
+experiments/editdist_skew.py) through `fs_link` uncapped vs
+`max_block_pairs`-capped. Prints the blocking-join partition balance
+and end-to-end walls, and asserts the valve's EXACT contract in-run:
+capped output == uncapped output minus the pairs whose only
+generating block is the hot one (complementary phone-pass rescues
+survive, scores unchanged).
 """
 
 from __future__ import annotations
@@ -103,5 +114,141 @@ def main():
     spark.stop()
 
 
+def skew_probe(h_m: int = 10_000, h_p: int = 1_000) -> None:
+    import statistics
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.operators.linkage import (
+        Comparator,
+        block_census,
+        fs_link,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("linkage-skew")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # 100 TB shape: neither side broadcastable (a broadcast join would
+    # smear the hot block over the probe side's layout by accident)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    u_m, u_p = 200_000, 20_000
+    # masters: h_m rows in block 'HOT', u_m cold rows over 20k keys
+    master = spark.range(h_m + u_m).select(
+        F.col("id").alias("mid"),
+        F.when(F.col("id") < h_m, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("blk"), (F.col("id") % 20_000).cast("string")))
+        .alias("blk"),
+        F.concat(F.lit("nm"), (F.col("id") % 50_000).cast("string")).alias("name"),
+        F.concat(F.lit("ph"), F.col("id").cast("string")).alias("phone"),
+    ).repartition(32)
+    # probes: h_p hot (every 5th shares a hot master's phone — the
+    # complementary-pass rescue), u_p cold with matching names
+    probe = spark.range(h_p + u_p).select(
+        F.col("id").alias("pid"),
+        F.when(F.col("id") < h_p, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("blk"), (F.col("id") % 20_000).cast("string")))
+        .alias("blk"),
+        F.concat(F.lit("nm"), ((F.col("id") * 7) % 50_000).cast("string")).alias("name"),
+        F.when(
+            (F.col("id") < h_p) & (F.col("id") % 5 == 0),
+            F.concat(F.lit("ph"), (F.col("id") * 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("phx"), F.col("id").cast("string")))
+        .alias("phone"),
+    ).repartition(32)
+    master.write.mode("overwrite").parquet("/tmp/linkage_skew_m")
+    probe.write.mode("overwrite").parquet("/tmp/linkage_skew_p")
+    master = spark.read.parquet("/tmp/linkage_skew_m")
+    probe = spark.read.parquet("/tmp/linkage_skew_p")
+
+    blocking = [
+        (F.col("p_blk"), F.col("m_blk")),
+        (F.col("p_phone"), F.col("m_phone")),
+    ]
+    comparators = [
+        Comparator(
+            "name", F.levenshtein(F.col("p_name"), F.col("m_name")) <= 1, 40, -25
+        ),
+        Comparator("phone", F.col("p_phone") == F.col("m_phone"), 30, -15),
+    ]
+    kw = dict(blocking=blocking, comparators=comparators, threshold=10)
+    cap = 1_000_000  # HOT: 10^7 pairs; largest cold block ~ 10*2 = 20
+
+    top = block_census(probe, master, "pid", "mid", blocking).limit(3).collect()
+    print("census top blocks:", [(r.pass_idx, r.block_key, r.pairs) for r in top],
+          flush=True)
+
+    # blocking-join partition balance, capped vs not (AQE coalescing
+    # off so partition ids reflect the raw shuffle distribution)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    p_keyed = probe.select(F.col("pid"), F.col("blk").alias("__bk"))
+    m_keyed = master.select(F.col("mid"), F.col("blk").alias("__bk"))
+    for name, pk in (
+        ("uncapped", p_keyed),
+        ("capped", p_keyed.join(
+            F.broadcast(
+                p_keyed.groupBy("__bk").count().withColumnRenamed("count", "np")
+                .join(m_keyed.groupBy("__bk").count()
+                      .withColumnRenamed("count", "nm"), "__bk")
+                .filter(F.col("np") * F.col("nm") > cap).select("__bk")
+            ),
+            "__bk", "left_anti",
+        )),
+    ):
+        cs = sorted(
+            r["count"]
+            for r in pk.join(m_keyed, "__bk")
+            .groupBy(F.spark_partition_id())
+            .count()
+            .collect()
+        )
+        med = statistics.median(cs) if cs else 0
+        print(
+            f"block-join balance {name:9s}: partitions={len(cs)} "
+            f"median={med:,.0f} max={cs[-1]:,} ratio={cs[-1] / max(med, 1):,.1f}x",
+            flush=True,
+        )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    t0 = time.time()
+    full = fs_link(probe, master, "pid", "mid", **kw).cache()
+    n_full = full.count()
+    w_full = time.time() - t0
+    print(f"end-to-end uncapped: pairs={n_full:,} wall={w_full:,.1f}s", flush=True)
+
+    t0 = time.time()
+    capped = fs_link(probe, master, "pid", "mid", max_block_pairs=cap, **kw).cache()
+    n_cap = capped.count()
+    w_cap = time.time() - t0
+    print(f"end-to-end capped:   pairs={n_cap:,} wall={w_cap:,.1f}s", flush=True)
+
+    # EXACT contract: capped == uncapped minus hot-only pairs (a pair
+    # survives iff phone agrees — pass 2 — or its block key is cold)
+    hot_pids = h_p
+    expected = full.filter(
+        F.col("phone_agree") | (F.col("pid") >= hot_pids)
+    )
+    assert capped.exceptAll(expected).count() == 0
+    assert expected.exceptAll(capped).count() == 0
+    rescued = capped.filter(F.col("pid") < hot_pids).count()
+    print(
+        f"identity holds: capped == uncapped - hot-only "
+        f"(dropped={n_full - n_cap:,}, hot rescues kept={rescued:,})",
+        flush=True,
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "skew":
+        skew_probe()
+    else:
+        main()

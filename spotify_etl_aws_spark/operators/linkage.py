@@ -26,8 +26,21 @@ Scale shape:
 - Scoring is map-side JVM expression arithmetic on candidate rows
   only (levenshtein/abs/case-when — no UDF, no extra shuffle).
 - Skewed blocking keys (a mega-city block) are the same hazard as
-  every candidate-generation lane; the hot-key tools (salting,
-  operators/skew.py; bucket caps, operators/phash.py) apply.
+  every candidate-generation lane. ``fs_link`` exposes the WIRED
+  valve: ``max_block_pairs`` drops a pass's blocks whose candidate
+  cross product exceeds the cap from CANDIDATE GENERATION only (the
+  phash lane's ``max_band_bucket`` contract, restated for two-sided
+  blocks: n_probe x n_master bounds the pair mass one reduce task
+  would own). A dropped block weakens recall for ITS probes in THAT
+  pass only — a pair also caught by a complementary pass still scores
+  (that is what multi-pass blocking is for), and nothing emitted is
+  ever wrong (scoring still sees full rows). ``block_census`` is the
+  loud census a caller reads before picking the cap. When a hot
+  block's pairs are genuinely wanted, targeted salting
+  (operators/skew.py:salted_join) balances the join instead — the cap
+  is for blocks that are DEGENERATE keys (empty city field, default
+  phone prefix), which is the production norm (Splink's blocking-rule
+  guidance bans such rules outright).
 """
 
 from __future__ import annotations
@@ -52,6 +65,30 @@ class Comparator:
     w_disagree: int
 
 
+def _prefixed(df: DataFrame, id_col: str, tag: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{tag}_id"),
+        *[F.col(c).alias(f"{tag}_{c}") for c in df.columns if c != id_col],
+    )
+
+
+def _hot_blocks(
+    p_keyed: DataFrame, m_keyed: DataFrame, max_block_pairs: int
+) -> DataFrame:
+    """Block keys whose candidate cross product exceeds the cap —
+    two count aggregations (partial-agg map-side; only (key, count)
+    rows shuffle) joined on the key. Driver never sees them; the
+    result broadcasts (at most total_pairs / cap keys can exceed the
+    cap, so the hot set is bounded small by construction)."""
+    pc = p_keyed.groupBy("__bk").agg(F.count(F.lit(1)).alias("__np"))
+    mc = m_keyed.groupBy("__bk").agg(F.count(F.lit(1)).alias("__nm"))
+    return (
+        pc.join(mc, "__bk")
+        .filter(F.col("__np") * F.col("__nm") > max_block_pairs)
+        .select("__bk")
+    )
+
+
 def fs_link(
     probe: DataFrame,
     master: DataFrame,
@@ -60,12 +97,17 @@ def fs_link(
     blocking: list[tuple[Column, Column]],
     comparators: list[Comparator],
     threshold: int,
+    max_block_pairs: int | None = None,
 ) -> DataFrame:
     """Fellegi–Sunter linkage: probe rows against master rows.
 
     ``blocking``: list of (probe_key_expr, master_key_expr) passes —
     candidates are the UNION over passes of equi-join matches, deduped.
     ``comparators``: per-field evidence terms (see Comparator).
+    ``max_block_pairs``: optional skew valve — any single pass's block
+    whose probe-count x master-count exceeds the cap is dropped from
+    that pass's candidate generation (see module docstring; census via
+    ``block_census``). Default None = every block joins.
     Returns (probe_id, master_id, score, <name>_agree per comparator)
     for pairs with score >= threshold.
     """
@@ -73,21 +115,16 @@ def fs_link(
         raise ValueError("fs_link: at least one blocking pass required")
     if not comparators:
         raise ValueError("fs_link: at least one comparator required")
-    p = probe.select(
-        F.col(probe_id).alias("p_id"),
-        *[F.col(c).alias(f"p_{c}") for c in probe.columns if c != probe_id],
-    )
-    m = master.select(
-        F.col(master_id).alias("m_id"),
-        *[F.col(c).alias(f"m_{c}") for c in master.columns if c != master_id],
-    )
+    p = _prefixed(probe, probe_id, "p")
+    m = _prefixed(master, master_id, "m")
     cand = None
     for pk, mk in blocking:
-        pass_pairs = (
-            p.withColumn("__bk", pk)
-            .join(m.withColumn("__bk", mk), "__bk")
-            .select("p_id", "m_id")
-        )
+        p_keyed = p.withColumn("__bk", pk)
+        m_keyed = m.withColumn("__bk", mk)
+        if max_block_pairs is not None:
+            hot = _hot_blocks(p_keyed, m_keyed, max_block_pairs)
+            p_keyed = p_keyed.join(F.broadcast(hot), "__bk", "left_anti")
+        pass_pairs = p_keyed.join(m_keyed, "__bk").select("p_id", "m_id")
         cand = pass_pairs if cand is None else cand.unionByName(pass_pairs)
     cand = cand.distinct()
     scored = cand.join(p, "p_id").join(m, "m_id")
@@ -109,6 +146,45 @@ def fs_link(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def block_census(
+    probe: DataFrame,
+    master: DataFrame,
+    probe_id: str,
+    master_id: str,
+    blocking: list[tuple[Column, Column]],
+) -> DataFrame:
+    """Diagnostic: (pass_idx, block_key, n_probe, n_master, pairs) for
+    every block key present on BOTH sides of each blocking pass,
+    descending by candidate pair mass — the skew census a caller reads
+    before picking ``max_block_pairs`` (the linkage twin of
+    ``operators/phash.py:band_bucket_sizes``)."""
+    if not blocking:
+        raise ValueError("block_census: at least one blocking pass required")
+    p = _prefixed(probe, probe_id, "p")
+    m = _prefixed(master, master_id, "m")
+    out = None
+    for i, (pk, mk) in enumerate(blocking):
+        pc = (
+            p.select(pk.cast("string").alias("block_key"))
+            .groupBy("block_key")
+            .agg(F.count(F.lit(1)).alias("n_probe"))
+        )
+        mc = (
+            m.select(mk.cast("string").alias("block_key"))
+            .groupBy("block_key")
+            .agg(F.count(F.lit(1)).alias("n_master"))
+        )
+        one = pc.join(mc, "block_key").select(
+            F.lit(i).alias("pass_idx"),
+            "block_key",
+            "n_probe",
+            "n_master",
+            (F.col("n_probe") * F.col("n_master")).alias("pairs"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy(F.desc("pairs"), F.asc("pass_idx"), F.asc("block_key"))
 
 
 def fs_learn_weights(

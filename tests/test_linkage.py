@@ -214,3 +214,93 @@ def test_em_rejects_empty_candidate_table(spark):
     df = spark.createDataFrame([], "pid long, x_agree boolean")
     with pytest.raises(ValueError, match="empty"):
         fs_learn_weights(df, ["x"], iters=1)
+
+
+def test_block_valve_drops_exactly_the_hot_blocks_pairs(spark):
+    """Planted mega-block: one blocking key owns a cross product far
+    over the cap. The valve must (a) drop exactly the pairs whose ONLY
+    generating block is hot, (b) keep hot-block pairs rescued by the
+    complementary pass, (c) never alter scores of surviving pairs —
+    the phash valve's capped == uncapped - hot identity, restated for
+    two-sided blocks."""
+    import random
+
+    from spotify_etl_aws_spark.operators.linkage import block_census
+
+    rng = random.Random(41)
+    # masters: 400 in the MEGA city block + 20 cold singleton cities
+    masters = [
+        (i, f"name{i:04d}", f"ph-{i:04d}", "MEGA") for i in range(400)
+    ] + [
+        (1000 + i, f"cold{i:02d}", f"cp-{i:02d}", f"city{i}")
+        for i in range(20)
+    ]
+    # probes: 50 in MEGA (every 5th shares a master's phone — the
+    # complementary-pass rescue), 10 cold with matching names
+    probes = [
+        (
+            i,
+            f"name{i * 7 % 400:04d}",
+            f"ph-{i:04d}" if i % 5 else f"ph-{i * 3:04d}",
+            "MEGA",
+        )
+        for i in range(50)
+    ] + [
+        (100 + i, f"cold{i:02d}", f"px-{i:02d}", f"city{i}")
+        for i in range(10)
+    ]
+    rng.shuffle(masters)
+    rng.shuffle(probes)
+    pdf = spark.createDataFrame(
+        probes, "pid long, name string, phone string, city string"
+    )
+    mdf = spark.createDataFrame(
+        masters, "mid long, name string, phone string, city string"
+    )
+    blocking = [
+        (F.col("p_city"), F.col("m_city")),
+        (F.col("p_phone"), F.col("m_phone")),
+    ]
+    comparators = [
+        Comparator(
+            "name",
+            F.levenshtein(F.col("p_name"), F.col("m_name")) <= 1,
+            40,
+            -25,
+        ),
+        Comparator("phone", F.col("p_phone") == F.col("m_phone"), 30, -15),
+    ]
+    kw = dict(blocking=blocking, comparators=comparators, threshold=5)
+    full = {
+        (r.pid, r.mid): r.score
+        for r in fs_link(pdf, mdf, "pid", "mid", **kw).collect()
+    }
+    cap = 5000  # MEGA: 50 * 400 = 20,000 pairs; every other block << cap
+    capped = {
+        (r.pid, r.mid): r.score
+        for r in fs_link(
+            pdf, mdf, "pid", "mid", max_block_pairs=cap, **kw
+        ).collect()
+    }
+    # census names exactly one over-cap block: (city pass, MEGA)
+    census = block_census(pdf, mdf, "pid", "mid", blocking).collect()
+    hot = [r for r in census if r.pairs > cap]
+    assert [(r.pass_idx, r.block_key, r.pairs) for r in hot] == [
+        (0, "MEGA", 20000)
+    ]
+    p_by_id = {p[0]: p for p in probes}
+    m_by_id = {m[0]: m for m in masters}
+    survives = {
+        pair: s
+        for pair, s in full.items()
+        if p_by_id[pair[0]][2] == m_by_id[pair[1]][2]  # phone pass
+        or p_by_id[pair[0]][3] != "MEGA"  # cold city pass
+    }
+    assert capped == survives  # exact: dropped == hot-only, scores intact
+    assert set(capped) < set(full)  # the valve really dropped something
+    # the rescue path is exercised: hot-block pairs with agreeing
+    # phones survived via the complementary pass
+    rescued = [
+        pair for pair in capped if p_by_id[pair[0]][3] == "MEGA"
+    ]
+    assert rescued, "expected phone-pass rescues inside the hot block"
