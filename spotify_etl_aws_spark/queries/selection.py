@@ -3735,6 +3735,82 @@ WHERE d.abs_dev > {MAD_K} * m.mad
 """
 
 
+# ---- approx-MAD rank contract (round 10) ----
+#
+# The warehouse-scale posture of the MAD lane
+# (operators/robust.py:mad_outliers_approx): percentile_approx per
+# group — one partial-agg pass, NO window-rank shuffle (plan-pinned in
+# tests/test_robust.py). Sketch VALUES are partition-order dependent,
+# so like the CM/HLL/quantile lanes this emits the DETERMINISTIC
+# rank-envelope contract instead: the returned med/mad must be actual
+# group elements whose rank range intersects target ± ceil(n/accuracy)
+# (+1 absorbs the engine's target-rank convention) — the
+# Greenwald–Khanna worst-case theorem, true for ANY partitioning, so
+# the hard-TRUE oracle is sound by theorem, not by fixture. Groups =
+# order priorities (5 groups of n/5 rows — big enough that the sketch
+# actually compresses at sf0.1, unlike per-customer groups).
+MAD_APPROX_ACC = 100
+
+
+def stats_mad_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import mad_outliers_approx  # noqa: F401  (doc link)
+
+    acc = MAD_APPROX_ACC
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    med = base.groupBy("prio").agg(
+        F.percentile_approx("cents", F.lit(0.5), F.lit(acc)).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def rank_ok(le, lt, n):
+        target = F.ceil(n / 2)
+        tol = F.ceil(n / acc) + 1
+        return (
+            (le >= target - tol) & (lt + 1 <= target + tol) & (le > lt)
+        )
+
+    dev = base.join(F.broadcast(med), "prio")
+    med_stats = dev.groupBy("prio", "n").agg(
+        F.sum((F.col("cents") <= F.col("med")).cast("long")).alias("le"),
+        F.sum((F.col("cents") < F.col("med")).cast("long")).alias("lt"),
+    )
+    devs = dev.select(
+        "prio", F.abs(F.col("cents") - F.col("med")).alias("ad")
+    )
+    mad = devs.groupBy("prio").agg(
+        F.percentile_approx("ad", F.lit(0.5), F.lit(acc)).alias("mad")
+    )
+    mad_stats = (
+        devs.join(F.broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(
+            F.sum((F.col("ad") <= F.col("mad")).cast("long")).alias("le"),
+            F.sum((F.col("ad") < F.col("mad")).cast("long")).alias("lt"),
+        )
+    )
+    m_ok = med_stats.select(
+        "prio",
+        rank_ok(F.col("le"), F.col("lt"), F.col("n")).alias("med_rank_ok"),
+    )
+    d_ok = mad_stats.join(
+        med_stats.select("prio", "n"), "prio"
+    ).select(
+        "prio",
+        rank_ok(F.col("le"), F.col("lt"), F.col("n")).alias("mad_rank_ok"),
+    )
+    return m_ok.join(d_ok, "prio").select("prio", "med_rank_ok", "mad_rank_ok")
+
+
+ORACLE_MAD_APPROX = """
+SELECT DISTINCT o_orderpriority AS prio,
+       TRUE AS med_rank_ok, TRUE AS mad_rank_ok
+FROM orders
+"""
+
+
 # ---- video clip near-dup (round 9) ----
 #
 # Completes the media-dedup triad on the video column: groups of 4
@@ -4155,6 +4231,7 @@ QUERIES = {
     "dedup_video_clips": dedup_video_clips,
     "dedup_image_phash_resized": dedup_image_phash_resized,
     "stats_mad_outliers": stats_mad_outliers,
+    "stats_mad_approx_contract": stats_mad_approx_contract,
     "link_customer_records": link_customer_records,
     "link_customer_best": link_customer_best,
 }
@@ -4219,6 +4296,7 @@ ORACLE = {
     "dedup_video_clips": ORACLE_VIDEO_CLIPS,
     "dedup_image_phash_resized": ORACLE_IMAGE_PHASH,
     "stats_mad_outliers": ORACLE_MAD_OUTLIERS,
+    "stats_mad_approx_contract": ORACLE_MAD_APPROX,
     "link_customer_records": ORACLE_FS_LINK,
     "link_customer_best": ORACLE_FS_BEST,
 }
