@@ -38,6 +38,37 @@ from pyspark.sql import functions as F
 from .phash import HASH_BITS, dhash_pixels, id_ddl
 
 
+def clip_frame_pixels(data: bytes):
+    """Yield (frame_idx, (h, w, 3) uint8 array) for one encoded clip —
+    the container-dispatch seam: animated GIF (composited frames, via
+    operators/gif.py) and RIFF/AVI carrying Motion-JPEG (index-seeked
+    per-frame JPEG decode, via operators/video.py + operators/jpeg.py)
+    both decode here; inter-frame codecs (H.264/VP9/AV1) raise inside
+    ``parse_avi`` at the documented ffmpeg/PyAV seam."""
+    import numpy as np
+
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_frames, gif_scan_meta
+
+        w, h, _nf, _loop = gif_scan_meta(data)
+        for fi, (_delay, rgb) in enumerate(gif_frames(data)):
+            yield fi, np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from .jpeg import decode_jpeg
+        from .video import extract_frame, parse_avi
+
+        meta = parse_avi(data)
+        for fi in range(meta.n_frames):
+            jw, jh, rgb = decode_jpeg(extract_frame(data, meta, fi))
+            yield fi, np.frombuffer(rgb, dtype=np.uint8).reshape(jh, jw, 3)
+    else:
+        raise ValueError(
+            "clip_frame_pixels: unsupported container (need GIF87a/"
+            "GIF89a or RIFF/AVI MJPG; inter-frame codecs plug in at "
+            "the parse_avi seam)"
+        )
+
+
 def frame_hashes(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -46,14 +77,12 @@ def frame_hashes(
     cols: int = 8,
 ) -> DataFrame:
     """(id, media binary) -> (id, frame_idx, fhash) — one row per
-    composited frame of the (possibly animated) GIF clip, hashed with
-    the image lane's dHash. Other containers plug in at this seam
-    (AVI/MJPEG via operators/video.py decodes the same way)."""
-    import numpy as np
+    decoded frame of the clip (animated GIF or AVI/MJPEG — see
+    ``clip_frame_pixels``), hashed with the image lane's dHash.
+    Container parity is pinned in tests: the same frame content
+    through either container yields identical hashes, so near-dup
+    pairs survive a container re-mux."""
     import pandas as pd
-
-    from .gif import gif_frames
-    from .gif import gif_scan_meta
 
     proj = df.select(F.col(id_col).alias("__id"), F.col(media_col).alias("__m"))
 
@@ -61,10 +90,7 @@ def frame_hashes(
         for pdf in batches:
             ids, idxs, hs = [], [], []
             for did, blob in zip(pdf["__id"], pdf["__m"]):
-                data = bytes(blob)
-                w, h, _nf, _loop = gif_scan_meta(data)
-                for fi, (_delay, rgb) in enumerate(gif_frames(data)):
-                    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                for fi, px in clip_frame_pixels(bytes(blob)):
                     ids.append(did)
                     idxs.append(fi)
                     hs.append(dhash_pixels(px, rows, cols))

@@ -168,3 +168,90 @@ def test_frame_hashes_preserves_string_ids(spark):
     assert dict(out.dtypes)["doc_id"] == "string"
     got = {r.frame_idx: r.fhash for r in out.collect()}
     assert got == {f: _ref_hash(g) for f, g in enumerate(grids)}
+
+
+def _adjacent_distinct_grid(rng):
+    g = []
+    for _ in range(8):
+        row, prev = [], None
+        for _ in range(8):
+            v = rng.randrange(6)
+            while v == prev:
+                v = rng.randrange(6)
+            row.append(v)
+            prev = v
+        g.append(row)
+    return g
+
+
+def test_container_parity_gif_vs_avi_mjpeg(spark):
+    """Round-9 verdict item 2: the SAME frame content muxed as an
+    animated GIF and as RIFF/AVI Motion-JPEG must fingerprint to
+    bit-identical frame hashes and hence identical near-dup pairs —
+    the container re-mux scenario video dedup exists for. Grids keep
+    adjacent cells distinct (>= 51 luminance margin) so JPEG q90
+    round-trip error cannot flip a gradient sign."""
+    from spotify_etl_aws_spark.operators.jpeg import encode_jpeg
+    from spotify_etl_aws_spark.operators.video import encode_avi_mjpeg
+
+    rng = random.Random(37)
+    # 4 families x 3 members; member m scrambles its first m frames,
+    # so aligned matching-frame counts are 5 - max(m_a, m_b)
+    clips = {}
+    for fam in range(4):
+        fam_rng = random.Random(700 + fam)
+        base = [_adjacent_distinct_grid(fam_rng) for _ in range(5)]
+        for m in range(3):
+            grids = [
+                _adjacent_distinct_grid(rng) if f < m else base[f]
+                for f in range(5)
+            ]
+            clips[fam * 3 + m] = grids
+    gif_rows, avi_rows = [], []
+    for cid, grids in clips.items():
+        frames = [
+            np.repeat(
+                np.repeat(LEVELS[np.asarray(g)], 4, 0), 4, 1
+            )[:, :, None].repeat(3, 2).tobytes()
+            for g in grids
+        ]
+        gif_rows.append((cid, bytearray(encode_gif_animation(frames, 32, 32))))
+        avi_rows.append(
+            (
+                cid,
+                bytearray(
+                    encode_avi_mjpeg(
+                        [encode_jpeg(32, 32, f, quality=90) for f in frames],
+                        10,
+                        32,
+                        32,
+                    )
+                ),
+            )
+        )
+    out = {}
+    for tag, rows in (("gif", gif_rows), ("avi", avi_rows)):
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        fh = frame_hashes(df).cache()
+        hashes = {
+            (r.doc_id, r.frame_idx): r.fhash for r in fh.collect()
+        }
+        pairs = {
+            (r.id_a, r.id_b): r.matching_frames
+            for r in clip_near_pairs(
+                fh, frame_distance=4, min_frames=3
+            ).collect()
+        }
+        fh.unpersist()
+        out[tag] = (hashes, pairs)
+    assert out["gif"][0] == out["avi"][0]  # bit-identical frame hashes
+    assert out["gif"][1] == out["avi"][1]  # identical near-dup pairs
+    # and the pairs are the planted family structure: members 0-1 share
+    # 4 aligned frames, 0-2 and 1-2 share 3 -> all >= min_frames=3
+    expect = {}
+    for fam in range(4):
+        ids = [fam * 3 + m for m in range(3)]
+        expect[(ids[0], ids[1])] = 4
+        expect[(ids[0], ids[2])] = 3
+        expect[(ids[1], ids[2])] = 3
+    assert out["gif"][1] == expect
