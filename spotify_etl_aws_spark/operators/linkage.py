@@ -194,6 +194,7 @@ def fs_learn_weights(
     init_p: float = 0.1,
     init_m: float = 0.9,
     init_u: float = 0.1,
+    decimals: int | None = None,
 ) -> dict:
     """Learn Fellegi–Sunter m/u probabilities by EM over candidate
     pairs (Winkler 1988 — the unsupervised fit Splink runs): ``pairs``
@@ -215,6 +216,16 @@ def fs_learn_weights(
     — plug w_* (scaled/rounded to ints) straight into Comparator
     weights. Probabilities are clamped to [1e-6, 1-1e-6] so a
     perfectly-separating field cannot produce infinite weights.
+
+    ``decimals``: optional per-iteration parameter rounding —
+    floor(x * 10^decimals + 0.5) / 10^decimals applied to p/m/u after
+    each M-step (the same determinism trick the k-means quantizer's
+    CENTROID_DECIMALS rounding uses): cross-engine float-sum drift
+    (~1e-12 relative) cannot compound across iterations, so a DuckDB
+    twin running the identical chain lands on bit-identical
+    parameters. The rounding formula is half-up via floor (NOT
+    banker's round) so Python, Spark, and DuckDB agree at .5
+    boundaries.
     """
     import math
 
@@ -253,14 +264,19 @@ def fs_learn_weights(
                 "to fit (check the blocking passes)"
             )
         clamp = lambda x: min(max(x, eps), 1.0 - eps)  # noqa: E731
+        if decimals is not None:
+            grid = 10.0 ** decimals
+            rnd = lambda x: math.floor(x * grid + 0.5) / grid  # noqa: E731
+        else:
+            rnd = lambda x: x  # noqa: E731
         # sw itself is clamped into (0, n): exp() underflow can
         # saturate every responsibility to exactly 0.0 or 1.0, which
         # would divide by zero in the m/u updates below
         sw = min(max(sw, eps), n - eps)
-        p = clamp(sw / n)
+        p = rnd(clamp(sw / n))
         for f in fields:
-            m[f] = clamp(agg[f"__mw_{f}"] / sw)
-            u[f] = clamp(agg[f"__uw_{f}"] / (n - sw))
+            m[f] = rnd(clamp(agg[f"__mw_{f}"] / sw))
+            u[f] = rnd(clamp(agg[f"__uw_{f}"] / (n - sw)))
     return {
         "p": p,
         "m": m,
@@ -269,6 +285,24 @@ def fs_learn_weights(
         "w_disagree": {
             f: math.log2((1 - m[f]) / (1 - u[f])) for f in fields
         },
+    }
+
+
+def fs_int_weights(fit: dict, scale: int = 10) -> dict:
+    """Deterministic integer weights from a ``fs_learn_weights`` fit:
+    w * scale, rounded half-up via floor (the cross-engine formula —
+    Python's round() is banker's, DuckDB's round() is half-away;
+    floor(x*s + 0.5) is identical everywhere). Returns
+    {"w_agree": {f: int}, "w_disagree": {f: int}} — plug straight into
+    Comparator weights to close the learn -> score loop."""
+    import math
+
+    return {
+        k: {
+            f: int(math.floor(w * scale + 0.5))
+            for f, w in fit[k].items()
+        }
+        for k in ("w_agree", "w_disagree")
     }
 
 

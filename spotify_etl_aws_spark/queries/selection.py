@@ -3544,6 +3544,48 @@ def _fs_frames(spark: SparkSession, sf_dir: str):
     return probe, master
 
 
+#: per-field (agree, disagree) integer weights of the hand-set lane
+_FS_HAND_WEIGHTS = {
+    "name": (40, -25),
+    "phone": (30, -15),
+    "acct": (15, -10),
+    "seg": (10, -10),
+}
+
+
+def _fs_blocking():
+    suffix4 = lambda col: F.substring(col, -4, 4)  # noqa: E731
+    return [
+        (
+            F.concat(F.col("p_nation").cast("string"), F.lit("|"),
+                     suffix4(F.col("p_name"))),
+            F.concat(F.col("m_nation").cast("string"), F.lit("|"),
+                     suffix4(F.col("m_name"))),
+        ),
+        (
+            F.substring(F.col("p_phone"), 1, 6),
+            F.substring(F.col("m_phone"), 1, 6),
+        ),
+    ]
+
+
+def _fs_comparators(weights: dict):
+    """The four field comparators with (agree, disagree) weight pairs
+    taken from ``weights`` — shared by the hand-weighted, candidate,
+    and EM-learned lanes so the evidence model can never drift."""
+    from ..operators.linkage import Comparator
+
+    agree = {
+        "name": F.levenshtein(F.col("p_name"), F.col("m_name")) <= 1,
+        "phone": F.col("p_phone") == F.col("m_phone"),
+        "acct": F.abs(F.col("p_acct_cents") - F.col("m_acct_cents")) <= 100,
+        "seg": F.col("p_segment") == F.col("m_segment"),
+    }
+    return [
+        Comparator(f, agree[f], wa, wd) for f, (wa, wd) in weights.items()
+    ]
+
+
 def link_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage
     (operators/linkage.py): dirty customer records against the master
@@ -3551,44 +3593,16 @@ def link_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     field comparators (name edit distance <= 1, phone exact, balance
     within a dollar, same market segment), threshold gate. Returns
     (probe_id, custkey, score, per-field agree flags)."""
-    from ..operators.linkage import Comparator, fs_link
+    from ..operators.linkage import fs_link
 
     probe, master = _fs_frames(spark, sf_dir)
-    suffix4 = lambda col: F.substring(col, -4, 4)  # noqa: E731
-    comparators = [
-        Comparator(
-            "name",
-            F.levenshtein(F.col("p_name"), F.col("m_name")) <= 1,
-            40,
-            -25,
-        ),
-        Comparator("phone", F.col("p_phone") == F.col("m_phone"), 30, -15),
-        Comparator(
-            "acct",
-            F.abs(F.col("p_acct_cents") - F.col("m_acct_cents")) <= 100,
-            15,
-            -10,
-        ),
-        Comparator("seg", F.col("p_segment") == F.col("m_segment"), 10, -10),
-    ]
     out = fs_link(
         probe,
         master,
         "probe_id",
         "custkey",
-        blocking=[
-            (
-                F.concat(F.col("p_nation").cast("string"), F.lit("|"),
-                         suffix4(F.col("p_name"))),
-                F.concat(F.col("m_nation").cast("string"), F.lit("|"),
-                         suffix4(F.col("m_name"))),
-            ),
-            (
-                F.substring(F.col("p_phone"), 1, 6),
-                F.substring(F.col("m_phone"), 1, 6),
-            ),
-        ],
-        comparators=comparators,
+        blocking=_fs_blocking(),
+        comparators=_fs_comparators(_FS_HAND_WEIGHTS),
         threshold=FS_THRESHOLD,
     )
     return out.select(
@@ -3597,8 +3611,9 @@ def link_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_FS_LINK = f"""
-WITH master AS (
+# master/probe/cand CTEs shared by the three linkage oracles (the
+# hand-weighted lane, the best-match lane, and the EM-learned lane)
+_FS_BASE_CTES = """master AS (
   SELECT c_custkey AS custkey, c_name AS name,
          CAST(c_nationkey + 10 AS VARCHAR) || '-' ||
            lpad(CAST((c_custkey * 7919) % 10000000 AS VARCHAR), 7, '0')
@@ -3639,7 +3654,10 @@ cand AS (
   SELECT DISTINCT p.probe_id, m.custkey
   FROM probe p JOIN master m
     ON substring(p.phone, 1, 6) = substring(m.phone, 1, 6)
-),
+)"""
+
+ORACLE_FS_LINK = f"""
+WITH {_FS_BASE_CTES},
 scored AS (
   SELECT c.probe_id, c.custkey,
          (CASE WHEN levenshtein(p.name, m.name) <= 1 THEN 40 ELSE -25 END
@@ -3681,6 +3699,176 @@ QUALIFY row_number() OVER (
 ) = 1
 """
 )
+
+
+# ---- EM-learned linkage (round 10) ----
+#
+# Closes the learn -> score loop: the SAME blocked candidates feed
+# fs_learn_weights (Winkler-EM, operators/linkage.py), the fitted m/u
+# become integer log-odds weights (fs_int_weights), and fs_link
+# re-scores with them — the full Splink workflow, oracle-checked
+# end-to-end. Cross-engine determinism rides two rounding grids: every
+# EM iteration rounds p/m/u to EM_DECIMALS via floor-half-up (float-sum
+# drift ~1e-12 cannot compound — the k-means CENTROID_DECIMALS trick),
+# and the final weights round at EM_SCALE with the same floor formula,
+# so DuckDB replaying the identical iteration chain (generated CTEs,
+# one E-step + one M-step per iteration — the IVF oracle pattern)
+# lands on bit-identical integers. Threshold = half the max attainable
+# score, derived from the learned weights on both engines.
+EM_FIELDS = ["name", "phone", "acct", "seg"]
+EM_ITERS = 5
+EM_DECIMALS = 6
+EM_SCALE = 10
+
+_FS_EM_CACHE: dict[str, dict] = {}
+
+
+def _fs_learned_int_weights(spark: SparkSession, sf_dir: str) -> dict:
+    """EM fit over the blocked candidates, memoized per corpus (the
+    fit is k-scalar MODEL STATE like the IVF centroids; each EM
+    iteration is one map-side E-step + one partial-agg job)."""
+    cached = _FS_EM_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    from ..operators.linkage import fs_int_weights, fs_learn_weights, fs_link
+
+    probe, master = _fs_frames(spark, sf_dir)
+    cand = fs_link(
+        probe,
+        master,
+        "probe_id",
+        "custkey",
+        blocking=_fs_blocking(),
+        comparators=_fs_comparators({f: (1, -1) for f in EM_FIELDS}),
+        threshold=-(10**9),  # permissive: every blocked pair, with flags
+    )
+    fit = fs_learn_weights(cand, EM_FIELDS, iters=EM_ITERS, decimals=EM_DECIMALS)
+    iw = fs_int_weights(fit, scale=EM_SCALE)
+    _FS_EM_CACHE[sf_dir] = iw
+    return iw
+
+
+def link_customer_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage with EM-LEARNED weights (operators/linkage.py:
+    fs_learn_weights -> fs_int_weights -> fs_link): unsupervised fit
+    on the blocked candidate pairs, integer log-odds weights, re-score,
+    threshold at half the maximum attainable score. Returns
+    (probe_id, custkey, score)."""
+    from ..operators.linkage import fs_link
+
+    iw = _fs_learned_int_weights(spark, sf_dir)
+    weights = {
+        f: (iw["w_agree"][f], iw["w_disagree"][f]) for f in EM_FIELDS
+    }
+    thr = sum(iw["w_agree"].values()) // 2
+    probe, master = _fs_frames(spark, sf_dir)
+    out = fs_link(
+        probe,
+        master,
+        "probe_id",
+        "custkey",
+        blocking=_fs_blocking(),
+        comparators=_fs_comparators(weights),
+        threshold=thr,
+    )
+    return out.select("probe_id", "custkey", "score")
+
+
+def _oracle_fs_learned() -> str:
+    """DuckDB twin of the learn -> score loop: the shared
+    master/probe/cand CTEs, a flags CTE, then EM_ITERS generated
+    (E-step, M-step) CTE pairs with the same clamp+round grid as
+    fs_learn_weights, the same floor-half-up integer weights, and the
+    same derived threshold."""
+    agree = {
+        "name": "levenshtein(p.name, m.name) <= 1",
+        "phone": "p.phone = m.phone",
+        "acct": "abs(p.acct_cents - m.acct_cents) <= 100",
+        "seg": "p.segment = m.segment",
+    }
+    rnd = lambda x: (  # noqa: E731
+        f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    )
+    clamp = lambda x: f"least(greatest({x}, 1e-6), 1.0 - 1e-6)"  # noqa: E731
+    parts = [
+        _FS_BASE_CTES,
+        "flags AS (\n  SELECT c.probe_id, c.custkey,\n"
+        + ",\n".join(
+            f"         ({agree[f]}) AS {f}_agree" for f in EM_FIELDS
+        )
+        + "\n  FROM cand c\n  JOIN probe p ON p.probe_id = c.probe_id\n"
+        "  JOIN master m ON m.custkey = c.custkey\n)",
+        "par0 AS (SELECT CAST(0.1 AS DOUBLE) AS p, "
+        + ", ".join(
+            f"CAST(0.9 AS DOUBLE) AS m_{f}, CAST(0.1 AS DOUBLE) AS u_{f}"
+            for f in EM_FIELDS
+        )
+        + ")",
+    ]
+    for i in range(1, EM_ITERS + 1):
+        lm = " + ".join(
+            f"CASE WHEN f.{f}_agree THEN ln(par.m_{f}) "
+            f"ELSE ln(1.0 - par.m_{f}) END"
+            for f in EM_FIELDS
+        )
+        lu = " + ".join(
+            f"CASE WHEN f.{f}_agree THEN ln(par.u_{f}) "
+            f"ELSE ln(1.0 - par.u_{f}) END"
+            for f in EM_FIELDS
+        )
+        parts.append(
+            f"""e{i} AS (
+  SELECT f.*, 1.0 / (1.0 + exp(
+      (ln(1.0 - par.p) + {lu}) - (ln(par.p) + {lm}))) AS w
+  FROM flags f, par{i - 1} par
+)"""
+        )
+        sums = ", ".join(
+            f"sum(CASE WHEN {f}_agree THEN w ELSE 0.0 END) AS mw_{f}, "
+            f"sum(CASE WHEN {f}_agree THEN 1.0 - w ELSE 0.0 END) AS uw_{f}"
+            for f in EM_FIELDS
+        )
+        parts.append(
+            f"s{i} AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(w) AS sw,"
+            f" {sums} FROM e{i})"
+        )
+        upd = ", ".join(
+            f"{rnd(clamp(f'mw_{f} / swc'))} AS m_{f}, "
+            f"{rnd(clamp(f'uw_{f} / (n - swc)'))} AS u_{f}"
+            for f in EM_FIELDS
+        )
+        parts.append(
+            f"par{i} AS (SELECT {rnd(clamp('swc / n'))} AS p, {upd} "
+            f"FROM (SELECT *, least(greatest(sw, 1e-6), n - 1e-6) AS swc "
+            f"FROM s{i}))"
+        )
+    wts = ", ".join(
+        f"CAST(floor(log2(m_{f} / u_{f}) * {EM_SCALE} + 0.5) AS BIGINT)"
+        f" AS wa_{f}, "
+        f"CAST(floor(log2((1.0 - m_{f}) / (1.0 - u_{f})) * {EM_SCALE}"
+        f" + 0.5) AS BIGINT) AS wd_{f}"
+        for f in EM_FIELDS
+    )
+    parts.append(f"wts AS (SELECT {wts} FROM par{EM_ITERS})")
+    total = " + ".join(f"wa_{f}" for f in EM_FIELDS)
+    score = " + ".join(
+        f"CASE WHEN f.{f}_agree THEN w.wa_{f} ELSE w.wd_{f} END"
+        for f in EM_FIELDS
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT probe_id, custkey, score FROM (
+  SELECT f.probe_id, f.custkey, CAST({score} AS BIGINT) AS score
+  FROM flags f, wts w
+)
+WHERE score >= (SELECT CAST(floor(({total}) / 2.0) AS BIGINT) FROM wts)
+"""
+    )
+
+
+ORACLE_FS_LEARNED = _oracle_fs_learned()
 
 
 # ---- robust MAD outliers (round 9) ----
@@ -4234,6 +4422,7 @@ QUERIES = {
     "stats_mad_approx_contract": stats_mad_approx_contract,
     "link_customer_records": link_customer_records,
     "link_customer_best": link_customer_best,
+    "link_customer_learned": link_customer_learned,
 }
 
 ORACLE = {
@@ -4299,4 +4488,5 @@ ORACLE = {
     "stats_mad_approx_contract": ORACLE_MAD_APPROX,
     "link_customer_records": ORACLE_FS_LINK,
     "link_customer_best": ORACLE_FS_BEST,
+    "link_customer_learned": ORACLE_FS_LEARNED,
 }

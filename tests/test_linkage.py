@@ -304,3 +304,37 @@ def test_block_valve_drops_exactly_the_hot_blocks_pairs(spark):
         pair for pair in capped if p_by_id[pair[0]][3] == "MEGA"
     ]
     assert rescued, "expected phone-pass rescues inside the hot block"
+
+
+def test_int_weights_floor_half_up_formula():
+    from spotify_etl_aws_spark.operators.linkage import fs_int_weights
+
+    fit = {
+        "w_agree": {"a": 2.74, "b": 2.75, "c": 0.04},
+        "w_disagree": {"a": -2.74, "b": -2.75, "c": -0.06},
+    }
+    iw = fs_int_weights(fit, scale=10)
+    # floor(x*10 + 0.5): half-up toward +inf on BOTH signs (the
+    # cross-engine formula — not Python round()'s banker's rounding)
+    assert iw["w_agree"] == {"a": 27, "b": 28, "c": 0}
+    assert iw["w_disagree"] == {"a": -27, "b": -27, "c": -1}
+
+
+def test_em_decimals_rounds_parameters_onto_the_grid(spark):
+    import random
+
+    from spotify_etl_aws_spark.operators.linkage import fs_learn_weights
+
+    rng = random.Random(43)
+    rows = [
+        (i, rng.random() < (0.9 if i < 100 else 0.1))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "pid long, x_agree boolean")
+    fit = fs_learn_weights(df, ["x"], iters=4, decimals=6)
+    for v in [fit["p"], fit["m"]["x"], fit["u"]["x"]]:
+        # every parameter sits exactly on the 1e-6 grid
+        assert v == round(v * 1e6) / 1e6
+    # and the run is reproducible bit-for-bit
+    fit2 = fs_learn_weights(df, ["x"], iters=4, decimals=6)
+    assert fit == fit2
