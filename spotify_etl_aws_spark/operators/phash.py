@@ -164,6 +164,72 @@ def band_buckets(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
 
 
+def _apply_probe_prefilter(
+    probe: DataFrame,
+    bb: DataFrame,
+    mode: str | None,
+    bloom_bits: int = 1 << 27,
+) -> DataFrame:
+    """Drop probe-VARIANT rows whose (band, band_val) bucket has no
+    possible index partner, BEFORE the candidate shuffle (round-9
+    verdict item 5): the radius-1 probe fan is a fixed (width+1)x row
+    multiplier, but a random flipped bucket almost never exists on the
+    index side (occupancy ~ 8N / 2^width), so most of the fan is
+    shuffle freight that joins to nothing. Two modes, both
+    recall-lossless (output provably identical — they only remove
+    rows that cannot join):
+
+    - ``"broadcast"``: EXACT — semi-join against the distinct index
+      bucket set (<= 8N narrow rows) broadcast to every task. The
+      right default until the bucket set outgrows the broadcast
+      budget (~hundreds of millions of buckets).
+    - ``"bloom"``: a k=1 Bloom word table over the bucket set
+      (bloom_bits bits -> <= bloom_bits/64 sparse words broadcast;
+      the sketches-module formulation) probed with ONE map-side
+      broadcast join + bit test — no distinct/groupBy on the probe
+      side. False positives only re-admit fan rows the join then
+      drops; never a false negative, so recall is untouched. For when
+      even the bucket set is too big to broadcast exactly.
+    """
+    if mode is None:
+        return probe
+    if mode == "broadcast":
+        idx = bb.select("band", "band_val").distinct()
+        return probe.join(F.broadcast(idx), ["band", "band_val"], "left_semi")
+    if mode == "bloom":
+        from .sketches import _bloom_word_mask
+
+        h = F.pmod(
+            F.xxhash64(F.col("band"), F.col("band_val")), F.lit(bloom_bits)
+        )
+        words = (
+            bb.select(h.alias("__p"))
+            .select(
+                _bloom_word_mask(F.col("__p"))[0].alias("w"),
+                _bloom_word_mask(F.col("__p"))[1].alias("__m"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("__m").alias("bits"))
+        )
+        probed = probe.withColumn("__p", h)
+        word, mask = _bloom_word_mask(F.col("__p"))
+        return (
+            probed.withColumn("w", word)
+            .withColumn("__mask", mask)
+            .join(F.broadcast(words), "w", "left")
+            .filter(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                    F.col("__mask")
+                )
+                != 0
+            )
+            .drop("__p", "w", "__mask", "bits")
+        )
+    raise ValueError(
+        f"probe_prefilter must be None, 'broadcast' or 'bloom', got {mode!r}"
+    )
+
+
 def hamming_near_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
@@ -173,6 +239,7 @@ def hamming_near_pairs(
     bands: int = 8,
     max_band_bucket: int | None = None,
     probe_radius: int = 0,
+    probe_prefilter: str | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with Hamming(hash_a, hash_b) <=
     ``max_distance``, via banded LSH candidates + exact bit_count
@@ -238,8 +305,10 @@ def hamming_near_pairs(
                 for j in range(width)
             ],
         )
-        probe = bb.select(
-            id_col, "band", F.explode(variants).alias("band_val")
+        probe = _apply_probe_prefilter(
+            bb.select(id_col, "band", F.explode(variants).alias("band_val")),
+            bb,
+            probe_prefilter,
         )
     a = probe.select(
         F.col(id_col).alias("id_a"), "band", "band_val"
@@ -380,11 +449,20 @@ def hamming_near_pairs_wide(
     max_distance: int = 15,
     probe_radius: int = 1,
     max_band_bucket: int | None = None,
+    probe_prefilter: str | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs within Hamming ``max_distance`` of the
     240-bit hash (columns w0..w3): 8 x 30-bit bands, radius-1 probe
     side, JVM sum-of-bit_count verify. Pigeonhole-exact for
-    max_distance < 8 * (probe_radius + 1)."""
+    max_distance < 8 * (probe_radius + 1).
+
+    ``probe_prefilter``: "broadcast" (exact) or "bloom" — drop probed
+    band variants whose bucket has no index partner before they ever
+    shuffle (see ``_apply_probe_prefilter``). With 30-bit bands the
+    index occupies ~8N of 2^30 buckets, so a random flipped variant
+    survives with probability ~8N/2^30 — at 500k docs the 31x probe
+    fan (124M rows) collapses to the ~0.4% that can actually join,
+    output identical (measured in experiments/media_dedup_scale.py)."""
     if probe_radius not in (0, 1):
         raise ValueError(
             f"hamming_near_pairs_wide: probe_radius must be 0 or 1, "
@@ -430,8 +508,10 @@ def hamming_near_pairs_wide(
                 for j in range(WIDE_BAND_BITS)
             ],
         )
-        probe = bb.select(
-            id_col, "band", F.explode(variants).alias("band_val")
+        probe = _apply_probe_prefilter(
+            bb.select(id_col, "band", F.explode(variants).alias("band_val")),
+            bb,
+            probe_prefilter,
         )
     a = probe.select(F.col(id_col).alias("id_a"), "band", "band_val")
     b = bb.select(F.col(id_col).alias("id_b"), "band", "band_val")

@@ -344,3 +344,77 @@ def test_dhash_media_wide_preserves_string_ids(spark):
     out = dhash_media_wide(df)
     assert dict(out.dtypes)["doc_id"] == "string"
     assert out.count() == 1
+
+
+def test_probe_prefilter_modes_do_not_change_output(spark):
+    """broadcast (exact) and bloom (no-false-negative) prefilters only
+    drop probe variants that cannot join — pair sets must be identical
+    to the unfiltered run, narrow and wide."""
+    from spotify_etl_aws_spark.operators.phash import (
+        dhash_media_wide,
+        hamming_near_pairs_wide,
+    )
+
+    rng = random.Random(51)
+    # narrow: 60 hashes, 12 planted near-dup pairs at d<=4
+    hashes = {}
+    for i in range(60):
+        if i % 5 and rng.random() < 0.4:
+            base = hashes[i - i % 5]
+            h = base ^ sum(1 << rng.randrange(56) for _ in range(rng.randrange(4)))
+        else:
+            h = rng.getrandbits(56)
+        hashes[i] = h
+    df = spark.createDataFrame(
+        [(i, h) for i, h in hashes.items()], "doc_id long, phash long"
+    )
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(
+            df, max_distance=7, bands=4, probe_radius=1
+        ).collect()
+    }
+    assert want == _brute_pairs(hashes, 7)
+    for mode in ("broadcast", "bloom"):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs(
+                df, max_distance=7, bands=4, probe_radius=1,
+                probe_prefilter=mode,
+            ).collect()
+        }
+        assert got == want, mode
+    # wide: planted word perturbations
+    rows = []
+    for i in range(40):
+        if i % 4:
+            w = list(rows[i - i % 4][1:])
+            for _ in range(rng.randrange(6)):
+                k = rng.randrange(4)
+                w[k] ^= 1 << rng.randrange(60)
+        else:
+            w = [rng.getrandbits(60) for _ in range(4)]
+        rows.append((i, *w))
+    wdf = spark.createDataFrame(rows, "doc_id long, w0 long, w1 long, w2 long, w3 long")
+    wide_want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs_wide(wdf).collect()
+    }
+    assert wide_want  # fixture sanity: some pairs exist
+    for mode in ("broadcast", "bloom"):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs_wide(
+                wdf, probe_prefilter=mode
+            ).collect()
+        }
+        assert got == wide_want, mode
+
+
+def test_probe_prefilter_rejects_unknown_mode(spark):
+    df = spark.createDataFrame([(0, 1)], "doc_id long, phash long")
+    with pytest.raises(ValueError, match="probe_prefilter"):
+        hamming_near_pairs(
+            df, max_distance=7, bands=4, probe_radius=1,
+            probe_prefilter="nope",
+        ).collect()
