@@ -383,3 +383,62 @@ def test_dtw_prefilter_bound_is_admissible(a, b):
         abs(a[0] - b[0]) + abs(a[-1] - b[-1])
     )
     assert lb >= endpoint
+
+
+# ---- round-10 pure-Python kernel invariants ----
+
+_probs = st.floats(
+    min_value=1e-9, max_value=1.0 - 1e-9, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(**_SETTINGS)
+@given(x=_probs, d=st.integers(min_value=1, max_value=9))
+def test_floor_half_up_grid_is_idempotent_and_bounded(x, d):
+    # the cross-engine rounding formula fs_learn_weights(decimals=d)
+    # applies after clamping: result sits ON the grid, within half a
+    # grid step of the input, and re-rounding is the identity
+    grid = 10.0 ** d
+    r = math.floor(x * grid + 0.5) / grid
+    assert abs(r - x) <= 0.5 / grid + 1e-15
+    assert math.floor(r * grid + 0.5) / grid == r
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.floats(min_value=-60, max_value=60, allow_nan=False),
+    scale=st.integers(min_value=1, max_value=100),
+)
+def test_int_weight_rounding_is_half_up_and_monotone(w, scale):
+    from spotify_etl_aws_spark.operators.linkage import fs_int_weights
+
+    fit = {"w_agree": {"f": w}, "w_disagree": {"f": w}}
+    iw = fs_int_weights(fit, scale=scale)["w_agree"]["f"]
+    # |error| <= 0.5 ulp of the scaled grid, and exact half rounds UP
+    assert abs(iw - w * scale) <= 0.5 + 1e-9
+    assert fs_int_weights(
+        {"w_agree": {"f": w + 1.0}, "w_disagree": {"f": 0.0}}, scale=scale
+    )["w_agree"]["f"] >= iw  # monotone in w
+
+
+@settings(**_SETTINGS)
+@given(
+    cells=st.lists(
+        st.lists(st.integers(min_value=0, max_value=255), min_size=8, max_size=8),
+        min_size=8,
+        max_size=8,
+    )
+)
+def test_dhash_bit_k_is_the_gradient_sign(cells):
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.phash import dhash_pixels
+
+    arr = np.asarray(cells, dtype=np.uint8)
+    px = np.repeat(np.repeat(arr, 2, 0), 2, 1)
+    px = np.repeat(px[:, :, None], 3, 2)
+    h = dhash_pixels(px.astype(np.uint8))
+    for r in range(8):
+        for c in range(7):
+            bit = (h >> (r * 7 + c)) & 1
+            assert bit == (1 if cells[r][c] > cells[r][c + 1] else 0)
