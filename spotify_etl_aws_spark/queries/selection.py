@@ -3871,6 +3871,81 @@ WHERE score >= (SELECT CAST(floor(({total}) / 2.0) AS BIGINT) FROM wts)
 ORACLE_FS_LEARNED = _oracle_fs_learned()
 
 
+# ---- Jaro-Winkler comparator linkage (round 10) ----
+#
+# The comparator LADDER's missing rung: exact equality and
+# edit-distance <= 1 (the records lane) bracket Jaro-Winkler — the
+# Census-Bureau/Splink DEFAULT name comparator (Winkler 1990). The
+# kernel (operators/strsim.py) matches DuckDB's
+# jaro_winkler_similarity bit-for-bit (fuzz-pinned over 20k cases),
+# and per-pair JW is a fixed sequential formula — no order-dependent
+# float accumulation — so the threshold comparison needs no rounding
+# grid. Threshold 0.95 probed at all 3 SFs: min |jw - 0.95| over every
+# candidate pair = 1.852e-3 (lattice-adjacent value), >= 10^9 x any
+# conceivable cross-engine drift. The UDF runs on blocked CANDIDATES
+# only (never generation) — the documented Arrow seam where a
+# deployment swaps in rapidfuzz.
+JW_THRESHOLD = 0.95
+
+
+def link_customer_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage with a Jaro-Winkler name comparator
+    (operators/strsim.py:jaro_winkler_col >= 0.95) in place of the
+    records lane's edit-distance comparator — same blocking, same
+    hand weights, same threshold gate. Returns (probe_id, custkey,
+    score, per-field agree flags)."""
+    from ..operators.linkage import Comparator, fs_link
+    from ..operators.strsim import jaro_winkler_col
+
+    probe, master = _fs_frames(spark, sf_dir)
+    comparators = [
+        Comparator(
+            "name",
+            jaro_winkler_col(F.col("p_name"), F.col("m_name"))
+            >= JW_THRESHOLD,
+            *_FS_HAND_WEIGHTS["name"],
+        ),
+    ] + _fs_comparators(
+        {f: w for f, w in _FS_HAND_WEIGHTS.items() if f != "name"}
+    )
+    out = fs_link(
+        probe,
+        master,
+        "probe_id",
+        "custkey",
+        blocking=_fs_blocking(),
+        comparators=comparators,
+        threshold=FS_THRESHOLD,
+    )
+    return out.select(
+        "probe_id", "custkey", "score",
+        "name_agree", "phone_agree", "acct_agree", "seg_agree",
+    )
+
+
+ORACLE_FS_JW = f"""
+WITH {_FS_BASE_CTES},
+scored AS (
+  SELECT c.probe_id, c.custkey,
+         (CASE WHEN jaro_winkler_similarity(p.name, m.name)
+                    >= {JW_THRESHOLD} THEN 40 ELSE -25 END
+        + CASE WHEN p.phone = m.phone THEN 30 ELSE -15 END
+        + CASE WHEN abs(p.acct_cents - m.acct_cents) <= 100 THEN 15 ELSE -10 END
+        + CASE WHEN p.segment = m.segment THEN 10 ELSE -10 END)::BIGINT
+           AS score,
+         jaro_winkler_similarity(p.name, m.name) >= {JW_THRESHOLD}
+           AS name_agree,
+         p.phone = m.phone AS phone_agree,
+         abs(p.acct_cents - m.acct_cents) <= 100 AS acct_agree,
+         p.segment = m.segment AS seg_agree
+  FROM cand c
+  JOIN probe p ON p.probe_id = c.probe_id
+  JOIN master m ON m.custkey = c.custkey
+)
+SELECT * FROM scored WHERE score >= {FS_THRESHOLD}
+"""
+
+
 # ---- robust MAD outliers (round 9) ----
 MAD_K = 3
 MAD_MIN_GROUP = 5
@@ -4423,6 +4498,7 @@ QUERIES = {
     "link_customer_records": link_customer_records,
     "link_customer_best": link_customer_best,
     "link_customer_learned": link_customer_learned,
+    "link_customer_jw": link_customer_jw,
 }
 
 ORACLE = {
@@ -4489,4 +4565,5 @@ ORACLE = {
     "link_customer_records": ORACLE_FS_LINK,
     "link_customer_best": ORACLE_FS_BEST,
     "link_customer_learned": ORACLE_FS_LEARNED,
+    "link_customer_jw": ORACLE_FS_JW,
 }

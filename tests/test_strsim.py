@@ -1,0 +1,66 @@
+"""Jaro-Winkler kernel (operators/strsim.py): textbook values, the
+DuckDB bit-parity fuzz pin (the property the link_customer_jw oracle
+rides), edge conventions (empty strings, boost threshold), and the
+Arrow UDF column end-to-end."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from spotify_etl_aws_spark.operators.strsim import (
+    jaro_similarity,
+    jaro_winkler,
+    jaro_winkler_col,
+)
+
+
+def test_textbook_values():
+    assert jaro_similarity("martha", "marhta") == pytest.approx(
+        0.9444444444444445, abs=0
+    )
+    assert jaro_winkler("martha", "marhta") == pytest.approx(
+        0.9611111111111111, abs=0
+    )
+    assert jaro_winkler("DUANE", "DWAYNE") == pytest.approx(0.84, abs=1e-15)
+
+
+def test_edge_conventions():
+    # DuckDB conventions: either side empty -> 0.0 (even both empty);
+    # identical non-empty -> 1.0; boost only ABOVE 0.7
+    assert jaro_winkler("", "") == 0.0
+    assert jaro_winkler("abc", "") == 0.0
+    assert jaro_winkler("abc", "abc") == 1.0
+    # jaro('ed','ee') = 2/3 <= 0.7 -> no prefix boost despite prefix 1
+    assert jaro_winkler("ed", "ee") == jaro_similarity("ed", "ee")
+
+
+def test_bit_parity_with_duckdb_fuzz():
+    con = duckdb.connect()
+    rng = random.Random(19)
+    cases = [("martha", "marhta"), ("", ""), ("a", "a"), ("abcd", "dcba")]
+    for _ in range(3000):
+        a = "".join(rng.choice("abcdef") for _ in range(rng.randrange(0, 12)))
+        b = "".join(rng.choice("abcdef") for _ in range(rng.randrange(0, 12)))
+        cases.append((a, b))
+    for a, b in cases:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler(a, b) == want, (a, b)
+
+
+def test_udf_column_end_to_end(spark):
+    df = spark.createDataFrame(
+        [("martha", "marhta"), ("DUANE", "DWAYNE"), (None, "x"), ("", "")],
+        "a string, b string",
+    )
+    got = [
+        r.jw for r in df.select(jaro_winkler_col("a", "b").alias("jw")).collect()
+    ]
+    assert got[0] == pytest.approx(0.9611111111111111, abs=0)
+    assert got[1] == pytest.approx(0.84, abs=1e-15)
+    assert got[2] is None  # NULL propagates
+    assert got[3] == 0.0
