@@ -71,6 +71,14 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+def _round_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """Half-away-from-zero rounding — the SQL ``round()`` convention on
+    both engines (np.round is half-to-even, which would diverge from a
+    DuckDB twin exactly at grid midpoints)."""
+    scale = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def fit_pq(
     emb: DataFrame,
     m: int = 8,
@@ -79,13 +87,19 @@ def fit_pq(
     sample_n: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    decimals: int | None = None,
 ) -> PQModel:
     """Train PQ codebooks on the ``sample_n`` lowest-id vectors.
 
     Deterministic end to end: the sample is an ORDER BY id LIMIT (no
     RNG), initial centroids are the first k sample rows per subspace,
     and Lloyd runs a fixed ``iters`` with empty-cluster slots keeping
-    their previous centroid. k <= 256 so one code fits a byte."""
+    their previous centroid. k <= 256 so one code fits a byte.
+
+    ``decimals`` rounds each M-step mean half-away-from-zero (the SQL
+    ``round()`` convention) — the same landing grid the IVF quantizer
+    uses (queries/vector.py CENTROID_DECIMALS) so a relational twin
+    re-deriving the codebooks arrives at bit-identical centroids."""
     if not 1 <= k <= 256:
         raise ValueError(f"k must be in [1,256] (one byte per code), got {k}")
     rows = (
@@ -119,7 +133,10 @@ def fit_pq(
             for c in range(k):
                 mask = assign == c
                 if mask.any():
-                    cents[c] = sub[mask].mean(axis=0)
+                    mean = sub[mask].mean(axis=0)
+                    cents[c] = (
+                        mean if decimals is None else _round_away(mean, decimals)
+                    )
         books[s] = cents
     return PQModel(books)
 
@@ -181,12 +198,17 @@ def pq_topk(
     query: list[float] | np.ndarray,
     top_k: int = 10,
     id_col: str = "vec_id",
+    decimals: int | None = None,
 ) -> DataFrame:
     """ADC top-k over a PQ-coded frame: (id, adc_dist), ascending.
 
     The scan reads m BYTES per row and does an (m,) LUT gather + sum —
     no decode, no vectors in flight. The final top-k is
-    TakeOrderedAndProject (no global sort materialization)."""
+    TakeOrderedAndProject (no global sort materialization).
+
+    ``decimals`` rounds the distance JVM-side BEFORE the ordering (ties
+    then break on id), so a relational twin summing the per-subspace
+    contributions in a different order lands on the same top-k set."""
     lut = adc_table(np.asarray(query, dtype=np.float64), model)
     m = model.m
 
@@ -204,4 +226,6 @@ def pq_topk(
     scored = codes_df.select(id_col, "code").mapInPandas(
         gen, schema=f"{id_col} bigint, adc_dist double"
     )
+    if decimals is not None:
+        scored = scored.withColumn("adc_dist", F.round("adc_dist", decimals))
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(top_k)

@@ -4434,6 +4434,175 @@ WHERE bit_count(xor(ha.afp, hb.afp)) <= {AFP_MAXDIST}
 """
 
 
+# ---- product-quantized ADC search (round 10) ----
+#
+# The compressed-scan rung of the vector ladder (operators/pq.py —
+# FAISS's IVF-PQ design re-expressed Spark-first): codebooks are
+# learned on a bounded ORDER-BY-id sample with deterministic Lloyd
+# iterations (M-step means rounded half-away-from-zero on the
+# PQ_DECIMALS grid, exactly the IVF quantizer's cross-engine landing
+# convention), the corpus is encoded to PQ_M-byte codes map-side, and
+# the query scans CODES (m bytes/row, ~64x less I/O than full
+# vectors) through an ADC lookup table. The oracle re-derives the
+# ENTIRE pipeline relationally — per-subspace Lloyd chain, encode
+# argmin, ADC sum — the same house pattern as the IVF k-means CTEs.
+PQ_M = 8
+PQ_K = 16
+PQ_ITERS = 2
+PQ_SAMPLE_N = 256
+PQ_DECIMALS = 6
+PQ_TOPK = 10
+
+_PQ_CACHE: dict[str, object] = {}
+
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """Memoized deterministic PQ fit per corpus (the build/query split:
+    codebooks are O(m*k*dsub) MODEL STATE, exactly like the IVF
+    centroids)."""
+    model = _PQ_CACHE.get(sf_dir)
+    if model is None:
+        from ..operators.pq import fit_pq
+
+        model = fit_pq(
+            _embeddings(spark, sf_dir),
+            m=PQ_M,
+            k=PQ_K,
+            iters=PQ_ITERS,
+            sample_n=PQ_SAMPLE_N,
+            decimals=PQ_DECIMALS,
+        )
+        _PQ_CACHE[sf_dir] = model
+    return model
+
+
+def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py): fit codebooks
+    on the lowest-{PQ_SAMPLE_N} vec_ids, encode every other vector to
+    {PQ_M} one-byte codes (mapInPandas sub-GEMM, map-side only), then
+    scan the CODES with the query's ADC lookup table — squared-L2 on
+    unit vectors, distances rounded to 4 places before the top-k cut
+    so summation-order drift can't move the k boundary. Returns
+    (vec_id, adc_dist) ascending."""
+    from .vector import QUERY_VEC_ID
+    from ..operators.pq import encode_pq, pq_topk
+
+    emb = _embeddings(spark, sf_dir)
+    model = _pq_model(spark, sf_dir)
+    codes = encode_pq(emb.filter(F.col("vec_id") != QUERY_VEC_ID), model)
+    q = _query_vector(sf_dir, QUERY_VEC_ID)
+    return pq_topk(codes, model, q, top_k=PQ_TOPK, decimals=4)
+
+
+def _pq_oracle(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dsub: int = 64 // PQ_M,
+) -> str:
+    """SQL twin of fit_pq + encode_pq + pq_topk, GENERATED for any
+    Lloyd iteration count (the _ivf_assign_ctes pattern): unit-
+    normalize, slice into subspaces, seed c0 from the first k sample
+    rows per subspace, run `iters` (assign, rounded-mean) CTE pairs
+    with empty slots KEEPING their previous centroid (fit_pq's
+    convention — unlike the IVF chain, where empty cells drop), then
+    encode the full corpus under the final codebooks and scan with the
+    relational ADC sum."""
+    from .vector import QUERY_VEC_ID
+
+    d2 = (
+        "list_dot_product(c.cv, c.cv)"
+        " - 2 * list_dot_product(p.sv, c.cv)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        """u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                                          THEN 1.0
+                                          ELSE sqrt(list_dot_product(v, v)) END)) AS uv
+  FROM e
+)""",
+        f"""sub AS (
+  SELECT u.vec_id, g.s AS s,
+         list_slice(u.uv, g.s * {dsub} + 1, (g.s + 1) * {dsub}) AS sv
+  FROM u, unnest(generate_series(0, {m - 1})) AS g(s)
+)""",
+        f"sampids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_SAMPLE_N})",
+        "samp AS (SELECT sub.* FROM sub JOIN sampids USING (vec_id))",
+        f"""c0 AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cell,
+         sv AS cv
+  FROM samp
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= {k}
+)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""s{i} AS (
+  SELECT p.vec_id, p.s, c.cell,
+         row_number() OVER (PARTITION BY p.vec_id, p.s
+                            ORDER BY {d2} ASC, c.cell ASC) AS rn
+  FROM samp p JOIN c{i} c ON c.s = p.s
+)"""
+        )
+        parts.append(f"a{i} AS (SELECT vec_id, s, cell FROM s{i} WHERE rn = 1)")
+        parts.append(
+            f"""m{i + 1} AS (
+  SELECT a.s, a.cell, g.i AS i, round(avg(p.sv[g.i]), {PQ_DECIMALS}) AS mv
+  FROM a{i} a JOIN samp p ON p.vec_id = a.vec_id AND p.s = a.s,
+       unnest(generate_series(1, {dsub})) AS g(i)
+  GROUP BY a.s, a.cell, g.i
+)"""
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+  SELECT c.s, c.cell, coalesce(n.cv, c.cv) AS cv
+  FROM c{i} c
+  LEFT JOIN (SELECT s, cell, list(mv ORDER BY i) AS cv
+             FROM m{i + 1} GROUP BY s, cell) n
+    ON n.s = c.s AND n.cell = c.cell
+)"""
+        )
+    parts.append(
+        f"""enc AS (
+  SELECT p.vec_id, p.s, c.cell,
+         row_number() OVER (PARTITION BY p.vec_id, p.s
+                            ORDER BY {d2} ASC, c.cell ASC) AS rn
+  FROM sub p JOIN c{iters} c ON c.s = p.s
+  WHERE p.vec_id <> {QUERY_VEC_ID}
+)"""
+    )
+    parts.append("codes AS (SELECT vec_id, s, cell FROM enc WHERE rn = 1)")
+    parts.append(
+        f"q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = {QUERY_VEC_ID})"
+    )
+    parts.append(
+        f"""dist AS (
+  SELECT cd.vec_id,
+         sum(list_dot_product(c.cv, c.cv)
+             - 2 * list_dot_product(c.cv, q.qsv)
+             + list_dot_product(q.qsv, q.qsv)) AS d
+  FROM codes cd
+  JOIN c{iters} c ON c.s = cd.s AND c.cell = cd.cell
+  JOIN q ON q.s = cd.s
+  GROUP BY cd.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, round(d, 4) + 0.0 AS adc_dist
+FROM dist
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {PQ_TOPK}"""
+    )
+
+
+ORACLE_PQ_ADC = _pq_oracle()
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -4499,6 +4668,7 @@ QUERIES = {
     "link_customer_best": link_customer_best,
     "link_customer_learned": link_customer_learned,
     "link_customer_jw": link_customer_jw,
+    "vector_pq_adc_topk": vector_pq_adc_topk,
 }
 
 ORACLE = {
@@ -4566,4 +4736,5 @@ ORACLE = {
     "link_customer_best": ORACLE_FS_BEST,
     "link_customer_learned": ORACLE_FS_LEARNED,
     "link_customer_jw": ORACLE_FS_JW,
+    "vector_pq_adc_topk": ORACLE_PQ_ADC,
 }

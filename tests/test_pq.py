@@ -119,3 +119,111 @@ def test_pq_topk_recall_vs_exact(spark, emb, model):
     # the scan is TakeOrderedAndProject, not a global sort
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---- cross-engine margin probes for the declared lane ----
+#
+# The vector_pq_adc_topk oracle re-derives the whole fit/encode/scan
+# relationally; the two engines agree only because every decision sits
+# far from its boundary. These probes MEASURE those margins on the
+# fixture (the house pattern — embedding_lsh's sign-margin probes):
+# summation-order drift is ~1e-15 relative, so a margin >= 1e-9 means
+# the hash can never flip.
+
+
+def _lane_fit_inputs(emb):
+    from spotify_etl_aws_spark.queries.selection import (
+        PQ_DECIMALS,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SAMPLE_N,
+    )
+
+    rows = emb.orderBy("vec_id").limit(PQ_SAMPLE_N).collect()
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    return x, PQ_M, PQ_K, PQ_ITERS, PQ_DECIMALS
+
+
+def test_lane_fit_margins(emb):
+    """Replay the lane's Lloyd fit and measure (a) the argmin gap
+    between best and second-best centroid at EVERY assignment and
+    (b) every M-step mean's distance from its rounding-grid midpoint."""
+    from spotify_etl_aws_spark.operators.pq import _round_away
+
+    x, m, k, iters, decimals = _lane_fit_inputs(emb)
+    dsub = x.shape[1] // m
+    min_gap = np.inf
+    min_grid = np.inf
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        cents = sub[:k].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub**2).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cents.T
+                + (cents**2).sum(axis=1)[None, :]
+            )
+            part = np.partition(d2, 1, axis=1)
+            min_gap = min(min_gap, float((part[:, 1] - part[:, 0]).min()))
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    mean = sub[mask].mean(axis=0)
+                    r = np.abs(mean) * 10.0**decimals
+                    min_grid = min(
+                        min_grid, float(np.abs(r - np.floor(r) - 0.5).min())
+                    )
+                    cents[c] = _round_away(mean, decimals)
+    assert min_gap > 1e-9, f"assignment argmin gap {min_gap} too tight"
+    # distance from the half-up midpoint, in grid units (drift ~1e-9)
+    assert min_grid > 1e-6, f"M-step rounding margin {min_grid} too tight"
+
+
+def test_lane_encode_and_adc_margins(spark, sf_dir, emb):
+    """Encode margins under the FINAL codebooks for the whole corpus,
+    plus the ADC scan's two cut risks: raw distances near the 4dp
+    rounding midpoint, and the rounded top-k boundary (equal rounded
+    values are safe — ordering ties break on vec_id identically in
+    both engines — but a raw value within drift of the midpoint is
+    not)."""
+    from spotify_etl_aws_spark.operators.pq import adc_table
+    from spotify_etl_aws_spark.queries.selection import PQ_TOPK, _pq_model
+    from spotify_etl_aws_spark.queries.vector import QUERY_VEC_ID
+
+    model = _pq_model(spark, sf_dir)
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    m, k, dsub = model.codebooks.shape
+    codes = np.empty((len(x), m), dtype=np.int64)
+    min_gap = np.inf
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        cents = model.codebooks[s]
+        d2 = (
+            (sub**2).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ cents.T
+            + (cents**2).sum(axis=1)[None, :]
+        )
+        part = np.partition(d2, 1, axis=1)
+        min_gap = min(min_gap, float((part[:, 1] - part[:, 0]).min()))
+        codes[:, s] = np.argmin(d2, axis=1)
+    assert min_gap > 1e-9, f"encode argmin gap {min_gap} too tight"
+
+    q = x[ids == QUERY_VEC_ID][0]
+    lut = adc_table(q, model)
+    mask = ids != QUERY_VEC_ID
+    dist = lut[np.arange(m)[None, :], codes[mask]].sum(axis=1)
+    r = dist * 1e4
+    grid = np.abs(r - np.floor(r) - 0.5).min()
+    assert grid > 1e-6, f"ADC 4dp rounding margin {grid} too tight"
+    rounded = np.round(r) / 1e4  # post-margin-check, banker's is fine
+    order = np.lexsort((ids[mask], rounded))
+    kth, nxt = rounded[order[PQ_TOPK - 1]], rounded[order[PQ_TOPK]]
+    # a strictly greater rank-(k+1) value, or an exact rounded tie
+    # (then vec_id decides identically on both engines)
+    assert nxt >= kth
