@@ -4603,6 +4603,230 @@ LIMIT {PQ_TOPK}"""
 ORACLE_PQ_ADC = _pq_oracle()
 
 
+# ---- phonetic-blocking linkage (round 10) ----
+#
+# The phonetic rung of the blocking-key catalogue (Christen, *Data
+# Matching* 2012 §4.3; the functions/phonetic.py Soundex-lite spec):
+# a dirty PRODUCT FEED matched against the part master. Probe names
+# carry a NON-INITIAL vowel rotation (a->e->i->o->u->a on every
+# character past each word's first) — lexically far (edit distance ~
+# a third of the name) but phonetically INVARIANT, the exact failure
+# mode suffix/prefix blocking keys can't survive. Non-initial is the
+# operative word: the key keeps the literal first letter (the classic
+# Soundex design choice, justified by errors clustering AFTER the
+# first character — Christen 2012 §4.3), so an initial-letter edit
+# legitimately changes the key. Every
+# 7th probe is corrupted (first word reversed, unknown brand) so the
+# score gate, not just blocking, decides. Complementary passes:
+# (phonetic(word1), brand) catches intact-brand probes;
+# (phonetic(word2), type, size) catches brand-corrupted rows — whose
+# reversed first word then FAILS the phon1 comparator (max 40 < 55).
+# Size-drifted probes (+1 for partkey%3==0) miss pass 2's exact-size
+# key but survive pass 1 — the multi-pass recall story, measured.
+PHON_FS_THRESHOLD = 55
+_PHON_FS_WEIGHTS = {
+    "phon1": (20, -15),
+    "phon2": (25, -20),
+    "size": (15, -10),
+    "price": (15, -10),
+}
+
+
+def _phon_frames(spark: SparkSession, sf_dir: str):
+    from ..functions.phonetic import phonetic_key
+
+    part = t(spark, sf_dir, "part")
+    price_cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    master = (
+        part.select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+            price_cents.alias("price_cents"),
+        )
+        .withColumn("phon1", phonetic_key(F.split(F.col("name"), " ")[0]))
+        .withColumn("phon2", phonetic_key(F.split(F.col("name"), " ")[1]))
+        .drop("name")
+    )
+    corrupt = F.col("p_partkey") % 7 == 0
+    w1 = F.split(F.col("p_name"), " ")[0]
+    w2 = F.split(F.col("p_name"), " ")[1]
+
+    def rot_tail(w):  # rotate vowels past each word's first character
+        return F.concat(
+            F.substring(w, 1, 1),
+            F.translate(F.substring(w, 2, 64), "aeiou", "eioua"),
+        )
+
+    probe = (
+        part.select(
+            F.col("p_partkey").alias("probe_id"),
+            F.when(corrupt, F.concat(F.reverse(w1), F.lit(" "), w2))
+            .otherwise(
+                F.concat(rot_tail(w1), F.lit(" "), rot_tail(w2))
+            )
+            .alias("name"),
+            F.when(corrupt, F.lit("Brand#99"))
+            .otherwise(F.col("p_brand"))
+            .alias("brand"),
+            F.col("p_type").alias("type"),
+            (
+                F.col("p_size")
+                + F.when(F.col("p_partkey") % 3 == 0, 1).otherwise(0)
+            ).alias("size"),
+            (
+                price_cents
+                + F.when(F.col("p_partkey") % 5 == 0, 37).otherwise(0)
+            ).alias("price_cents"),
+        )
+        .withColumn("phon1", phonetic_key(F.split(F.col("name"), " ")[0]))
+        .withColumn("phon2", phonetic_key(F.split(F.col("name"), " ")[1]))
+        .drop("name")
+    )
+    return probe, master
+
+
+def link_part_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage with PHONETIC blocking and comparators
+    (functions/phonetic.py + operators/linkage.py): vowel-rotated
+    part names block and score through their Soundex-lite keys — both
+    passes are pure equi-joins on map-side string expressions (JVM
+    codegen, no UDF). Returns (probe_id, partkey, score, per-field
+    agree flags)."""
+    from ..operators.linkage import Comparator, fs_link
+
+    probe, master = _phon_frames(spark, sf_dir)
+    blocking = [
+        (
+            F.concat(F.col("p_phon1"), F.lit("|"), F.col("p_brand")),
+            F.concat(F.col("m_phon1"), F.lit("|"), F.col("m_brand")),
+        ),
+        (
+            F.concat(
+                F.col("p_phon2"), F.lit("|"), F.col("p_type"), F.lit("|"),
+                F.col("p_size").cast("string"),
+            ),
+            F.concat(
+                F.col("m_phon2"), F.lit("|"), F.col("m_type"), F.lit("|"),
+                F.col("m_size").cast("string"),
+            ),
+        ),
+    ]
+    comparators = [
+        Comparator(
+            "phon1", F.col("p_phon1") == F.col("m_phon1"),
+            *_PHON_FS_WEIGHTS["phon1"],
+        ),
+        Comparator(
+            "phon2", F.col("p_phon2") == F.col("m_phon2"),
+            *_PHON_FS_WEIGHTS["phon2"],
+        ),
+        Comparator(
+            "size", F.abs(F.col("p_size") - F.col("m_size")) <= 1,
+            *_PHON_FS_WEIGHTS["size"],
+        ),
+        Comparator(
+            "price",
+            F.abs(F.col("p_price_cents") - F.col("m_price_cents")) <= 100,
+            *_PHON_FS_WEIGHTS["price"],
+        ),
+    ]
+    out = fs_link(
+        probe,
+        master,
+        "probe_id",
+        "partkey",
+        blocking=blocking,
+        comparators=comparators,
+        threshold=PHON_FS_THRESHOLD,
+    )
+    return out.select(
+        "probe_id", "partkey", "score",
+        "phon1_agree", "phon2_agree", "size_agree", "price_agree",
+    )
+
+
+def _phon_oracle() -> str:
+    """DuckDB twin: the phonetic key expands from the SAME generator
+    (functions/phonetic.py:phonetic_key_sql), computed ONCE per frame
+    column; blocking and scoring then ride plain equalities."""
+    from ..functions.phonetic import phonetic_key_sql
+
+    agree = {
+        "phon1": "p.phon1 = m.phon1",
+        "phon2": "p.phon2 = m.phon2",
+        "size": "abs(p.size - m.size) <= 1",
+        "price": "abs(p.price_cents - m.price_cents) <= 100",
+    }
+    score = " + ".join(
+        f"CASE WHEN {agree[f]} THEN {wa} ELSE {wd} END"
+        for f, (wa, wd) in _PHON_FS_WEIGHTS.items()
+    )
+    flags = ",\n         ".join(
+        f"{agree[f]} AS {f}_agree" for f in _PHON_FS_WEIGHTS
+    )
+    return f"""
+WITH master AS (
+  SELECT p_partkey AS partkey, p_brand AS brand, p_type AS type,
+         p_size AS size,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+         {phonetic_key_sql("split_part(p_name, ' ', 1)")} AS phon1,
+         {phonetic_key_sql("split_part(p_name, ' ', 2)")} AS phon2
+  FROM part
+),
+probe0 AS (
+  SELECT p_partkey AS probe_id,
+         CASE WHEN p_partkey % 7 = 0
+              THEN reverse(split_part(p_name, ' ', 1)) || ' '
+                   || split_part(p_name, ' ', 2)
+              ELSE substring(split_part(p_name, ' ', 1), 1, 1)
+                   || translate(substring(split_part(p_name, ' ', 1), 2, 64),
+                                'aeiou', 'eioua')
+                   || ' '
+                   || substring(split_part(p_name, ' ', 2), 1, 1)
+                   || translate(substring(split_part(p_name, ' ', 2), 2, 64),
+                                'aeiou', 'eioua')
+              END AS name,
+         CASE WHEN p_partkey % 7 = 0 THEN 'Brand#99' ELSE p_brand END
+           AS brand,
+         p_type AS type,
+         p_size + CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END AS size,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT)
+           + CASE WHEN p_partkey % 5 = 0 THEN 37 ELSE 0 END AS price_cents
+  FROM part
+),
+probe AS (
+  SELECT probe_id, brand, type, size, price_cents,
+         {phonetic_key_sql("split_part(name, ' ', 1)")} AS phon1,
+         {phonetic_key_sql("split_part(name, ' ', 2)")} AS phon2
+  FROM probe0
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, m.partkey
+  FROM probe p JOIN master m
+    ON p.phon1 = m.phon1 AND p.brand = m.brand
+  UNION
+  SELECT DISTINCT p.probe_id, m.partkey
+  FROM probe p JOIN master m
+    ON p.phon2 = m.phon2 AND p.type = m.type AND p.size = m.size
+),
+scored AS (
+  SELECT c.probe_id, c.partkey,
+         CAST({score} AS BIGINT) AS score,
+         {flags}
+  FROM cand c
+  JOIN probe p ON p.probe_id = c.probe_id
+  JOIN master m ON m.partkey = c.partkey
+)
+SELECT * FROM scored WHERE score >= {PHON_FS_THRESHOLD}
+"""
+
+
+ORACLE_PHON_LINK = _phon_oracle()
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -4669,6 +4893,7 @@ QUERIES = {
     "link_customer_learned": link_customer_learned,
     "link_customer_jw": link_customer_jw,
     "vector_pq_adc_topk": vector_pq_adc_topk,
+    "link_part_phonetic": link_part_phonetic,
 }
 
 ORACLE = {
@@ -4737,4 +4962,5 @@ ORACLE = {
     "link_customer_learned": ORACLE_FS_LEARNED,
     "link_customer_jw": ORACLE_FS_JW,
     "vector_pq_adc_topk": ORACLE_PQ_ADC,
+    "link_part_phonetic": ORACLE_PHON_LINK,
 }
