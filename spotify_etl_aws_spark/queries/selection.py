@@ -4827,6 +4827,76 @@ SELECT * FROM scored WHERE score >= {PHON_FS_THRESHOLD}
 ORACLE_PHON_LINK = _phon_oracle()
 
 
+# ---- greedy k-center diversity selection (round 10) ----
+KC_K = 8
+KC_DECIMALS = 6
+
+
+def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first k-center selection (operators/coreset.py) over
+    the embeddings corpus: {KC_K} maximally-diverse vectors, each
+    annotated with its coverage (max cosine to the rows already
+    chosen) at selection time. Returns (sel_rank, vec_id, coverage);
+    the seed's coverage is NULL."""
+    from ..operators.coreset import kcenter_select
+
+    picks = kcenter_select(
+        _embeddings(spark, sf_dir), KC_K, decimals=KC_DECIMALS
+    )
+    return spark.createDataFrame(
+        picks, "sel_rank long, vec_id long, coverage double"
+    )
+
+
+def _kcenter_oracle(k: int = KC_K) -> str:
+    """SQL twin: a generated chain of (coverage, pick) CTE pairs —
+    d{j} folds the newest pick into the running max INCREMENTALLY
+    (greatest of the previous rounded coverage and the new rounded
+    cosine), which equals the Spark side's recompute-against-all
+    because per-term rounding commutes with max."""
+    cos = (
+        "list_dot_product(d.v, p.v) / (sqrt(list_dot_product(d.v, d.v))"
+        " * sqrt(list_dot_product(p.v, p.v)))"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "p1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+  SELECT d.vec_id, d.v, round({cos}, {KC_DECIMALS}) AS cov
+  FROM e d, p1 p WHERE d.vec_id <> p.vec_id
+)""",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"p{j} AS (SELECT vec_id, v, cov FROM d{j - 1}"
+            f" ORDER BY cov ASC, vec_id ASC LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f"""d{j} AS (
+  SELECT d.vec_id, d.v,
+         greatest(d.cov, round({cos}, {KC_DECIMALS})) AS cov
+  FROM d{j - 1} d, p{j} p WHERE d.vec_id <> p.vec_id
+)"""
+            )
+    rows = [
+        "SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS coverage FROM p1"
+    ] + [
+        f"SELECT {j} AS sel_rank, vec_id, cov + 0.0 AS coverage FROM p{j}"
+        for j in range(2, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, coverage FROM ("
+        + "\nUNION ALL\n".join(rows)
+        + ")"
+    )
+
+
+ORACLE_KCENTER = _kcenter_oracle()
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -4894,6 +4964,7 @@ QUERIES = {
     "link_customer_jw": link_customer_jw,
     "vector_pq_adc_topk": vector_pq_adc_topk,
     "link_part_phonetic": link_part_phonetic,
+    "select_kcenter_coreset": select_kcenter_coreset,
 }
 
 ORACLE = {
@@ -4963,4 +5034,5 @@ ORACLE = {
     "link_customer_jw": ORACLE_FS_JW,
     "vector_pq_adc_topk": ORACLE_PQ_ADC,
     "link_part_phonetic": ORACLE_PHON_LINK,
+    "select_kcenter_coreset": ORACLE_KCENTER,
 }

@@ -1,0 +1,132 @@
+"""Greedy k-center selection (operators/coreset.py): the farthest-
+first invariant against a numpy replay, determinism, plan shape, and
+the cross-engine decision margins the select_kcenter_coreset oracle
+relies on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_etl_aws_spark.operators.coreset import kcenter_select
+from spotify_etl_aws_spark.queries.selection import KC_DECIMALS, KC_K
+from spotify_etl_aws_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    return ids, x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _replay(ids, ux, k, decimals):
+    """Numpy twin of the operator spec, also yielding per-step margins:
+    (winner-vs-runner-up coverage gap, min distance of every rounded
+    cosine from its grid midpoint)."""
+    order = np.argsort(ids)
+    chosen = [order[0]]
+    picks = [(1, int(ids[order[0]]), None)]
+    min_gap, min_grid = np.inf, np.inf
+    for rank in range(2, k + 1):
+        cos = ux @ ux[chosen].T
+        r = np.abs(cos) * 10.0**decimals
+        min_grid = min(min_grid, float(np.abs(r - np.floor(r) - 0.5).min()))
+        cov = (np.sign(cos) * np.floor(r + 0.5) / 10.0**decimals).max(axis=1)
+        cov[chosen] = np.inf
+        best = np.lexsort((ids, cov))[0]
+        runner = np.lexsort((ids, cov))[1]
+        if cov[runner] != cov[best]:
+            min_gap = min(min_gap, float(cov[runner] - cov[best]))
+        picks.append((rank, int(ids[best]), float(cov[best])))
+        chosen.append(best)
+    return picks, min_gap, min_grid
+
+
+def test_matches_numpy_replay_and_margins(emb, corpus):
+    ids, ux = corpus
+    got = kcenter_select(emb, KC_K, decimals=KC_DECIMALS)
+    want, min_gap, min_grid = _replay(ids, ux, KC_K, KC_DECIMALS)
+    assert got == want
+    # ties ARE allowed (vec_id breaks them identically on both
+    # engines); what must be wide is everything that isn't a tie, and
+    # every rounded value's distance from its grid midpoint
+    assert min_gap > 1e-5, f"winner/runner-up gap {min_gap} too tight"
+    assert min_grid > 1e-6, f"rounding-grid margin {min_grid} too tight"
+
+
+def test_farthest_first_invariant(corpus):
+    """At every step the pick's coverage is <= the coverage of every
+    not-yet-chosen row (computed unrounded — the greedy property
+    itself, not the grid)."""
+    ids, ux = corpus
+    picks, _, _ = _replay(ids, ux, KC_K, KC_DECIMALS)
+    chosen_idx = [int(np.where(ids == p[1])[0][0]) for p in picks]
+    for j in range(1, len(chosen_idx)):
+        cov = (ux @ ux[chosen_idx[:j]].T).max(axis=1)
+        rest = np.setdiff1d(np.arange(len(ids)), chosen_idx[:j])
+        # rounded comparison: the operator decides on the rounded grid
+        grid = 10.0**KC_DECIMALS
+        rcov = np.sign(cov) * np.floor(np.abs(cov) * grid + 0.5) / grid
+        assert rcov[chosen_idx[j]] <= rcov[rest].min() + 1e-12
+
+
+def test_diversity_beats_prefix(corpus):
+    """The selected panel is more diverse (lower max pairwise cosine)
+    than the first-k-ids baseline — the reason the operator exists."""
+    ids, ux = corpus
+    picks, _, _ = _replay(ids, ux, KC_K, KC_DECIMALS)
+    sel = [int(np.where(ids == p[1])[0][0]) for p in picks]
+    prefix = list(np.argsort(ids)[:KC_K])
+
+    def max_pair_cos(idx):
+        g = ux[idx] @ ux[idx].T
+        np.fill_diagonal(g, -np.inf)
+        return g.max()
+
+    assert max_pair_cos(sel) <= max_pair_cos(prefix)
+
+
+def test_each_step_is_take_ordered(emb):
+    """The per-step plan: map-side cosine terms + TakeOrderedAndProject
+    — no global sort, no join, no Python eval."""
+    from spotify_etl_aws_spark.functions.vectors import cosine
+
+    cv = [float(x) for x in emb.orderBy("vec_id").first().v]
+    step = (
+        emb.select(
+            "vec_id",
+            F.round(
+                cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])), 6
+            ).alias("coverage"),
+        )
+        .orderBy(F.asc("coverage"), F.asc("vec_id"))
+        .limit(1)
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("SortMergeJoin", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan
+
+
+def test_edge_cases(emb, spark):
+    with pytest.raises(ValueError, match="k must be"):
+        kcenter_select(emb, 0)
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        kcenter_select(empty, 2)
+    # k larger than the frame: returns every row, ranks contiguous
+    small = emb.filter(F.col("vec_id") < 3)
+    picks = kcenter_select(small, 10)
+    assert [p[0] for p in picks] == [1, 2, 3]
+    assert sorted(p[1] for p in picks) == [0, 1, 2]
