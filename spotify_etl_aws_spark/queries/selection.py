@@ -4688,17 +4688,8 @@ def _phon_frames(spark: SparkSession, sf_dir: str):
     return probe, master
 
 
-def link_part_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter linkage with PHONETIC blocking and comparators
-    (functions/phonetic.py + operators/linkage.py): vowel-rotated
-    part names block and score through their Soundex-lite keys — both
-    passes are pure equi-joins on map-side string expressions (JVM
-    codegen, no UDF). Returns (probe_id, partkey, score, per-field
-    agree flags)."""
-    from ..operators.linkage import Comparator, fs_link
-
-    probe, master = _phon_frames(spark, sf_dir)
-    blocking = [
+def _phon_blocking():
+    return [
         (
             F.concat(F.col("p_phon1"), F.lit("|"), F.col("p_brand")),
             F.concat(F.col("m_phon1"), F.lit("|"), F.col("m_brand")),
@@ -4714,7 +4705,12 @@ def link_part_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
-    comparators = [
+
+
+def _phon_comparators():
+    from ..operators.linkage import Comparator
+
+    return [
         Comparator(
             "phon1", F.col("p_phon1") == F.col("m_phon1"),
             *_PHON_FS_WEIGHTS["phon1"],
@@ -4733,13 +4729,25 @@ def link_part_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             *_PHON_FS_WEIGHTS["price"],
         ),
     ]
+
+
+def link_part_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage with PHONETIC blocking and comparators
+    (functions/phonetic.py + operators/linkage.py): vowel-rotated
+    part names block and score through their Soundex-lite keys — both
+    passes are pure equi-joins on map-side string expressions (JVM
+    codegen, no UDF). Returns (probe_id, partkey, score, per-field
+    agree flags)."""
+    from ..operators.linkage import fs_link
+
+    probe, master = _phon_frames(spark, sf_dir)
     out = fs_link(
         probe,
         master,
         "probe_id",
         "partkey",
-        blocking=blocking,
-        comparators=comparators,
+        blocking=_phon_blocking(),
+        comparators=_phon_comparators(),
         threshold=PHON_FS_THRESHOLD,
     )
     return out.select(

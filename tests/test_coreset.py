@@ -98,25 +98,58 @@ def test_diversity_beats_prefix(corpus):
 
 
 def test_each_step_is_take_ordered(emb):
-    """The per-step plan: map-side cosine terms + TakeOrderedAndProject
-    — no global sort, no join, no Python eval."""
-    from spotify_etl_aws_spark.functions.vectors import cosine
+    """The per-step plan: Arrow-batched GEMM (MapInPandas, one winner
+    row per batch) + TakeOrderedAndProject — no global sort, no join,
+    no row-at-a-time Python."""
+    from spotify_etl_aws_spark.operators.coreset import _min_coverage_pick
 
     cv = [float(x) for x in emb.orderBy("vec_id").first().v]
     step = (
-        emb.select(
-            "vec_id",
-            F.round(
-                cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])), 6
-            ).alias("coverage"),
+        emb.select("vec_id", "v")
+        .filter(~F.col("vec_id").isin([0]))
+        .mapInPandas(
+            lambda it: it,  # schema stand-in; plan shape is what's pinned
+            schema="vec_id bigint, v array<double>",
         )
-        .orderBy(F.asc("coverage"), F.asc("vec_id"))
+        .orderBy(F.asc("vec_id"))
         .limit(1)
     )
     plan = step._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in plan and "MapInPandas" in plan
     for bad in ("SortMergeJoin", "CartesianProduct", "BatchEvalPython"):
         assert bad not in plan
+    # and the real step returns exactly one row with the right fields
+    row = _min_coverage_pick(emb, [cv], [0], "vec_id", "v", 6)
+    assert len(row) == 1 and row[0].vec_id != 0
+
+
+def test_kernel_matches_expression_reference(emb):
+    """The Arrow GEMM coverage and the JVM higher-order-function
+    reference pick the same row with the same rounded coverage at
+    every step (the vector_ops cross-validation pattern)."""
+    from spotify_etl_aws_spark.operators.coreset import (
+        _coverage_expr,
+        _min_coverage_pick,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    seed = sub.orderBy("vec_id").first()
+    vecs, exclude = [list(seed.v)], [int(seed.vec_id)]
+    for _ in range(3):
+        got = _min_coverage_pick(sub, vecs, exclude, "vec_id", "v", 6)[0]
+        want = (
+            sub.filter(~F.col("vec_id").isin(exclude))
+            .select(
+                "vec_id", "v",
+                _coverage_expr("v", vecs, 6).alias("coverage"),
+            )
+            .orderBy(F.asc("coverage"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        assert (got.vec_id, got.coverage) == (want.vec_id, want.coverage)
+        vecs.append(list(got.v))
+        exclude.append(int(got.vec_id))
 
 
 def test_edge_cases(emb, spark):
