@@ -135,3 +135,138 @@ def kcenter_select(
         chosen.append((rank, pick[0][0], float(pick[0]["coverage"])))
         vecs.append(list(pick[0][1]))
     return chosen
+
+
+def _max_mmr_pick(
+    emb: DataFrame,
+    query: list[float],
+    vecs: list[list[float]],
+    exclude: list[int],
+    lam: float,
+    mu: float,
+    id_col: str,
+    vec_col: str,
+    decimals: int,
+) -> list:
+    """One MMR step: score = lam*rel - mu*maxsim from 6dp-rounded
+    ingredients (identical doubles on both engines, so the two
+    IEEE multiplies and one subtract are bit-deterministic), Arrow
+    GEMM + per-batch local top-1, global TakeOrdered(1) on
+    (-score, id)."""
+    books = _unit_rows(np.array(vecs, dtype=np.float64))
+    uq = _unit_rows(np.array([query], dtype=np.float64))[0]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ux = _unit_rows(x)
+            rel = _round_away(ux @ uq, decimals)
+            maxsim = _round_away(ux @ books.T, decimals).max(axis=1)
+            score = lam * rel - mu * maxsim
+            ids = pdf[id_col].to_numpy()
+            best = np.lexsort((ids, -score))[0]
+            yield pd.DataFrame(
+                {
+                    id_col: [ids[best]],
+                    vec_col: [list(x[best])],
+                    "relevance": [rel[best]],
+                    "mmr_score": [score[best]],
+                }
+            )
+
+    return (
+        emb.select(id_col, vec_col)
+        .filter(~F.col(id_col).isin(exclude))
+        .mapInPandas(
+            gen,
+            schema=(
+                f"{id_col} bigint, {vec_col} array<double>,"
+                " relevance double, mmr_score double"
+            ),
+        )
+        .orderBy(F.desc("mmr_score"), F.asc(id_col))
+        .limit(1)
+        .collect()
+    )
+
+
+def mmr_select(
+    emb: DataFrame,
+    query: list[float],
+    k: int,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    decimals: int = 6,
+) -> list[tuple[int, int, float, float | None]]:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998) — the relevance-AND-diversity dual of k-center: seed =
+    argmax relevance to the query; each later step maximizes
+    ``lam * rel(x) - mu * max_sim(x, selected)``. ``lam`` and ``mu``
+    are INDEPENDENT literals, not lam/1-lam — ``1 - 0.7`` is not the
+    double ``0.3``, and both engines must multiply by the same bits.
+
+    rel and every pairwise similarity round to ``decimals`` first, so
+    the score is two IEEE multiplies and a subtract over
+    grid-identical doubles — bit-deterministic across engines.
+
+    Returns [(sel_rank, id, relevance, mmr_score)] with a None score
+    for the seed (it has no diversity penalty). Same scale shape as
+    ``kcenter_select``: k-1 linear GEMM scans, k scalars on the
+    driver."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    uq = _unit_rows(np.array([query], dtype=np.float64))[0]
+
+    def seed_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            rel = _round_away(_unit_rows(x) @ uq, decimals)
+            ids = pdf[id_col].to_numpy()
+            best = np.lexsort((ids, -rel))[0]
+            yield pd.DataFrame(
+                {
+                    id_col: [ids[best]],
+                    vec_col: [list(x[best])],
+                    "relevance": [rel[best]],
+                }
+            )
+
+    seed = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(
+            seed_gen,
+            schema=f"{id_col} bigint, {vec_col} array<double>, relevance double",
+        )
+        .orderBy(F.desc("relevance"), F.asc(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not seed:
+        raise ValueError("mmr_select: empty embedding frame")
+    out: list[tuple[int, int, float, float | None]] = [
+        (1, seed[0][0], float(seed[0]["relevance"]), None)
+    ]
+    vecs = [list(seed[0][1])]
+    for rank in range(2, k + 1):
+        pick = _max_mmr_pick(
+            emb, query, vecs, [c[1] for c in out], lam, mu,
+            id_col, vec_col, decimals,
+        )
+        if not pick:
+            break
+        out.append(
+            (
+                rank,
+                pick[0][0],
+                float(pick[0]["relevance"]),
+                float(pick[0]["mmr_score"]),
+            )
+        )
+        vecs.append(list(pick[0][1]))
+    return out

@@ -4905,6 +4905,110 @@ def _kcenter_oracle(k: int = KC_K) -> str:
 ORACLE_KCENTER = _kcenter_oracle()
 
 
+# ---- maximal marginal relevance selection (round 10) ----
+#
+# The relevance-AND-diversity dual of the k-center lane (Carbonell &
+# Goldstein SIGIR 1998 — the retrieval-reranking default): seed =
+# argmax relevance to the query, each later pick maximizes
+# lam*rel - mu*maxsim. lam/mu are INDEPENDENT literals (1 - 0.7 is
+# not the double 0.3); rel and every pairwise cosine round to 6dp
+# first, so the score is two IEEE multiplies and a subtract over
+# grid-identical doubles — bit-deterministic across engines, emitted
+# RAW (no output rounding needed or wanted: identical bits by
+# construction, and an extra round would only ADD a midpoint risk).
+MMR_K = 8
+MMR_LAM = 0.7
+MMR_MU = 0.3
+
+
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR selection (operators/coreset.py:mmr_select) of {MMR_K}
+    results for the corpus query vector, balancing query relevance
+    against redundancy with already-picked results. Returns
+    (sel_rank, vec_id, relevance, mmr_score); the seed's score is
+    NULL (no diversity penalty yet)."""
+    from ..operators.coreset import mmr_select
+    from .vector import QUERY_VEC_ID
+
+    emb = _embeddings(spark, sf_dir).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    picks = mmr_select(
+        emb,
+        _query_vector(sf_dir, QUERY_VEC_ID),
+        MMR_K,
+        lam=MMR_LAM,
+        mu=MMR_MU,
+        decimals=KC_DECIMALS,
+    )
+    return spark.createDataFrame(
+        picks,
+        "sel_rank long, vec_id long, relevance double, mmr_score double",
+    )
+
+
+def _mmr_oracle(k: int = MMR_K) -> str:
+    """SQL twin: rel CTE once, then a generated (score/pick, fold)
+    chain — ms folds each new pick's rounded cosine into the running
+    max, valid because per-term rounding commutes with max."""
+    from .vector import QUERY_VEC_ID
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})",
+        f"""rel AS (
+  SELECT e.vec_id, e.v, round({cos("e.v", "q.qv")}, {KC_DECIMALS}) AS rel
+  FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+)""",
+        "p1 AS (SELECT vec_id, v, rel FROM rel"
+        " ORDER BY rel DESC, vec_id ASC LIMIT 1)",
+        f"""d1 AS (
+  SELECT r.vec_id, r.v, r.rel,
+         round({cos("r.v", "p.v")}, {KC_DECIMALS}) AS ms
+  FROM rel r, p1 p WHERE r.vec_id <> p.vec_id
+)""",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"p{j} AS (SELECT vec_id, v, rel,"
+            f" {MMR_LAM} * rel - {MMR_MU} * ms AS score"
+            f" FROM d{j - 1} ORDER BY score DESC, vec_id ASC LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f"""d{j} AS (
+  SELECT d.vec_id, d.v, d.rel,
+         greatest(d.ms, round({cos("d.v", "p.v")}, {KC_DECIMALS})) AS ms
+  FROM d{j - 1} d, p{j} p WHERE d.vec_id <> p.vec_id
+)"""
+            )
+    rows = [
+        "SELECT 1 AS sel_rank, vec_id, rel AS relevance,"
+        " CAST(NULL AS DOUBLE) AS mmr_score FROM p1"
+    ] + [
+        f"SELECT {j} AS sel_rank, vec_id, rel AS relevance,"
+        f" score + 0.0 AS mmr_score FROM p{j}"
+        for j in range(2, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,"
+        " relevance + 0.0 AS relevance, mmr_score FROM ("
+        + "\nUNION ALL\n".join(rows)
+        + ")"
+    )
+
+
+ORACLE_MMR = _mmr_oracle()
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -4973,6 +5077,7 @@ QUERIES = {
     "vector_pq_adc_topk": vector_pq_adc_topk,
     "link_part_phonetic": link_part_phonetic,
     "select_kcenter_coreset": select_kcenter_coreset,
+    "search_mmr_rerank": search_mmr_rerank,
 }
 
 ORACLE = {
@@ -5043,4 +5148,5 @@ ORACLE = {
     "vector_pq_adc_topk": ORACLE_PQ_ADC,
     "link_part_phonetic": ORACLE_PHON_LINK,
     "select_kcenter_coreset": ORACLE_KCENTER,
+    "search_mmr_rerank": ORACLE_MMR,
 }

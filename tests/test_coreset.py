@@ -163,3 +163,100 @@ def test_edge_cases(emb, spark):
     picks = kcenter_select(small, 10)
     assert [p[0] for p in picks] == [1, 2, 3]
     assert sorted(p[1] for p in picks) == [0, 1, 2]
+
+
+# ---- MMR (maximal marginal relevance) ----
+
+
+def _mmr_replay(ids, ux, q, k, lam, mu, decimals):
+    """Numpy twin of mmr_select, yielding per-step margins:
+    (winner/runner-up score gap over non-tied steps, min distance of
+    every rounded ingredient from its grid midpoint)."""
+    grid = 10.0**decimals
+
+    def rnd(a):
+        return np.sign(a) * np.floor(np.abs(a) * grid + 0.5) / grid
+
+    def grid_margin(a):
+        r = np.abs(a) * grid
+        return float(np.abs(r - np.floor(r) - 0.5).min())
+
+    uq = q / np.linalg.norm(q)
+    raw_rel = ux @ uq
+    min_grid = grid_margin(raw_rel)
+    rel = rnd(raw_rel)
+    best = np.lexsort((ids, -rel))[0]
+    picks = [(1, int(ids[best]), float(rel[best]), None)]
+    chosen = [best]
+    ms = np.full(len(ids), -np.inf)
+    min_gap = np.inf
+    for rank in range(2, k + 1):
+        raw = ux @ ux[chosen[-1]]
+        min_grid = min(min_grid, grid_margin(raw))
+        ms = np.maximum(ms, rnd(raw))
+        score = lam * rel - mu * ms
+        score[chosen] = -np.inf
+        order = np.lexsort((ids, -score))
+        b, r = order[0], order[1]
+        if score[b] != score[r]:
+            min_gap = min(min_gap, float(score[b] - score[r]))
+        picks.append((rank, int(ids[b]), float(rel[b]), float(score[b])))
+        chosen.append(b)
+    return picks, min_gap, min_grid
+
+
+def test_mmr_matches_replay_and_margins(spark, sf_dir, corpus):
+    from spotify_etl_aws_spark.queries.selection import (
+        MMR_K,
+        MMR_LAM,
+        MMR_MU,
+        search_mmr_rerank,
+    )
+    from spotify_etl_aws_spark.queries.vector import QUERY_VEC_ID
+
+    ids, ux = corpus
+    mask = ids != QUERY_VEC_ID
+    q = ux[ids == QUERY_VEC_ID][0]
+    want, min_gap, min_grid = _mmr_replay(
+        ids[mask], ux[mask], q, MMR_K, MMR_LAM, MMR_MU, KC_DECIMALS
+    )
+    got = [
+        (r.sel_rank, r.vec_id, r.relevance, r.mmr_score)
+        for r in search_mmr_rerank(spark, sf_dir)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert got == want
+    assert min_gap > 1e-5, f"MMR winner/runner-up gap {min_gap} too tight"
+    assert min_grid > 1e-6, f"MMR grid margin {min_grid} too tight"
+
+
+def test_mmr_diversifies_vs_pure_relevance(corpus):
+    """With mu > 0 the selected panel's internal redundancy (max
+    pairwise cosine) is no worse than pure relevance top-k, while the
+    seed is exactly the relevance argmax — the operator's contract."""
+    from spotify_etl_aws_spark.operators.coreset import mmr_select  # noqa: F401
+    from spotify_etl_aws_spark.queries.selection import (
+        MMR_K,
+        MMR_LAM,
+        MMR_MU,
+    )
+    from spotify_etl_aws_spark.queries.vector import QUERY_VEC_ID
+
+    ids, ux = corpus
+    mask = ids != QUERY_VEC_ID
+    q = ux[ids == QUERY_VEC_ID][0]
+    picks, _, _ = _mmr_replay(
+        ids[mask], ux[mask], q, MMR_K, MMR_LAM, MMR_MU, KC_DECIMALS
+    )
+    rel = ux[mask] @ q
+    topk = np.argsort(-rel, kind="stable")[:MMR_K]
+    sel = [int(np.where(ids[mask] == p[1])[0][0]) for p in picks]
+    assert sel[0] == int(np.lexsort((ids[mask], -rel))[0])
+
+    def max_pair(idx):
+        g = ux[mask][idx] @ ux[mask][idx].T
+        np.fill_diagonal(g, -np.inf)
+        return g.max()
+
+    assert max_pair(sel) <= max_pair(list(topk)) + 1e-12
