@@ -5009,6 +5009,49 @@ def _mmr_oracle(k: int = MMR_K) -> str:
 ORACLE_MMR = _mmr_oracle()
 
 
+# ---- dyadic EWMA smoothing (round 10) ----
+EWMA_WINDOW = 8
+
+
+def ts_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-value EWMA (operators/smoothing.py): alpha=1/2,
+    geometric tail truncated at {EWMA_WINDOW} terms, integer cents
+    until one exact power-of-two division — bit-identical doubles on
+    both engines by construction (no rounding contract needed).
+    Returns (event_id, user_id, cents, ewma)."""
+    from ..operators.smoothing import ewma_dyadic
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ewma_dyadic(
+        ev, "user_id", ["ts", "event_id"], "cents", window=EWMA_WINDOW
+    ).select("event_id", "user_id", "cents", "ewma")
+
+
+def _ewma_oracle() -> str:
+    from ..operators.smoothing import ewma_dyadic_sql
+
+    frag = ewma_dyadic_sql(
+        "cents", "user_id", "ts, event_id", window=EWMA_WINDOW
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, cents, {frag} AS ewma
+FROM base
+"""
+
+
+ORACLE_EWMA = _ewma_oracle()
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -5078,6 +5121,7 @@ QUERIES = {
     "link_part_phonetic": link_part_phonetic,
     "select_kcenter_coreset": select_kcenter_coreset,
     "search_mmr_rerank": search_mmr_rerank,
+    "ts_ewma_dyadic": ts_ewma_dyadic,
 }
 
 ORACLE = {
@@ -5149,4 +5193,5 @@ ORACLE = {
     "link_part_phonetic": ORACLE_PHON_LINK,
     "select_kcenter_coreset": ORACLE_KCENTER,
     "search_mmr_rerank": ORACLE_MMR,
+    "ts_ewma_dyadic": ORACLE_EWMA,
 }
