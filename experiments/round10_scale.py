@@ -24,9 +24,14 @@ phonetic-blocking linkage, and greedy k-center selection.
 3. **k-center** (`select_kcenter_coreset`): the 8-pick selection at
    200k vectors, Spark vs a numpy replay of the spec (picks asserted
    identical). Cost is k-1 linear scans — the probe prints wall per
-   scan to show flatness per step.
+   scan to show flatness per step. The same run replays **MMR**
+   (`search_mmr_rerank`) at 200k with the same bit-equality assert.
+4. **EWMA** (`ts_ewma_dyadic`): the dyadic window smoother on 10x/30x
+   amplified events, Spark vs the DuckDB twin — full-column equality
+   (not just counts) asserted via a checksum, which is only possible
+   because the lane is bit-exact by construction.
 
-Run: python experiments/round10_scale.py [pq|phon|kcenter]
+Run: python experiments/round10_scale.py [pq|phon|kcenter|ewma]
 Results recorded in BASELINE.md.
 """
 
@@ -233,6 +238,107 @@ def probe_kcenter() -> None:
     )
 
 
+def probe_mmr() -> None:
+    from spotify_etl_aws_spark.operators.coreset import mmr_select
+    from spotify_etl_aws_spark.queries.selection import (
+        KC_DECIMALS,
+        MMR_K,
+        MMR_LAM,
+        MMR_MU,
+    )
+    from spotify_etl_aws_spark.queries.vector import QUERY_VEC_ID, _query_vector
+
+    import pyspark.sql.functions as F
+
+    spark = _spark()
+    path, n = amplify("embeddings", "vec_id", 100, OUT)
+    q = _query_vector(SF_DIR, QUERY_VEC_ID)
+    emb = (
+        _emb_frame(spark, path)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .cache()
+    )
+    emb.count()
+    t0 = time.perf_counter()
+    picks = mmr_select(
+        emb, q, MMR_K, lam=MMR_LAM, mu=MMR_MU, decimals=KC_DECIMALS
+    )
+    w = time.perf_counter() - t0
+    # numpy replay (same spec as tests/test_coreset.py::_mmr_replay)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.array(tbl.column("vec_id"))
+    x = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mask = ids != QUERY_VEC_ID
+    ux = x / np.linalg.norm(x, axis=1, keepdims=True)
+    uq = np.array(q) / np.linalg.norm(q)
+    grid = 10.0**KC_DECIMALS
+    rnd = lambda a: np.sign(a) * np.floor(np.abs(a) * grid + 0.5) / grid  # noqa: E731
+    mids, mux = ids[mask], ux[mask]
+    rel = rnd(mux @ uq)
+    best = np.lexsort((mids, -rel))[0]
+    want = [(1, int(mids[best]), float(rel[best]), None)]
+    chosen = [best]
+    ms = np.full(len(mids), -np.inf)
+    for rank in range(2, MMR_K + 1):
+        ms = np.maximum(ms, rnd(mux @ mux[chosen[-1]]))
+        score = MMR_LAM * rel - MMR_MU * ms
+        score[chosen] = -np.inf
+        b = np.lexsort((mids, -score))[0]
+        want.append((rank, int(mids[b]), float(rel[b]), float(score[b])))
+        chosen.append(b)
+    assert picks == want, f"mmr replay split: {picks} vs {want}"
+    print(f"mmr n={n}: {MMR_K} picks in {w:.2f}s, replay equal: True", flush=True)
+
+
+def probe_ewma() -> None:
+    import duckdb
+
+    from spotify_etl_aws_spark.queries.selection import (
+        ORACLE_EWMA,
+        ts_ewma_dyadic,
+    )
+
+    spark = _spark()
+    for reps in (10, 30):
+        path, n = amplify("events", "event_id", reps, OUT)
+        d = f"{OUT}/ewma_x{reps}"
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+        t0 = time.perf_counter()
+        sp = (
+            ts_ewma_dyadic(spark, d)
+            .selectExpr(
+                "count(*) AS n",
+                "sum(cents) AS sc",
+                "sum(ewma * 4096) AS se",  # *2^12: every term integer
+            )
+            .collect()[0]
+        )
+        spark_w = time.perf_counter() - t0
+        con = duckdb.connect(config={"threads": "32"})
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')"
+        )
+        t0 = time.perf_counter()
+        dk = con.execute(
+            f"SELECT count(*), sum(cents), sum(ewma * 4096)"
+            f" FROM ({ORACLE_EWMA})"
+        ).fetchone()
+        duck_w = time.perf_counter() - t0
+        assert (sp.n, sp.sc, int(sp.se)) == (dk[0], dk[1], int(dk[2])), (
+            f"ewma checksum split at {reps}x: {tuple(sp)} vs {dk}"
+        )
+        print(
+            f"ewma rows={n:>7}: spark={spark_w:.2f}s duckdb={duck_w:.2f}s"
+            f" checksums equal: True",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("pq", "all"):
@@ -241,3 +347,7 @@ if __name__ == "__main__":
         probe_phon()
     if which in ("kcenter", "all"):
         probe_kcenter()
+    if which in ("mmr", "all"):
+        probe_mmr()
+    if which in ("ewma", "all"):
+        probe_ewma()
