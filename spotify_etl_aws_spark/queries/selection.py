@@ -5052,6 +5052,83 @@ FROM base
 ORACLE_EWMA = _ewma_oracle()
 
 
+# ---- exact-phrase containment search (round 10) ----
+#
+# The "benchmark quote probe" of the decontamination toolbox (the
+# n-gram-overlap complement of decon_semantic_overlap; GPT-3 appendix
+# C / PaLM-style 13-gram exact-match decontamination, scaled here to
+# the fixture's short docs): find every corpus position containing an
+# exact probe phrase via a positional n-gram join. Probe phrases are
+# derived in-lane (first {PHRASE_N} tokens of every {PHRASE_EVERY}th
+# doc), so each phrase provably matches its own source at pos 1 and
+# the lane's output is its own recall witness.
+#
+# Scale shape: the corpus side is a map-side posexplode of positional
+# n-grams; the probe side is small by construction and BROADCASTS, so
+# the match is exchange-free — at 100 TB this is one linear scan, the
+# same plan a Bloom-pushed quote scan would get. Content (the gram
+# string) is the join key: no hash, no collisions to reason about;
+# the xxhash64 variant is the documented swap once gram bytes dominate
+# shuffle-free traffic.
+PHRASE_N = 5
+PHRASE_EVERY = 50
+
+
+def decon_phrase_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase containment search (functions/text.py:tokens +
+    word_shingles): positional {PHRASE_N}-gram index joined against
+    broadcast probe phrases. Returns (phrase_id, doc_id, pos) for
+    every exact occurrence, 1-based token position."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    from ..functions.text import word_shingles
+
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            word_shingles(F.col("toks"), PHRASE_N, distinct=False)
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram"
+    )
+    probes = (
+        docs.filter(
+            (F.col("doc_id") % PHRASE_EVERY == 0)
+            & (F.size("toks") >= PHRASE_N)
+        )
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            F.concat_ws(" ", F.slice("toks", 1, PHRASE_N)).alias("gram"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(probes), "gram")
+        .select("phrase_id", "doc_id", "pos")
+    )
+
+
+ORACLE_PHRASE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+         array_to_string(w[g.i:g.i + {PHRASE_N - 1}], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(w) - {PHRASE_N - 1})) AS g(i)
+  WHERE len(w) >= {PHRASE_N}
+),
+probes AS (
+  SELECT doc_id AS phrase_id, array_to_string(w[1:{PHRASE_N}], ' ') AS gram
+  FROM toks
+  WHERE doc_id % {PHRASE_EVERY} = 0 AND len(w) >= {PHRASE_N}
+)
+SELECT p.phrase_id, g.doc_id, g.pos
+FROM grams g JOIN probes p ON p.gram = g.gram
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -5122,6 +5199,7 @@ QUERIES = {
     "select_kcenter_coreset": select_kcenter_coreset,
     "search_mmr_rerank": search_mmr_rerank,
     "ts_ewma_dyadic": ts_ewma_dyadic,
+    "decon_phrase_matches": decon_phrase_matches,
 }
 
 ORACLE = {
@@ -5194,4 +5272,5 @@ ORACLE = {
     "select_kcenter_coreset": ORACLE_KCENTER,
     "search_mmr_rerank": ORACLE_MMR,
     "ts_ewma_dyadic": ORACLE_EWMA,
+    "decon_phrase_matches": ORACLE_PHRASE,
 }
