@@ -5129,6 +5129,120 @@ FROM grams g JOIN probes p ON p.gram = g.gram
 """
 
 
+# ---- population-stability drift (round 10) ----
+#
+# DISTRIBUTION drift between two batch windows — the monitoring
+# complement of the SCHEMA drift gate (operators/drift.py, which is
+# driver-side metadata and correctly not a lane): the Population
+# Stability Index (the credit-scoring / model-monitoring standard;
+# Karakoulas 2004, "Empirical validation of retail credit-scoring
+# models") per event type over FIXED equal-width value bins with
+# add-one smoothing, so every one of the B bins contributes a finite
+# term regardless of emptiness and the statistic is fully
+# deterministic — no quantile fitting, no epsilon conventions.
+#
+# Scale shape: one partial-agg shuffle on (type, bin) with both window
+# counts as conditional sums in the SAME pass (the data is read once),
+# a tiny type x bin grid join (broadcast), and a per-type fold. The
+# ln() sits on ratios of identical integers on both engines; psi
+# rounds to 6dp and the margin is probed in tests (the ln-bearing
+# EM-oracle protocol).
+PSI_CUTOFF = "2024-01-08"
+PSI_BINS = 20
+PSI_BIN_CENTS = 2500
+
+
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the pre- and post-{PSI_CUTOFF} event-value
+    distributions, per event type. Returns
+    (event_type, n_ref, n_cur, psi)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(
+            F.floor(
+                F.round(F.col("value") * 100, 0).cast("long")
+                / F.lit(PSI_BIN_CENTS)
+            ),
+            F.lit(PSI_BINS - 1),
+        ).cast("long").alias("bin"),
+        (F.col("ts") < F.lit(PSI_CUTOFF).cast("timestamp")).alias("is_ref"),
+    )
+    counts = ev.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("r"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(PSI_BINS).select(F.col("id").alias("bin")))
+    )
+    filled = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("r", F.lit(0)).alias("r"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    # totals as a window over the (type x bin) frame — one lineage, so
+    # the events table is scanned once (a second aggregation branch
+    # would recompute the whole chain per branch)
+    tw = W.partitionBy("event_type")
+    j = filled.withColumn("n_ref", F.sum("r").over(tw)).withColumn(
+        "n_cur", F.sum("c").over(tw)
+    )
+    p = (F.col("r") + 1) / (F.col("n_ref") + PSI_BINS)
+    q = (F.col("c") + 1) / (F.col("n_cur") + PSI_BINS)
+    term = (q - p) * F.log(q / p)
+    return (
+        j.select("event_type", "n_ref", "n_cur", term.alias("term"))
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select("event_type", "n_ref", "n_cur", "psi")
+    )
+
+
+ORACLE_PSI = f"""
+WITH ev AS (
+  SELECT event_type,
+         least(CAST(floor(CAST(round(value * 100, 0) AS BIGINT)
+                          / {PSI_BIN_CENTS}) AS BIGINT),
+               {PSI_BINS - 1}) AS bin,
+         ts < TIMESTAMP '{PSI_CUTOFF}' AS is_ref
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c
+  FROM ev GROUP BY event_type, bin
+),
+grid AS (
+  SELECT t.event_type, g.range AS bin
+  FROM (SELECT DISTINCT event_type FROM ev) t, range({PSI_BINS}) g
+),
+filled AS (
+  SELECT g.event_type, g.bin,
+         coalesce(c.r, 0) AS r, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.bin = g.bin
+),
+tot AS (
+  SELECT event_type, sum(r) AS n_ref, sum(c) AS n_cur
+  FROM filled GROUP BY event_type
+)
+SELECT f.event_type,
+       CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       round(sum(
+         ((f.c + 1) / (t.n_cur + {PSI_BINS})
+          - (f.r + 1) / (t.n_ref + {PSI_BINS}))
+         * ln(((f.c + 1) / (t.n_cur + {PSI_BINS}))
+              / ((f.r + 1) / (t.n_ref + {PSI_BINS})))
+       ), 6) + 0.0 AS psi
+FROM filled f JOIN tot t ON t.event_type = f.event_type
+GROUP BY f.event_type, t.n_ref, t.n_cur
+"""
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -5200,6 +5314,7 @@ QUERIES = {
     "search_mmr_rerank": search_mmr_rerank,
     "ts_ewma_dyadic": ts_ewma_dyadic,
     "decon_phrase_matches": decon_phrase_matches,
+    "stats_psi_drift": stats_psi_drift,
 }
 
 ORACLE = {
@@ -5273,4 +5388,5 @@ ORACLE = {
     "search_mmr_rerank": ORACLE_MMR,
     "ts_ewma_dyadic": ORACLE_EWMA,
     "decon_phrase_matches": ORACLE_PHRASE,
+    "stats_psi_drift": ORACLE_PSI,
 }
