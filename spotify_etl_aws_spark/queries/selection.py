@@ -5243,6 +5243,57 @@ GROUP BY f.event_type, t.n_ref, t.n_cur
 """
 
 
+# ---- column profiling (round 10) ----
+#
+# Deequ / Great-Expectations-style data-quality profiling: one pass
+# over a table yielding per-column completeness and cardinality — the
+# pre-ingest QA sweep a 100 TB lake runs on every landed batch. The
+# melt (stack) is a map-side 6x row expansion of STRING CARRIERS
+# (injective casts — two distinct source values never collide, so the
+# per-engine distinct COUNT is engine-independent even though the
+# renderings differ); the contract is all-BIGINT, immune to float/
+# timestamp formatting divergence by construction. At warehouse scale
+# the exact count(distinct) swaps for approx_count_distinct per the
+# q16/HLL posture.
+PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the orders table: row count, null count,
+    exact distinct count. Returns (col_name, n_rows, n_null,
+    n_distinct) — one row per profiled column, all BIGINT."""
+    pairs = ", ".join(
+        f"'{c}', cast({c} as string)" for c in PROFILE_COLS
+    )
+    stacked = t(spark, sf_dir, "orders").select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {pairs}) as (col_name, val)"
+        )
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.countDistinct("val").alias("n_distinct"),
+    )
+
+
+ORACLE_PROFILE = (
+    "SELECT col_name, count(*) AS n_rows,\n"
+    "       CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_null,\n"
+    "       count(DISTINCT val) AS n_distinct\n"
+    "FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM orders"
+        for c in PROFILE_COLS
+    )
+    + "\n)\nGROUP BY col_name"
+)
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -5315,6 +5366,7 @@ QUERIES = {
     "ts_ewma_dyadic": ts_ewma_dyadic,
     "decon_phrase_matches": decon_phrase_matches,
     "stats_psi_drift": stats_psi_drift,
+    "stats_column_profile": stats_column_profile,
 }
 
 ORACLE = {
@@ -5389,4 +5441,5 @@ ORACLE = {
     "ts_ewma_dyadic": ORACLE_EWMA,
     "decon_phrase_matches": ORACLE_PHRASE,
     "stats_psi_drift": ORACLE_PSI,
+    "stats_column_profile": ORACLE_PROFILE,
 }
