@@ -5129,6 +5129,103 @@ FROM grams g JOIN probes p ON p.gram = g.gram
 """
 
 
+# ---- transitive entity clustering over linkage matches (round 10) ----
+#
+# The Splink `cluster_pairwise_predictions_at_threshold` step: pairwise
+# match decisions become ENTITIES via connected components, so a probe
+# matching two masters merges them into one entity (the transitive
+# semantics every MDM / householding pipeline wants, and the step the
+# one-to-one best-match lane deliberately does NOT take). Probe and
+# master keyspaces overlap (both are custkey integers), so probe nodes
+# shift by LINK_PROBE_OFFSET into a disjoint namespace; unmatched rows
+# of BOTH sides come back as singletons through the CC node list.
+# Scale shape: matches are the blocked+scored fs_link output (never
+# all-pairs); CC is the shared O(log diameter) pointer-halving
+# operator whose shuffles carry only id pairs.
+LINK_PROBE_OFFSET = 1_000_000
+
+
+def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (operators/linkage.py:fs_link ->
+    operators/dedup.py:label_propagation): hand-weighted linkage
+    matches clustered into transitive entities. Returns (node,
+    entity_rep, kind) covering every probe and master row; the oracle
+    checks the fixpoint against an exact recursive-CTE closure."""
+    from ..operators.dedup import label_propagation
+    from ..operators.linkage import fs_link
+
+    probe, master = _fs_frames(spark, sf_dir)
+    matches = fs_link(
+        probe,
+        master,
+        "probe_id",
+        "custkey",
+        blocking=_fs_blocking(),
+        comparators=_fs_comparators(_FS_HAND_WEIGHTS),
+        threshold=FS_THRESHOLD,
+    )
+    pairs = matches.select(
+        (F.col("probe_id") + LINK_PROBE_OFFSET).alias("doc_a"),
+        F.col("custkey").alias("doc_b"),
+    )
+    nodes = (
+        probe.select(
+            (F.col("probe_id") + LINK_PROBE_OFFSET).alias("node")
+        )
+        .unionByName(master.select(F.col("custkey").alias("node")))
+    )
+    labels = label_propagation(pairs, nodes)
+    return labels.select(
+        "node",
+        F.col("label").alias("entity_rep"),
+        F.when(F.col("node") >= LINK_PROBE_OFFSET, F.lit("probe"))
+        .otherwise(F.lit("master"))
+        .alias("kind"),
+    )
+
+
+ORACLE_ENTITY_CLUSTERS = f"""
+WITH RECURSIVE {_FS_BASE_CTES},
+scored AS (
+  SELECT c.probe_id, c.custkey,
+         (CASE WHEN levenshtein(p.name, m.name) <= 1 THEN 40 ELSE -25 END
+        + CASE WHEN p.phone = m.phone THEN 30 ELSE -15 END
+        + CASE WHEN abs(p.acct_cents - m.acct_cents) <= 100 THEN 15 ELSE -10 END
+        + CASE WHEN p.segment = m.segment THEN 10 ELSE -10 END)::BIGINT
+           AS score
+  FROM cand c
+  JOIN probe p ON p.probe_id = c.probe_id
+  JOIN master m ON m.custkey = c.custkey
+),
+m0 AS (
+  SELECT probe_id + {LINK_PROBE_OFFSET} AS a, custkey AS b
+  FROM scored WHERE score >= {FS_THRESHOLD}
+),
+edges AS (
+  SELECT a AS u, b AS v FROM m0
+  UNION
+  SELECT b AS u, a AS v FROM m0
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+allnodes AS (
+  SELECT probe_id + {LINK_PROBE_OFFSET} AS node FROM probe
+  UNION ALL
+  SELECT custkey AS node FROM master
+)
+SELECT n.node,
+       least(n.node, coalesce(mm.mv, n.node)) AS entity_rep,
+       CASE WHEN n.node >= {LINK_PROBE_OFFSET} THEN 'probe'
+            ELSE 'master' END AS kind
+FROM allnodes n
+LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) mm
+  ON mm.u = n.node
+"""
+
+
 # ---- population-stability drift (round 10) ----
 #
 # DISTRIBUTION drift between two batch windows — the monitoring
@@ -5367,6 +5464,7 @@ QUERIES = {
     "decon_phrase_matches": decon_phrase_matches,
     "stats_psi_drift": stats_psi_drift,
     "stats_column_profile": stats_column_profile,
+    "link_entity_clusters": link_entity_clusters,
 }
 
 ORACLE = {
@@ -5442,4 +5540,5 @@ ORACLE = {
     "decon_phrase_matches": ORACLE_PHRASE,
     "stats_psi_drift": ORACLE_PSI,
     "stats_column_profile": ORACLE_PROFILE,
+    "link_entity_clusters": ORACLE_ENTITY_CLUSTERS,
 }
