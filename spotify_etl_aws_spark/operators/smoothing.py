@@ -43,7 +43,15 @@ def ewma_dyadic(
 ) -> DataFrame:
     """Append the dyadic truncated EWMA of integer ``value_col`` per
     ``key_col`` series ordered by ``order_cols`` (include a unique
-    tiebreaker — frame contents must be deterministic)."""
+    tiebreaker — frame contents must be deterministic).
+
+    ``value_col`` must be NON-NULL: collect_list silently DROPS nulls
+    (shrinking the frame) while the SQL twin's list() keeps them —
+    the two engines would disagree on frame contents, not just on one
+    value. Rather than let that skew pass silently, the expression
+    raises at execution time on the first null row (round-10 ADVICE
+    item 3); callers with nullable series coalesce to an explicit
+    sentinel first, on BOTH engines."""
     if not 1 <= window <= 12:
         # 12 keeps |v|*2^(window-1) summed over `window` rows inside
         # int64 for any plausible cent value; larger tails are < 1e-4
@@ -57,9 +65,18 @@ def ewma_dyadic(
     # frame order, oldest first): numerator = sum arr[i] * 2^(i-1),
     # denominator = 2^n. SQL-expression form because the DataFrame
     # shiftleft helper only takes a literal shift amount.
-    out = df.withColumn(
-        "__ewma_arr", F.collect_list(F.col(value_col)).over(w)
-    )
+    # CASE is lazily evaluated per row, so raise_error fires only on an
+    # actual null — zero cost in the non-null hot path (codegen branch)
+    guarded = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"ewma_dyadic: null in {value_col!r} — frame contents "
+                "would diverge from the SQL twin (see docstring)"
+            )
+        ).cast("long"),
+    ).otherwise(F.col(value_col))
+    out = df.withColumn("__ewma_arr", F.collect_list(guarded).over(w))
     num = F.expr(
         "aggregate(zip_with(__ewma_arr, sequence(1, size(__ewma_arr)),"
         " (x, i) -> x * shiftleft(1L, i - 1)), 0L, (a, x) -> a + x)"
@@ -73,7 +90,10 @@ def ewma_dyadic_sql(
 ) -> str:
     """DuckDB twin of the window expression, generated from the same
     weight layout so the two can never drift. Returns a SELECT-item
-    fragment (alias it at the call site)."""
+    fragment (alias it at the call site). Assumes ``value_expr`` is
+    non-null, the same precondition ``ewma_dyadic`` enforces with its
+    raise-on-null guard (list() here would KEEP a null where
+    collect_list drops it — the divergence the guard exists to stop)."""
     arr = (
         f"list({value_expr}) OVER (PARTITION BY {key_expr} ORDER BY {order_by}"
         f" ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)"

@@ -90,3 +90,21 @@ def test_lane_no_cartesian_no_python(spark, sf_dir):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
                 "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+def test_probe_offset_guard_raises_on_keyspace_collision(spark):
+    """If the master keyspace reaches LINK_PROBE_OFFSET the lane must
+    raise instead of silently merging colliding node ids (round-10
+    ADVICE item 1: TPC-H custkey = 150000*SF crosses 1M at SF~6.7)."""
+    from spotify_etl_aws_spark.queries.selection import (
+        _assert_probe_offset_disjoint,
+    )
+
+    ok = spark.createDataFrame(
+        [(LINK_PROBE_OFFSET - 1,)], "custkey long"
+    )
+    _assert_probe_offset_disjoint(ok)  # boundary-1: fine
+    bad = spark.createDataFrame(
+        [(5,), (LINK_PROBE_OFFSET,)], "custkey long"
+    )
+    with pytest.raises(ValueError, match="LINK_PROBE_OFFSET"):
+        _assert_probe_offset_disjoint(bad)

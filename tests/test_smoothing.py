@@ -104,3 +104,26 @@ def test_lane_rows_and_seed_semantics(spark, sf_dir):
     for eid, cents in firsts.items():
         assert by_id[eid].ewma == cents / 2
     assert EWMA_WINDOW == 8  # the declared tail: weight < 2^-8 dropped
+
+
+def test_null_value_raises(spark):
+    """A null in value_col must FAIL LOUDLY, not silently shrink the
+    window frame relative to the SQL twin (round-10 ADVICE item 3):
+    collect_list drops nulls, list() keeps them — the guard turns that
+    cross-engine divergence into an execution-time error."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, None), (1, 2, 30)], "k long, o long, v long"
+    )
+    out = ewma_dyadic(df, "k", ["o"], "v")
+    with pytest.raises(SparkRuntimeException, match="null"):
+        out.collect()
+
+
+def test_non_null_path_unaffected_by_guard(spark):
+    """The raise guard is a lazy CASE branch: non-null series produce
+    the identical dyadic values they did without it."""
+    df = _frame(spark, [(1, 0, 100), (1, 1, 200)])
+    got = {r.o: r.ewma for r in ewma_dyadic(df, "k", ["o"], "v").collect()}
+    assert got == {0: 50.0, 1: 125.0}
