@@ -4765,10 +4765,18 @@ def link_part_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phon_oracle() -> str:
+def _phon_oracle(cap: int | None = None) -> str:
     """DuckDB twin: the phonetic key expands from the SAME generator
     (functions/phonetic.py:phonetic_key_sql), computed ONCE per frame
-    column; blocking and scoring then ride plain equalities."""
+    column; blocking and scoring then ride plain equalities.
+
+    ``cap`` replays fs_link's ``max_block_pairs`` skew valve exactly:
+    per pass, a block census (probe count x master count per key,
+    inner-joined — a key absent on either side produces no pairs
+    anyway) marks keys whose cross product exceeds the cap, and that
+    pass's candidates exclude probes in hot keys via NOT EXISTS — the
+    same drop-from-generation-only semantics (scoring still sees full
+    rows; a pair also caught by the complementary pass still scores)."""
     from ..functions.phonetic import phonetic_key_sql
 
     agree = {
@@ -4784,6 +4792,35 @@ def _phon_oracle() -> str:
     flags = ",\n         ".join(
         f"{agree[f]} AS {f}_agree" for f in _PHON_FS_WEIGHTS
     )
+    hot_ctes = ""
+    w1 = w2 = ""
+    if cap is not None:
+        hot_ctes = f"""
+hot1 AS (
+  SELECT pc.phon1, pc.brand
+  FROM (SELECT phon1, brand, count(*) AS np FROM probe GROUP BY 1, 2) pc
+  JOIN (SELECT phon1, brand, count(*) AS nm FROM master GROUP BY 1, 2) mc
+    ON pc.phon1 = mc.phon1 AND pc.brand = mc.brand
+  WHERE pc.np * mc.nm > {cap}
+),
+hot2 AS (
+  SELECT pc.phon2, pc.type, pc.size
+  FROM (SELECT phon2, type, size, count(*) AS np
+        FROM probe GROUP BY 1, 2, 3) pc
+  JOIN (SELECT phon2, type, size, count(*) AS nm
+        FROM master GROUP BY 1, 2, 3) mc
+    ON pc.phon2 = mc.phon2 AND pc.type = mc.type AND pc.size = mc.size
+  WHERE pc.np * mc.nm > {cap}
+),"""
+        w1 = (
+            "\n  WHERE NOT EXISTS (SELECT 1 FROM hot1 h"
+            " WHERE h.phon1 = p.phon1 AND h.brand = p.brand)"
+        )
+        w2 = (
+            "\n  WHERE NOT EXISTS (SELECT 1 FROM hot2 h"
+            " WHERE h.phon2 = p.phon2 AND h.type = p.type"
+            " AND h.size = p.size)"
+        )
     return f"""
 WITH master AS (
   SELECT p_partkey AS partkey, p_brand AS brand, p_type AS type,
@@ -4819,15 +4856,15 @@ probe AS (
          {phonetic_key_sql("split_part(name, ' ', 1)")} AS phon1,
          {phonetic_key_sql("split_part(name, ' ', 2)")} AS phon2
   FROM probe0
-),
+),{hot_ctes}
 cand AS (
   SELECT DISTINCT p.probe_id, m.partkey
   FROM probe p JOIN master m
-    ON p.phon1 = m.phon1 AND p.brand = m.brand
+    ON p.phon1 = m.phon1 AND p.brand = m.brand{w1}
   UNION
   SELECT DISTINCT p.probe_id, m.partkey
   FROM probe p JOIN master m
-    ON p.phon2 = m.phon2 AND p.type = m.type AND p.size = m.size
+    ON p.phon2 = m.phon2 AND p.type = m.type AND p.size = m.size{w2}
 ),
 scored AS (
   SELECT c.probe_id, c.partkey,
@@ -4842,6 +4879,50 @@ SELECT * FROM scored WHERE score >= {PHON_FS_THRESHOLD}
 
 
 ORACLE_PHON_LINK = _phon_oracle()
+
+
+# ---- phonetic linkage under the skew valve (round 11) ----
+#
+# The 100 TB posture of max_block_pairs, DECLARED (round-10 verdict
+# item 1): the phonetic fixture is the natural degenerate-vocabulary
+# host — Soundex-lite keys collapse the ~90-word part vocabulary so
+# pass-1 (phon1 x brand) blocks carry a measured 256-pair hot tail at
+# sf0.01 and ~13k-pair blocks at sf0.1 (exactly the degenerate-key
+# regime the valve exists for; Splink's blocking-rule guidance bans
+# such rules outright). Cap = 200 drops the hot tail from candidate
+# GENERATION only: a pair also caught by the complementary
+# (phon2, type, size) pass still scores on full rows, and nothing
+# emitted is ever wrong — the oracle replays the identical census +
+# HAVING, so the valve's exact semantics ride the correctness gate
+# instead of living only in tests/experiments.
+PHON_BLOCK_CAP = 200
+
+
+def link_part_phonetic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """link_part_phonetic with the max_block_pairs=PHON_BLOCK_CAP skew
+    valve engaged (operators/linkage.py:fs_link / _hot_blocks). Same
+    output contract; blocks whose probe x master cross product exceeds
+    the cap are dropped per pass before the candidate join."""
+    from ..operators.linkage import fs_link
+
+    probe, master = _phon_frames(spark, sf_dir)
+    out = fs_link(
+        probe,
+        master,
+        "probe_id",
+        "partkey",
+        blocking=_phon_blocking(),
+        comparators=_phon_comparators(),
+        threshold=PHON_FS_THRESHOLD,
+        max_block_pairs=PHON_BLOCK_CAP,
+    )
+    return out.select(
+        "probe_id", "partkey", "score",
+        "phon1_agree", "phon2_agree", "size_agree", "price_agree",
+    )
+
+
+ORACLE_PHON_LINK_CAPPED = _phon_oracle(cap=PHON_BLOCK_CAP)
 
 
 # ---- greedy k-center diversity selection (round 10) ----
@@ -5505,6 +5586,7 @@ QUERIES = {
     "link_customer_jw": link_customer_jw,
     "vector_pq_adc_topk": vector_pq_adc_topk,
     "link_part_phonetic": link_part_phonetic,
+    "link_part_phonetic_capped": link_part_phonetic_capped,
     "select_kcenter_coreset": select_kcenter_coreset,
     "search_mmr_rerank": search_mmr_rerank,
     "ts_ewma_dyadic": ts_ewma_dyadic,
@@ -5581,6 +5663,7 @@ ORACLE = {
     "link_customer_jw": ORACLE_FS_JW,
     "vector_pq_adc_topk": ORACLE_PQ_ADC,
     "link_part_phonetic": ORACLE_PHON_LINK,
+    "link_part_phonetic_capped": ORACLE_PHON_LINK_CAPPED,
     "select_kcenter_coreset": ORACLE_KCENTER,
     "search_mmr_rerank": ORACLE_MMR,
     "ts_ewma_dyadic": ORACLE_EWMA,

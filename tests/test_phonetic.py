@@ -171,3 +171,35 @@ def test_lane_plan_is_equi_join_no_udf(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_capped_lane_is_subset_and_bites_at_sf001(spark):
+    """The declared valve lane (link_part_phonetic_capped) emits a
+    strict SUBSET of the uncapped lane at sf0.01 — the cap drops hot
+    pass-1 blocks from candidate generation, never rewrites a score —
+    and every surviving row is bit-identical to its uncapped twin.
+    Measured census at sf0.01: pass-1 hot tail reaches 256 pairs, so
+    PHON_BLOCK_CAP=200 genuinely bites in the driver's window."""
+    import os
+
+    from spotify_etl_aws_spark.queries.selection import (
+        link_part_phonetic,
+        link_part_phonetic_capped,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        import pytest as _pytest
+
+        _pytest.skip("sf0.01 fixture not present")
+    full = {
+        (r.probe_id, r.partkey): tuple(r)
+        for r in link_part_phonetic(spark, sf01).collect()
+    }
+    capped = {
+        (r.probe_id, r.partkey): tuple(r)
+        for r in link_part_phonetic_capped(spark, sf01).collect()
+    }
+    assert set(capped) < set(full)  # strict subset: the valve bit
+    for k, row in capped.items():
+        assert row == full[k]  # survivors identical (scores untouched)
