@@ -5468,6 +5468,152 @@ GROUP BY f.event_type, t.n_ref, t.n_cur
 """
 
 
+# ---- quantile-binned PSI drift contract (round 11) ----
+#
+# Monitoring practice bins PSI by REFERENCE-window quantiles (equal
+# expected mass per bin), not fixed equal-width cells — the decile
+# convention of the credit-scoring literature. Quantile edges come
+# from percentile_approx (one GK partial-agg pass, the warehouse
+# posture); sketch VALUES are partition-order dependent, so like the
+# MAD/CM/HLL lanes this emits the DETERMINISTIC contract instead of
+# the edges themselves:
+#
+# - edges_rank_ok: every decile edge is an actual ref-window element
+#   whose rank interval [lt+1, le] intersects target ± ceil(n/acc)+1 —
+#   the Greenwald–Khanna worst-case theorem, true for ANY partitioning
+#   (the stats_mad_approx_contract protocol, 9 deciles at once);
+# - edges_sorted_ok: deciles from ONE sketch are monotone (query
+#   targets increase over the same sorted sample sequence);
+# - psi_nonneg: with add-one smoothing, every PSI term (q-p)*ln(q/p)
+#   has both factors the same sign, and IEEE round-to-nearest cannot
+#   push q/p across 1.0 against the sign of q-p — so the sum is >= 0
+#   for ANY edge vector, hard-TRUE by theorem, not by fixture.
+#
+# n_ref/n_cur anchor deterministic values alongside the booleans.
+# Types with zero reference rows have no quantiles to fit and are
+# excluded on both engines (HAVING n_ref >= 1).
+PSIQ_ACC = 100
+PSIQ_DECILES = 9  # edges at 0.1 .. 0.9 -> 10 equal-mass bins
+
+
+def stats_psi_quantile_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pcts = [(i + 1) / 10 for i in range(PSIQ_DECILES)]
+    nbins = PSIQ_DECILES + 1
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("ts") < F.lit(PSI_CUTOFF).cast("timestamp")).alias("is_ref"),
+    )
+    ref = ev.filter(F.col("is_ref"))
+    edges = ref.groupBy("event_type").agg(
+        F.percentile_approx(
+            "cents",
+            F.array(*[F.lit(p) for p in pcts]),
+            F.lit(PSIQ_ACC),
+        ).alias("edges"),
+        F.count(F.lit(1)).alias("n_ref"),
+    )
+    # GK rank envelope per decile: one conditional-sum pass over the
+    # ref window joined to its (broadcast, tiny) edge vector
+    ranked = ref.join(F.broadcast(edges), "event_type")
+    stats = ranked.groupBy("event_type", "n_ref").agg(
+        *[
+            F.sum((F.col("cents") <= F.col("edges")[i]).cast("long")).alias(
+                f"le{i}"
+            )
+            for i in range(PSIQ_DECILES)
+        ],
+        *[
+            F.sum((F.col("cents") < F.col("edges")[i]).cast("long")).alias(
+                f"lt{i}"
+            )
+            for i in range(PSIQ_DECILES)
+        ],
+    )
+    tol = F.ceil(F.col("n_ref") / PSIQ_ACC) + 1
+    rank_ok = None
+    for i in range(PSIQ_DECILES):
+        target = F.ceil(F.col("n_ref") * F.lit(i + 1) / 10)
+        ok = (
+            (F.col(f"le{i}") >= target - tol)
+            & (F.col(f"lt{i}") + 1 <= target + tol)
+            & (F.col(f"le{i}") > F.col(f"lt{i}"))
+        )
+        rank_ok = ok if rank_ok is None else rank_ok & ok
+    contract = stats.select("event_type", rank_ok.alias("edges_rank_ok"))
+    sorted_ok = edges.select(
+        "event_type",
+        (F.col("edges") == F.array_sort("edges")).alias("edges_sorted_ok"),
+    )
+    # searchsorted binning: bin = #edges strictly below the value
+    # (0..9); both windows binned by the SAME ref-fitted edges
+    binned = ev.join(
+        F.broadcast(edges.select("event_type", "edges")), "event_type"
+    ).select(
+        "event_type",
+        F.expr("size(filter(edges, e -> e < cents))").cast("long").alias(
+            "bin"
+        ),
+        "is_ref",
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("r"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c"),
+    )
+    grid = edges.select("event_type").crossJoin(
+        spark.range(nbins).select(F.col("id").alias("bin"))
+    )
+    filled = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("r", F.lit(0)).alias("r"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    tw = W.partitionBy("event_type")
+    j = filled.withColumn("nr", F.sum("r").over(tw)).withColumn(
+        "nc", F.sum("c").over(tw)
+    )
+    p = (F.col("r") + 1) / (F.col("nr") + nbins)
+    q = (F.col("c") + 1) / (F.col("nc") + nbins)
+    term = (q - p) * F.log(q / p)
+    psi = (
+        j.select("event_type", F.col("nc").alias("n_cur"), term.alias("term"))
+        .groupBy("event_type", "n_cur")
+        .agg((F.sum("term") >= 0).alias("psi_nonneg"))
+    )
+    return (
+        edges.select("event_type", "n_ref")
+        .join(contract, "event_type")
+        .join(sorted_ok, "event_type")
+        .join(psi, "event_type")
+        .select(
+            "event_type", "n_ref", "n_cur",
+            "edges_rank_ok", "edges_sorted_ok", "psi_nonneg",
+        )
+    )
+
+
+ORACLE_PSI_QUANTILE = f"""
+WITH ev AS (
+  SELECT event_type, ts < TIMESTAMP '{PSI_CUTOFF}' AS is_ref FROM events
+),
+tot AS (
+  SELECT event_type,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+  FROM ev GROUP BY event_type
+  HAVING sum(CASE WHEN is_ref THEN 1 ELSE 0 END) >= 1
+)
+SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       TRUE AS edges_rank_ok, TRUE AS edges_sorted_ok,
+       TRUE AS psi_nonneg
+FROM tot
+"""
+
+
 # ---- column profiling (round 10) ----
 #
 # Deequ / Great-Expectations-style data-quality profiling: one pass
@@ -5511,6 +5657,108 @@ ORACLE_PROFILE = (
     " AS n_null,\n"
     "       count(DISTINCT val) AS n_distinct\n"
     "FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM orders"
+        for c in PROFILE_COLS
+    )
+    + "\n)\nGROUP BY col_name"
+)
+
+
+# ---- numeric column profiling + HLL posture (round 11) ----
+#
+# The two extensions the round-10 profile documented but didn't ship
+# (round-10 verdict item 4), both over the SAME one-stacked-pass shape
+# (operators/profile.py):
+#
+# - stats_profile_numeric: Deequ-parity min/max/sum/mean per numeric
+#   column on exact BIGINT carriers (cents for money, epoch-days for
+#   dates) — min/max/sum exact int64, mean one IEEE division of
+#   identical integers, so the whole row is hash-exact with no
+#   rounding contract;
+# - stats_profile_hll_contract: the warehouse-scale cardinality
+#   posture — approx_count_distinct (HLL++) per column, gated by the
+#   5-sigma relative-error contract (the stats_hll_distinct_contract
+#   protocol) because sketch values are partition-order dependent.
+PROFILE_NUM_CARRIERS = {
+    "o_orderkey": "o_orderkey",
+    "o_custkey": "o_custkey",
+    "o_totalprice_cents": "CAST(round(o_totalprice * 100, 0) AS BIGINT)",
+    "o_orderdate_days": "date_diff('day', DATE '1970-01-01', o_orderdate)",
+}
+PROFILE_HLL_RSD = 0.02
+PROFILE_HLL_BOUND = 0.10  # 5 sigma at rsd = 0.02
+
+
+def stats_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric per-column profile of orders (operators/profile.py:
+    profile_numeric): (col_name, n_rows, n_null, min_v, max_v, sum_v,
+    mean_v) on exact BIGINT carriers."""
+    from ..operators.profile import profile_numeric
+
+    carriers = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_totalprice_cents": F.round(F.col("o_totalprice") * 100, 0).cast(
+            "long"
+        ),
+        "o_orderdate_days": F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ),
+    }
+    return profile_numeric(t(spark, sf_dir, "orders"), carriers)
+
+
+ORACLE_PROFILE_NUMERIC = (
+    "SELECT col_name, count(*) AS n_rows,\n"
+    "       CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_null,\n"
+    "       CAST(min(val) AS BIGINT) AS min_v,\n"
+    "       CAST(max(val) AS BIGINT) AS max_v,\n"
+    "       CAST(sum(val) AS BIGINT) AS sum_v,\n"
+    "       CAST(sum(val) AS BIGINT) / CAST(count(val) AS BIGINT)"
+    " AS mean_v\n"
+    "FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT '{name}' AS col_name, CAST({expr} AS BIGINT) AS val"
+        " FROM orders"
+        for name, expr in PROFILE_NUM_CARRIERS.items()
+    )
+    + "\n)\nGROUP BY col_name"
+)
+
+
+def stats_profile_hll_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cardinality profile at the warehouse posture: HLL++ estimate
+    per column (operators/profile.py:profile_completeness with
+    approx_rsd={PROFILE_HLL_RSD}) must land within {PROFILE_HLL_BOUND}
+    relative of the exact distinct count. Returns (col_name,
+    exact_distinct, within_bound)."""
+    from ..operators.profile import profile_completeness
+
+    orders = t(spark, sf_dir, "orders")
+    carriers = {c: F.col(c).cast("string") for c in PROFILE_COLS}
+    est = profile_completeness(
+        orders, carriers, approx_rsd=PROFILE_HLL_RSD
+    ).select("col_name", F.col("n_distinct").alias("est"))
+    exact = profile_completeness(orders, carriers).select(
+        "col_name", F.col("n_distinct").alias("exact_distinct")
+    )
+    return est.join(exact, "col_name").select(
+        "col_name",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.lit(PROFILE_HLL_BOUND) * F.col("exact_distinct")
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_PROFILE_HLL = (
+    "SELECT col_name, count(DISTINCT val) AS exact_distinct,"
+    " TRUE AS within_bound\nFROM (\n"
     + "\nUNION ALL\n".join(
         f"  SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM orders"
         for c in PROFILE_COLS
@@ -5594,6 +5842,9 @@ QUERIES = {
     "stats_psi_drift": stats_psi_drift,
     "stats_column_profile": stats_column_profile,
     "link_entity_clusters": link_entity_clusters,
+    "stats_psi_quantile_contract": stats_psi_quantile_contract,
+    "stats_profile_numeric": stats_profile_numeric,
+    "stats_profile_hll_contract": stats_profile_hll_contract,
 }
 
 ORACLE = {
@@ -5671,4 +5922,7 @@ ORACLE = {
     "stats_psi_drift": ORACLE_PSI,
     "stats_column_profile": ORACLE_PROFILE,
     "link_entity_clusters": ORACLE_ENTITY_CLUSTERS,
+    "stats_psi_quantile_contract": ORACLE_PSI_QUANTILE,
+    "stats_profile_numeric": ORACLE_PROFILE_NUMERIC,
+    "stats_profile_hll_contract": ORACLE_PROFILE_HLL,
 }
