@@ -5305,8 +5305,10 @@ def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ENTITY_CLUSTERS = f"""
-WITH RECURSIVE {_FS_BASE_CTES},
+# entity-closure CTE chain shared by the cluster lane and the golden-
+# record lane (round 11): identical blocked+scored matches, identical
+# exact recursive-CTE transitive closure, identical labeling
+_ENTITY_CTES = f"""{_FS_BASE_CTES},
 scored AS (
   SELECT c.probe_id, c.custkey,
          (CASE WHEN levenshtein(p.name, m.name) <= 1 THEN 40 ELSE -25 END
@@ -5336,14 +5338,122 @@ allnodes AS (
   SELECT probe_id + {LINK_PROBE_OFFSET} AS node FROM probe
   UNION ALL
   SELECT custkey AS node FROM master
+),
+labels AS (
+  SELECT n.node,
+         least(n.node, coalesce(mm.mv, n.node)) AS entity_rep,
+         CASE WHEN n.node >= {LINK_PROBE_OFFSET} THEN 'probe'
+              ELSE 'master' END AS kind
+  FROM allnodes n
+  LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) mm
+    ON mm.u = n.node
+)"""
+
+ORACLE_ENTITY_CLUSTERS = f"""
+WITH RECURSIVE {_ENTITY_CTES}
+SELECT node, entity_rep, kind FROM labels
+"""
+
+
+# ---- golden-record canonicalization (round 11) ----
+#
+# Splink's step AFTER clustering (round-10 verdict item 5): each
+# transitive entity collapses to ONE canonical record by deterministic
+# source precedence — master rows outrank probe rows (the system of
+# record wins over dirty feeds), ties broken by lowest node id; a
+# probe-only singleton canonicalizes to itself. This completes the
+# linkage workflow: blocking -> comparators -> (EM) weights -> scoring
+# -> clustering -> MERGE.
+#
+# Scale shape: one groupBy over the cluster assignment joined to the
+# member attribute rows — min(struct(precedence, node, attrs)) is a
+# partial-aggregable argmin (the (precedence, node) prefix is UNIQUE
+# per member, so the string attributes never decide the comparison and
+# both engines pick the identical row); counts ride the same agg. No
+# window, no second shuffle beyond the entity key.
+
+
+def link_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden records over link_entity_clusters: per entity, member
+    counts by kind plus the canonical attributes resolved by
+    (master-first, lowest-node) precedence. Returns (entity_rep,
+    n_members, n_probe, n_master, src_node, name, phone, segment,
+    acct_cents)."""
+    probe, master = _fs_frames(spark, sf_dir)
+    attrs = probe.select(
+        (F.col("probe_id") + LINK_PROBE_OFFSET).alias("node"),
+        "name", "phone", "segment", "acct_cents",
+    ).unionByName(
+        master.select(
+            F.col("custkey").alias("node"),
+            "name", "phone", "segment", "acct_cents",
+        )
+    )
+    members = link_entity_clusters(spark, sf_dir).join(attrs, "node")
+    pick = F.min(
+        F.struct(
+            F.when(F.col("kind") == "master", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("prec"),
+            F.col("node").alias("node"),
+            F.col("name").alias("name"),
+            F.col("phone").alias("phone"),
+            F.col("segment").alias("segment"),
+            F.col("acct_cents").alias("acct_cents"),
+        )
+    ).alias("g")
+    return (
+        members.groupBy("entity_rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((F.col("kind") == "probe").cast("long")).alias("n_probe"),
+            F.sum((F.col("kind") == "master").cast("long")).alias("n_master"),
+            pick,
+        )
+        .select(
+            "entity_rep", "n_members", "n_probe", "n_master",
+            F.col("g.node").alias("src_node"),
+            F.col("g.name").alias("name"),
+            F.col("g.phone").alias("phone"),
+            F.col("g.segment").alias("segment"),
+            F.col("g.acct_cents").alias("acct_cents"),
+        )
+    )
+
+
+ORACLE_ENTITY_GOLDEN = f"""
+WITH RECURSIVE {_ENTITY_CTES},
+attrs AS (
+  SELECT probe_id + {LINK_PROBE_OFFSET} AS node,
+         name, phone, segment, acct_cents
+  FROM probe
+  UNION ALL
+  SELECT custkey AS node, name, phone, segment, acct_cents FROM master
+),
+members AS (
+  SELECT l.node, l.entity_rep, l.kind,
+         a.name, a.phone, a.segment, a.acct_cents
+  FROM labels l JOIN attrs a ON a.node = l.node
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY entity_rep
+           ORDER BY CASE WHEN kind = 'master' THEN 0 ELSE 1 END, node
+         ) AS rn
+  FROM members
+),
+cnt AS (
+  SELECT entity_rep, count(*) AS n_members,
+         sum(CASE WHEN kind = 'probe' THEN 1 ELSE 0 END) AS n_probe,
+         sum(CASE WHEN kind = 'master' THEN 1 ELSE 0 END) AS n_master
+  FROM members GROUP BY entity_rep
 )
-SELECT n.node,
-       least(n.node, coalesce(mm.mv, n.node)) AS entity_rep,
-       CASE WHEN n.node >= {LINK_PROBE_OFFSET} THEN 'probe'
-            ELSE 'master' END AS kind
-FROM allnodes n
-LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) mm
-  ON mm.u = n.node
+SELECT c.entity_rep, CAST(c.n_members AS BIGINT) AS n_members,
+       CAST(c.n_probe AS BIGINT) AS n_probe,
+       CAST(c.n_master AS BIGINT) AS n_master,
+       r.node AS src_node, r.name, r.phone, r.segment, r.acct_cents
+FROM cnt c JOIN ranked r ON r.entity_rep = c.entity_rep AND r.rn = 1
 """
 
 
@@ -5842,6 +5952,7 @@ QUERIES = {
     "stats_psi_drift": stats_psi_drift,
     "stats_column_profile": stats_column_profile,
     "link_entity_clusters": link_entity_clusters,
+    "link_entity_golden": link_entity_golden,
     "stats_psi_quantile_contract": stats_psi_quantile_contract,
     "stats_profile_numeric": stats_profile_numeric,
     "stats_profile_hll_contract": stats_profile_hll_contract,
@@ -5922,6 +6033,7 @@ ORACLE = {
     "stats_psi_drift": ORACLE_PSI,
     "stats_column_profile": ORACLE_PROFILE,
     "link_entity_clusters": ORACLE_ENTITY_CLUSTERS,
+    "link_entity_golden": ORACLE_ENTITY_GOLDEN,
     "stats_psi_quantile_contract": ORACLE_PSI_QUANTILE,
     "stats_profile_numeric": ORACLE_PROFILE_NUMERIC,
     "stats_profile_hll_contract": ORACLE_PROFILE_HLL,

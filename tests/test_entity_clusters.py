@@ -108,3 +108,59 @@ def test_probe_offset_guard_raises_on_keyspace_collision(spark):
     )
     with pytest.raises(ValueError, match="LINK_PROBE_OFFSET"):
         _assert_probe_offset_disjoint(bad)
+
+
+def test_golden_records_semantics(spark, sf_dir, clusters):
+    """Golden-record invariants (link_entity_golden): one row per
+    entity, counts partition the membership, the canonical source is
+    the LOWEST MASTER node when any master is in the cluster (the
+    system of record outranks dirty probes) and the probe itself only
+    for probe-only singletons."""
+    from collections import defaultdict
+
+    from spotify_etl_aws_spark.queries.selection import link_entity_golden
+
+    by_entity = defaultdict(list)
+    for node, (rep, kind) in clusters.items():
+        by_entity[rep].append((node, kind))
+    golden = {r.entity_rep: r for r in link_entity_golden(spark, sf_dir).collect()}
+    assert set(golden) == set(by_entity)
+    total = 0
+    for rep, members in by_entity.items():
+        g = golden[rep]
+        assert g.n_members == len(members)
+        assert g.n_probe + g.n_master == g.n_members
+        assert g.n_probe == sum(1 for _, k in members if k == "probe")
+        masters = sorted(n for n, k in members if k == "master")
+        if masters:
+            assert g.src_node == masters[0]
+        else:
+            assert g.n_members == 1 and g.src_node == members[0][0]
+        total += g.n_members
+    assert total == len(clusters)
+
+
+def test_golden_attrs_are_source_rows(spark, sf_dir):
+    """The canonical attributes are copied verbatim from the picked
+    source node's record — never mixed across members."""
+    from spotify_etl_aws_spark.queries.selection import (
+        _fs_frames,
+        link_entity_golden,
+    )
+
+    probe, master = _fs_frames(spark, sf_dir)
+    m_attrs = {
+        r.custkey: (r.name, r.phone, r.segment, r.acct_cents)
+        for r in master.collect()
+    }
+    p_attrs = {
+        r.probe_id + LINK_PROBE_OFFSET: (r.name, r.phone, r.segment, r.acct_cents)
+        for r in probe.collect()
+    }
+    for g in link_entity_golden(spark, sf_dir).collect():
+        want = (
+            m_attrs[g.src_node]
+            if g.src_node < LINK_PROBE_OFFSET
+            else p_attrs[g.src_node]
+        )
+        assert (g.name, g.phone, g.segment, g.acct_cents) == want
