@@ -247,8 +247,57 @@ def skew_probe(h_m: int = 10_000, h_p: int = 1_000) -> None:
     spark.stop()
 
 
+def jw_kernel_probe():
+    """Batch-vs-scalar Jaro-Winkler kernel wall (round-10 verdict item
+    6): the length-bucketed numpy batch path against the per-pair
+    scalar reference on 2M blocked-candidate-shaped name pairs, with
+    bit-equality asserted in-run. The scalar kernel is what the
+    link_customer_jw lane shipped through round 10; the batch kernel
+    is the round-11 production column path."""
+    import random
+    import time as _t
+
+    import numpy as np
+
+    from spotify_etl_aws_spark.operators.strsim import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    rng = random.Random(11)
+    names = [
+        "Customer#%09d" % rng.randrange(10**9) for _ in range(200_000)
+    ]
+    xs, ys = [], []
+    for _ in range(2_000_000):
+        a = names[rng.randrange(len(names))]
+        b = list(a)
+        for _k in range(rng.randrange(0, 3)):  # 0-2 char corruptions
+            b[rng.randrange(len(b))] = rng.choice("abcdefgh")
+        xs.append(a)
+        ys.append("".join(b))
+
+    t0 = _t.time()
+    got_b = jaro_winkler_batch(xs, ys)
+    w_batch = _t.time() - t0
+    print(f"batch kernel : {len(xs):,} pairs in {w_batch:,.2f}s "
+          f"({len(xs) / w_batch:,.0f} pairs/s)", flush=True)
+
+    t0 = _t.time()
+    got_s = np.array([jaro_winkler(a, b) for a, b in zip(xs, ys)])
+    w_scalar = _t.time() - t0
+    print(f"scalar kernel: {len(xs):,} pairs in {w_scalar:,.2f}s "
+          f"({len(xs) / w_scalar:,.0f} pairs/s)", flush=True)
+
+    assert (got_b == got_s).all()  # bit-equal, asserted in-run
+    print(f"bit-equal on all {len(xs):,} pairs; "
+          f"speedup = {w_scalar / w_batch:,.1f}x", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         skew_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "jw":
+        jw_kernel_probe()
     else:
         main()

@@ -64,3 +64,31 @@ def test_udf_column_end_to_end(spark):
     assert got[1] == pytest.approx(0.84, abs=1e-15)
     assert got[2] is None  # NULL propagates
     assert got[3] == 0.0
+
+
+def test_batch_kernel_bit_equal_to_scalar_fuzz():
+    """The length-bucketed numpy batch kernel (the production column
+    path) is BIT-EQUAL to the scalar parity-reference kernel — 20k
+    random pairs incl. empties, equal strings, None, and long strings
+    past the match-window/prefix corners."""
+    from spotify_etl_aws_spark.operators.strsim import jaro_winkler_batch
+
+    rng = random.Random(77)
+    xs, ys = [], []
+    for _ in range(20000):
+        xs.append(
+            "".join(rng.choice("abcdef") for _ in range(rng.randrange(0, 14)))
+        )
+        ys.append(
+            "".join(rng.choice("abcdef") for _ in range(rng.randrange(0, 14)))
+        )
+    xs += ["", "martha", None, "abcdabcdabcdabcd", "aaaa"]
+    ys += ["x", "marhta", "q", "abcdabcdabcdabcd"[::-1], "aaaa"]
+    got = jaro_winkler_batch(xs, ys)
+    for i, (a, b) in enumerate(zip(xs, ys)):
+        if a is None or b is None:
+            import math
+
+            assert math.isnan(got[i])
+        else:
+            assert got[i] == jaro_winkler(a, b), (a, b)
