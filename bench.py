@@ -136,6 +136,34 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     headline = only.split(",") if only else HEADLINE
 
+    # Same-session DuckDB denominator, INTERLEAVED per query (round-10
+    # verdict item 2): with the old phase order (all Spark timings,
+    # then all DuckDB timings) a host-noise burst lands on ONE engine's
+    # whole phase and moves the ratio without any code change —
+    # measured on an idle-protocol pair this round: two back-to-back
+    # identical runs spanned 0.77x..1.06x purely from outside-VM load.
+    # Timing each query's twin in the same few seconds as its Spark run
+    # makes the ratio a paired statistic. SPARK_GRAFT_BENCH_DUCK=0
+    # skips the twin entirely.
+    duck_con = None
+    duck: dict[str, float | None] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCK", "1") != "0":
+        try:
+            sys.path.insert(
+                0,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tools"
+                ),
+            )
+            import __spark_entry__ as E
+            from duckbench import duck_connect, duck_time_one
+
+            duck_oracles = E.oracle_sql()
+            duck_con = duck_connect(sf_dir)
+        except Exception as exc:  # denominator is advisory, never fatal
+            print(f"  duckdb twin unavailable: {exc}", file=sys.stderr)
+            duck_con = None
+
     # Warm pass: run every headline query once outside timing. Whole-
     # stage codegen JIT-compiles per distinct plan (the iterative CC
     # query alone generates ~10 distinct stage plans) and the first
@@ -166,11 +194,26 @@ def main() -> None:
             failed += 1
             continue
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        if duck_con is not None:
+            sql = duck_oracles.get(name)
+            try:
+                duck[name] = (
+                    duck_time_one(duck_con, sql, RUNS)
+                    if sql is not None
+                    else None
+                )
+            except Exception as exc:
+                print(f"  duckdb {name}: FAILED {exc}", file=sys.stderr)
+                duck[name] = None
+            if duck[name] is not None:
+                print(f"  duckdb {name}: {duck[name]}s", file=sys.stderr)
         # settle between queries (off the timer): collect this query's
         # garbage so a heavy query's GC debt isn't billed to the next
         # one — round-3's +25-30% swings on mid-list queries tracked
         # bench-session pressure, not plan changes
         spark.sparkContext._jvm.System.gc()
+    if duck_con is not None:
+        duck_con.close()
 
     # A failed query would silently shrink the total and make the round
     # look faster than the last one — publish the failure count and void
@@ -190,35 +233,26 @@ def main() -> None:
         "runs_per_query": RUNS,
     }
 
-    # Same-session DuckDB denominator (round-5 lesson: a cross-session
-    # comparison mistook host-load variance for a regression; the
-    # denominator must ride in the same artifact, measured on the same
-    # box in the same minute). SPARK_GRAFT_BENCH_DUCK=0 skips it.
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCK", "1") != "0":
-        try:
-            sys.path.insert(
-                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-            )
-            from duckbench import run_duckbench
-
-            duck = run_duckbench(sf_dir, headline)
-            paired = [
-                (timings[n], duck[n])
-                for n in headline
-                if timings.get(n) is not None and duck.get(n) is not None
-            ]
-            duck_total = round(sum(d for _, d in paired), 3)
-            spark_paired = round(sum(s for s, _ in paired), 3)
-            out["duckdb"] = {
-                "queries": duck,
-                "total_sec": duck_total,
-                "paired_spark_sec": spark_paired,
-            }
-            out["vs_duckdb_ratio"] = (
-                round(spark_paired / duck_total, 3) if duck_total else None
-            )
-        except Exception as exc:  # denominator is advisory, never fatal
-            out["duckdb_error"] = str(exc)
+    # Denominator summary (the per-query twins were measured
+    # INTERLEAVED above — same box, same minute, same noise as each
+    # Spark timing; round-5 lesson now applied per query, not per run).
+    if duck_con is not None:
+        paired = [
+            (timings[n], duck[n])
+            for n in headline
+            if timings.get(n) is not None and duck.get(n) is not None
+        ]
+        duck_total = round(sum(d for _, d in paired), 3)
+        spark_paired = round(sum(s for s, _ in paired), 3)
+        out["duckdb"] = {
+            "queries": duck,
+            "total_sec": duck_total,
+            "paired_spark_sec": spark_paired,
+            "protocol": "interleaved",
+        }
+        out["vs_duckdb_ratio"] = (
+            round(spark_paired / duck_total, 3) if duck_total else None
+        )
 
     print(json.dumps(out))
 

@@ -36,6 +36,32 @@ TABLES = [
 ]
 
 
+def duck_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """32-thread connection with the fixture views registered —
+    exposed so bench.py can INTERLEAVE per-query DuckDB timings with
+    the Spark timings (round-10 verdict item 2: phase-ordered
+    measurement lets a host-noise burst hit one engine's whole phase
+    and masquerade as a ratio move)."""
+    con = duckdb.connect(config={"threads": 32})
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file layout (tools/relayout.py)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def duck_time_one(con, sql: str, runs: int = RUNS) -> float:
+    """Warm once + best of ``runs`` for one oracle SQL string."""
+    con.execute(sql).fetchall()  # warm
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def run_duckbench(
     sf_dir: str, names: list[str], runs: int = RUNS
 ) -> dict[str, float | None]:
@@ -45,26 +71,14 @@ def run_duckbench(
     import __spark_entry__ as E
 
     oracles = E.oracle_sql()
-    con = duckdb.connect(config={"threads": 32})
-    for t in TABLES:
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):  # multi-file layout (tools/relayout.py)
-            path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-
+    con = duck_connect(sf_dir)
     timings: dict[str, float | None] = {}
     for name in names:
         sql = oracles.get(name)
         if sql is None:
             timings[name] = None
             continue
-        con.execute(sql).fetchall()  # warm
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = duck_time_one(con, sql, runs)
         print(f"  duckdb {name}: {timings[name]}s", file=sys.stderr)
     con.close()
     return timings
