@@ -5724,6 +5724,228 @@ FROM tot
 """
 
 
+# ---- Kolmogorov-Smirnov drift (round 11) ----
+#
+# The nonparametric complement of PSI (Massey 1951, JASA — the
+# two-sample KS test every feature-monitoring stack ships next to
+# PSI): D = max over the pooled support of |ECDF_ref - ECDF_cur|,
+# computed EXACTLY — no bins, no smoothing, no sketch. Cross-engine
+# exactness needs no rounding contract: each ECDF value is one
+# int64/int64 IEEE division (identical bits), the difference and abs
+# are single operations on identical doubles, and MAX is
+# order-independent — so D is bit-identical by construction (the
+# ordered-sum hazard that forces PSI's 6dp grid never arises).
+#
+# Scale shape: one partial-agg shuffle on (type, value) collapses the
+# events to the distinct support (bounded by the value domain, not the
+# row count), ONE window exchange on type builds both cumulative
+# counts and both totals, and a per-type max folds it down. Types with
+# an empty window have no ECDF to compare and drop on both engines.
+
+
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between the pre- and
+    post-{PSI_CUTOFF} event-value distributions, per event type.
+    Returns (event_type, n_ref, n_cur, ks_stat) — ks_stat bit-identical
+    across engines (see section comment)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("ts") < F.lit(PSI_CUTOFF).cast("timestamp")).alias("is_ref"),
+    )
+    counts = ev.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("r"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c"),
+    )
+    cw = W.partitionBy("event_type").orderBy("cents")
+    tw = W.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("r").over(cw).alias("cr"),
+        F.sum("c").over(cw).alias("cc"),
+        F.sum("r").over(tw).alias("n_ref"),
+        F.sum("c").over(tw).alias("n_cur"),
+    )
+    d = F.abs(
+        F.col("cr") / F.col("n_ref") - F.col("cc") / F.col("n_cur")
+    )
+    return (
+        cum.filter((F.col("n_ref") >= 1) & (F.col("n_cur") >= 1))
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg((F.max(d) + F.lit(0.0)).alias("ks_stat"))
+    )
+
+
+ORACLE_KS = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         ts < TIMESTAMP '{PSI_CUTOFF}' AS is_ref
+  FROM events
+),
+cnt AS (
+  SELECT event_type, cents,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c
+  FROM ev GROUP BY event_type, cents
+),
+cum AS (
+  SELECT event_type,
+         CAST(sum(r) OVER (PARTITION BY event_type ORDER BY cents)
+              AS BIGINT) AS cr,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents)
+              AS BIGINT) AS cc,
+         CAST(sum(r) OVER (PARTITION BY event_type) AS BIGINT) AS n_ref,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n_cur
+  FROM cnt
+)
+SELECT event_type, n_ref, n_cur,
+       max(abs(cr / n_ref - cc / n_cur)) + 0.0 AS ks_stat
+FROM cum
+WHERE n_ref >= 1 AND n_cur >= 1
+GROUP BY event_type, n_ref, n_cur
+"""
+
+
+# ---- Deequ-style expectation suite (round 11) ----
+#
+# Constraint VALIDATION on top of the profiling metrics — the Deequ
+# Check / Great-Expectations expectation suite a lake gates every
+# landed batch on: uniqueness, referential integrity, range, domain
+# membership, completeness. Each check emits its violation COUNT (the
+# actionable number), not just a boolean. All integers — hash-exact.
+#
+# Scale shape: the five orders-side checks fold into ONE conditional-
+# sum scan of orders (uniqueness rides count vs count_distinct in the
+# same agg); each FK check is one anti-join against its parent dim
+# keyed on the join key (broadcast when the dim is small, shuffle
+# otherwise — Spark's planner decides); the lineitem range check is
+# one more conditional-sum scan. No check ever collects rows.
+DQ_STATUS_DOMAIN = ("O", "F", "P")
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders/lineitem/customer.
+    Returns (check_name, n_checked, n_violations, passed) — one row
+    per check."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    customer = t(spark, sf_dir, "customer")
+
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.count(F.lit(1)) - F.count_distinct("o_orderkey")
+        ).alias("dup_keys"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("bad_price"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin(*DQ_STATUS_DOMAIN), 1
+            ).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
+        ).alias("null_date"),
+    )
+
+    def one(name: str, n_col: str, v_col):
+        return o.select(
+            F.lit(name).alias("check_name"),
+            F.col(n_col).alias("n_checked"),
+            v_col.alias("n_violations"),
+        )
+
+    orders_checks = (
+        one("orderkey_unique", "n", F.col("dup_keys"))
+        .unionByName(one("totalprice_positive", "n", F.col("bad_price")))
+        .unionByName(one("orderstatus_domain", "n", F.col("bad_status")))
+        .unionByName(one("orderdate_complete", "n", F.col("null_date")))
+    )
+    fk_orders = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    fk_orders = orders.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        fk_orders
+    ).select(
+        F.lit("orders_custkey_fk").alias("check_name"),
+        F.col("n").alias("n_checked"),
+        F.col("v").alias("n_violations"),
+    )
+    fk_line = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    li = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("bad_qty"),
+    )
+    fk_line = li.select("n").crossJoin(fk_line).select(
+        F.lit("lineitem_orderkey_fk").alias("check_name"),
+        F.col("n").alias("n_checked"),
+        F.col("v").alias("n_violations"),
+    )
+    qty = li.select(
+        F.lit("quantity_in_range").alias("check_name"),
+        F.col("n").alias("n_checked"),
+        F.col("bad_qty").alias("n_violations"),
+    )
+    return (
+        orders_checks.unionByName(fk_orders)
+        .unionByName(fk_line)
+        .unionByName(qty)
+        .select(
+            "check_name",
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+_DQ_STATUS_SQL = ", ".join(f"'{s}'" for s in DQ_STATUS_DOMAIN)
+ORACLE_DQ = f"""
+WITH checks AS (
+  SELECT 'orderkey_unique' AS check_name,
+         count(*) AS n_checked,
+         count(*) - count(DISTINCT o_orderkey) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'totalprice_positive', count(*),
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orderstatus_domain', count(*),
+         sum(CASE WHEN o_orderstatus NOT IN ({_DQ_STATUS_SQL})
+                  THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orderdate_complete', count(*),
+         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_custkey_fk', count(*),
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk', count(*),
+         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT 'quantity_in_range', count(*),
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+  FROM lineitem
+)
+SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks
+"""
+
+
 # ---- column profiling (round 10) ----
 #
 # Deequ / Great-Expectations-style data-quality profiling: one pass
@@ -5956,6 +6178,8 @@ QUERIES = {
     "stats_psi_quantile_contract": stats_psi_quantile_contract,
     "stats_profile_numeric": stats_profile_numeric,
     "stats_profile_hll_contract": stats_profile_hll_contract,
+    "stats_ks_drift": stats_ks_drift,
+    "dq_expectations": dq_expectations,
 }
 
 ORACLE = {
@@ -6037,4 +6261,6 @@ ORACLE = {
     "stats_psi_quantile_contract": ORACLE_PSI_QUANTILE,
     "stats_profile_numeric": ORACLE_PROFILE_NUMERIC,
     "stats_profile_hll_contract": ORACLE_PROFILE_HLL,
+    "stats_ks_drift": ORACLE_KS,
+    "dq_expectations": ORACLE_DQ,
 }

@@ -1,0 +1,145 @@
+"""Round-11 monitoring lanes: exact KS drift (stats_ks_drift) against
+an independent numpy ECDF computation, and the Deequ-style expectation
+suite (dq_expectations) on both the clean fixture and a planted-
+violation corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_etl_aws_spark.queries.selection import (
+    PSI_CUTOFF,
+    dq_expectations,
+    stats_ks_drift,
+)
+from spotify_etl_aws_spark.sources.readers import load_table
+
+
+def test_ks_matches_numpy_ecdf(spark, sf_dir):
+    """ks_stat equals the brute-force two-sample KS computed in numpy
+    over the same cent values (evaluated on the pooled support — the
+    same convention), per event type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("ts") < F.lit(PSI_CUTOFF).cast("timestamp")).alias("is_ref"),
+    ).collect()
+    got = {r.event_type: r for r in stats_ks_drift(spark, sf_dir).collect()}
+    types = sorted({r.event_type for r in ev})
+    assert set(got) == set(types)
+    for typ in types:
+        ref = np.sort([r.cents for r in ev if r.event_type == typ and r.is_ref])
+        cur = np.sort(
+            [r.cents for r in ev if r.event_type == typ and not r.is_ref]
+        )
+        support = np.unique(np.concatenate([ref, cur]))
+        d = np.max(
+            np.abs(
+                np.searchsorted(ref, support, side="right") / len(ref)
+                - np.searchsorted(cur, support, side="right") / len(cur)
+            )
+        )
+        r = got[typ]
+        assert (r.n_ref, r.n_cur) == (len(ref), len(cur))
+        assert r.ks_stat == pytest.approx(float(d), abs=1e-12)
+        assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_ks_identical_windows_zero(spark, tmp_path):
+    """Two identical distributions -> D == 0 exactly (planted corpus
+    written as a real parquet fixture, so the lane's reader path runs
+    end-to-end)."""
+    rows = []
+    for i in range(200):
+        # same 100 values on each side of the cutoff
+        rows.append(("t", float(i % 10), "2024-01-01 00:00:00"))
+        rows.append(("t", float(i % 10), "2024-01-20 00:00:00"))
+    df = spark.createDataFrame(rows, "event_type string, value double, s string")
+    df = df.select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.lit(1).alias("user_id"),
+        "event_type",
+        F.col("s").cast("timestamp").alias("ts"),
+        "value",
+    )
+    # match the fixture generation's us-timestamps (the events reader
+    # sniffs the footer; INT96 would trip its declared schema)
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    out = stats_ks_drift(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].ks_stat == 0.0
+
+
+def test_dq_clean_fixture_all_pass(spark, sf_dir):
+    rows = {r.check_name: r for r in dq_expectations(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orderkey_unique", "totalprice_positive", "orderstatus_domain",
+        "orderdate_complete", "orders_custkey_fk", "lineitem_orderkey_fk",
+        "quantity_in_range",
+    }
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_line = load_table(spark, sf_dir, "lineitem").count()
+    for name, r in rows.items():
+        assert r.passed and r.n_violations == 0, name
+        want_n = n_line if name.startswith(("lineitem", "quantity")) else n_orders
+        assert r.n_checked == want_n, name
+
+
+def test_dq_planted_violations(spark, tmp_path):
+    """Every check fires on a corpus planted to violate it, with the
+    exact violation counts."""
+    orders = spark.createDataFrame(
+        [
+            # (orderkey, custkey, status, totalprice, orderdate)
+            (1, 10, "O", 100.0, "2024-01-01"),
+            (1, 10, "F", 50.0, "2024-01-02"),   # dup key
+            (2, 99, "X", -5.0, None),            # bad fk, status, price, date
+            (3, 11, "P", 10.0, "2024-01-03"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string",
+    ).withColumn(
+        # the fixture convention load_table declares is TIMESTAMP
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    customer = spark.createDataFrame(
+        [(10,), (11,)], "c_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 5.0), (1, 99.0), (77, 3.0)],  # one bad qty, one orphan
+        "l_orderkey long, l_quantity double",
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    customer.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    lineitem.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r.check_name: r
+        for r in dq_expectations(spark, str(tmp_path)).collect()
+    }
+    assert rows["orderkey_unique"].n_violations == 1
+    assert rows["totalprice_positive"].n_violations == 1
+    assert rows["orderstatus_domain"].n_violations == 1
+    assert rows["orderdate_complete"].n_violations == 1
+    assert rows["orders_custkey_fk"].n_violations == 1
+    assert rows["lineitem_orderkey_fk"].n_violations == 1
+    assert rows["quantity_in_range"].n_violations == 1
+    assert not any(r.passed for r in rows.values())
+
+
+def test_ks_plan_one_window_exchange_no_python(spark, sf_dir):
+    """KS: partial-agg on (type, value), ONE window exchange on type,
+    no Python eval."""
+    plan = (
+        stats_ks_drift(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert plan.count("Exchange") <= 2  # groupBy + window share the type key
