@@ -4308,6 +4308,51 @@ def dedup_image_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_image_phash_wide_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BILLION-IMAGE posture of the wide lane: probe_prefilter=
+    "bloom" — a k=1 Bloom word table over the index bucket set
+    (broadcast as sparse int64 words) probed map-side, for when even
+    the distinct bucket set outgrows the exact broadcast. False
+    positives only re-admit fan rows the join then drops, never a
+    false negative — recall-LOSSLESS, so the oracle is the identical
+    ORACLE_IMAGE_PHASH_WIDE."""
+    from ..operators.multimodal import encode_bmp
+    from ..operators.phash import dhash_media_wide, hamming_near_pairs_wide
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            media = []
+            for did in pdf["doc_id"]:
+                cells = _phash_wide_cells(int(did)).astype(np.uint8)
+                px = np.repeat(np.repeat(cells, 4, 0), 4, 1)
+                buf = np.repeat(px[:, :, None], 3, 2)
+                media.append(encode_bmp(64, 64, buf.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, "doc_id long, media binary")
+    hashes = dhash_media_wide(media)
+    pairs = hamming_near_pairs_wide(
+        hashes,
+        max_distance=PHASH_WIDE_MAXDIST,
+        probe_radius=1,
+        probe_prefilter="bloom",
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
 # The oracle packs the same 240 analytic bits into 4 words and replays
 # the multi-probe banded join (31 variants per 30-bit band — same
 # pigeonhole contract, so both engines are exact at d <= 15).
@@ -4923,6 +4968,57 @@ def link_part_phonetic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PHON_LINK_CAPPED = _phon_oracle(cap=PHON_BLOCK_CAP)
+
+
+def link_block_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking-rule census DECLARED (operators/linkage.py:
+    block_census — Splink's blocking-rule analysis step): per pass and
+    block key of the phonetic fixture, probe count x master count =
+    candidate pair mass. This is the number a caller reads before
+    picking max_block_pairs; integers, hash-exact. Returns (pass_idx,
+    block_key, n_probe, n_master, pairs)."""
+    from ..operators.linkage import block_census
+
+    probe, master = _phon_frames(spark, sf_dir)
+    return block_census(
+        probe, master, "probe_id", "partkey", blocking=_phon_blocking()
+    )
+
+
+def _census_oracle() -> str:
+    from ..functions.phonetic import phonetic_key_sql  # noqa: F401
+
+    base = _phon_oracle()
+    # reuse the phonetic oracle's master/probe CTEs verbatim (everything
+    # up to the cand CTE), then census both passes
+    head = base.split(",\ncand AS")[0]
+    return f"""{head}
+,
+c0 AS (
+  SELECT 0 AS pass_idx, p.block_key, p.n_probe, m.n_master
+  FROM (SELECT phon1 || '|' || brand AS block_key, count(*) AS n_probe
+        FROM probe GROUP BY 1) p
+  JOIN (SELECT phon1 || '|' || brand AS block_key, count(*) AS n_master
+        FROM master GROUP BY 1) m USING (block_key)
+),
+c1 AS (
+  SELECT 1 AS pass_idx, p.block_key, p.n_probe, m.n_master
+  FROM (SELECT phon2 || '|' || type || '|' || CAST(size AS VARCHAR)
+               AS block_key, count(*) AS n_probe
+        FROM probe GROUP BY 1) p
+  JOIN (SELECT phon2 || '|' || type || '|' || CAST(size AS VARCHAR)
+               AS block_key, count(*) AS n_master
+        FROM master GROUP BY 1) m USING (block_key)
+)
+SELECT CAST(pass_idx AS INT) AS pass_idx, block_key,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(n_master AS BIGINT) AS n_master,
+       CAST(n_probe * n_master AS BIGINT) AS pairs
+FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)
+"""
+
+
+ORACLE_BLOCK_CENSUS = _census_oracle()
 
 
 # ---- greedy k-center diversity selection (round 10) ----
@@ -6180,6 +6276,8 @@ QUERIES = {
     "stats_profile_hll_contract": stats_profile_hll_contract,
     "stats_ks_drift": stats_ks_drift,
     "dq_expectations": dq_expectations,
+    "link_block_census": link_block_census,
+    "dedup_image_phash_wide_bloom": dedup_image_phash_wide_bloom,
 }
 
 ORACLE = {
@@ -6263,4 +6361,6 @@ ORACLE = {
     "stats_profile_hll_contract": ORACLE_PROFILE_HLL,
     "stats_ks_drift": ORACLE_KS,
     "dq_expectations": ORACLE_DQ,
+    "link_block_census": ORACLE_BLOCK_CENSUS,
+    "dedup_image_phash_wide_bloom": ORACLE_IMAGE_PHASH_WIDE,
 }
