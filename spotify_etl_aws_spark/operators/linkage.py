@@ -57,12 +57,19 @@ class Comparator:
     joined candidate row (probe columns aliased ``p_*``, master
     columns ``m_*``); agreement adds ``w_agree``, disagreement adds
     ``w_disagree`` (negative). Integer weights keep the score exact
-    int64 on both engines."""
+    int64 on both engines.
+
+    Weights may also be Column EXPRESSIONS over the same joined row —
+    the Splink term-frequency-adjustment hook (a comparator whose
+    agreement evidence depends on how common the matched value is,
+    e.g. ``round(4 * log2(n / m_tf), 2)``). Expression weights make
+    the score a double: pass ``score_type="double"`` to ``fs_link``
+    and follow the 2dp-grid + threshold-margin probe protocol."""
 
     name: str
     agree: Column
-    w_agree: int
-    w_disagree: int
+    w_agree: int | Column
+    w_disagree: int | Column
 
 
 def _prefixed(df: DataFrame, id_col: str, tag: str) -> DataFrame:
@@ -96,8 +103,9 @@ def fs_link(
     master_id: str,
     blocking: list[tuple[Column, Column]],
     comparators: list[Comparator],
-    threshold: int,
+    threshold: int | float,
     max_block_pairs: int | None = None,
+    score_type: str = "long",
 ) -> DataFrame:
     """Fellegi–Sunter linkage: probe rows against master rows.
 
@@ -108,6 +116,10 @@ def fs_link(
     whose probe-count x master-count exceeds the cap is dropped from
     that pass's candidate generation (see module docstring; census via
     ``block_census``). Default None = every block joins.
+    ``score_type``: "long" for integer weights (exact); "double" when
+    any comparator carries expression weights (TF adjustment) — the
+    sum stays a FIXED left-to-right expression chain, so both engines
+    add identical doubles in the identical order.
     Returns (probe_id, master_id, score, <name>_agree per comparator)
     for pairs with score >= threshold.
     """
@@ -132,16 +144,20 @@ def fs_link(
     agree_cols = []
     for c in comparators:
         flag = F.when(c.agree, F.lit(True)).otherwise(F.lit(False))
-        term = F.when(c.agree, F.lit(c.w_agree)).otherwise(
-            F.lit(c.w_disagree)
+        wa = c.w_agree if isinstance(c.w_agree, Column) else F.lit(c.w_agree)
+        wd = (
+            c.w_disagree
+            if isinstance(c.w_disagree, Column)
+            else F.lit(c.w_disagree)
         )
+        term = F.when(c.agree, wa).otherwise(wd)
         agree_cols.append(flag.alias(f"{c.name}_agree"))
         score = term if score is None else score + term
     return (
         scored.select(
             F.col("p_id").alias(probe_id),
             F.col("m_id").alias(master_id),
-            score.cast("long").alias("score"),
+            score.cast(score_type).alias("score"),
             *agree_cols,
         )
         .filter(F.col("score") >= threshold)

@@ -203,3 +203,43 @@ def test_capped_lane_is_subset_and_bites_at_sf001(spark):
     assert set(capped) < set(full)  # strict subset: the valve bit
     for k, row in capped.items():
         assert row == full[k]  # survivors identical (scores untouched)
+
+
+def test_tf_adjusted_weights_algebra(spark, sf_dir):
+    """link_part_phonetic_tf: the phon1 agreement term equals
+    round(4 * log2(n_master / tf), 2) recomputed from the master
+    census — rarer keys carry strictly more evidence — and the fixed
+    terms match the declared weights."""
+    import math
+
+    from spotify_etl_aws_spark.queries.selection import (
+        PHON_TF_SCALE,
+        PHON_TF_THRESHOLD,
+        _phon_frames,
+        link_part_phonetic_tf,
+    )
+
+    _, master = _phon_frames(spark, sf_dir)
+    tf = {
+        r.phon1: r.n
+        for r in master.groupBy("phon1").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_master = sum(tf.values())
+    phon1_of = {r.partkey: r.phon1 for r in master.select("partkey", "phon1").collect()}
+    rows = link_part_phonetic_tf(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.score >= PHON_TF_THRESHOLD
+        assert r.tf_phon1 == tf[phon1_of[r.partkey]]
+        w1 = (
+            round(PHON_TF_SCALE * math.log2(n_master / r.tf_phon1), 2)
+            if r.phon1_agree
+            else -15.0
+        )
+        want = (
+            w1
+            + (25.0 if r.phon2_agree else -20.0)
+            + (15.0 if r.size_agree else -10.0)
+            + (15.0 if r.price_agree else -10.0)
+        )
+        assert r.score == pytest.approx(want, abs=1e-9)
