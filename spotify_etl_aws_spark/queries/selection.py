@@ -5949,6 +5949,171 @@ FROM tot
 """
 
 
+# ---- EWMA control-chart spikes (round 11) ----
+#
+# The monitoring USE of the dyadic EWMA (Hunter 1986's actual
+# application — the EWMA control chart): an event is a SPIKE when its
+# value deviates from the forecast (the previous row's EWMA) by more
+# than a fixed control limit. Everything stays bit-exact without a
+# contract: the EWMA is an exact dyadic rational (operators/
+# smoothing.py), cents are integers <= ~2^23, so the deviation
+# cents - ewma_prev needs <= 31 bits + 8 fraction bits — exactly
+# representable — and the > comparison against an integer limit is a
+# decision on identical doubles. First event per series has no
+# forecast and is never a spike.
+#
+# Scale shape: the same ONE window exchange as ts_ewma_dyadic (the
+# lag rides the identical (user, ts, event) ordering), then a map-side
+# filter. Limit = 15000 cents keeps the declared result the ~2-3%
+# tail at every SF (probed: p99 |dev| ~ 18.3k/18.7k/19.0k).
+EWMA_SPIKE_LIMIT = 15000
+
+
+def ts_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control-chart spikes per user (operators/smoothing.py:
+    ewma_dyadic + lag): events whose cent value deviates from the
+    previous EWMA forecast by more than {EWMA_SPIKE_LIMIT}. Returns
+    (event_id, user_id, cents, ewma_prev, dev)."""
+    from ..operators.smoothing import ewma_dyadic
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    sm = ewma_dyadic(
+        ev, "user_id", ["ts", "event_id"], "cents", window=EWMA_WINDOW
+    )
+    lw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    out = sm.withColumn("ewma_prev", F.lag("ewma").over(lw))
+    dev = F.col("cents") - F.col("ewma_prev")
+    return (
+        out.filter(
+            F.col("ewma_prev").isNotNull()
+            & (F.abs(dev) > EWMA_SPIKE_LIMIT)
+        )
+        .select(
+            "event_id", "user_id", "cents",
+            (F.col("ewma_prev") + F.lit(0.0)).alias("ewma_prev"),
+            (dev + F.lit(0.0)).alias("dev"),
+        )
+    )
+
+
+def _ewma_spike_oracle() -> str:
+    from ..operators.smoothing import ewma_dyadic_sql
+
+    expr = ewma_dyadic_sql("cents", "user_id", "ts, event_id", EWMA_WINDOW)
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+w AS (SELECT *, {expr} AS ewma FROM ev),
+l AS (
+  SELECT *, lag(ewma) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS ewma_prev
+  FROM w
+)
+SELECT event_id, user_id, cents, ewma_prev + 0.0 AS ewma_prev,
+       (cents - ewma_prev) + 0.0 AS dev
+FROM l
+WHERE ewma_prev IS NOT NULL
+  AND abs(cents - ewma_prev) > {EWMA_SPIKE_LIMIT}
+"""
+
+
+ORACLE_EWMA_SPIKES = _ewma_spike_oracle()
+
+
+# ---- grouped OLS trend (round 11) ----
+#
+# Per-group least-squares trend fit — the "is spend drifting up?"
+# analytics primitive — via SUFFICIENT STATISTICS, the only shape that
+# distributes: ONE partial-agg pass collects (n, Sx, Sy, Sxx, Sxy) as
+# exact int64 (x = epoch days <= ~2*10^4, y = cents <= ~6*10^7: the
+# moment sums stay far inside int64 at fixture scale; a 100 TB
+# deployment swaps the moment columns to DECIMAL(38,0), same plan).
+# The closed form slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) multiplies
+# the moments as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — EXACT
+# integers ~10^21 on both engines — then converts numerator and
+# denominator to double (round-to-nearest of the same integer =
+# identical bits) for ONE division. intercept = (Sy - slope*Sx)/n is
+# two more fixed-order IEEE ops on identical doubles. Bit-identical,
+# no rounding contract.
+
+
+def stats_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order-priority OLS trend of order value (cents) over order
+    date (epoch days). Returns (prio, n, slope, intercept)."""
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    m = base.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = "decimal(38,0)"
+    num = (
+        F.col("n").cast(d) * F.col("sxy").cast(d)
+        - F.col("sx").cast(d) * F.col("sy").cast(d)
+    )
+    den = (
+        F.col("n").cast(d) * F.col("sxx").cast(d)
+        - F.col("sx").cast(d) * F.col("sx").cast(d)
+    )
+    slope = num.cast("double") / den.cast("double")
+    out = m.select(
+        "prio", "n", slope.alias("slope"), "sy", "sx"
+    )
+    intercept = (
+        F.col("sy") - F.col("slope") * F.col("sx")
+    ) / F.col("n")
+    return out.select(
+        "prio", "n",
+        (F.col("slope") + F.lit(0.0)).alias("slope"),
+        (intercept + F.lit(0.0)).alias("intercept"),
+    )
+
+
+ORACLE_OLS = """
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           AS x,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+  FROM orders
+),
+m AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM base GROUP BY prio
+),
+s AS (
+  SELECT prio, n, sx, sy,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+              AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS DOUBLE) AS slope
+  FROM m
+)
+SELECT prio, n, slope + 0.0 AS slope,
+       ((sy - slope * sx) / n) + 0.0 AS intercept
+FROM s
+"""
+
+
 # ---- Kolmogorov-Smirnov drift (round 11) ----
 #
 # The nonparametric complement of PSI (Massey 1951, JASA — the
@@ -6408,6 +6573,8 @@ QUERIES = {
     "link_block_census": link_block_census,
     "dedup_image_phash_wide_bloom": dedup_image_phash_wide_bloom,
     "link_part_phonetic_tf": link_part_phonetic_tf,
+    "ts_ewma_spikes": ts_ewma_spikes,
+    "stats_group_ols_trend": stats_group_ols_trend,
 }
 
 ORACLE = {
@@ -6494,4 +6661,6 @@ ORACLE = {
     "link_block_census": ORACLE_BLOCK_CENSUS,
     "dedup_image_phash_wide_bloom": ORACLE_IMAGE_PHASH_WIDE,
     "link_part_phonetic_tf": ORACLE_PHON_TF,
+    "ts_ewma_spikes": ORACLE_EWMA_SPIKES,
+    "stats_group_ols_trend": ORACLE_OLS,
 }

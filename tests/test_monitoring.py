@@ -143,3 +143,62 @@ def test_ks_plan_one_window_exchange_no_python(spark, sf_dir):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
     assert plan.count("Exchange") <= 2  # groupBy + window share the type key
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    """Grouped OLS sufficient-statistics fit equals numpy's polyfit
+    per group (to float tolerance) and n partitions the table."""
+    from spotify_etl_aws_spark.queries.selection import stats_group_ols_trend
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    ).collect()
+    got = {r.prio: r for r in stats_group_ols_trend(spark, sf_dir).collect()}
+    assert sum(r.n for r in got.values()) == len(orders)
+    for prio, r in got.items():
+        xs = np.array([o.x for o in orders if o.o_orderpriority == prio], float)
+        ys = np.array([o.y for o in orders if o.o_orderpriority == prio], float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert r.slope == pytest.approx(slope, rel=1e-6)
+        assert r.intercept == pytest.approx(intercept, rel=1e-6)
+
+
+def test_ewma_spikes_brute_force(spark, sf_dir):
+    """Spike set equals a brute-force python replay of the dyadic EWMA
+    control chart (forecast = previous row's EWMA, |dev| > limit)."""
+    from spotify_etl_aws_spark.queries.selection import (
+        EWMA_SPIKE_LIMIT,
+        EWMA_WINDOW,
+        ts_ewma_spikes,
+    )
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        ).collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    want = {}
+    hist: dict[int, list[int]] = {}
+    prev_ewma: dict[int, float] = {}
+    for r in ev:
+        h = hist.setdefault(r.user_id, [])
+        if r.user_id in prev_ewma:
+            dev = r.cents - prev_ewma[r.user_id]
+            if abs(dev) > EWMA_SPIKE_LIMIT:
+                want[r.event_id] = (r.cents, prev_ewma[r.user_id], dev)
+        h.append(r.cents)
+        tail = h[-EWMA_WINDOW:]
+        num = sum(v << i for i, v in enumerate(tail))
+        prev_ewma[r.user_id] = num / (1 << len(tail))
+    got = {
+        r.event_id: (r.cents, r.ewma_prev, r.dev)
+        for r in ts_ewma_spikes(spark, sf_dir).collect()
+    }
+    assert got == want  # exact equality, doubles included
+    assert got  # non-vacuous at this SF
