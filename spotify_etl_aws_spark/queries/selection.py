@@ -6204,12 +6204,16 @@ GROUP BY event_type, n_ref, n_cur
 # membership, completeness. Each check emits its violation COUNT (the
 # actionable number), not just a boolean. All integers — hash-exact.
 #
-# Scale shape: the five orders-side checks fold into ONE conditional-
-# sum scan of orders (uniqueness rides count vs count_distinct in the
-# same agg); each FK check is one anti-join against its parent dim
-# keyed on the join key (broadcast when the dim is small, shuffle
-# otherwise — Spark's planner decides); the lineitem range check is
-# one more conditional-sum scan. No check ever collects rows.
+# Scale shape (plan-pinned in tests): ONE scan of each fact table.
+# Every orders-side check INCLUDING the FK rides a single aggregation
+# over orders LEFT JOIN the distinct parent keys (uniqueness = count
+# vs count_distinct in the same agg; FK violation = parent key null);
+# lineitem likewise (range + FK in one agg over a left join against
+# distinct orderkeys). The one-row aggregates then UNPIVOT map-side
+# (stack) into check rows — no per-check re-scan, no collect. Parent
+# key sets are DISTINCT'd before the join so a duplicate parent key
+# (itself a violation the suite reports) cannot multiply child rows
+# and skew the child-side counts.
 DQ_STATUS_DOMAIN = ("O", "F", "P")
 
 
@@ -6221,7 +6225,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = t(spark, sf_dir, "lineitem")
     customer = t(spark, sf_dir, "customer")
 
-    o = orders.agg(
+    cust_keys = customer.select("c_custkey").distinct()
+    oj = orders.join(
+        cust_keys, orders["o_custkey"] == cust_keys["c_custkey"], "left"
+    )
+    o = oj.agg(
         F.count(F.lit(1)).alias("n"),
         (
             F.count(F.lit(1)) - F.count_distinct("o_orderkey")
@@ -6237,62 +6245,52 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
         ).alias("null_date"),
+        F.sum(
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+        ).alias("fk_viol"),
     )
+    ostack = o.select(
+        F.col("n"),
+        F.stack(
+            F.lit(5),
+            F.lit("orderkey_unique"), F.col("dup_keys"),
+            F.lit("totalprice_positive"), F.col("bad_price"),
+            F.lit("orderstatus_domain"), F.col("bad_status"),
+            F.lit("orderdate_complete"), F.col("null_date"),
+            F.lit("orders_custkey_fk"), F.col("fk_viol"),
+        ).alias("check_name", "n_violations"),
+    ).select("check_name", F.col("n").alias("n_checked"), "n_violations")
 
-    def one(name: str, n_col: str, v_col):
-        return o.select(
-            F.lit(name).alias("check_name"),
-            F.col(n_col).alias("n_checked"),
-            v_col.alias("n_violations"),
-        )
-
-    orders_checks = (
-        one("orderkey_unique", "n", F.col("dup_keys"))
-        .unionByName(one("totalprice_positive", "n", F.col("bad_price")))
-        .unionByName(one("orderstatus_domain", "n", F.col("bad_status")))
-        .unionByName(one("orderdate_complete", "n", F.col("null_date")))
+    order_keys = orders.select("o_orderkey").distinct()
+    lj = lineitem.join(
+        order_keys, lineitem["l_orderkey"] == order_keys["o_orderkey"],
+        "left",
     )
-    fk_orders = orders.join(
-        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
-    ).agg(F.count(F.lit(1)).alias("v"))
-    fk_orders = orders.agg(F.count(F.lit(1)).alias("n")).crossJoin(
-        fk_orders
-    ).select(
-        F.lit("orders_custkey_fk").alias("check_name"),
-        F.col("n").alias("n_checked"),
-        F.col("v").alias("n_violations"),
-    )
-    fk_line = lineitem.join(
-        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
-    ).agg(F.count(F.lit(1)).alias("v"))
-    li = lineitem.agg(
+    li = lj.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.when(
                 (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
             ).otherwise(0)
         ).alias("bad_qty"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("fk_viol"),
     )
-    fk_line = li.select("n").crossJoin(fk_line).select(
-        F.lit("lineitem_orderkey_fk").alias("check_name"),
-        F.col("n").alias("n_checked"),
-        F.col("v").alias("n_violations"),
-    )
-    qty = li.select(
-        F.lit("quantity_in_range").alias("check_name"),
-        F.col("n").alias("n_checked"),
-        F.col("bad_qty").alias("n_violations"),
-    )
-    return (
-        orders_checks.unionByName(fk_orders)
-        .unionByName(fk_line)
-        .unionByName(qty)
-        .select(
-            "check_name",
-            F.col("n_checked").cast("long").alias("n_checked"),
-            F.col("n_violations").cast("long").alias("n_violations"),
-            (F.col("n_violations") == 0).alias("passed"),
-        )
+    lstack = li.select(
+        F.col("n"),
+        F.stack(
+            F.lit(2),
+            F.lit("lineitem_orderkey_fk"), F.col("fk_viol"),
+            F.lit("quantity_in_range"), F.col("bad_qty"),
+        ).alias("check_name", "n_violations"),
+    ).select("check_name", F.col("n").alias("n_checked"), "n_violations")
+
+    return ostack.unionByName(lstack).select(
+        "check_name",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
     )
 
 
@@ -6319,11 +6317,13 @@ WITH checks AS (
   UNION ALL
   SELECT 'orders_custkey_fk', count(*),
          sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
-  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON c.c_custkey = o.o_custkey
   UNION ALL
   SELECT 'lineitem_orderkey_fk', count(*),
          sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
-  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON o.o_orderkey = l.l_orderkey
   UNION ALL
   SELECT 'quantity_in_range', count(*),
          sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)

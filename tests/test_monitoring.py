@@ -202,3 +202,21 @@ def test_ewma_spikes_brute_force(spark, sf_dir):
     }
     assert got == want  # exact equality, doubles included
     assert got  # non-vacuous at this SF
+
+
+def test_dq_plan_scan_counts(spark, sf_dir):
+    """The suite's claimed scale shape, pinned: orders scanned twice
+    (once for all five conditional-sum checks incl. the FK, once as
+    the distinct parent-key side of the lineitem FK join), lineitem
+    and customer once each — never once per check."""
+    import re
+
+    plan = (
+        dq_expectations(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"orders\.parquet", plan)) <= 2
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1
+    assert len(re.findall(r"customer\.parquet", plan)) == 1
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
