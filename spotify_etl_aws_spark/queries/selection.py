@@ -6028,6 +6028,84 @@ WHERE ewma_prev IS NOT NULL
 ORACLE_EWMA_SPIKES = _ewma_spike_oracle()
 
 
+# ---- CUSUM control chart (round 11) ----
+#
+# Page 1954 ("Continuous inspection schemes", Biometrika) — the
+# change-point detector next to the EWMA chart in every monitoring
+# stack: S_t = max(0, S_{t-1} + (x_t - target - slack)), alarm when
+# S_t > h. The recurrence looks sequential (the one shape a
+# shared-nothing engine can't fuse), but it has an EXACT window form:
+#
+#     S_t = P_t - min(0, min_{j<=t} P_j),   P = running sum of y
+#
+# (induction: max(0, P_{t-1} - m_{t-1} + y_t) = P_t - min(0, m_{t-1},
+# P_t) — the dyadic-EWMA move, applied to max-recursion instead of a
+# truncated tail, and this time with NO truncation: the rewrite is
+# exact for the full history). Everything is int64 (cents minus an
+# integer reference), so both engines produce identical integers —
+# hash-exact, no contract, no rounding.
+#
+# Scale shape: ONE exchange + one sort on the series key; the two
+# running aggregates (sum, then min-of-sum) share the same window
+# spec, then a map-side filter. No UDF, no iteration, no state.
+CUSUM_REF = 6000  # target + slack, cents (mean cents ~5005; probed)
+CUSUM_H = 30000  # alarm threshold (non-empty at all three SFs)
+
+
+def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM alarms per user over event values.
+    Returns (event_id, user_id, cents, cusum) for events where the
+    cumulative exceedance crosses {CUSUM_H}."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = ev.withColumn(
+        "pt", F.sum(F.col("cents") - CUSUM_REF).over(w)
+    )
+    s = p.withColumn(
+        "cusum",
+        F.col("pt") - F.least(F.lit(0), F.min("pt").over(w)),
+    )
+    return s.filter(F.col("cusum") > CUSUM_H).select(
+        "event_id", "user_id", "cents", "cusum"
+    )
+
+
+ORACLE_CUSUM = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+p AS (
+  SELECT event_id, user_id, ts, cents,
+         sum(cents - {CUSUM_REF}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS pt
+  FROM ev
+),
+s AS (
+  SELECT event_id, user_id, cents, pt,
+         min(pt) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS mp
+  FROM p
+)
+SELECT event_id, user_id, cents,
+       CAST(pt - least(0, mp) AS BIGINT) AS cusum
+FROM s
+WHERE pt - least(0, mp) > {CUSUM_H}
+"""
+
+
 # ---- grouped OLS trend (round 11) ----
 #
 # Per-group least-squares trend fit — the "is spend drifting up?"
@@ -6575,6 +6653,7 @@ QUERIES = {
     "link_part_phonetic_tf": link_part_phonetic_tf,
     "ts_ewma_spikes": ts_ewma_spikes,
     "stats_group_ols_trend": stats_group_ols_trend,
+    "ts_cusum_alarms": ts_cusum_alarms,
 }
 
 ORACLE = {
@@ -6663,4 +6742,5 @@ ORACLE = {
     "link_part_phonetic_tf": ORACLE_PHON_TF,
     "ts_ewma_spikes": ORACLE_EWMA_SPIKES,
     "stats_group_ols_trend": ORACLE_OLS,
+    "ts_cusum_alarms": ORACLE_CUSUM,
 }

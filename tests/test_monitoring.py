@@ -220,3 +220,49 @@ def test_dq_plan_scan_counts(spark, sf_dir):
     assert len(re.findall(r"customer\.parquet", plan)) == 1
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_cusum_matches_sequential_recurrence(spark, sf_dir):
+    """The window form P_t - min(0, min P_j) equals Page's sequential
+    recurrence S_t = max(0, S_{t-1} + y_t) replayed in python —
+    integer-exact, alarm set identical."""
+    from spotify_etl_aws_spark.queries.selection import (
+        CUSUM_H,
+        CUSUM_REF,
+        ts_cusum_alarms,
+    )
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        ).collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    want = {}
+    state: dict[int, int] = {}
+    for r in ev:
+        s = max(0, state.get(r.user_id, 0) + r.cents - CUSUM_REF)
+        state[r.user_id] = s
+        if s > CUSUM_H:
+            want[r.event_id] = (r.cents, s)
+    got = {
+        r.event_id: (r.cents, r.cusum)
+        for r in ts_cusum_alarms(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous at this SF
+
+
+def test_cusum_plan_one_exchange_no_python(spark, sf_dir):
+    """Both running aggregates share one window spec: a single
+    exchange + sort on the series key, no Python eval."""
+    from spotify_etl_aws_spark.queries.selection import ts_cusum_alarms
+
+    plan = (
+        ts_cusum_alarms(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
