@@ -5803,6 +5803,91 @@ GROUP BY f.event_type, t.n_ref, t.n_cur
 """
 
 
+# ---- streaming PSI drift (round 11) ----
+#
+# The monitoring stack's STREAMING posture: the current-window value
+# histogram accumulates from a real Structured Streaming job (file
+# source -> complete-mode groupBy -> memory sink via AvailableNow —
+# the same harness as every §2.9 lane), the reference histogram is
+# the static batch side, and the PSI fold is identical to the batch
+# lane's — so the ORACLE IS ORACLE_PSI, byte-for-byte: batch/stream
+# parity of the drift monitor is itself the checked contract. In
+# production the complete-mode histogram is the continuously-updated
+# counts table a monitor reads each trigger; counts are exact
+# integers regardless of microbatch slicing (streaming aggregation is
+# slice-invariant for sums), which is why parity holds.
+
+
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_psi_drift with the current window computed by a real
+    streaming job (stream-side histogram, static reference). Same
+    output contract: (event_type, n_ref, n_cur, psi)."""
+    from ..streaming.pipeline import read_table_stream, run_available_now
+
+    def bin_col():
+        return F.least(
+            F.greatest(
+                F.floor(
+                    F.round(F.col("value") * 100, 0).cast("long")
+                    / F.lit(PSI_BIN_CENTS)
+                ),
+                F.lit(0),
+            ),
+            F.lit(PSI_BINS - 1),
+        ).cast("long").alias("bin")
+
+    cutoff = F.lit(PSI_CUTOFF).cast("timestamp")
+    cur = run_available_now(
+        read_table_stream(spark, sf_dir, "events")
+        .filter(F.col("ts") >= cutoff)
+        .select("event_type", bin_col())
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c")),
+        "psi_cur_hist",
+        output_mode="complete",
+    )
+    ref = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts") < cutoff)
+        .select("event_type", bin_col())
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    # identical fold to stats_psi_drift from here down (grid over the
+    # types seen in EITHER window, add-one smoothing, 6dp round)
+    types = (
+        ref.select("event_type")
+        .unionByName(cur.select("event_type"))
+        .distinct()
+    )
+    grid = types.crossJoin(
+        spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    )
+    filled = (
+        grid.join(ref, ["event_type", "bin"], "left")
+        .join(cur, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("r", F.lit(0)).alias("r"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    tw = W.partitionBy("event_type")
+    j = filled.withColumn("n_ref", F.sum("r").over(tw)).withColumn(
+        "n_cur", F.sum("c").over(tw)
+    )
+    p = (F.col("r") + 1) / (F.col("n_ref") + PSI_BINS)
+    q = (F.col("c") + 1) / (F.col("n_cur") + PSI_BINS)
+    term = (q - p) * F.log(q / p)
+    return (
+        j.select("event_type", "n_ref", "n_cur", term.alias("term"))
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select("event_type", "n_ref", "n_cur", "psi")
+    )
+
+
 # ---- quantile-binned PSI drift contract (round 11) ----
 #
 # Monitoring practice bins PSI by REFERENCE-window quantiles (equal
@@ -6654,6 +6739,7 @@ QUERIES = {
     "ts_ewma_spikes": ts_ewma_spikes,
     "stats_group_ols_trend": stats_group_ols_trend,
     "ts_cusum_alarms": ts_cusum_alarms,
+    "streaming_psi_drift": streaming_psi_drift,
 }
 
 ORACLE = {
@@ -6743,4 +6829,5 @@ ORACLE = {
     "ts_ewma_spikes": ORACLE_EWMA_SPIKES,
     "stats_group_ols_trend": ORACLE_OLS,
     "ts_cusum_alarms": ORACLE_CUSUM,
+    "streaming_psi_drift": ORACLE_PSI,
 }
