@@ -2414,6 +2414,54 @@ GROUP BY p_partkey, x, y
 """
 
 
+# ---- Hilbert layout keys (round 11) ----
+#
+# The locality-preserving sibling of layout_zorder_keys (operators/
+# hilbert.py): consecutive Hilbert indices are always grid-neighbors,
+# so range predicates map to fewer, tighter file bounding boxes than
+# Morton order gives (the reason liquid-clustering-style layouts
+# prefer it). Same (size, price-bucket) dimensions as the z-order
+# lane so the two layout keys are directly comparable. The unrolled
+# per-level rotate/reflect chain is pure integer CASE/shift/xor
+# arithmetic on BOTH engines, generated from one transform
+# (operators/hilbert.py:hilbert_sql) — hash-exact.
+HILBERT_BITS = 9  # grid 512x512: covers p_size <= 50, price bucket <= ~210
+
+
+def layout_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert d-index layout keys for every part on the z-order
+    lane's (size, price-bucket) grid. Returns (p_partkey, x, y,
+    hval)."""
+    from ..operators.hilbert import with_hilbert
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("x"),
+        F.expr(
+            "CAST(round(p_retailprice * 100) AS BIGINT) div 1000"
+        ).alias("y"),
+    )
+    return with_hilbert(p, "x", "y", HILBERT_BITS, "hval")
+
+
+def _hilbert_oracle() -> str:
+    from ..operators.hilbert import hilbert_sql
+
+    return f"""
+WITH hsrc AS (
+  SELECT p_partkey AS k, CAST(p_size AS BIGINT) AS sz,
+         CAST(round(p_retailprice * 100) AS BIGINT) // 1000 AS pb
+  FROM part
+),
+{hilbert_sql("sz", "pb", HILBERT_BITS)}
+SELECT h.k AS p_partkey, h.sz AS x, h.pb AS y, l0.d AS hval
+FROM l0 JOIN hsrc h ON h.k = l0.k
+"""
+
+
+ORACLE_HILBERT = _hilbert_oracle()
+
+
 QUANTILE_PROBES = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9,
                    "p99": 0.99}
 QUANTILE_SAMPLES = 256
@@ -6740,6 +6788,7 @@ QUERIES = {
     "stats_group_ols_trend": stats_group_ols_trend,
     "ts_cusum_alarms": ts_cusum_alarms,
     "streaming_psi_drift": streaming_psi_drift,
+    "layout_hilbert_keys": layout_hilbert_keys,
 }
 
 ORACLE = {
@@ -6830,4 +6879,5 @@ ORACLE = {
     "stats_group_ols_trend": ORACLE_OLS,
     "ts_cusum_alarms": ORACLE_CUSUM,
     "streaming_psi_drift": ORACLE_PSI,
+    "layout_hilbert_keys": ORACLE_HILBERT,
 }
