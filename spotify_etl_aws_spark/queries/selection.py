@@ -6547,6 +6547,62 @@ FROM checks
 """
 
 
+# ---- k-anonymity census (round 11) ----
+#
+# The privacy gate next to the DQ expectation suite (Sweeney 2002,
+# "k-anonymity: a model for protecting privacy", IJUFKS — the
+# data-release standard): a row is re-identifiable when its
+# quasi-identifier combination is shared by fewer than k records.
+# Census over (nation, market segment, $1000 balance band) — the
+# released-attribute shape — with every combination's group size and
+# its at-risk flag. All integers + one boolean: hash-exact.
+#
+# The balance band uses explicit floor(cents / width) on BOTH engines:
+# Spark's integer `div` TRUNCATES toward zero while DuckDB's `//`
+# FLOORS, so negative balances would land in different bands — the
+# one semantic trap in this lane, made explicit instead of implicit.
+#
+# Scale shape: one partial-agg shuffle on the QI key; the census is
+# bounded by the QI domain, not the row count.
+KANON_K = 5
+KANON_BAND_CENTS = 100000  # $1000 bands
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census of customer quasi-identifiers. Returns
+    (nation, segment, bal_band, n, at_risk) for every observed
+    combination; at_risk = group smaller than {KANON_K}."""
+    qi = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(
+            F.round(F.col("c_acctbal") * 100, 0).cast("long")
+            / F.lit(KANON_BAND_CENTS)
+        ).cast("long").alias("bal_band"),
+    )
+    return (
+        qi.groupBy("nation", "segment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "nation", "segment", "bal_band", "n",
+            (F.col("n") < KANON_K).alias("at_risk"),
+        )
+    )
+
+
+ORACLE_KANON = f"""
+WITH qi AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                    / {KANON_BAND_CENTS}) AS BIGINT) AS bal_band
+  FROM customer
+)
+SELECT nation, segment, bal_band, count(*) AS n,
+       count(*) < {KANON_K} AS at_risk
+FROM qi GROUP BY nation, segment, bal_band
+"""
+
+
 # ---- column profiling (round 10) ----
 #
 # Deequ / Great-Expectations-style data-quality profiling: one pass
@@ -6789,6 +6845,7 @@ QUERIES = {
     "ts_cusum_alarms": ts_cusum_alarms,
     "streaming_psi_drift": streaming_psi_drift,
     "layout_hilbert_keys": layout_hilbert_keys,
+    "dq_k_anonymity": dq_k_anonymity,
 }
 
 ORACLE = {
@@ -6880,4 +6937,5 @@ ORACLE = {
     "ts_cusum_alarms": ORACLE_CUSUM,
     "streaming_psi_drift": ORACLE_PSI,
     "layout_hilbert_keys": ORACLE_HILBERT,
+    "dq_k_anonymity": ORACLE_KANON,
 }

@@ -266,3 +266,28 @@ def test_cusum_plan_one_exchange_no_python(spark, sf_dir):
     assert plan.count("Exchange") == 1
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_k_anonymity_census(spark, sf_dir):
+    """Census partitions the table; at_risk groups exist at this SF;
+    negative balances band by FLOOR (the Spark-div/DuckDB-// trap the
+    lane makes explicit)."""
+    from spotify_etl_aws_spark.queries.selection import (
+        KANON_BAND_CENTS,
+        KANON_K,
+        dq_k_anonymity,
+    )
+
+    rows = dq_k_anonymity(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n for r in rows) == n_cust
+    assert any(r.at_risk for r in rows)
+    for r in rows:
+        assert r.at_risk == (r.n < KANON_K)
+    # negative balances exist in TPC-H and must land in band -1 (floor)
+    neg = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") < 0
+    ).count()
+    if neg:
+        assert any(r.bal_band < 0 for r in rows)
+    assert KANON_BAND_CENTS == 100000
