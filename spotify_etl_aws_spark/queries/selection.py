@@ -5503,6 +5503,75 @@ FROM grams g JOIN probes p ON p.gram = g.gram
 """
 
 
+# ---- linkage evaluation metrics (round 11) ----
+#
+# Splink's model-QA step: score the one-to-one resolution against
+# ground truth. The fixture's truth is BUILT IN (probe i is customer
+# i corrupted), so the confusion counts are exact integers and
+# precision/recall/f1 are single fixed-order IEEE expressions over
+# ratios of identical integers — bit-identical, guarded CASE for the
+# empty edge. One count-aggregation over the best-match output; no
+# extra scan beyond the linkage itself.
+
+
+def link_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 of link_customer_best against the
+    fixture's identity ground truth. Returns one row: (n_truth,
+    n_pred, tp, fp, precision, recall, f1)."""
+    best = link_customer_best(spark, sf_dir)
+    n_truth = t(spark, sf_dir, "customer").count()  # tiny dim count
+    m = best.agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum(
+            F.when(F.col("probe_id") == F.col("custkey"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    ).otherwise(F.lit(None).cast("double"))
+    rec = F.col("tp") / F.lit(n_truth)
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        F.lit(2.0) * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        m.select(
+            F.lit(n_truth).cast("long").alias("n_truth"),
+            "n_pred",
+            "tp",
+            (F.col("n_pred") - F.col("tp")).alias("fp"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+        )
+        .withColumn("f1", f1)
+    )
+
+
+ORACLE_LINK_EVAL = f"""
+WITH best AS ({ORACLE_FS_BEST}),
+m AS (
+  SELECT (SELECT count(*) FROM customer) AS n_truth,
+         CAST(count(*) AS BIGINT) AS n_pred,
+         CAST(sum(CASE WHEN probe_id = custkey THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp
+  FROM best
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, n_pred, tp,
+       n_pred - tp AS fp,
+       CASE WHEN n_pred > 0 THEN tp / n_pred END AS precision,
+       tp / n_truth AS recall,
+       CASE WHEN (CASE WHEN n_pred > 0 THEN tp / n_pred END
+                  + tp / n_truth) > 0
+            THEN 2.0 * (CASE WHEN n_pred > 0 THEN tp / n_pred END)
+                 * (tp / n_truth)
+                 / ((CASE WHEN n_pred > 0 THEN tp / n_pred END)
+                    + tp / n_truth)
+       END AS f1
+FROM m
+"""
+
+
 # ---- transitive entity clustering over linkage matches (round 10) ----
 #
 # The Splink `cluster_pairwise_predictions_at_threshold` step: pairwise
@@ -6603,6 +6672,53 @@ FROM qi GROUP BY nation, segment, bal_band
 """
 
 
+# l-diversity (Machanavajjhala 2007, TKDD): k-anonymity's companion —
+# a group can be large yet still leak if every member shares the same
+# SENSITIVE value. QI = (nation, balance band); sensitive = market
+# segment; a group is diverse when it carries >= L distinct segments.
+KANON_L = 2
+
+
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census over (nation, bal_band) with segment as the
+    sensitive attribute. Returns (nation, bal_band, n, n_sensitive,
+    diverse)."""
+    qi = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(
+            F.round(F.col("c_acctbal") * 100, 0).cast("long")
+            / F.lit(KANON_BAND_CENTS)
+        ).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        qi.groupBy("nation", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("segment").alias("n_sensitive"),
+        )
+        .select(
+            "nation", "bal_band", "n", "n_sensitive",
+            (F.col("n_sensitive") >= KANON_L).alias("diverse"),
+        )
+    )
+
+
+ORACLE_LDIV = f"""
+WITH qi AS (
+  SELECT c_nationkey AS nation,
+         CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                    / {KANON_BAND_CENTS}) AS BIGINT) AS bal_band,
+         c_mktsegment AS segment
+  FROM customer
+)
+SELECT nation, bal_band, count(*) AS n,
+       count(DISTINCT segment) AS n_sensitive,
+       count(DISTINCT segment) >= {KANON_L} AS diverse
+FROM qi GROUP BY nation, bal_band
+"""
+
+
 # ---- column profiling (round 10) ----
 #
 # Deequ / Great-Expectations-style data-quality profiling: one pass
@@ -6846,6 +6962,8 @@ QUERIES = {
     "streaming_psi_drift": streaming_psi_drift,
     "layout_hilbert_keys": layout_hilbert_keys,
     "dq_k_anonymity": dq_k_anonymity,
+    "dq_l_diversity": dq_l_diversity,
+    "link_eval_metrics": link_eval_metrics,
 }
 
 ORACLE = {
@@ -6938,4 +7056,6 @@ ORACLE = {
     "streaming_psi_drift": ORACLE_PSI,
     "layout_hilbert_keys": ORACLE_HILBERT,
     "dq_k_anonymity": ORACLE_KANON,
+    "dq_l_diversity": ORACLE_LDIV,
+    "link_eval_metrics": ORACLE_LINK_EVAL,
 }

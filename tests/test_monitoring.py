@@ -291,3 +291,37 @@ def test_k_anonymity_census(spark, sf_dir):
     if neg:
         assert any(r.bal_band < 0 for r in rows)
     assert KANON_BAND_CENTS == 100000
+
+
+def test_l_diversity_census(spark, sf_dir):
+    from spotify_etl_aws_spark.queries.selection import (
+        KANON_L,
+        dq_l_diversity,
+    )
+
+    rows = dq_l_diversity(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == load_table(
+        spark, sf_dir, "customer"
+    ).count()
+    for r in rows:
+        assert 1 <= r.n_sensitive <= min(r.n, 5)  # 5 TPC-H segments
+        assert r.diverse == (r.n_sensitive >= KANON_L)
+
+
+def test_link_eval_confusion_algebra(spark, sf_dir):
+    """tp/fp recomputed from the best-match rows; precision/recall/f1
+    follow the exact closed forms."""
+    from spotify_etl_aws_spark.queries.selection import (
+        link_customer_best,
+        link_eval_metrics,
+    )
+
+    best = link_customer_best(spark, sf_dir).collect()
+    tp = sum(1 for r in best if r.probe_id == r.custkey)
+    row = link_eval_metrics(spark, sf_dir).collect()[0]
+    assert (row.n_pred, row.tp, row.fp) == (len(best), tp, len(best) - tp)
+    assert row.precision == tp / len(best)
+    assert row.recall == tp / row.n_truth
+    p, r = row.precision, row.recall
+    assert row.f1 == 2.0 * p * r / (p + r)
+    assert row.recall > 0.5  # the fixture's blocking recall story
