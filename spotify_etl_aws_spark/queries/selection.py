@@ -6616,6 +6616,91 @@ FROM checks
 """
 
 
+# ---- frequent-pair co-occurrence mining (round 11) ----
+#
+# The A-Priori L2 pass (Agrawal & Srikant, VLDB 1994 — market-basket
+# association mining): part pairs co-occurring in >= minsup orders,
+# with lift. The candidate generator is a WITHIN-BASKET self-join —
+# pair mass is sum over baskets of |basket|^2, bounded by the ~7-item
+# TPC-H basket (21 pairs/order, linear in orders), never a global
+# cross product; support counting is one partial-agg shuffle on the
+# pair key. Support and the per-part counts are exact integers; lift
+# = (support * n_baskets) / (cnt_a * cnt_b) multiplies int64s exactly
+# on both engines and divides once — bit-identical.
+MINE_MINSUP = 3
+
+
+def mine_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs across order baskets. Returns (part_a,
+    part_b, support, lift) for pairs with support >= {MINE_MINSUP}."""
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    n_baskets = b.select("o").distinct().count()
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.o") == F.col("y.o"))
+            & (F.col("x.p") < F.col("y.p")),
+        )
+        .select(
+            F.col("x.p").alias("part_a"), F.col("y.p").alias("part_b")
+        )
+    )
+    sup = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MINE_MINSUP)
+    )
+    cnt = b.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        sup.join(
+            F.broadcast(cnt.withColumnRenamed("p", "part_a")
+                        .withColumnRenamed("cnt", "ca")),
+            "part_a",
+        )
+        .join(
+            F.broadcast(cnt.withColumnRenamed("p", "part_b")
+                        .withColumnRenamed("cnt", "cb")),
+            "part_b",
+        )
+        .select(
+            "part_a", "part_b", "support",
+            (
+                (F.col("support") * F.lit(n_baskets))
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_FREQ_PAIRS = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+nb AS (SELECT count(DISTINCT o) AS n FROM b),
+pr AS (
+  SELECT x.p AS part_a, y.p AS part_b
+  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+),
+sup AS (
+  SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+  FROM pr GROUP BY part_a, part_b
+  HAVING count(*) >= {MINE_MINSUP}
+),
+cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p)
+SELECT s.part_a, s.part_b, s.support,
+       CAST(s.support * nb.n AS BIGINT)
+       / CAST(ca.c * cb.c AS BIGINT) AS lift
+FROM sup s
+JOIN cnt ca ON ca.p = s.part_a
+JOIN cnt cb ON cb.p = s.part_b, nb
+"""
+
+
 # ---- k-anonymity census (round 11) ----
 #
 # The privacy gate next to the DQ expectation suite (Sweeney 2002,
@@ -6964,6 +7049,7 @@ QUERIES = {
     "dq_k_anonymity": dq_k_anonymity,
     "dq_l_diversity": dq_l_diversity,
     "link_eval_metrics": link_eval_metrics,
+    "mine_frequent_pairs": mine_frequent_pairs,
 }
 
 ORACLE = {
@@ -7058,4 +7144,5 @@ ORACLE = {
     "dq_k_anonymity": ORACLE_KANON,
     "dq_l_diversity": ORACLE_LDIV,
     "link_eval_metrics": ORACLE_LINK_EVAL,
+    "mine_frequent_pairs": ORACLE_FREQ_PAIRS,
 }

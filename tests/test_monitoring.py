@@ -325,3 +325,44 @@ def test_link_eval_confusion_algebra(spark, sf_dir):
     p, r = row.precision, row.recall
     assert row.f1 == 2.0 * p * r / (p + r)
     assert row.recall > 0.5  # the fixture's blocking recall story
+
+
+def test_frequent_pairs_brute_force(spark, sf_dir):
+    """Support and lift equal a python dict replay of the A-Priori L2
+    pass over the distinct baskets."""
+    from collections import Counter
+
+    from spotify_etl_aws_spark.queries.selection import (
+        MINE_MINSUP,
+        mine_frequent_pairs,
+    )
+
+    baskets = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    ):
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    sup = Counter()
+    cnt = Counter()
+    for items in baskets.values():
+        for p in items:
+            cnt[p] += 1
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                sup[(a, b)] += 1
+    nb = len(baskets)
+    want = {
+        k: (v, (v * nb) / (cnt[k[0]] * cnt[k[1]]))
+        for k, v in sup.items()
+        if v >= MINE_MINSUP
+    }
+    got = {
+        (r.part_a, r.part_b): (r.support, r.lift)
+        for r in mine_frequent_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous
