@@ -202,12 +202,10 @@ def _apply_probe_prefilter(
         h = F.pmod(
             F.xxhash64(F.col("band"), F.col("band_val")), F.lit(bloom_bits)
         )
+        idx_word, idx_mask = _bloom_word_mask(F.col("__p"))
         words = (
             bb.select(h.alias("__p"))
-            .select(
-                _bloom_word_mask(F.col("__p"))[0].alias("w"),
-                _bloom_word_mask(F.col("__p"))[1].alias("__m"),
-            )
+            .select(idx_word.alias("w"), idx_mask.alias("__m"))
             .groupBy("w")
             .agg(F.bit_or("__m").alias("bits"))
         )
