@@ -6,7 +6,13 @@ Bureau string comparator), shipped as a pure-Python kernel plus an
 Arrow-batched pandas UDF column.
 
 Semantics match DuckDB's ``jaro_winkler_similarity`` BIT-FOR-BIT
-(fuzz-pinned over 20k random cases in tests): Jaro with match window
+(fuzz-pinned over 20k random cases in tests) — with one precisely
+pinned boundary: this kernel compares CODEPOINTS (the Winkler
+definition over characters) while DuckDB compares UTF-8 BYTES, so the
+two coincide exactly on ASCII (the declared lane's domain) and the
+kernel replayed on the byte sequences reproduces DuckDB bit-for-bit
+on any input (both facts fuzz-pinned over mixed Greek/CJK strings).
+Jaro with match window
 floor(max(|a|,|b|)/2) - 1, transposition count t/2; Winkler prefix
 boost j + L*p*(1-j) with L = common prefix capped at 4, p = 0.1,
 applied only when j > 0.7 (the classic boost threshold); either

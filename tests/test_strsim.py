@@ -92,3 +92,36 @@ def test_batch_kernel_bit_equal_to_scalar_fuzz():
             assert math.isnan(got[i])
         else:
             assert got[i] == jaro_winkler(a, b), (a, b)
+
+
+def test_batch_kernel_non_latin_paths():
+    """Mixed-script pairs exercise the uint32 codepoint matrices (and
+    uint8-vs-uint32 mixed buckets): batch stays bit-equal to the
+    scalar kernel on CODEPOINTS. DuckDB's jaro_winkler_similarity is
+    BYTE-level (UTF-8) — pinned here by replaying the kernel on the
+    byte sequences, where it matches DuckDB bit-for-bit; the two
+    conventions agree exactly on ASCII (the declared lane's domain)."""
+    from spotify_etl_aws_spark.operators.strsim import jaro_winkler_batch
+
+    rng = random.Random(99)
+    alpha = "abcdefαβγδεζ漢字かなまち"  # latin + greek + CJK + kana
+    xs, ys = [], []
+    for _ in range(4000):
+        xs.append("".join(rng.choice(alpha) for _ in range(rng.randrange(0, 10))))
+        ys.append("".join(rng.choice(alpha) for _ in range(rng.randrange(0, 10))))
+    xs += ["漢字", "漢字かな", "abcδ"]
+    ys += ["漢字", "かな漢字", "abcd"]
+    got = jaro_winkler_batch(xs, ys)
+    con = duckdb.connect()
+    for i, (a, b) in enumerate(zip(xs, ys)):
+        assert got[i] == jaro_winkler(a, b), (a, b)  # batch == scalar
+        duck = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        byte_kernel = jaro_winkler(
+            a.encode("utf-8").decode("latin-1"),
+            b.encode("utf-8").decode("latin-1"),
+        )
+        assert byte_kernel == duck, (a, b)  # kernel-on-bytes == DuckDB
+        if a.isascii() and b.isascii():
+            assert got[i] == duck, (a, b)  # conventions coincide
