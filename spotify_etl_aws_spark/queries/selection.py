@@ -6394,6 +6394,80 @@ FROM s
 """
 
 
+# ---- OLS residual outliers (round 11) ----
+#
+# The SCORING half of the grouped-OLS pair — the production
+# fit-then-score split: the 5-row model (bit-identical slope/
+# intercept, see stats_group_ols_trend) broadcasts back onto the fact
+# rows and each order scores its residual against the group trend.
+# resid = y - (slope*x + intercept) is a fixed-order IEEE chain over
+# bit-identical inputs, so the flagged set is exact on both engines
+# with no rounding contract (the EWMA-spike argument, doubles
+# identical rather than dyadic).
+#
+# Scale shape: ONE fact scan for the fit (partial agg to 5 rows) and
+# one for the scoring join — the model side is broadcast, so scoring
+# is map-side.
+OLS_RESID_LIMIT = 24_500_000  # cents (~p99 of |resid|, probed at 3 SFs)
+
+
+def stats_ols_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose value deviates from their priority group's OLS
+    trend by more than {OLS_RESID_LIMIT} cents. Returns (o_orderkey,
+    prio, x, y, resid)."""
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    model = stats_group_ols_trend(spark, sf_dir).select(
+        "prio", "slope", "intercept"
+    )
+    resid = F.col("y") - (
+        F.col("slope") * F.col("x") + F.col("intercept")
+    )
+    return (
+        base.join(F.broadcast(model), "prio")
+        .withColumn("resid", resid + F.lit(0.0))
+        .filter(F.abs(F.col("resid")) > OLS_RESID_LIMIT)
+        .select("o_orderkey", "prio", "x", "y", "resid")
+    )
+
+
+ORACLE_OLS_OUTLIERS = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           AS x,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+  FROM orders
+),
+m AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM base GROUP BY prio
+),
+s AS (
+  SELECT prio, n, sx, sy,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+              AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS DOUBLE) AS slope
+  FROM m
+),
+s2 AS (SELECT prio, slope, (sy - slope * sx) / n AS intercept FROM s)
+SELECT b.o_orderkey, b.prio, b.x, b.y,
+       (b.y - (s2.slope * b.x + s2.intercept)) + 0.0 AS resid
+FROM base b JOIN s2 ON s2.prio = b.prio
+WHERE abs(b.y - (s2.slope * b.x + s2.intercept)) > {OLS_RESID_LIMIT}
+"""
+
+
 # ---- Kolmogorov-Smirnov drift (round 11) ----
 #
 # The nonparametric complement of PSI (Massey 1951, JASA — the
@@ -7050,6 +7124,7 @@ QUERIES = {
     "dq_l_diversity": dq_l_diversity,
     "link_eval_metrics": link_eval_metrics,
     "mine_frequent_pairs": mine_frequent_pairs,
+    "stats_ols_outliers": stats_ols_outliers,
 }
 
 ORACLE = {
@@ -7145,4 +7220,5 @@ ORACLE = {
     "dq_l_diversity": ORACLE_LDIV,
     "link_eval_metrics": ORACLE_LINK_EVAL,
     "mine_frequent_pairs": ORACLE_FREQ_PAIRS,
+    "stats_ols_outliers": ORACLE_OLS_OUTLIERS,
 }

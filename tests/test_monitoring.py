@@ -366,3 +366,39 @@ def test_frequent_pairs_brute_force(spark, sf_dir):
     }
     assert got == want
     assert got  # non-vacuous
+
+
+def test_ols_outliers_scoring(spark, sf_dir):
+    """Every flagged order's residual recomputes exactly from the
+    model lane's slope/intercept, and no unflagged order exceeds the
+    limit (completeness checked by brute force)."""
+    from spotify_etl_aws_spark.queries.selection import (
+        OLS_RESID_LIMIT,
+        stats_group_ols_trend,
+        stats_ols_outliers,
+    )
+
+    model = {
+        r.prio: (r.slope, r.intercept)
+        for r in stats_group_ols_trend(spark, sf_dir).collect()
+    }
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    ).collect()
+    want = {}
+    for r in base:
+        slope, icept = model[r.prio]
+        resid = r.y - (slope * r.x + icept)
+        if abs(resid) > OLS_RESID_LIMIT:
+            want[r.o_orderkey] = resid
+    got = {
+        r.o_orderkey: r.resid
+        for r in stats_ols_outliers(spark, sf_dir).collect()
+    }
+    assert got == want  # exact doubles, both directions
+    assert got
