@@ -442,3 +442,47 @@ def test_dhash_bit_k_is_the_gradient_sign(cells):
         for c in range(7):
             bit = (h >> (r * 7 + c)) & 1
             assert bit == (1 if cells[r][c] > cells[r][c + 1] else 0)
+
+
+@given(ys=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                   min_size=1, max_size=200))
+def test_cusum_window_identity(ys):
+    """The CUSUM rewrite used by ts_cusum_alarms is an identity, not a
+    fixture accident: S_t = max(0, S_{t-1} + y_t) equals
+    P_t - min(0, min_{j<=t} P_j) for every integer series."""
+    s = 0
+    p = 0
+    mn = 0
+    for y in ys:
+        s = max(0, s + y)
+        p += y
+        mn = min(mn, p)
+        assert s == p - min(0, mn)
+
+
+@given(
+    bits=st.integers(min_value=1, max_value=8),
+    data=st.data(),
+)
+def test_hilbert_bijection_and_range(bits, data):
+    """xy2d is injective on the full grid (sampled exhaustively up to
+    2^8 cells) and lands in [0, 4^bits)."""
+    from spotify_etl_aws_spark.operators.hilbert import hilbert_xy2d
+
+    n = 1 << bits
+    if n * n <= 256:
+        ds = {hilbert_xy2d(x, y, bits) for x in range(n) for y in range(n)}
+        assert ds == set(range(n * n))
+    else:
+        pts = data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=n - 1),
+                    st.integers(min_value=0, max_value=n - 1),
+                ),
+                min_size=2, max_size=50, unique=True,
+            )
+        )
+        ds = [hilbert_xy2d(x, y, bits) for x, y in pts]
+        assert len(set(ds)) == len(pts)
+        assert all(0 <= d < n * n for d in ds)
