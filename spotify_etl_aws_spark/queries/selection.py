@@ -6701,6 +6701,12 @@ FROM checks
 # pair key. Support and the per-part counts are exact integers; lift
 # = (support * n_baskets) / (cnt_a * cnt_b) multiplies int64s exactly
 # on both engines and divides once — bit-identical.
+#
+# The distinct basket frame feeds FOUR consumers (both self-join
+# sides, the per-part counts, the basket total); without
+# materialization each recomputes the lineage = four fact scans
+# (measured in the plan). localCheckpoint — the iterative-op
+# convention (operators/graph.py, dedup.py) — pins it to one scan.
 MINE_MINSUP = 3
 
 
@@ -6713,6 +6719,7 @@ def mine_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         )
         .distinct()
+        .localCheckpoint()
     )
     n_baskets = b.select("o").distinct().count()
     pairs = (

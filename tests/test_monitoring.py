@@ -402,3 +402,18 @@ def test_ols_outliers_scoring(spark, sf_dir):
     }
     assert got == want  # exact doubles, both directions
     assert got
+
+
+def test_frequent_pairs_single_fact_scan(spark, sf_dir):
+    """The checkpointed basket frame is the only fact read: the final
+    plan re-reads the materialized blocks, never lineitem.parquet
+    (four consumers, one scan)."""
+    import re
+
+    from spotify_etl_aws_spark.queries.selection import mine_frequent_pairs
+
+    plan = (
+        mine_frequent_pairs(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"lineitem", plan)) == 0
