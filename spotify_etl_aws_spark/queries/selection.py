@@ -7009,15 +7009,18 @@ def stats_profile_hll_contract(
     exact_distinct, within_bound)."""
     from ..operators.profile import profile_completeness
 
+    from ..operators.profile import stack_carriers
+
     orders = t(spark, sf_dir, "orders")
     carriers = {c: F.col(c).cast("string") for c in PROFILE_COLS}
-    est = profile_completeness(
-        orders, carriers, approx_rsd=PROFILE_HLL_RSD
-    ).select("col_name", F.col("n_distinct").alias("est"))
-    exact = profile_completeness(orders, carriers).select(
-        "col_name", F.col("n_distinct").alias("exact_distinct")
+    # estimate and exact ride the SAME aggregation over one stacked
+    # pass — a second profile_completeness call would re-scan orders
+    stacked = stack_carriers(orders, carriers, "string")
+    both = stacked.groupBy("col_name").agg(
+        F.count_distinct("val").alias("exact_distinct"),
+        F.approx_count_distinct("val", PROFILE_HLL_RSD).alias("est"),
     )
-    return est.join(exact, "col_name").select(
+    return both.select(
         "col_name",
         "exact_distinct",
         (
