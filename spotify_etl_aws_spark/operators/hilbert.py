@@ -51,6 +51,12 @@ def with_hilbert(
     pure JVM integer expressions; 2*bits result bits."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
+    collide = {out_col, "__hx", "__hy", "__hd"} & set(df.columns)
+    if collide:
+        # keep = df.columns below would silently duplicate these
+        raise ValueError(
+            f"with_hilbert: input already has column(s) {sorted(collide)}"
+        )
     keep = df.columns
     cur = df.select(
         *keep,

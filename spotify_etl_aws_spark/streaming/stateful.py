@@ -189,3 +189,80 @@ def user_type_profiles_gs(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_alarms_state(events: DataFrame, ref: int, h: int) -> DataFrame:
+    """Per-key one-sided upper CUSUM (Page 1954) as a streaming state
+    machine — the STREAMING posture of the batch window identity
+    S_t = P_t - min(0, min_{j<=t} P_j) (queries: ts_cusum_alarms):
+    the state carries exactly the identity's sufficient statistics,
+    (P_t, min_j P_j), plus the last-seen (ts, event_id) so the fold is
+    resumable across triggers. Per trigger each key's new rows sort by
+    (ts, event_id) and fold with vectorized numpy prefix ops; rows
+    whose cumulative exceedance crosses ``h`` emit as alarms.
+
+    Ordering contract: the recurrence is only defined over the
+    per-key (ts, event_id) order, so a trigger whose first row is not
+    strictly after the state's last-seen key RAISES (out-of-order
+    delivery across triggers — the file-source AvailableNow harness
+    delivers everything in one trigger, where the in-trigger sort
+    makes order unconditional; a production deployment feeds
+    time-ordered file batches, the reference's daily-landing pattern).
+
+    Scale: state is four int64s per key — bounded by distinct keys,
+    not stream length; everything else is Arrow-batched numpy.
+    """
+    import numpy as np
+
+    out_schema = (
+        "event_id bigint, user_id bigint, cents bigint, cusum bigint"
+    )
+    state_schema = "pt bigint, mp bigint, last_ts bigint, last_eid bigint"
+    far = 1 << 62  # mp sentinel: min(0, mp) clamps it away until set
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pt, mp, last_ts, last_eid = (
+            state.get if state.exists else (0, far, None, None)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(
+            ["ts", "event_id"], kind="mergesort", ignore_index=True
+        )
+        ts_ns = pdf["ts"].astype("int64").to_numpy()
+        eid = pdf["event_id"].to_numpy(np.int64)
+        if last_ts is not None and (
+            (int(ts_ns[0]), int(eid[0])) <= (last_ts, last_eid)
+        ):
+            raise ValueError(
+                "cusum stream: trigger delivered rows at or before the "
+                "already-folded (ts, event_id) frontier — the recurrence "
+                "needs time-ordered trigger batches"
+            )
+        cents = pdf["cents"].to_numpy(np.int64)
+        p = pt + np.cumsum(cents - ref)
+        m = np.minimum.accumulate(np.minimum(p, mp))
+        s = p - np.minimum(m, 0)
+        state.update(
+            (int(p[-1]), int(m[-1]), int(ts_ns[-1]), int(eid[-1]))
+        )
+        hit = s > h
+        yield pd.DataFrame(
+            {
+                "event_id": eid[hit],
+                "user_id": np.full(int(hit.sum()), key[0], np.int64),
+                "cents": cents[hit],
+                "cusum": s[hit],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -73,3 +73,13 @@ def test_bits_validation(spark):
         with_hilbert(df, "x", "y", 0)
     with pytest.raises(ValueError, match="bits"):
         with_hilbert(df, "x", "y", 32)
+
+
+def test_column_collision_guard(spark):
+    """out_col or __h* temporaries already present must raise, not
+    silently produce duplicate/ambiguous columns (round-12 ADVICE)."""
+    df = spark.createDataFrame([(1, 1, 1)], "k long, x long, y long")
+    with pytest.raises(ValueError, match="collision|already has"):
+        with_hilbert(df.withColumn("hval", F.lit(0)), "x", "y", 4, "hval")
+    with pytest.raises(ValueError, match="collision|already has"):
+        with_hilbert(df.withColumn("__hx", F.lit(0)), "x", "y", 4)

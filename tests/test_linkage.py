@@ -338,3 +338,37 @@ def test_em_decimals_rounds_parameters_onto_the_grid(spark):
     # and the run is reproducible bit-for-bit
     fit2 = fs_learn_weights(df, ["x"], iters=4, decimals=6)
     assert fit == fit2
+
+
+def test_clerical_bands_partition_and_purity(spark, sf_dir):
+    """The two-threshold F-S decision rule: the match band IS the
+    declared linkage output, the clerical band fills
+    [FS_CLERICAL_LOW, FS_THRESHOLD), both bands are non-empty, and
+    purity rows reproduce the banded counts."""
+    from spotify_etl_aws_spark.queries.selection import (
+        FS_CLERICAL_LOW,
+        FS_THRESHOLD,
+        link_band_purity,
+        link_clerical_bands,
+        link_customer_records,
+    )
+
+    bands = link_clerical_bands(spark, sf_dir).collect()
+    match = {(r.probe_id, r.custkey) for r in bands if r.band == "match"}
+    cler = {(r.probe_id, r.custkey) for r in bands if r.band == "clerical"}
+    assert match and cler
+    for r in bands:
+        if r.band == "match":
+            assert r.score >= FS_THRESHOLD
+        else:
+            assert FS_CLERICAL_LOW <= r.score < FS_THRESHOLD
+    declared = {
+        (r.probe_id, r.custkey)
+        for r in link_customer_records(spark, sf_dir).collect()
+    }
+    assert match == declared  # upper band == the auto-accept lane
+    purity = {r.band: r for r in link_band_purity(spark, sf_dir).collect()}
+    assert purity["match"].n_pairs == len(match)
+    assert purity["clerical"].n_pairs == len(cler)
+    for r in purity.values():
+        assert 0.0 <= r.purity <= 1.0

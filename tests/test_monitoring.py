@@ -404,16 +404,85 @@ def test_ols_outliers_scoring(spark, sf_dir):
     assert got
 
 
-def test_frequent_pairs_single_fact_scan(spark, sf_dir):
-    """The checkpointed basket frame is the only fact read: the final
-    plan re-reads the materialized blocks, never lineitem.parquet
-    (four consumers, one scan)."""
-    import re
-
+def test_frequent_pairs_single_fact_scan_and_l1_prune(spark, sf_dir):
+    """Round-12 posture pins: (a) every fact consumer reads the
+    PERSISTED basket frame — each FileScan in the plan belongs to an
+    InMemoryRelation print (a direct lineitem scan would add a
+    FileScan with no matching relation); (b) the A-Priori L1 item
+    prefilter is a LeftSemi join on the self-join inputs."""
     from spotify_etl_aws_spark.queries.selection import mine_frequent_pairs
 
     plan = (
         mine_frequent_pairs(spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert len(re.findall(r"lineitem", plan)) == 0
+    assert plan.count("InMemoryTableScan") >= 4  # x, y, cnt x2, L1
+    # fact reads go through the cache: the first FileScan in the plan
+    # text lives INSIDE an InMemoryRelation reprint (AQE prints each
+    # relation's Initial+Final plan, so counts are a multiple of the
+    # relation count, not equal to it)
+    assert "InMemoryRelation" in plan
+    assert plan.find("InMemoryRelation") < plan.find("FileScan")
+    assert plan.count("FileScan") % plan.count("InMemoryRelation") == 0
+    assert plan.count("LeftSemi") >= 2  # L1 prune on both join sides
+
+
+def test_frequent_pairs_capped_strict_subset(spark, sf_dir):
+    """The hot-basket valve drops pair support, never invents it: the
+    capped lane (part_a, part_b) set is a subset of the uncapped
+    lane, support never increases, and the valve BITES at this SF
+    (census shows baskets above MINE_MAX_BASKET_ITEMS)."""
+    from spotify_etl_aws_spark.queries.selection import (
+        MINE_MAX_BASKET_ITEMS,
+        mine_basket_census,
+        mine_frequent_pairs,
+        mine_frequent_pairs_capped,
+    )
+
+    census = {
+        r.basket_items: r.n_baskets
+        for r in mine_basket_census(spark, sf_dir).collect()
+    }
+    assert any(k > MINE_MAX_BASKET_ITEMS for k in census)  # valve bites
+    full = {
+        (r.part_a, r.part_b): r.support
+        for r in mine_frequent_pairs(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.part_a, r.part_b): r.support
+        for r in mine_frequent_pairs_capped(spark, sf_dir).collect()
+    }
+    assert set(capped) <= set(full)
+    assert len(capped) < len(full)
+    for k, sup in capped.items():
+        assert sup <= full[k]
+
+
+def test_dq_metric_anomalies_semantics(spark, sf_dir):
+    """Deequ rate-of-change gate: the first epoch never alarms, flags
+    match the integer cross-multiplication band exactly, and the lane
+    is non-vacuous (TPC-H's partial final month trips the band)."""
+    from spotify_etl_aws_spark.queries.selection import (
+        DQM_MAX_PCT,
+        DQM_MIN_PCT,
+        dq_metric_anomalies,
+    )
+
+    rows = dq_metric_anomalies(spark, sf_dir).collect()
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r.metric, []).append(r)
+    assert set(by_metric) == {"n_rows", "sum_cents", "n_customers"}
+    n_anom = 0
+    for metric, rs in by_metric.items():
+        rs.sort(key=lambda r: r.epoch)
+        assert rs[0].prev_value is None and not rs[0].anomalous
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.prev_value == prev.value
+            want = (
+                cur.value * 100 > cur.prev_value * DQM_MAX_PCT
+                or cur.value * 100 < cur.prev_value * DQM_MIN_PCT
+            )
+            assert cur.anomalous == want
+            n_anom += want
+    assert n_anom > 0
