@@ -136,3 +136,28 @@ def hilbert_xy2d(x: int, y: int, bits: int = 8) -> int:
             x, y = y, x
         s //= 2
     return d
+
+
+def hilbert_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    num_files: int = 32,
+) -> DataFrame:
+    """The frame arranged for a Hilbert-clustered write (the
+    zorder.zorder_layout posture with the locality-preserving key):
+    one range exchange on the Hilbert d-index — the same single
+    shuffle any global sort pays — sorted within partitions so parquet
+    ROW-GROUP stats are tight too, key dropped before the write. Each
+    output file then covers a compact, CONNECTED region of the (x, y)
+    grid (Morton files cover rectangles that can jump at power-of-two
+    boundaries), so min/max footer pruning admits fewer files/row
+    groups for 2-D range predicates — measured against linear and
+    z-order layouts in experiments/layout_scale.py."""
+    return (
+        with_hilbert(df, x_col, y_col, bits, "__hilbert")
+        .repartitionByRange(num_files, "__hilbert")
+        .sortWithinPartitions("__hilbert")
+        .drop("__hilbert")
+    )

@@ -355,3 +355,27 @@ def compact_dataset(
         "files_after": n_after,
         "bytes_before": bytes_before,
     }
+
+
+def save_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-clustered parquet write — the layout sink that turns
+    ``layout_hilbert_keys`` from a key calculator into a scan-pruning
+    lever (the liquid-clustering write posture): data lands sorted by
+    the Hilbert d-index of (x_col, y_col), giving every file and row
+    group a tight 2-D bounding box for min/max footer pruning.
+    Measured files/row-groups read for a 2-D range predicate vs linear
+    and z-order layouts: experiments/layout_scale.py (BASELINE.md
+    'Layout pruning')."""
+    from ..operators.hilbert import hilbert_layout
+
+    hilbert_layout(df, x_col, y_col, bits, num_files).write.mode(
+        mode
+    ).parquet(path)

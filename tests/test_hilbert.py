@@ -83,3 +83,61 @@ def test_column_collision_guard(spark):
         with_hilbert(df.withColumn("hval", F.lit(0)), "x", "y", 4, "hval")
     with pytest.raises(ValueError, match="collision|already has"):
         with_hilbert(df.withColumn("__hx", F.lit(0)), "x", "y", 4)
+
+
+def test_hilbert_clustered_write_prunes_2d_predicates(spark, tmp_path):
+    """save_hilbert_clustered on a 64x64 grid into 16 files: parquet
+    footer min/max boxes must admit at most half the files for a
+    y-only band (a lexicographic x-sort can never prune on y), and the
+    filtered read returns the identical rows — the measured layout win
+    experiments/layout_scale.py records at 10x."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.sources.sinks import save_hilbert_clustered
+
+    n, files = 64, 16
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    hdir = str(tmp_path / "hilbert")
+    ldir = str(tmp_path / "linear")
+    save_hilbert_clustered(df, hdir, "x", "y", bits=6, num_files=files)
+    (
+        df.repartitionByRange(files, "x", "y")
+        .sortWithinPartitions("x", "y")
+        .write.mode("overwrite").parquet(ldir)
+    )
+    qy0, qy1 = 8, 23  # y-only band
+
+    def admitted(d):
+        import os
+
+        hit = total = 0
+        for name in os.listdir(d):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, name)).metadata
+            y_idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "y"
+            )
+            lo = min(md.row_group(g).column(y_idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(y_idx).statistics.max
+                     for g in range(md.num_row_groups))
+            total += 1
+            hit += lo <= qy1 and qy0 <= hi
+        return hit, total
+
+    h_hit, h_total = admitted(hdir)
+    l_hit, l_total = admitted(ldir)
+    assert l_hit == l_total  # x-stripes span all of y: nothing prunes
+    assert h_hit <= h_total // 2, (h_hit, h_total)
+    # same rows either way
+    pred = F.col("y").between(qy0, qy1)
+    assert (
+        spark.read.parquet(hdir).filter(pred).count()
+        == spark.read.parquet(ldir).filter(pred).count()
+        == n * (qy1 - qy0 + 1)
+    )
