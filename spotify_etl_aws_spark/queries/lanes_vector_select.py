@@ -1,0 +1,369 @@
+"""PQ search and diversity-selection lanes — split out of queries/selection.py in round 12
+(verdict item 5). The registry (selection.QUERIES / selection.ORACLE)
+and the driver's query ordering are unchanged: selection re-exports
+every name defined here, so ``queries.selection.<name>`` keeps
+resolving for tests, experiments and tools. Lane bodies are moved
+VERBATIM — the full-sweep manifest gate pins value-hash equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..sources.readers import load_table as t
+from .vector import _embeddings, _query_vector
+
+# ---- product-quantized ADC search (round 10) ----
+#
+# The compressed-scan rung of the vector ladder (operators/pq.py —
+# FAISS's IVF-PQ design re-expressed Spark-first): codebooks are
+# learned on a bounded ORDER-BY-id sample with deterministic Lloyd
+# iterations (M-step means rounded half-away-from-zero on the
+# PQ_DECIMALS grid, exactly the IVF quantizer's cross-engine landing
+# convention), the corpus is encoded to PQ_M-byte codes map-side, and
+# the query scans CODES (m bytes/row, ~64x less I/O than full
+# vectors) through an ADC lookup table. The oracle re-derives the
+# ENTIRE pipeline relationally — per-subspace Lloyd chain, encode
+# argmin, ADC sum — the same house pattern as the IVF k-means CTEs.
+PQ_M = 8
+PQ_K = 16
+PQ_ITERS = 2
+PQ_SAMPLE_N = 256
+PQ_DECIMALS = 6
+PQ_TOPK = 10
+
+_PQ_CACHE: dict[str, object] = {}
+
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """Memoized deterministic PQ fit per corpus (the build/query split:
+    codebooks are O(m*k*dsub) MODEL STATE, exactly like the IVF
+    centroids)."""
+    model = _PQ_CACHE.get(sf_dir)
+    if model is None:
+        from ..operators.pq import fit_pq
+
+        model = fit_pq(
+            _embeddings(spark, sf_dir),
+            m=PQ_M,
+            k=PQ_K,
+            iters=PQ_ITERS,
+            sample_n=PQ_SAMPLE_N,
+            decimals=PQ_DECIMALS,
+        )
+        _PQ_CACHE[sf_dir] = model
+    return model
+
+
+def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py): fit codebooks
+    on the lowest-{PQ_SAMPLE_N} vec_ids, encode every other vector to
+    {PQ_M} one-byte codes (mapInPandas sub-GEMM, map-side only), then
+    scan the CODES with the query's ADC lookup table — squared-L2 on
+    unit vectors, distances rounded to 4 places before the top-k cut
+    so summation-order drift can't move the k boundary. Returns
+    (vec_id, adc_dist) ascending."""
+    from .vector import QUERY_VEC_ID
+    from ..operators.pq import encode_pq, pq_topk
+
+    emb = _embeddings(spark, sf_dir)
+    model = _pq_model(spark, sf_dir)
+    codes = encode_pq(emb.filter(F.col("vec_id") != QUERY_VEC_ID), model)
+    q = _query_vector(sf_dir, QUERY_VEC_ID)
+    return pq_topk(codes, model, q, top_k=PQ_TOPK, decimals=4)
+
+
+def _pq_oracle(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dsub: int = 64 // PQ_M,
+) -> str:
+    """SQL twin of fit_pq + encode_pq + pq_topk, GENERATED for any
+    Lloyd iteration count (the _ivf_assign_ctes pattern): unit-
+    normalize, slice into subspaces, seed c0 from the first k sample
+    rows per subspace, run `iters` (assign, rounded-mean) CTE pairs
+    with empty slots KEEPING their previous centroid (fit_pq's
+    convention — unlike the IVF chain, where empty cells drop), then
+    encode the full corpus under the final codebooks and scan with the
+    relational ADC sum."""
+    from .vector import QUERY_VEC_ID
+
+    d2 = (
+        "list_dot_product(c.cv, c.cv)"
+        " - 2 * list_dot_product(p.sv, c.cv)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        """u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                                          THEN 1.0
+                                          ELSE sqrt(list_dot_product(v, v)) END)) AS uv
+  FROM e
+)""",
+        f"""sub AS (
+  SELECT u.vec_id, g.s AS s,
+         list_slice(u.uv, g.s * {dsub} + 1, (g.s + 1) * {dsub}) AS sv
+  FROM u, unnest(generate_series(0, {m - 1})) AS g(s)
+)""",
+        f"sampids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_SAMPLE_N})",
+        "samp AS (SELECT sub.* FROM sub JOIN sampids USING (vec_id))",
+        f"""c0 AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cell,
+         sv AS cv
+  FROM samp
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= {k}
+)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""s{i} AS (
+  SELECT p.vec_id, p.s, c.cell,
+         row_number() OVER (PARTITION BY p.vec_id, p.s
+                            ORDER BY {d2} ASC, c.cell ASC) AS rn
+  FROM samp p JOIN c{i} c ON c.s = p.s
+)"""
+        )
+        parts.append(f"a{i} AS (SELECT vec_id, s, cell FROM s{i} WHERE rn = 1)")
+        parts.append(
+            f"""m{i + 1} AS (
+  SELECT a.s, a.cell, g.i AS i, round(avg(p.sv[g.i]), {PQ_DECIMALS}) AS mv
+  FROM a{i} a JOIN samp p ON p.vec_id = a.vec_id AND p.s = a.s,
+       unnest(generate_series(1, {dsub})) AS g(i)
+  GROUP BY a.s, a.cell, g.i
+)"""
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+  SELECT c.s, c.cell, coalesce(n.cv, c.cv) AS cv
+  FROM c{i} c
+  LEFT JOIN (SELECT s, cell, list(mv ORDER BY i) AS cv
+             FROM m{i + 1} GROUP BY s, cell) n
+    ON n.s = c.s AND n.cell = c.cell
+)"""
+        )
+    parts.append(
+        f"""enc AS (
+  SELECT p.vec_id, p.s, c.cell,
+         row_number() OVER (PARTITION BY p.vec_id, p.s
+                            ORDER BY {d2} ASC, c.cell ASC) AS rn
+  FROM sub p JOIN c{iters} c ON c.s = p.s
+  WHERE p.vec_id <> {QUERY_VEC_ID}
+)"""
+    )
+    parts.append("codes AS (SELECT vec_id, s, cell FROM enc WHERE rn = 1)")
+    parts.append(
+        f"q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = {QUERY_VEC_ID})"
+    )
+    parts.append(
+        f"""dist AS (
+  SELECT cd.vec_id,
+         sum(list_dot_product(c.cv, c.cv)
+             - 2 * list_dot_product(c.cv, q.qsv)
+             + list_dot_product(q.qsv, q.qsv)) AS d
+  FROM codes cd
+  JOIN c{iters} c ON c.s = cd.s AND c.cell = cd.cell
+  JOIN q ON q.s = cd.s
+  GROUP BY cd.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, round(d, 4) + 0.0 AS adc_dist
+FROM dist
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {PQ_TOPK}"""
+    )
+
+
+ORACLE_PQ_ADC = _pq_oracle()
+
+
+# ---- greedy k-center diversity selection (round 10) ----
+KC_K = 8
+KC_DECIMALS = 6
+
+
+def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first k-center selection (operators/coreset.py) over
+    the embeddings corpus: {KC_K} maximally-diverse vectors, each
+    annotated with its coverage (max cosine to the rows already
+    chosen) at selection time. Returns (sel_rank, vec_id, coverage);
+    the seed's coverage is NULL."""
+    from ..operators.coreset import kcenter_select
+
+    picks = kcenter_select(
+        _embeddings(spark, sf_dir), KC_K, decimals=KC_DECIMALS
+    )
+    return spark.createDataFrame(
+        picks, "sel_rank long, vec_id long, coverage double"
+    )
+
+
+def _kcenter_oracle(k: int = KC_K) -> str:
+    """SQL twin: a generated chain of (coverage, pick) CTE pairs —
+    d{j} folds the newest pick into the running max INCREMENTALLY
+    (greatest of the previous rounded coverage and the new rounded
+    cosine), which equals the Spark side's recompute-against-all
+    because per-term rounding commutes with max. The zero-norm CASE
+    mirrors the Spark side's _unit_rows convention (a zero vector
+    unit-normalizes to all-zeros, so every cosine against it is
+    exactly 0.0) instead of dividing by zero (round-10 ADVICE item 2)."""
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(d.v, d.v))"
+        " * sqrt(list_dot_product(p.v, p.v)) = 0 THEN 0.0"
+        " ELSE list_dot_product(d.v, p.v)"
+        " / (sqrt(list_dot_product(d.v, d.v))"
+        " * sqrt(list_dot_product(p.v, p.v))) END"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "p1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+  SELECT d.vec_id, d.v, round({cos}, {KC_DECIMALS}) AS cov
+  FROM e d, p1 p WHERE d.vec_id <> p.vec_id
+)""",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"p{j} AS (SELECT vec_id, v, cov FROM d{j - 1}"
+            f" ORDER BY cov ASC, vec_id ASC LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f"""d{j} AS (
+  SELECT d.vec_id, d.v,
+         greatest(d.cov, round({cos}, {KC_DECIMALS})) AS cov
+  FROM d{j - 1} d, p{j} p WHERE d.vec_id <> p.vec_id
+)"""
+            )
+    rows = [
+        "SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS coverage FROM p1"
+    ] + [
+        f"SELECT {j} AS sel_rank, vec_id, cov + 0.0 AS coverage FROM p{j}"
+        for j in range(2, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, coverage FROM ("
+        + "\nUNION ALL\n".join(rows)
+        + ")"
+    )
+
+
+ORACLE_KCENTER = _kcenter_oracle()
+
+
+# ---- maximal marginal relevance selection (round 10) ----
+#
+# The relevance-AND-diversity dual of the k-center lane (Carbonell &
+# Goldstein SIGIR 1998 — the retrieval-reranking default): seed =
+# argmax relevance to the query, each later pick maximizes
+# lam*rel - mu*maxsim. lam/mu are INDEPENDENT literals (1 - 0.7 is
+# not the double 0.3); rel and every pairwise cosine round to 6dp
+# first, so the score is two IEEE multiplies and a subtract over
+# grid-identical doubles — bit-deterministic across engines, emitted
+# RAW (no output rounding needed or wanted: identical bits by
+# construction, and an extra round would only ADD a midpoint risk).
+MMR_K = 8
+MMR_LAM = 0.7
+MMR_MU = 0.3
+
+
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR selection (operators/coreset.py:mmr_select) of {MMR_K}
+    results for the corpus query vector, balancing query relevance
+    against redundancy with already-picked results. Returns
+    (sel_rank, vec_id, relevance, mmr_score); the seed's score is
+    NULL (no diversity penalty yet)."""
+    from ..operators.coreset import mmr_select
+    from .vector import QUERY_VEC_ID
+
+    emb = _embeddings(spark, sf_dir).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    picks = mmr_select(
+        emb,
+        _query_vector(sf_dir, QUERY_VEC_ID),
+        MMR_K,
+        lam=MMR_LAM,
+        mu=MMR_MU,
+        decimals=KC_DECIMALS,
+    )
+    return spark.createDataFrame(
+        picks,
+        "sel_rank long, vec_id long, relevance double, mmr_score double",
+    )
+
+
+def _mmr_oracle(k: int = MMR_K) -> str:
+    """SQL twin: rel CTE once, then a generated (score/pick, fold)
+    chain — ms folds each new pick's rounded cosine into the running
+    max, valid because per-term rounding commutes with max."""
+    from .vector import QUERY_VEC_ID
+
+    def cos(a: str, b: str) -> str:
+        # zero-norm guard mirrors _unit_rows: zero vector -> cosine 0.0
+        # (round-10 ADVICE item 2), never a divide-by-zero
+        return (
+            f"CASE WHEN sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0"
+            f" ELSE list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) END"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})",
+        f"""rel AS (
+  SELECT e.vec_id, e.v, round({cos("e.v", "q.qv")}, {KC_DECIMALS}) AS rel
+  FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+)""",
+        "p1 AS (SELECT vec_id, v, rel FROM rel"
+        " ORDER BY rel DESC, vec_id ASC LIMIT 1)",
+        f"""d1 AS (
+  SELECT r.vec_id, r.v, r.rel,
+         round({cos("r.v", "p.v")}, {KC_DECIMALS}) AS ms
+  FROM rel r, p1 p WHERE r.vec_id <> p.vec_id
+)""",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"p{j} AS (SELECT vec_id, v, rel,"
+            f" {MMR_LAM} * rel - {MMR_MU} * ms AS score"
+            f" FROM d{j - 1} ORDER BY score DESC, vec_id ASC LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f"""d{j} AS (
+  SELECT d.vec_id, d.v, d.rel,
+         greatest(d.ms, round({cos("d.v", "p.v")}, {KC_DECIMALS})) AS ms
+  FROM d{j - 1} d, p{j} p WHERE d.vec_id <> p.vec_id
+)"""
+            )
+    rows = [
+        "SELECT 1 AS sel_rank, vec_id, rel AS relevance,"
+        " CAST(NULL AS DOUBLE) AS mmr_score FROM p1"
+    ] + [
+        f"SELECT {j} AS sel_rank, vec_id, rel AS relevance,"
+        f" score + 0.0 AS mmr_score FROM p{j}"
+        for j in range(2, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,"
+        " relevance + 0.0 AS relevance, mmr_score FROM ("
+        + "\nUNION ALL\n".join(rows)
+        + ")"
+    )
+
+
+ORACLE_MMR = _mmr_oracle()
