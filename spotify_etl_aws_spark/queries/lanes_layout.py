@@ -326,3 +326,76 @@ FROM sup s
 JOIN cnt ca ON ca.p = s.part_a
 JOIN cnt cb ON cb.p = s.part_b, nb
 """
+
+
+def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule-generation half of A-Priori (Agrawal & Srikant 1994 —
+    the algorithm's actual OUTPUT is directed rules, not itemsets):
+    every frequent pair emits both directions with exact-integer
+    confidence = support(a,b) / count(antecedent) and the symmetric
+    lift the pair lane already carries. One extra broadcast join of
+    the vocabulary-sized item counts onto the (tiny) frequent-pair
+    frame — no new fact scan, no new shuffle beyond the pair lane's.
+    Returns (antecedent, consequent, support, confidence, lift)."""
+    b = _basket_frame(spark, sf_dir)
+    n_baskets = b.select("o").distinct().count()  # materializes b
+    pairs = _mine_pairs(b, n_baskets)
+    cnt = b.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    fwd = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support", "lift",
+    )
+    rev = pairs.select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        "support", "lift",
+    )
+    return (
+        fwd.unionByName(rev)
+        .join(
+            F.broadcast(cnt.withColumnRenamed("p", "antecedent")),
+            "antecedent",
+        )
+        .select(
+            "antecedent", "consequent", "support",
+            (F.col("support") / F.col("cnt") + F.lit(0.0)).alias(
+                "confidence"
+            ),
+            "lift",
+        )
+    )
+
+
+ORACLE_ASSOC_RULES = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+nb AS (SELECT count(DISTINCT o) AS n FROM b),
+pr AS (
+  SELECT x.p AS part_a, y.p AS part_b
+  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+),
+sup AS (
+  SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+  FROM pr GROUP BY part_a, part_b
+  HAVING count(*) >= {MINE_MINSUP}
+),
+cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p),
+pairs AS (
+  SELECT s.part_a, s.part_b, s.support,
+         CAST(s.support * nb.n AS BIGINT)
+         / CAST(ca.c * cb.c AS BIGINT) AS lift
+  FROM sup s
+  JOIN cnt ca ON ca.p = s.part_a
+  JOIN cnt cb ON cb.p = s.part_b, nb
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, support, lift
+  FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, support, lift FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.support,
+       (CAST(r.support AS DOUBLE) / c.c) + 0.0 AS confidence,
+       r.lift
+FROM rules r JOIN cnt c ON c.p = r.antecedent
+"""

@@ -108,6 +108,8 @@ from .lanes_layout import (  # noqa: F401 — re-exports, see lanes_layout
     mine_frequent_pairs,
     mine_basket_census,
     mine_frequent_pairs_capped,
+    mine_association_rules,
+    ORACLE_ASSOC_RULES,
     ORACLE_FREQ_PAIRS,
     ORACLE_BASKET_CENSUS,
     ORACLE_FREQ_PAIRS_CAPPED,
@@ -2299,6 +2301,7 @@ QUERIES = {
     "dq_metric_anomalies": dq_metric_anomalies,
     "link_clerical_bands": link_clerical_bands,
     "link_band_purity": link_band_purity,
+    "mine_association_rules": mine_association_rules,
 }
 
 ORACLE = {
@@ -2401,4 +2404,5 @@ ORACLE = {
     "dq_metric_anomalies": ORACLE_DQ_ANOMALIES,
     "link_clerical_bands": ORACLE_FS_BANDS,
     "link_band_purity": ORACLE_BAND_PURITY,
+    "mine_association_rules": ORACLE_ASSOC_RULES,
 }

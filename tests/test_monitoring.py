@@ -486,3 +486,43 @@ def test_dq_metric_anomalies_semantics(spark, sf_dir):
             assert cur.anomalous == want
             n_anom += want
     assert n_anom > 0
+
+
+def test_association_rules_semantics(spark, sf_dir):
+    """Rule generation: every frequent pair emits exactly its two
+    directed rules, confidence is support over the antecedent's
+    basket count, lift rides the pair value symmetrically."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.queries.selection import (
+        mine_association_rules,
+        mine_frequent_pairs,
+    )
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    pairs = {
+        (r.part_a, r.part_b): (r.support, r.lift)
+        for r in mine_frequent_pairs(spark, sf_dir).collect()
+    }
+    cnt = {
+        r.p: r.c
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    rules = mine_association_rules(spark, sf_dir).collect()
+    assert len(rules) == 2 * len(pairs)
+    for r in rules:
+        key = (
+            (r.antecedent, r.consequent)
+            if r.antecedent < r.consequent
+            else (r.consequent, r.antecedent)
+        )
+        sup, lift = pairs[key]
+        assert r.support == sup and r.lift == lift
+        assert r.confidence == sup / cnt[r.antecedent]
