@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 ASSIGN_SCHEMA = "vec_id bigint, cell int, v array<double>, u array<double>"
+ASSIGN_COS_SCHEMA = ASSIGN_SCHEMA + ", cos_c double"
 PAIR_SCHEMA = "doc_a bigint, doc_b bigint"
 SCORED_PAIR_SCHEMA = "doc_a bigint, doc_b bigint, cell int, cosine double"
 
@@ -55,6 +56,7 @@ def assign_cells_arrow(
     emb: DataFrame,
     cents: list[tuple[int, list[float]]],
     keep_cells: list[int] | None = None,
+    with_cosine: bool = False,
 ) -> DataFrame:
     """(vec_id, v) -> (vec_id, cell, v, u): argmax-cosine quantizer-cell
     assignment plus unit normalization, one GEMM per Arrow batch.
@@ -87,23 +89,28 @@ def assign_cells_arrow(
                 continue
             M, norms = M[keep], norms[keep]
             U = M / norms
-            idx = np.argmax(U @ Cn.T, axis=1)
+            S = U @ Cn.T
+            idx = np.argmax(S, axis=1)
+            cos_c = S[np.arange(len(idx)), idx]
             if wanted is not None:
                 probe = wanted[idx]
                 if not probe.any():
                     continue
-                M, U, idx = M[probe], U[probe], idx[probe]
+                M, U, idx, cos_c = M[probe], U[probe], idx[probe], cos_c[probe]
                 keep = np.flatnonzero(keep)[probe]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy()[keep],
-                    "cell": cells[idx],
-                    "v": list(M),
-                    "u": list(U),
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy()[keep],
+                "cell": cells[idx],
+                "v": list(M),
+                "u": list(U),
+            }
+            if with_cosine:
+                out["cos_c"] = cos_c
+            yield pd.DataFrame(out)
 
-    return emb.mapInPandas(gen, ASSIGN_SCHEMA)
+    return emb.mapInPandas(
+        gen, ASSIGN_COS_SCHEMA if with_cosine else ASSIGN_SCHEMA
+    )
 
 
 def cell_cosine_pairs_arrow(

@@ -367,3 +367,137 @@ def _mmr_oracle(k: int = MMR_K) -> str:
 
 
 ORACLE_MMR = _mmr_oracle()
+
+
+# ---- SemDeDup semantic pruning (round 12) ----
+#
+# SemDeDup (Abbas et al. 2023, arXiv 2303.09540 — the semantic-dedup
+# recipe used on LAION/C4-scale corpora): cluster embeddings with the
+# k-means quantizer, find within-cluster semantic duplicates above a
+# cosine threshold, and KEEP the member FARTHEST from its cluster
+# centroid (the paper's "low centroid-similarity" keep rule — the
+# outlier carries the most marginal information), dropping the rest.
+# This lane composes the existing machinery end-to-end: the shared
+# Lloyd quantizer (queries/vector.py:_learned_centroids), the Arrow
+# GEMM cell-pair kernel, CC min-label clustering — plus the keep-rule
+# argmin via the partial-aggregable min(struct(...)) golden-record
+# pattern (no window over cluster members).
+#
+# Cross-engine exactness: cos_c is the argmax value the assignment
+# GEMM already computed (zero extra FLOPs, with_cosine=True); it
+# rounds to 4dp on both engines before the argmin. Probed margins
+# (protocol of round 3): min distance of cos_c*10^4 to a rounding
+# half-boundary = 6.5e-6 grid units at sf0.1 (1.7e-3 / 1.8e-3 at the
+# smaller SFs) — 8+ orders above the ~1e-14 numpy-vs-DuckDB
+# summation-order drift; distinct rounded values inside a cluster
+# differ by >= 1e-4; rounded ties break on vec_id identically.
+#
+# Scale shape: assignment linear (one GEMM per Arrow batch); pairs
+# per-cell bucketed (never all-pairs, k is the boundedness knob); the
+# keep decision is ONE partial-agg on the cluster key.
+
+
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus. Returns (vec_id,
+    cluster_rep, centroid_cosine, keep) — keep is true for exactly
+    one member per semantic-duplicate cluster (the farthest from its
+    quantizer centroid; singletons keep themselves)."""
+    from ..operators.dedup import label_propagation
+    from ..operators.vector_ops import (
+        assign_cells_arrow,
+        cell_cosine_pairs_arrow,
+    )
+    from .vector import EMB_DUP_THRESHOLD, _learned_centroids
+
+    cents = _learned_centroids(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    assigned = assign_cells_arrow(emb, cents, with_cosine=True)
+    pairs = cell_cosine_pairs_arrow(assigned, EMB_DUP_THRESHOLD)
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    labels = label_propagation(pairs, nodes)
+    cosr = assigned.select(
+        F.col("vec_id").alias("node"),
+        F.round("cos_c", 4).alias("cos_r"),
+    )
+    j = labels.join(cosr, "node", "left")  # zero-norm rows: null cos_r
+    best = j.groupBy("label").agg(
+        F.min(
+            F.struct(
+                F.coalesce(F.col("cos_r"), F.lit(2.0)).alias("k"),
+                F.col("node").alias("n"),
+            )
+        ).alias("b")
+    )
+    return j.join(best, "label").select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("cos_r") + F.lit(0.0)).alias("centroid_cosine"),
+        (F.col("node") == F.col("b.n")).alias("keep"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    from .vector import (
+        _FINAL_CENTS,
+        _IVF_ASSIGN_CTES,
+        EMB_DUP_THRESHOLD,
+    )
+
+    return f"""
+WITH RECURSIVE {_IVF_ASSIGN_CTES},
+au AS (
+  SELECT vec_id, cell,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM assign
+),
+vp AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM au a JOIN au b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.u, b.u) >= {EMB_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT u, v FROM vp
+  UNION
+  SELECT v AS u, u AS v FROM vp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+),
+cc AS (
+  SELECT emb.vec_id,
+         least(emb.vec_id, coalesce(m.mv, emb.vec_id)) AS cluster_rep
+  FROM embeddings emb
+  LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m
+    ON emb.vec_id = m.u
+),
+cosr AS (
+  SELECT a.vec_id,
+         round(list_dot_product(
+           list_transform(a.v, x -> x / sqrt(list_dot_product(a.v, a.v))),
+           list_transform(c.cv, x -> x / sqrt(list_dot_product(c.cv, c.cv)))
+         ), 4) + 0.0 AS cos_r
+  FROM assign a JOIN {_FINAL_CENTS} c ON c.cell = a.cell
+  WHERE list_dot_product(c.cv, c.cv) > 0
+),
+j AS (
+  SELECT cc.vec_id, cc.cluster_rep, cosr.cos_r
+  FROM cc LEFT JOIN cosr USING (vec_id)
+),
+best AS (
+  SELECT cluster_rep, vec_id AS keep_id,
+         row_number() OVER (
+           PARTITION BY cluster_rep
+           ORDER BY coalesce(cos_r, 2.0), vec_id) AS rn
+  FROM j
+)
+SELECT j.vec_id, j.cluster_rep, j.cos_r AS centroid_cosine,
+       j.vec_id = b.keep_id AS keep
+FROM j
+JOIN (SELECT cluster_rep, keep_id FROM best WHERE rn = 1) b
+  USING (cluster_rep)
+"""
+
+
+ORACLE_SEMDEDUP = _semdedup_oracle()

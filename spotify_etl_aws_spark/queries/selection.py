@@ -238,6 +238,8 @@ from .lanes_vector_select import (  # noqa: F401 — re-exports, see lanes_vecto
     search_mmr_rerank,
     _mmr_oracle,
     ORACLE_MMR,
+    dedup_semantic_prune,
+    ORACLE_SEMDEDUP,
 )
 from .lanes_monitoring import (  # noqa: F401 — re-exports, see lanes_monitoring
     MAD_K,
@@ -2302,6 +2304,7 @@ QUERIES = {
     "link_clerical_bands": link_clerical_bands,
     "link_band_purity": link_band_purity,
     "mine_association_rules": mine_association_rules,
+    "dedup_semantic_prune": dedup_semantic_prune,
 }
 
 ORACLE = {
@@ -2405,4 +2408,5 @@ ORACLE = {
     "link_clerical_bands": ORACLE_FS_BANDS,
     "link_band_purity": ORACLE_BAND_PURITY,
     "mine_association_rules": ORACLE_ASSOC_RULES,
+    "dedup_semantic_prune": ORACLE_SEMDEDUP,
 }
