@@ -1356,3 +1356,55 @@ SELECT c.entity_rep, CAST(c.n_members AS BIGINT) AS n_members,
        r.node AS src_node, r.name, r.phone, r.segment, r.acct_cents
 FROM cnt c JOIN ranked r ON r.entity_rep = c.entity_rep AND r.rn = 1
 """
+
+
+# ---- pseudonymization release (round 12) ----
+#
+# GDPR Art. 4(5) pseudonymization + generalization — the release
+# transform that sits UPSTREAM of the dq_k_anonymity/dq_l_diversity
+# gates: direct identifiers are replaced by a deterministic keyed
+# token (md5 — identical bytes on both engines), the quasi-identifying
+# phone keeps only its last four digits, and the balance generalizes
+# to a $100 band (Sweeney 2002's generalization move). Runs on the
+# linkage fixture's PII-bearing probe frame (name/phone/balance — the
+# same frame the re-identification lanes attack), so the privacy
+# family now carries attack (linkage), audit (k-anon/l-div census)
+# AND defense (this lane). Pure map-side string/integer expressions —
+# one scan, no shuffle; hash-exact.
+
+
+def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymized release of the PII-bearing probe frame. Returns
+    (token, phone_masked, acct_band, nation, segment)."""
+    probe, _ = _fs_frames(spark, sf_dir)
+    return probe.select(
+        F.concat(F.lit("u-"), F.substring(F.md5("name"), 1, 12)).alias(
+            "token"
+        ),
+        F.concat(
+            F.expr("repeat('*', length(phone) - 4)"),
+            F.expr("right(phone, 4)"),
+        ).alias("phone_masked"),
+        (F.floor(F.col("acct_cents") / 10000) * 100)
+        .cast("long")
+        .alias("acct_band"),
+        "nation",
+        "segment",
+    )
+
+
+def _pseudonymize_oracle() -> str:
+    # reuse the linkage oracle's probe CTE verbatim (the census-oracle
+    # split pattern): everything up to the cand CTE, then the release
+    head = ORACLE_FS_LINK.split(",\ncand AS")[0]
+    return f"""{head}
+SELECT 'u-' || substring(md5(name), 1, 12) AS token,
+       repeat('*', length(phone) - 4) || right(phone, 4)
+         AS phone_masked,
+       CAST(floor(acct_cents / 10000) * 100 AS BIGINT) AS acct_band,
+       nation, segment
+FROM probe
+"""
+
+
+ORACLE_PSEUDONYMIZE = _pseudonymize_oracle()

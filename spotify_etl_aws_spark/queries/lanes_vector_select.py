@@ -501,3 +501,49 @@ JOIN (SELECT cluster_rep, keep_id FROM best WHERE rn = 1) b
 
 
 ORACLE_SEMDEDUP = _semdedup_oracle()
+
+
+# ---- IVF recall@k evaluation (round 12) ----
+#
+# The ANN-index QA number (the recall@k every FAISS/ScaNN evaluation
+# reports): how many of the exact brute-force top-k does the NPROBE-
+# cell IVF probe return? Both rankings already ride
+# vector_cosine_topk (tagged by ``method``), so the lane is one
+# semi-join + one aggregation over a 2k-row frame — integers plus a
+# single division of identical integers.
+
+
+def vector_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF probe against the exact top-k. Returns one
+    row (k, n_hits, recall)."""
+    from .vector import vector_cosine_topk
+
+    r = vector_cosine_topk(spark, sf_dir)
+    ex = r.filter(F.col("method") == "exact").select("vec_id")
+    iv = r.filter(F.col("method") == "ivf_probe").select("vec_id")
+    k = ex.count()  # TOPK by construction; tiny
+    hits = ex.join(iv, "vec_id", "semi")
+    return hits.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)) / F.lit(k) + F.lit(0.0)).alias("recall"),
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    from .vector import ORACLE_COSINE_TOPK
+
+    # reuse the search oracle's full CTE chain; only the tail differs
+    head = ORACLE_COSINE_TOPK.rsplit("SELECT * FROM ex", 1)[0].rstrip()
+    return f"""{head},
+e2 AS (SELECT vec_id FROM ex),
+i2 AS (SELECT vec_id FROM iv)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e2) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       (CAST(count(*) AS DOUBLE)
+        / (SELECT count(*) FROM e2)) + 0.0 AS recall
+FROM e2 WHERE vec_id IN (SELECT vec_id FROM i2)
+"""
+
+
+ORACLE_IVF_RECALL = _ivf_recall_oracle()

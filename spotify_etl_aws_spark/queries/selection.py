@@ -215,6 +215,8 @@ from .lanes_linkage import (  # noqa: F401 — re-exports, see lanes_linkage
     ORACLE_ENTITY_CLUSTERS,
     link_entity_golden,
     ORACLE_ENTITY_GOLDEN,
+    dq_pseudonymize,
+    ORACLE_PSEUDONYMIZE,
 )
 from .lanes_vector_select import (  # noqa: F401 — re-exports, see lanes_vector_select
     PQ_M,
@@ -240,6 +242,8 @@ from .lanes_vector_select import (  # noqa: F401 — re-exports, see lanes_vecto
     ORACLE_MMR,
     dedup_semantic_prune,
     ORACLE_SEMDEDUP,
+    vector_ivf_recall,
+    ORACLE_IVF_RECALL,
 )
 from .lanes_monitoring import (  # noqa: F401 — re-exports, see lanes_monitoring
     MAD_K,
@@ -2305,6 +2309,8 @@ QUERIES = {
     "link_band_purity": link_band_purity,
     "mine_association_rules": mine_association_rules,
     "dedup_semantic_prune": dedup_semantic_prune,
+    "vector_ivf_recall": vector_ivf_recall,
+    "dq_pseudonymize": dq_pseudonymize,
 }
 
 ORACLE = {
@@ -2409,4 +2415,6 @@ ORACLE = {
     "link_band_purity": ORACLE_BAND_PURITY,
     "mine_association_rules": ORACLE_ASSOC_RULES,
     "dedup_semantic_prune": ORACLE_SEMDEDUP,
+    "vector_ivf_recall": ORACLE_IVF_RECALL,
+    "dq_pseudonymize": ORACLE_PSEUDONYMIZE,
 }

@@ -372,3 +372,29 @@ def test_clerical_bands_partition_and_purity(spark, sf_dir):
     assert purity["clerical"].n_pairs == len(cler)
     for r in purity.values():
         assert 0.0 <= r.purity <= 1.0
+
+
+def test_pseudonymize_release_leaks_nothing(spark, sf_dir):
+    """The released frame must carry no raw direct identifier: tokens
+    are md5-derived (no name substring), the masked phone exposes only
+    its last four digits, tokenization is deterministic and 1:1 on
+    this fixture (re-linkable with the key table, not without), and
+    the band generalizes to $100 granularity."""
+    from spotify_etl_aws_spark.queries.lanes_linkage import _fs_frames
+    from spotify_etl_aws_spark.queries.selection import dq_pseudonymize
+
+    probe, _ = _fs_frames(spark, sf_dir)
+    raw = {r.probe_id: (r.name, r.phone) for r in probe.collect()}
+    out = dq_pseudonymize(spark, sf_dir).collect()
+    assert len(out) == len(raw)
+    names = {n for n, _ in raw.values()}
+    tokens = [r.token for r in out]
+    assert len(set(tokens)) == len(set(names))  # deterministic 1:1
+    for r in out:
+        assert r.token.startswith("u-") and len(r.token) == 14
+        masked = r.phone_masked
+        assert set(masked[:-4]) == {"*"} and masked[-4:].isdigit()
+        assert r.acct_band % 100 == 0
+    # no raw name survives anywhere in the release
+    for r in out:
+        assert not any(n in r.token for n in names)

@@ -81,3 +81,20 @@ def test_assign_with_cosine_matches_plain(spark, sf_dir):
         for r in assign_cells_arrow(emb, cents, with_cosine=True).collect()
     }
     assert plain == cos
+
+
+def test_ivf_recall_consistent_with_search_lane(spark, sf_dir):
+    from spotify_etl_aws_spark.queries.selection import vector_ivf_recall
+    from spotify_etl_aws_spark.queries.vector import (
+        TOPK,
+        vector_cosine_topk,
+    )
+
+    row = vector_ivf_recall(spark, sf_dir).collect()[0]
+    assert row.k == TOPK
+    assert 0 <= row.n_hits <= row.k
+    assert row.recall == row.n_hits / row.k
+    r = vector_cosine_topk(spark, sf_dir).collect()
+    ex = {x.vec_id for x in r if x.method == "exact"}
+    iv = {x.vec_id for x in r if x.method == "ivf_probe"}
+    assert row.n_hits == len(ex & iv)
