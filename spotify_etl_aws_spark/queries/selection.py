@@ -2207,6 +2207,135 @@ FROM grams g JOIN probes p ON p.gram = g.gram
 """
 
 
+# ---- split leakage audit + cluster-safe splits (round 12) ----
+#
+# The train/eval HYGIENE pair every training-data pipeline needs on
+# top of hash splits (operators/splits.py) and near-dup detection
+# (operators/dedup.py) — the Lee et al. 2022 ("Deduplicating training
+# data makes language models better") eval-contamination finding as
+# declared, oracle-checked lanes:
+#
+# - split_leakage_audit: every verified near-duplicate pair carries
+#   both sides' hash-split assignments and a ``leaked`` flag for
+#   pairs that STRADDLE the boundary — the leak id-hash splitting
+#   cannot prevent (near-identical documents with different ids land
+#   on opposite sides and silently inflate eval scores).
+# - split_cluster_safe: the fix — split by the near-dup CLUSTER
+#   REPRESENTATIVE's hash instead of the document's own id, so every
+#   cluster lands whole on one side by construction (the audit over
+#   this assignment is empty, pinned in tests).
+#
+# The split expression is the PORTABLE md5 form (first 6 hex chars
+# against precomputed hex boundaries — fixed-width lowercase hex
+# compares identically as string and number on both engines); the
+# operator library's xxhash64 split (operators/splits.py) is the
+# production-speed twin of the same semantics. All output columns are
+# ids/strings/bools — hash-exact, no float contract.
+#
+# Scale shape: the pair frame is the existing banded-LSH + verify
+# path (never all-pairs); split assignment is a map-side projection;
+# the audit joins splits at PAIR-SET size, not corpus size.
+SPLIT_SALT = "split-v1"
+# 90/5/5 so straddles exist at fixture scale; boundaries on the
+# 16^6-bucket hex grid, embedded identically in both engines
+_SPLIT_B_TRAIN = format(int(0.90 * 16**6), "06x")
+_SPLIT_B_VAL = format(int(0.95 * 16**6), "06x")
+
+
+def _md5_split(id_col: str):
+    k = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(SPLIT_SALT), F.col(id_col).cast("string")
+            )
+        ),
+        1,
+        6,
+    )
+    return (
+        F.when(k < _SPLIT_B_TRAIN, F.lit("train"))
+        .when(k < _SPLIT_B_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_CASE_SQL = f"""CASE
+  WHEN substring(md5('{SPLIT_SALT}' || ':' || CAST({{id}} AS VARCHAR)), 1, 6)
+       < '{_SPLIT_B_TRAIN}' THEN 'train'
+  WHEN substring(md5('{SPLIT_SALT}' || ':' || CAST({{id}} AS VARCHAR)), 1, 6)
+       < '{_SPLIT_B_VAL}' THEN 'val'
+  ELSE 'test' END"""
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup audit: every verified near-duplicate pair
+    with both hash-split assignments. Returns (doc_a, doc_b, split_a,
+    split_b, leaked); leaked = the pair straddles the boundary."""
+    from .dedup import dedup_lsh_verified_pairs
+
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _md5_split("doc_id").alias("split")
+    )
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "split_a", "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaked"),
+        )
+    )
+
+
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof splits: every document splits by its near-dup
+    CLUSTER REPRESENTATIVE's hash, so no verified near-dup pair can
+    straddle the boundary. Returns (doc_id, cluster_rep, split)."""
+    from .dedup import dedup_neardup_clusters
+
+    clusters = dedup_neardup_clusters(spark, sf_dir)
+    return clusters.select(
+        "doc_id", "cluster_rep", _md5_split("cluster_rep").alias("split")
+    )
+
+
+def _split_audit_oracle() -> str:
+    from .dedup import ORACLE_LSH_VERIFIED
+
+    case = _SPLIT_CASE_SQL.format(id="doc_id")
+    return f"""
+WITH pairs AS ({ORACLE_LSH_VERIFIED}),
+s AS (SELECT doc_id, {case} AS split FROM documents)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+       sa.split <> sb.split AS leaked
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.doc_a
+JOIN s sb ON sb.doc_id = p.doc_b
+"""
+
+
+def _split_cluster_oracle() -> str:
+    from .dedup import ORACLE_NEARDUP_CLUSTERS
+
+    case = _SPLIT_CASE_SQL.format(id="cluster_rep")
+    return f"""
+WITH cc AS ({ORACLE_NEARDUP_CLUSTERS})
+SELECT doc_id, cluster_rep, {case} AS split FROM cc
+"""
+
+
+ORACLE_SPLIT_AUDIT = _split_audit_oracle()
+ORACLE_SPLIT_CLUSTER = _split_cluster_oracle()
+
+
 QUERIES = {
     "text_bm25_rank": text_bm25_rank,
     "search_hybrid_rrf": search_hybrid_rrf,
@@ -2311,6 +2440,8 @@ QUERIES = {
     "dedup_semantic_prune": dedup_semantic_prune,
     "vector_ivf_recall": vector_ivf_recall,
     "dq_pseudonymize": dq_pseudonymize,
+    "split_leakage_audit": split_leakage_audit,
+    "split_cluster_safe": split_cluster_safe,
 }
 
 ORACLE = {
@@ -2417,4 +2548,6 @@ ORACLE = {
     "dedup_semantic_prune": ORACLE_SEMDEDUP,
     "vector_ivf_recall": ORACLE_IVF_RECALL,
     "dq_pseudonymize": ORACLE_PSEUDONYMIZE,
+    "split_leakage_audit": ORACLE_SPLIT_AUDIT,
+    "split_cluster_safe": ORACLE_SPLIT_CLUSTER,
 }
