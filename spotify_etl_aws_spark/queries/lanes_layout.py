@@ -341,18 +341,27 @@ def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_baskets = b.select("o").distinct().count()  # materializes b
     pairs = _mine_pairs(b, n_baskets)
     cnt = b.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    fwd = pairs.select(
-        F.col("part_a").alias("antecedent"),
-        F.col("part_b").alias("consequent"),
-        "support", "lift",
-    )
-    rev = pairs.select(
-        F.col("part_b").alias("antecedent"),
-        F.col("part_a").alias("consequent"),
-        "support", "lift",
-    )
+    # both directions from ONE pass over the pair pipeline (explode of
+    # a 2-struct array) — a union of two selects would recompute the
+    # whole self-join + support aggregation per direction
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("antecedent"),
+                    F.col("part_b").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("antecedent"),
+                    F.col("part_a").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
+        "support",
+        "lift",
+    ).select("r.antecedent", "r.consequent", "support", "lift")
     return (
-        fwd.unionByName(rev)
+        both
         .join(
             F.broadcast(cnt.withColumnRenamed("p", "antecedent")),
             "antecedent",
