@@ -6,7 +6,7 @@ Protocol: the 10x-amplified part table (2M rows via experiments/
 common.amplify) is written 4 ways x 32 files (ingest order, linear
 sort on p_size, z-order, Hilbert — same (p_size, price-bucket) grid
 as the declared layout lanes, bits=9), then a mid-range 2-D band
-predicate (p_size in [20, 29], p_retailprice in [1000, 1400)) is
+predicate (p_size in [20, 29], p_retailprice in [940, 970)) is
 evaluated against every file's and row-group's parquet min/max
 footer stats. Reported: files/row-groups whose bounding box
 intersects the predicate — exactly what an engine's footer pruning

@@ -147,20 +147,42 @@ ORACLE_HILBERT = _hilbert_oracle()
 #
 # Pair mass after the valve is bounded by cap^2/2 per basket (linear
 # in baskets); support counting is one partial-agg shuffle on the
-# pair key. Support and the per-part counts are exact integers; lift
-# = (support * n_baskets) / (cnt_a * cnt_b) multiplies int64s exactly
-# on both engines and divides once — bit-identical.
+# pair key. Support and the per-part counts are exact integers; the
+# lift numerator/denominator PRODUCTS widen to decimal (Spark) /
+# HUGEINT (DuckDB) BEFORE the one double division — the OLS-moments
+# overflow class (round-12 verdict item 1): support * n_baskets as
+# int64 with ANSI off silently wraps past ~1e18 (reachable at
+# TPC-H >= SF10k basket counts), while the decimal(19,0)x(19,0)
+# product lands in (38,0) — scale-0 precision adjustment loses
+# nothing, any int64 x int64 product < 8.6e37 stays exact, and the
+# decimal->double conversion of the same exact integer is the same
+# round-to-nearest on both engines. (19,0), not the OLS lane's
+# (18,0): counts here can legitimately fill int64, and an (18,0)
+# operand would NULL at 1e18 — below int64's own ceiling.
 MINE_MINSUP = 3
 MINE_MAX_BASKET_ITEMS = 8  # valve; census shows 1..17-item baskets
+
+# one persisted basket frame per (application, sf_dir), shared by the
+# five mining lanes: per-invocation persists leaked a cached distinct
+# frame per call over a long sweep session (round-12 ADVICE); the
+# cache bounds the footprint at one frame per corpus per app
+_BASKET_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _basket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (order o, part p) basket frame, persisted
     MEMORY_AND_DISK (cluster-safe: recompute-on-loss lineage, not
-    the unrecoverable localCheckpoint blocks)."""
+    the unrecoverable localCheckpoint blocks); cached per
+    (application, sf_dir) so repeated lane calls reuse one persist."""
+    import os
+
     from pyspark import StorageLevel
 
-    return (
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _BASKET_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = (
         t(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -168,6 +190,8 @@ def _basket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _BASKET_CACHE[key] = df
+    return df
 
 
 def _mine_pairs(b: DataFrame, n_baskets: int) -> DataFrame:
@@ -207,9 +231,17 @@ def _mine_pairs(b: DataFrame, n_baskets: int) -> DataFrame:
         )
         .select(
             "part_a", "part_b", "support",
+            # products widen BEFORE the division (overflow-proof; see
+            # the family comment above): (19,0)x(19,0) -> (38,0) exact
             (
-                (F.col("support") * F.lit(n_baskets))
-                / (F.col("ca") * F.col("cb"))
+                (
+                    F.col("support").cast("decimal(19,0)")
+                    * F.lit(n_baskets).cast("decimal(19,0)")
+                ).cast("double")
+                / (
+                    F.col("ca").cast("decimal(19,0)")
+                    * F.col("cb").cast("decimal(19,0)")
+                ).cast("double")
             ).alias("lift"),
         )
     )
@@ -230,18 +262,25 @@ def mine_basket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (basket_items, n_baskets, pair_mass)."""
     b = _basket_frame(spark, sf_dir)
     sizes = b.groupBy("o").agg(F.count(F.lit(1)).alias("basket_items"))
+    # k*(k-1) div 2 is safe int64 (k = items per basket); the BIG
+    # product is triangle * n_baskets — widened to decimal before the
+    # long cast so a >2^63 mass NULLs loudly instead of wrapping
+    # (round-12 verdict item 1; the census IS the read-at-scale
+    # number). try_cast, not cast: the plain decimal->long cast with
+    # ANSI off CLAMPS to Long.MIN — still a silent wrong value
+    # (pinned in tests/test_mining_guard.py)
+    tri = F.expr(
+        "basket_items * (basket_items - 1) div 2"
+    ).cast("decimal(19,0)")
     return (
         sizes.groupBy("basket_items")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .select(
             "basket_items",
             "n_baskets",
-            (
-                F.col("basket_items")
-                * (F.col("basket_items") - 1)
-                / F.lit(2)
-                * F.col("n_baskets")
-            ).cast("long").alias("pair_mass"),
+            (tri * F.col("n_baskets").cast("decimal(19,0)"))
+            .try_cast("long")
+            .alias("pair_mass"),
         )
     )
 
@@ -283,8 +322,10 @@ sup AS (
 ),
 cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p)
 SELECT s.part_a, s.part_b, s.support,
-       CAST(s.support * nb.n AS BIGINT)
-       / CAST(ca.c * cb.c AS BIGINT) AS lift
+       -- products widen to HUGEINT before the double division
+       -- (Spark widens to decimal(37,0) -- same exact integer)
+       CAST(CAST(s.support AS HUGEINT) * nb.n AS DOUBLE)
+       / CAST(CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE) AS lift
 FROM sup s
 JOIN cnt ca ON ca.p = s.part_a
 JOIN cnt cb ON cb.p = s.part_b, nb
@@ -295,8 +336,11 @@ ORACLE_BASKET_CENSUS = """
 WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 s AS (SELECT o, CAST(count(*) AS BIGINT) AS basket_items FROM b GROUP BY o)
 SELECT basket_items, CAST(count(*) AS BIGINT) AS n_baskets,
-       CAST(basket_items * (basket_items - 1) / 2 * count(*) AS BIGINT)
-         AS pair_mass
+       -- triangle is safe int64; triangle * n widens to HUGEINT, and
+       -- the BIGINT cast errors loudly out of range (Spark: decimal
+       -- product, NULL on long overflow) instead of wrapping
+       CAST(CAST(basket_items * (basket_items - 1) // 2 AS HUGEINT)
+            * count(*) AS BIGINT) AS pair_mass
 FROM s GROUP BY basket_items
 """
 
@@ -320,8 +364,10 @@ sup AS (
 ),
 cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p)
 SELECT s.part_a, s.part_b, s.support,
-       CAST(s.support * nb.n AS BIGINT)
-       / CAST(ca.c * cb.c AS BIGINT) AS lift
+       -- products widen to HUGEINT before the double division
+       -- (Spark widens to decimal(37,0) -- same exact integer)
+       CAST(CAST(s.support AS HUGEINT) * nb.n AS DOUBLE)
+       / CAST(CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE) AS lift
 FROM sup s
 JOIN cnt ca ON ca.p = s.part_a
 JOIN cnt cb ON cb.p = s.part_b, nb
@@ -391,8 +437,8 @@ sup AS (
 cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p),
 pairs AS (
   SELECT s.part_a, s.part_b, s.support,
-         CAST(s.support * nb.n AS BIGINT)
-         / CAST(ca.c * cb.c AS BIGINT) AS lift
+         CAST(CAST(s.support AS HUGEINT) * nb.n AS DOUBLE)
+         / CAST(CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE) AS lift
   FROM sup s
   JOIN cnt ca ON ca.p = s.part_a
   JOIN cnt cb ON cb.p = s.part_b, nb

@@ -1139,7 +1139,10 @@ FROM checks
 # Metrics per epoch: row count, value sum (cents), distinct customer
 # count — Deequ's Size/Sum/ApproxCountDistinct triple, exact here.
 # The band check cross-MULTIPLIES integers (value*100 vs prev*pct)
-# instead of dividing, so the gate is integer-exact on both engines;
+# instead of dividing, so the gate is integer-exact on both engines —
+# with the products widened to decimal(22,0)/HUGEINT (round-13: a
+# sum_cents epoch metric is ~2e16 at SF100k; int64*167 wraps within
+# 2 orders of magnitude of that);
 # the first epoch has no predecessor and never alarms (Deequ
 # semantics). Output carries every (epoch, metric) with its flag so
 # the lane is non-vacuous at every SF.
@@ -1175,9 +1178,14 @@ def dq_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("metric").orderBy("epoch")
     out = hist.withColumn("prev_value", F.lag("value").over(w))
+    # band products widen to decimal (DuckDB: HUGEINT) before the
+    # compare — a sum_cents epoch metric at TPC-H SF100k is ~2e16, so
+    # value*167 as int64 is within 100x of wrapping (round-13 audit;
+    # the mining-lift overflow class)
+    v = F.col("value").cast("decimal(19,0)")
+    pv = F.col("prev_value").cast("decimal(19,0)")
     anomalous = F.col("prev_value").isNotNull() & (
-        (F.col("value") * 100 > F.col("prev_value") * DQM_MAX_PCT)
-        | (F.col("value") * 100 < F.col("prev_value") * DQM_MIN_PCT)
+        (v * 100 > pv * DQM_MAX_PCT) | (v * 100 < pv * DQM_MIN_PCT)
     )
     return out.select(
         "epoch", "metric", "value", "prev_value",
@@ -1209,8 +1217,10 @@ l AS (
 )
 SELECT epoch, metric, value, prev_value,
        prev_value IS NOT NULL AND (
-         value * 100 > prev_value * {DQM_MAX_PCT}
-         OR value * 100 < prev_value * {DQM_MIN_PCT}
+         CAST(value AS HUGEINT) * 100
+           > CAST(prev_value AS HUGEINT) * {DQM_MAX_PCT}
+         OR CAST(value AS HUGEINT) * 100
+           < CAST(prev_value AS HUGEINT) * {DQM_MIN_PCT}
        ) AS anomalous
 FROM l
 """
