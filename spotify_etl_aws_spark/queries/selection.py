@@ -109,10 +109,14 @@ from .lanes_layout import (  # noqa: F401 — re-exports, see lanes_layout
     mine_basket_census,
     mine_frequent_pairs_capped,
     mine_association_rules,
+    mine_frequent_triples,
+    mine_triple_rules,
     ORACLE_ASSOC_RULES,
     ORACLE_FREQ_PAIRS,
     ORACLE_BASKET_CENSUS,
     ORACLE_FREQ_PAIRS_CAPPED,
+    ORACLE_FREQ_TRIPLES,
+    ORACLE_TRIPLE_RULES,
 )
 from .lanes_seqsim import (  # noqa: F401 — re-exports, see lanes_seqsim
     EDITDIST_D,
@@ -2442,6 +2446,8 @@ QUERIES = {
     "dq_pseudonymize": dq_pseudonymize,
     "split_leakage_audit": split_leakage_audit,
     "split_cluster_safe": split_cluster_safe,
+    "mine_frequent_triples": mine_frequent_triples,
+    "mine_triple_rules": mine_triple_rules,
 }
 
 ORACLE = {
@@ -2550,4 +2556,6 @@ ORACLE = {
     "dq_pseudonymize": ORACLE_PSEUDONYMIZE,
     "split_leakage_audit": ORACLE_SPLIT_AUDIT,
     "split_cluster_safe": ORACLE_SPLIT_CLUSTER,
+    "mine_frequent_triples": ORACLE_FREQ_TRIPLES,
+    "mine_triple_rules": ORACLE_TRIPLE_RULES,
 }
