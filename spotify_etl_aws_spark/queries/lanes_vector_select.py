@@ -547,3 +547,160 @@ FROM e2 WHERE vec_id IN (SELECT vec_id FROM i2)
 
 
 ORACLE_IVF_RECALL = _ivf_recall_oracle()
+
+
+# ---- IVF recall@k vs nprobe curve (round 13) ----
+#
+# The FAISS/ScaNN evaluation protocol (round-12 verdict item 4):
+# recall@k as a CURVE over nprobe, not a single point — the number
+# that sets the cost/quality knob at 100 TB (each +1 nprobe reads one
+# more cell's files; the curve says what that buys). ONE pass over
+# the cell-partitioned index (no per-tier re-run): every vector is
+# scored against the query once, tagged with its cell's probe RANK
+# (driver-side model state — the same ranked-cell argsort
+# _probe_cells performs, extended to all cells), prefiltered to its
+# CELL's top-k (any tier's top-k row is necessarily in its own cell's
+# top-k, so the tier windows run on a <= k*n_cells row frame), then
+# each nprobe tier's top-k cut and recall against the exact top-k are
+# tiny-frame ops.
+#
+# Cross-engine exactness: the cell ranking compares RAW centroid
+# cosines — probed min adjacent-cell margin 1.2e-2 / 1.7e-3 / 6.7e-4
+# at the three SFs (9+ orders above ~1e-12 drift); vector scores
+# round to 4dp with vec_id tiebreak (the vector_cosine_topk landing
+# convention, margins probed in round 3); recall divides two small
+# exact integers.
+NPROBE_TIERS = [1, 2, 4, 8]
+
+
+def vector_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF probe at nprobe in {1, 2, 4, 8}, one scan.
+    Returns (nprobe, k, n_hits, recall); recall is monotone in nprobe
+    and 1.0 at nprobe = n_cells (pinned in tests)."""
+    from .vector import (
+        QUERY_VEC_ID,
+        TOPK,
+        _ivf_index_path,
+        _learned_centroids,
+        _probe_cells,
+        _query_vector,
+    )
+
+    qv = _query_vector(sf_dir, QUERY_VEC_ID)
+    cents = _learned_centroids(spark, sf_dir)
+    order = _probe_cells(cents, qv, len(cents))  # full ranked cell list
+    rank_of = F.create_map(
+        *[F.lit(v) for c, r in zip(order, range(1, len(order) + 1))
+          for v in (c, r)]
+    )
+    q = F.array(*[F.lit(x) for x in qv])
+    scored = (
+        spark.read.parquet(_ivf_index_path(spark, sf_dir))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "cell",
+            (F.round(cosine(F.col("v"), q), 4) + F.lit(0.0)).alias("cosr"),
+        )
+    )
+    wcell = W.partitionBy("cell").orderBy(F.desc("cosr"), F.asc("vec_id"))
+    pref = (
+        scored.withColumn("crn", F.row_number().over(wcell))
+        .filter(F.col("crn") <= TOPK)
+        .drop("crn")
+    )
+    exact = (
+        pref.orderBy(F.desc("cosr"), F.asc("vec_id"))
+        .limit(TOPK)
+        .select("vec_id")
+    )
+    tiers = spark.createDataFrame(
+        [(n,) for n in NPROBE_TIERS], "nprobe long"
+    )
+    wt = W.partitionBy("nprobe").orderBy(F.desc("cosr"), F.asc("vec_id"))
+    tk = (
+        pref.withColumn("rnk", rank_of[F.col("cell")])
+        .filter(F.col("rnk").isNotNull())
+        .join(F.broadcast(tiers), F.col("rnk") <= F.col("nprobe"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= TOPK)
+    )
+    hits = (
+        tk.join(exact, "vec_id", "semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        tiers.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(TOPK).cast("long").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)) / F.lit(TOPK) + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_recall_curve_oracle() -> str:
+    from .vector import (
+        _FINAL_CENTS,
+        _IVF_ASSIGN_CTES,
+        QUERY_VEC_ID,
+        TOPK,
+    )
+
+    tiers = ", ".join(f"({n})" for n in NPROBE_TIERS)
+    return f"""
+WITH {_IVF_ASSIGN_CTES},
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+pcells AS (
+  SELECT c.cell,
+         row_number() OVER (
+           ORDER BY list_dot_product(c.cv, q.qv)
+             / (sqrt(list_dot_product(c.cv, c.cv))
+                * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+           c.cell ASC) AS rnk
+  FROM {_FINAL_CENTS} c, q
+  WHERE list_dot_product(c.cv, c.cv) > 0
+),
+scored AS (
+  SELECT x.vec_id, x.cell,
+         round(list_dot_product(x.v, q.qv)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 AS cosr
+  FROM assign x, q
+  WHERE x.vec_id <> {QUERY_VEC_ID}
+),
+exk AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cosr DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= {TOPK}
+),
+tiers(np) AS (VALUES {tiers}),
+tk AS (
+  SELECT np, vec_id FROM (
+    SELECT t.np, s.vec_id,
+           row_number() OVER (
+             PARTITION BY t.np
+             ORDER BY s.cosr DESC, s.vec_id ASC) AS rn
+    FROM scored s
+    JOIN pcells p ON p.cell = s.cell
+    JOIN tiers t ON p.rnk <= t.np) WHERE rn <= {TOPK}
+),
+h AS (
+  SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+  FROM tk WHERE vec_id IN (SELECT vec_id FROM exk)
+  GROUP BY np
+)
+SELECT CAST(t.np AS BIGINT) AS nprobe,
+       CAST({TOPK} AS BIGINT) AS k,
+       coalesce(h.n_hits, 0) AS n_hits,
+       (CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {TOPK}) + 0.0 AS recall
+FROM tiers t LEFT JOIN h ON h.np = t.np
+"""
+
+
+ORACLE_IVF_RECALL_CURVE = _ivf_recall_curve_oracle()

@@ -248,6 +248,9 @@ from .lanes_vector_select import (  # noqa: F401 — re-exports, see lanes_vecto
     ORACLE_SEMDEDUP,
     vector_ivf_recall,
     ORACLE_IVF_RECALL,
+    NPROBE_TIERS,
+    vector_ivf_recall_curve,
+    ORACLE_IVF_RECALL_CURVE,
 )
 from .lanes_monitoring import (  # noqa: F401 — re-exports, see lanes_monitoring
     MAD_K,
@@ -2448,6 +2451,7 @@ QUERIES = {
     "split_cluster_safe": split_cluster_safe,
     "mine_frequent_triples": mine_frequent_triples,
     "mine_triple_rules": mine_triple_rules,
+    "vector_ivf_recall_curve": vector_ivf_recall_curve,
 }
 
 ORACLE = {
@@ -2558,4 +2562,5 @@ ORACLE = {
     "split_cluster_safe": ORACLE_SPLIT_CLUSTER,
     "mine_frequent_triples": ORACLE_FREQ_TRIPLES,
     "mine_triple_rules": ORACLE_TRIPLE_RULES,
+    "vector_ivf_recall_curve": ORACLE_IVF_RECALL_CURVE,
 }
