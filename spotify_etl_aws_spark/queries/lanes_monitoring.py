@@ -429,6 +429,51 @@ def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- watermark-bounded streaming CUSUM (round 13) ----
+#
+# The LATE-DATA posture of the control chart (round-12 verdict item
+# 3): where streaming_cusum_alarms RAISES on out-of-order delivery
+# across triggers (correct for the AvailableNow daily-landing
+# pattern, fatal for a multi-source production feed with stragglers),
+# this lane rides streaming/stateful.py:cusum_alarms_watermarked —
+# rows buffer in per-key state until the event-time watermark passes
+# them, the fold consumes only the SEALED prefix, and a row arriving
+# behind the sealed frontier emits as a dead-letter instead of
+# killing the job. Over a complete AvailableNow pass every row seals
+# (the engine's final no-data batch fires the event-time timeouts),
+# so the ORACLE IS ORACLE_CUSUM byte-for-byte — the batch lane stays
+# the parity oracle for the sealed prefix, which here is everything.
+# Buffering/dead-letter behavior under mid-stream disorder is pinned
+# in tests/test_streaming_cusum_watermarked.py.
+
+
+def streaming_cusum_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ts_cusum_alarms via the watermark-bounded streaming state
+    machine. Same output contract: (event_id, user_id, cents,
+    cusum)."""
+    from ..streaming.pipeline import read_table_stream, run_available_now
+    from ..streaming.stateful import cusum_alarms_watermarked
+
+    src = read_table_stream(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    out = run_available_now(
+        cusum_alarms_watermarked(
+            src, ref=CUSUM_REF, h=CUSUM_H, delay="0 seconds"
+        ),
+        "cusum_wm_alarms",
+        output_mode="update",
+    )
+    return out.filter(F.col("kind") == "alarm").select(
+        "event_id", "user_id", "cents", "cusum"
+    )
+
+
 # ---- quantile-binned PSI drift contract (round 11) ----
 #
 # Monitoring practice bins PSI by REFERENCE-window quantiles (equal

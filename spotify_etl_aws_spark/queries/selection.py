@@ -271,6 +271,7 @@ from .lanes_monitoring import (  # noqa: F401 — re-exports, see lanes_monitori
     ORACLE_PSI,
     streaming_psi_drift,
     streaming_cusum_alarms,
+    streaming_cusum_watermarked,
     PSIQ_ACC,
     PSIQ_DECILES,
     stats_psi_quantile_contract,
@@ -2440,6 +2441,7 @@ QUERIES = {
     "mine_basket_census": mine_basket_census,
     "mine_frequent_pairs_capped": mine_frequent_pairs_capped,
     "streaming_cusum_alarms": streaming_cusum_alarms,
+    "streaming_cusum_watermarked": streaming_cusum_watermarked,
     "dq_metric_anomalies": dq_metric_anomalies,
     "link_clerical_bands": link_clerical_bands,
     "link_band_purity": link_band_purity,
@@ -2551,6 +2553,7 @@ ORACLE = {
     "mine_basket_census": ORACLE_BASKET_CENSUS,
     "mine_frequent_pairs_capped": ORACLE_FREQ_PAIRS_CAPPED,
     "streaming_cusum_alarms": ORACLE_CUSUM,
+    "streaming_cusum_watermarked": ORACLE_CUSUM,
     "dq_metric_anomalies": ORACLE_DQ_ANOMALIES,
     "link_clerical_bands": ORACLE_FS_BANDS,
     "link_band_purity": ORACLE_BAND_PURITY,

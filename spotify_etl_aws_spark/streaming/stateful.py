@@ -266,3 +266,167 @@ def cusum_alarms_state(events: DataFrame, ref: int, h: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_alarms_watermarked(
+    events: DataFrame, ref: int, h: int, delay: str = "0 seconds"
+) -> DataFrame:
+    """``cusum_alarms_state`` with the LATE-DATA posture a production
+    multi-source feed needs (round-12 verdict item 3): instead of
+    raising on out-of-order delivery across triggers, rows buffer
+    inside the per-key state until the event-time WATERMARK passes
+    them, the fold consumes only the sealed prefix (rows at or below
+    the watermark — nothing earlier can still arrive under the
+    watermark contract), and a straggler that lands behind the
+    already-sealed frontier emits as a DEAD-LETTER row instead of
+    killing the job.
+
+    Output: (event_id, user_id, cents, cusum, kind) — kind is
+    ``alarm`` (cusum = the batch identity's value; over any complete
+    run the alarm set equals the batch ``ts_cusum_alarms``) or
+    ``dead_letter`` (cusum NULL; the row arrived beyond the watermark
+    after its position was sealed — route to a reconciliation table).
+
+    Sealing discipline per trigger:
+    1. new rows behind the sealed (ts, event_id) frontier -> dead
+       letters (never folded, never corrupt the recurrence);
+    2. the rest append to the state's buffer;
+    3. buffered rows with ts <= watermark seal: sort, fold with the
+       same numpy prefix ops, emit alarms, advance the frontier;
+    4. a non-empty remaining buffer arms an EVENT-TIME TIMEOUT just
+       past the watermark, so the tail seals on a later trigger (or
+       the engine's final no-data batch) even if the key never gets
+       another row.
+
+    State stays bounded by the watermark window: the buffer holds
+    only rows inside (watermark, max seen ts] — with delay D and
+    arrival rate r that is O(r*D) rows per key, the price of
+    tolerating D of disorder (vs four int64s for the raise-loudly
+    variant; pick by feed discipline).
+    """
+    import numpy as np
+
+    out_schema = (
+        "event_id bigint, user_id bigint, cents bigint, cusum bigint,"
+        " kind string"
+    )
+    state_schema = (
+        "pt bigint, mp bigint, last_ts bigint, last_eid bigint,"
+        " buf_ts array<bigint>, buf_eid array<bigint>,"
+        " buf_cents array<bigint>"
+    )
+    far = 1 << 62  # mp sentinel (cusum_alarms_state's convention)
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pt, mp, last_ts, last_eid, bts, beid, bc = state.get
+            bts, beid, bc = list(bts), list(beid), list(bc)
+        else:
+            pt, mp, last_ts, last_eid = 0, far, None, None
+            bts, beid, bc = [], [], []
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        dead_eid, dead_cents = [], []
+        if not state.hasTimedOut:
+            frames = [f for f in pdfs if len(f)]
+            if frames:
+                pdf = pd.concat(frames, ignore_index=True)
+                ts_ns = pdf["ts"].astype("int64").to_numpy()
+                eid = pdf["event_id"].to_numpy(np.int64)
+                cents = pdf["cents"].to_numpy(np.int64)
+                if last_ts is not None:
+                    # behind the sealed frontier -> dead letter
+                    is_dead = (ts_ns < last_ts) | (
+                        (ts_ns == last_ts) & (eid <= last_eid)
+                    )
+                else:
+                    is_dead = np.zeros(len(ts_ns), dtype=bool)
+                dead_eid = eid[is_dead].tolist()
+                dead_cents = cents[is_dead].tolist()
+                bts += ts_ns[~is_dead].tolist()
+                beid += eid[~is_dead].tolist()
+                bc += cents[~is_dead].tolist()
+        # seal: buffered rows the watermark has passed
+        alarms = None
+        if bts:
+            order = sorted(range(len(bts)), key=lambda i: (bts[i], beid[i]))
+            bts = [bts[i] for i in order]
+            beid = [beid[i] for i in order]
+            bc = [bc[i] for i in order]
+            # the watermark is MILLISECOND-granular (Spark truncates
+            # event-time stats to ms) while ts carries ns: seal the
+            # whole watermark millisecond, or rows in the final ms of
+            # an AvailableNow run would never seal and batch parity
+            # would break on the tail
+            seal_below = wm_ns + 1_000_000
+            n_seal = 0
+            while n_seal < len(bts) and bts[n_seal] < seal_below:
+                n_seal += 1
+            if n_seal:
+                ts_s = np.asarray(bts[:n_seal], np.int64)
+                eid_s = np.asarray(beid[:n_seal], np.int64)
+                c_s = np.asarray(bc[:n_seal], np.int64)
+                p = pt + np.cumsum(c_s - ref)
+                m = np.minimum.accumulate(np.minimum(p, mp))
+                s = p - np.minimum(m, 0)
+                pt, mp = int(p[-1]), int(m[-1])
+                last_ts, last_eid = int(ts_s[-1]), int(eid_s[-1])
+                bts, beid, bc = bts[n_seal:], beid[n_seal:], bc[n_seal:]
+                hit = s > h
+                alarms = pd.DataFrame(
+                    {
+                        "event_id": eid_s[hit],
+                        "user_id": np.full(
+                            int(hit.sum()), key[0], np.int64
+                        ),
+                        "cents": c_s[hit],
+                        "cusum": s[hit],
+                        "kind": "alarm",
+                    }
+                )
+        state.update((pt, mp, last_ts, last_eid, bts, beid, bc))
+        if bts:
+            # the tail seals when the watermark REACHES its first
+            # row's millisecond; the timeout fires only when the
+            # watermark strictly exceeds the armed timestamp (probed),
+            # so arm one ms EARLY — clamped strictly ahead of the
+            # current watermark per the API contract
+            state.setTimeoutTimestamp(
+                max(bts[0] // 1_000_000 - 1, wm_ns // 1_000_000 + 1)
+            )
+        out = []
+        if dead_eid:
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": np.asarray(dead_eid, np.int64),
+                        "user_id": np.full(
+                            len(dead_eid), key[0], np.int64
+                        ),
+                        "cents": np.asarray(dead_cents, np.int64),
+                        "cusum": pd.array(
+                            [None] * len(dead_eid), dtype="Int64"
+                        ),
+                        "kind": "dead_letter",
+                    }
+                )
+            )
+        if alarms is not None and len(alarms):
+            out.append(alarms)
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
