@@ -2,8 +2,8 @@
 CLUSTERED by the Hilbert key actually reduce what a 2-D range
 predicate reads, versus linear and z-order layouts?
 
-Protocol: the 10x-amplified part table (2M rows via experiments/
-common.amplify) is written 4 ways x 32 files (ingest order, linear
+Protocol: the 10x-amplified part table (200k rows via experiments/
+common.amplify; sf0.1 part is 20k) is written 4 ways x 32 files (ingest order, linear
 sort on p_size, z-order, Hilbert — same (p_size, price-bucket) grid
 as the declared layout lanes, bits=9), then a mid-range 2-D band
 predicate (p_size in [20, 29], p_retailprice in [940, 970)) is
@@ -168,5 +168,103 @@ def main() -> None:
                       "results": results}))
 
 
+def main_incremental() -> None:
+    """Round-13 probe (verdict item 5): pruning retained by the
+    INCREMENTAL Hilbert compaction vs append-only vs full rewrite, at
+    the same 10x/2M-row scale. 90% of the amplified part table is the
+    clustered base; the remaining 10% lands as an epoch append (one
+    file straddling many ranges); admission for the 2-D band is
+    measured from the footers in all three states, plus how much data
+    the incremental pass actually rewrote."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.sources.sinks import (
+        append_hilbert_epoch,
+        optimize_hilbert_incremental,
+        save_hilbert_table,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path, n = amplify("part", "p_partkey", 10, "/tmp/layout-amp")
+    src = spark.read.parquet(path)
+    ycol = F.expr(
+        "CAST(floor(CAST(round(p_retailprice * 100) AS BIGINT) / 1000)"
+        " AS BIGINT)"
+    )
+    base = src.withColumn("__x", F.col("p_size").cast("long")).withColumn(
+        "__y", ycol
+    )
+    # the epoch is LOCALIZED in the grid (new rows land inside the
+    # probe's size band — the time-correlated-keys pattern real
+    # appends have) and OVERLAPS existing coverage, so its files
+    # genuinely straddle the base files for that region; a uniformly-
+    # sampled epoch instead overlaps every file's range and correctly
+    # degenerates to a full rewrite (probed) — locality is what
+    # incremental clustering monetizes
+    in_epoch = (F.col("p_size").between(20, 24)) & (
+        F.col("p_partkey") % 2 == 0
+    )
+    main_part = base.filter(~in_epoch)
+    epoch = base.filter(in_epoch)
+
+    inc = "/tmp/layout-amp/layouts/incremental"
+    full = "/tmp/layout-amp/layouts/full_rewrite"
+    save_hilbert_table(
+        main_part, inc, "__x", "__y", bits=BITS, num_files=N_FILES
+    )
+    # range-split the epoch so each epoch file covers a narrow d-span
+    # (a single-file epoch's span would bridge the band's curve
+    # segments and straddle far more base files)
+    append_hilbert_epoch(
+        epoch, inc, "__x", "__y", bits=BITS, num_files=8
+    )
+
+    def probe(d):
+        fh, nf, gh, ng = _hits(_boxes(d))
+        rows = (
+            spark.read.parquet(d)
+            .filter(
+                (F.col("p_size").between(X0, X1))
+                & (F.col("p_retailprice") >= P0)
+                & (F.col("p_retailprice") < P1)
+            )
+            .count()
+        )
+        return {
+            "files_admitted": fh, "files": nf,
+            "rowgroups_admitted": gh, "rowgroups": ng, "rows_matched": rows,
+        }
+
+    out = {"n_rows": n}
+    out["append_only"] = probe(inc)
+    t0 = time.time()
+    stats = optimize_hilbert_incremental(spark, inc)
+    out["optimize_stats"] = {**stats, "optimize_sec": round(time.time() - t0, 2)}
+    out["post_optimize"] = probe(inc)
+    t0 = time.time()
+    save_hilbert_table(
+        base, full, "__x", "__y", bits=BITS, num_files=N_FILES
+    )
+    out["full_rewrite"] = {**probe(full),
+                           "rewrite_sec": round(time.time() - t0, 2)}
+    assert (
+        out["append_only"]["rows_matched"]
+        == out["post_optimize"]["rows_matched"]
+        == out["full_rewrite"]["rows_matched"]
+    )
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "incremental":
+        main_incremental()
+    else:
+        main()

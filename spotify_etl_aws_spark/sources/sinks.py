@@ -379,3 +379,183 @@ def save_hilbert_clustered(
     hilbert_layout(df, x_col, y_col, bits, num_files).write.mode(
         mode
     ).parquet(path)
+
+
+def save_hilbert_table(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    num_files: int = 32,
+    key_col: str = "_hkey",
+    mode: str = "overwrite",
+) -> None:
+    """``save_hilbert_clustered`` for a table that will be APPENDED to
+    (round-13: the incremental/OPTIMIZE layout): the Hilbert key
+    column is KEPT in the data, because its parquet footer min/max IS
+    the per-file clustering metadata ``optimize_hilbert_incremental``
+    reads — exactly the role a table format's clustering stats play
+    in liquid clustering. A clean write leaves file key-ranges
+    pairwise DISJOINT (repartitionByRange); appends violate that
+    invariant, and OPTIMIZE restores it rewriting only the violating
+    files."""
+    from ..operators.hilbert import with_hilbert
+
+    (
+        with_hilbert(df, x_col, y_col, bits, key_col)
+        .repartitionByRange(num_files, key_col)
+        .sortWithinPartitions(key_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def append_hilbert_epoch(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    key_col: str = "_hkey",
+    num_files: int = 1,
+) -> None:
+    """Land an epoch of new rows into a ``save_hilbert_table`` dataset:
+    keys computed map-side, rows range-clustered WITHIN the epoch (the
+    epoch is small — one exchange at epoch size, not table size), then
+    appended. Epoch files typically straddle existing file ranges —
+    that is the debt ``optimize_hilbert_incremental`` repays."""
+    from ..operators.hilbert import with_hilbert
+
+    (
+        with_hilbert(df, x_col, y_col, bits, key_col)
+        .repartitionByRange(num_files, key_col)
+        .sortWithinPartitions(key_col)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def optimize_hilbert_incremental(
+    spark,
+    path: str,
+    key_col: str = "_hkey",
+) -> dict:
+    """Incremental OPTIMIZE for a Hilbert-clustered table (round-13
+    verdict item 5): re-cluster ONLY the files whose key ranges
+    overlap — the files the appended epochs straddle — leaving every
+    range-disjoint file untouched on disk (hardlinked, zero data
+    movement).
+
+    Algorithm (pure footer metadata, no data scan for planning):
+    1. read every file's ``key_col`` min/max from its parquet footer;
+    2. connected components over interval overlap (sort by min, one
+       sweep) — a component of >= 2 files violates the disjointness
+       invariant and becomes one rewrite group;
+    3. each group is read, range-repartitioned into the same number
+       of files, sorted within partitions, written to a temp dir;
+       untouched files HARDLINK into the temp dir;
+    4. the same crash-recoverable two-rename swap as
+       ``compact_dataset`` publishes the new state.
+
+    Cost scales with the STRADDLED data, not the table: a table of N
+    files with one appended epoch touching k file ranges rewrites
+    k+epoch files; a full rewrite (save_hilbert_table) shuffles all N.
+    Post-compaction pruning equals a full rewrite's for file-level
+    admission (pinned in tests/test_hilbert_incremental.py) because
+    disjointness, not global order, is what footer pruning uses.
+
+    LOCAL-FILESYSTEM ONLY (same contract and guard as
+    compact_dataset); on object stores a table format's OPTIMIZE owns
+    the commit. Returns {files, groups_rewritten, files_rewritten,
+    files_linked, files_after}."""
+    import os
+    import re
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    if path.startswith("file:"):
+        path = path[5:]
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/", path):
+        raise ValueError(
+            f"optimize_hilbert_incremental is local-filesystem-only; "
+            f"got remote path {path!r} — use a table format's OPTIMIZE"
+        )
+    tmp = f"{path}.__hopt_tmp__"
+    old = f"{path}.__hopt_old__"
+    # crash recovery (compact_dataset protocol)
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+    spans: list[tuple[str, int, int]] = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, name)
+        md = pq.ParquetFile(fp)
+        ki = md.schema_arrow.names.index(key_col)
+        lo = min(
+            md.metadata.row_group(g).column(ki).statistics.min
+            for g in range(md.metadata.num_row_groups)
+        )
+        hi = max(
+            md.metadata.row_group(g).column(ki).statistics.max
+            for g in range(md.metadata.num_row_groups)
+        )
+        spans.append((fp, lo, hi))
+    spans.sort(key=lambda s: (s[1], s[2]))
+    # connected components over interval overlap: sorted by min, a
+    # span belongs to the current component iff its min is inside the
+    # component's running max — one sweep, exact
+    groups: list[list[tuple[str, int, int]]] = []
+    cur_hi: int | None = None
+    for s in spans:
+        if groups and cur_hi is not None and s[1] <= cur_hi:
+            groups[-1].append(s)
+            cur_hi = max(cur_hi, s[2])
+        else:
+            groups.append([s])
+            cur_hi = s[2]
+    dirty = [g for g in groups if len(g) > 1]
+    clean = [g[0] for g in groups if len(g) == 1]
+    stats = {
+        "files": len(spans),
+        "groups_rewritten": len(dirty),
+        "files_rewritten": sum(len(g) for g in dirty),
+        "files_linked": len(clean),
+    }
+    if not dirty:
+        stats["files_after"] = len(spans)
+        return stats
+
+    os.makedirs(tmp)
+    for fp, _, _ in clean:
+        os.link(fp, os.path.join(tmp, os.path.basename(fp)))
+    for i, g in enumerate(dirty):
+        gdir = os.path.join(tmp, f".group{i}")
+        df = spark.read.parquet(*[fp for fp, _, _ in g])
+        (
+            df.repartitionByRange(len(g), key_col)
+            .sortWithinPartitions(key_col)
+            .write.mode("overwrite")
+            .parquet(gdir)
+        )
+        for name in os.listdir(gdir):
+            if name.endswith(".parquet"):
+                os.rename(
+                    os.path.join(gdir, name),
+                    os.path.join(tmp, f"opt-{i}-{name}"),
+                )
+        shutil.rmtree(gdir)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    stats["files_after"] = sum(
+        1 for n in os.listdir(path) if n.endswith(".parquet")
+    )
+    return stats

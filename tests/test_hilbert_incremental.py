@@ -1,0 +1,148 @@
+"""Incremental Hilbert compaction (round 13, verdict item 5):
+append epochs straddle clustered file ranges; OPTIMIZE rewrites ONLY
+the straddled overlap groups, restores pairwise-disjoint file ranges,
+preserves every row, and lands footer-pruning admission at the
+full-rewrite level.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from spotify_etl_aws_spark.sources.sinks import (
+    append_hilbert_epoch,
+    optimize_hilbert_incremental,
+    save_hilbert_table,
+)
+
+BITS, FILES = 6, 16
+N = 64  # grid side
+
+
+def _grid(spark, xs, ys, tag0=0):
+    return spark.createDataFrame(
+        [(tag0 + i, x, y) for i, (x, y) in enumerate(
+            (x, y) for x in xs for y in ys
+        )],
+        "rid long, x long, y long",
+    )
+
+
+def _spans(path):
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name))
+        ki = md.schema_arrow.names.index("_hkey")
+        lo = min(md.metadata.row_group(g).column(ki).statistics.min
+                 for g in range(md.metadata.num_row_groups))
+        hi = max(md.metadata.row_group(g).column(ki).statistics.max
+                 for g in range(md.metadata.num_row_groups))
+        out.append((lo, hi))
+    return sorted(out)
+
+
+def _admitted_y(path, y0, y1):
+    hit = total = 0
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        yi = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "y"
+        )
+        lo = min(md.row_group(g).column(yi).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(yi).statistics.max
+                 for g in range(md.num_row_groups))
+        total += 1
+        hit += lo <= y1 and y0 <= hi
+    return hit, total
+
+
+def test_optimize_restores_disjointness_and_rows(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = _grid(spark, range(N), range(N))
+    save_hilbert_table(base, path, "x", "y", bits=BITS, num_files=FILES)
+    # clean write: ranges pairwise disjoint
+    spans = _spans(path)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+    # two epochs land in a NARROW corner of the grid — they straddle
+    # only the files covering that corner
+    ep1 = _grid(spark, range(4), range(4), tag0=10_000)
+    ep2 = _grid(spark, range(2, 6), range(2, 6), tag0=20_000)
+    append_hilbert_epoch(ep1, path, "x", "y", bits=BITS)
+    append_hilbert_epoch(ep2, path, "x", "y", bits=BITS)
+    n_total = N * N + 16 + 16
+
+    stats = optimize_hilbert_incremental(spark, path)
+    assert stats["groups_rewritten"] >= 1
+    # incremental, not full: most base files untouched (hardlinked)
+    assert stats["files_linked"] > stats["files_rewritten"] - 2
+    assert stats["files_rewritten"] < stats["files"]
+    # invariant restored + zero row loss/duplication
+    spans = _spans(path)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    assert spark.read.parquet(path).count() == n_total
+    assert (
+        spark.read.parquet(path).select("rid").distinct().count() == n_total
+    )
+
+
+def test_optimize_idempotent(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    save_hilbert_table(
+        _grid(spark, range(N), range(N)), path, "x", "y",
+        bits=BITS, num_files=FILES,
+    )
+    append_hilbert_epoch(
+        _grid(spark, range(8), range(8), tag0=10_000), path, "x", "y",
+        bits=BITS,
+    )
+    first = optimize_hilbert_incremental(spark, path)
+    assert first["groups_rewritten"] >= 1
+    second = optimize_hilbert_incremental(spark, path)
+    assert second["groups_rewritten"] == 0  # nothing left to repay
+    assert second["files_rewritten"] == 0
+
+
+def test_post_compaction_admission_matches_full_rewrite(spark, tmp_path):
+    """The verdict's done-condition: after appends + OPTIMIZE, the
+    y-band footer admission equals a from-scratch full rewrite of the
+    same rows (disjointness, not global order, drives file-level
+    pruning) — and beats the append-only state."""
+    inc = str(tmp_path / "incremental")
+    full = str(tmp_path / "full")
+    base = _grid(spark, range(N), range(N))
+    # the epoch samples the WHOLE grid (every 8th x, every 4th y), so
+    # its one appended file's y-range spans the probe band — the
+    # append-only state must admit it for every y predicate
+    ep = _grid(spark, range(0, N, 8), range(0, N, 4), tag0=10_000)
+
+    save_hilbert_table(base, inc, "x", "y", bits=BITS, num_files=FILES)
+    append_hilbert_epoch(ep, inc, "x", "y", bits=BITS)
+    append_only = _admitted_y(inc, 8, 23)
+
+    optimize_hilbert_incremental(spark, inc)
+    post_opt = _admitted_y(inc, 8, 23)
+
+    save_hilbert_table(
+        base.unionByName(ep), full, "x", "y", bits=BITS, num_files=FILES
+    )
+    full_rw = _admitted_y(full, 8, 23)
+
+    # the epoch file spans the whole grid's y -> append-only admits it
+    assert append_only[0] > post_opt[0]
+    # post-compaction admission ~ full rewrite (file counts differ by
+    # the epoch's extra file, so compare admission fractions)
+    assert post_opt[0] / post_opt[1] <= full_rw[0] / full_rw[1] + 1 / FILES
+    # identical rows visible either way
+    assert (
+        spark.read.parquet(inc).count()
+        == spark.read.parquet(full).count()
+    )
