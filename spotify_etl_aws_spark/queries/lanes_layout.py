@@ -481,6 +481,15 @@ FROM rules r JOIN cnt c ON c.p = r.antecedent
 # valve is bounded by cap^3/6 per basket — linear in baskets.
 # Thresholds cross-multiply (support * 10000 vs bp * n) with the
 # family's widened decimal/HUGEINT products — no division, exact.
+#
+# The pair enumeration is deliberately evaluated TWICE (once under
+# the support aggregation, once as the extension's occ2 input): both
+# copies read the PERSISTED basket frame (its scan is the plan's
+# InMemoryTableScan on every reference) and the valve bounds the
+# enumeration, so recomputing it is a bounded map+join over cached
+# blocks — persisting the (o, a, b) pair frame instead would
+# materialize the full pair mass, a far larger footprint than the
+# recompute at any scale where the valve is doing its job.
 MINE3_MAX_BASKET_ITEMS = 8
 MINE3_MINSUP_BP = 30  # 0.30% of baskets, in basis points
 
@@ -714,4 +723,65 @@ SELECT r.ant_a, r.ant_b, r.consequent, r.support,
 FROM rules r
 JOIN pr p ON p.a = r.ant_a AND p.b = r.ant_b
 JOIN cnt c ON c.i = r.consequent
+"""
+
+
+def mine_brand_basket_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The read-first number for the BRAND item domain (the
+    link_block_census / mine_basket_census pattern, completing the
+    census -> pick cap -> capped run discipline for the L3 family):
+    PRE-valve brand-basket size histogram with each size's
+    k*(k-1)*(k-2)/6 * n TRIPLE mass — the number that justifies
+    MINE3_MAX_BASKET_ITEMS before any enumeration runs. Widened
+    products per the family's overflow protocol. Returns
+    (basket_items, n_baskets, pair_mass, triple_mass)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), "l_partkey"
+    )
+    pt = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("i")
+    )
+    sizes = (
+        li.join(pt, "l_partkey")
+        .select("o", "i")
+        .distinct()
+        .groupBy("o")
+        .agg(F.count(F.lit(1)).alias("basket_items"))
+    )
+    d = "decimal(19,0)"
+    tri2 = F.expr("basket_items * (basket_items - 1) div 2").cast(d)
+    tri3 = F.expr(
+        "basket_items * (basket_items - 1) * (basket_items - 2) div 6"
+    ).cast(d)
+    return (
+        sizes.groupBy("basket_items")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .select(
+            "basket_items",
+            "n_baskets",
+            (tri2 * F.col("n_baskets").cast(d))
+            .try_cast("long")
+            .alias("pair_mass"),
+            (tri3 * F.col("n_baskets").cast(d))
+            .try_cast("long")
+            .alias("triple_mass"),
+        )
+    )
+
+
+ORACLE_BRAND_CENSUS = """
+WITH b0 AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS i
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+s AS (SELECT o, CAST(count(*) AS BIGINT) AS basket_items FROM b0 GROUP BY o)
+SELECT basket_items, CAST(count(*) AS BIGINT) AS n_baskets,
+       CAST(CAST(basket_items * (basket_items - 1) // 2 AS HUGEINT)
+            * count(*) AS BIGINT) AS pair_mass,
+       CAST(CAST(basket_items * (basket_items - 1) * (basket_items - 2) // 6
+                 AS HUGEINT)
+            * count(*) AS BIGINT) AS triple_mass
+FROM s GROUP BY basket_items
 """

@@ -111,12 +111,14 @@ from .lanes_layout import (  # noqa: F401 — re-exports, see lanes_layout
     mine_association_rules,
     mine_frequent_triples,
     mine_triple_rules,
+    mine_brand_basket_census,
     ORACLE_ASSOC_RULES,
     ORACLE_FREQ_PAIRS,
     ORACLE_BASKET_CENSUS,
     ORACLE_FREQ_PAIRS_CAPPED,
     ORACLE_FREQ_TRIPLES,
     ORACLE_TRIPLE_RULES,
+    ORACLE_BRAND_CENSUS,
 )
 from .lanes_seqsim import (  # noqa: F401 — re-exports, see lanes_seqsim
     EDITDIST_D,
@@ -2454,6 +2456,7 @@ QUERIES = {
     "mine_frequent_triples": mine_frequent_triples,
     "mine_triple_rules": mine_triple_rules,
     "vector_ivf_recall_curve": vector_ivf_recall_curve,
+    "mine_brand_basket_census": mine_brand_basket_census,
 }
 
 ORACLE = {
@@ -2566,4 +2569,5 @@ ORACLE = {
     "mine_frequent_triples": ORACLE_FREQ_TRIPLES,
     "mine_triple_rules": ORACLE_TRIPLE_RULES,
     "vector_ivf_recall_curve": ORACLE_IVF_RECALL_CURVE,
+    "mine_brand_basket_census": ORACLE_BRAND_CENSUS,
 }

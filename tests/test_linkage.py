@@ -390,8 +390,10 @@ def test_pseudonymize_release_leaks_nothing(spark, sf_dir):
     names = {n for n, _ in raw.values()}
     tokens = [r.token for r in out]
     assert len(set(tokens)) == len(set(names))  # deterministic 1:1
+    from spotify_etl_aws_spark.queries.lanes_linkage import _PSEUDO_HEX
+
     for r in out:
-        assert r.token.startswith("u-") and len(r.token) == 14
+        assert r.token.startswith("u-") and len(r.token) == 2 + _PSEUDO_HEX
         masked = r.phone_masked
         assert set(masked[:-4]) == {"*"} and masked[-4:].isdigit()
         assert r.acct_band % 100 == 0
