@@ -785,3 +785,160 @@ SELECT basket_items, CAST(count(*) AS BIGINT) AS n_baskets,
             * count(*) AS BIGINT) AS triple_mass
 FROM s GROUP BY basket_items
 """
+
+
+MINE_ML_MAX_BASKET_ITEMS = 12  # multi-level baskets run larger
+
+
+_ML_BASKET_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _multilevel_basket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-LEVEL baskets (Srikant & Agrawal 1995, generalized
+    association rules): each order's items are its distinct brands
+    PLUS the derived brand LINE (the deterministic prefix family
+    'Line#<first digit>' — a true functional dependency brand -> line,
+    which is what makes closure analysis non-vacuous: an item implied
+    by another is co-present in every basket, so pairs extend to
+    equal-support triples). Valve at {MINE_ML_MAX_BASKET_ITEMS};
+    persisted + cached like the other basket frames."""
+    import os
+
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _ML_BASKET_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), "l_partkey"
+    )
+    pt = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = li.join(pt, "l_partkey")
+    b0 = (
+        j.select("o", F.col("p_brand").alias("i"))
+        .unionByName(
+            j.select(
+                "o",
+                F.concat(
+                    F.lit("Line#"), F.substring("p_brand", 7, 1)
+                ).alias("i"),
+            )
+        )
+        .distinct()
+    )
+    keep = (
+        b0.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") <= MINE_ML_MAX_BASKET_ITEMS)
+        .select("o")
+    )
+    df = b0.join(keep, "o", "semi").persist(StorageLevel.MEMORY_AND_DISK)
+    _ML_BASKET_CACHE[key] = df
+    return df
+
+
+def mine_closed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED frequent pairs (Zaki & Hsiao 2002, CHARM — the lossless
+    compression of the frequent-itemset output) over the MULTI-LEVEL
+    brand/line item domain: a frequent pair is closed iff NO extension
+    item keeps its support, i.e. no frequent triple containing the
+    pair has EQUAL support. On a hierarchy most pairs are NOT closed
+    (any pair containing a brand extends with that brand's implied
+    line at identical support) — exactly the redundancy closed-set
+    mining exists to strip; the closed survivors carry all the
+    support information. Exactness: an equal-support witness triple
+    necessarily clears the same relative minsup the pair cleared, so
+    the threshold-filtered L3 frame provably contains every witness.
+    Returns (item_a, item_b, support, closed).
+
+    Plan: rides the shared _triple_support spine (cached multi-level
+    basket frame, broadcast survivor gates); the closure test is one
+    left join of the vocabulary-sized pair frame against the distinct
+    face projection of the triple frame — broadcast-sized."""
+    b = _multilevel_basket_frame(spark, sf_dir)
+    n_baskets = b.select("o").distinct().count()  # materializes b
+    sup3, sup2, _ = _triple_support(b, n_baskets)
+    faces = (
+        sup3.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("fa"), F.col("b").alias("fb")),
+                    F.struct(F.col("a").alias("fa"), F.col("c").alias("fb")),
+                    F.struct(F.col("b").alias("fa"), F.col("c").alias("fb")),
+                )
+            ).alias("f"),
+            F.col("support").alias("tsup"),
+        )
+        .select("f.fa", "f.fb", "tsup")
+        .distinct()
+    )
+    return (
+        sup2.join(
+            F.broadcast(faces),
+            (F.col("a") == F.col("fa"))
+            & (F.col("b") == F.col("fb"))
+            & (F.col("pair_support") == F.col("tsup")),
+            "left",
+        )
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("pair_support").alias("support"),
+            F.col("fa").isNull().alias("closed"),
+        )
+    )
+
+
+_ML_BASKET_SQL = f"""b0 AS (
+  SELECT DISTINCT o, i FROM (
+    SELECT l.l_orderkey AS o, p.p_brand AS i
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT l.l_orderkey, 'Line#' || substring(p.p_brand, 7, 1)
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  )
+),
+keep AS (
+  SELECT o FROM b0 GROUP BY o
+  HAVING count(*) <= {MINE_ML_MAX_BASKET_ITEMS}
+),
+b AS (SELECT * FROM b0 WHERE o IN (SELECT o FROM keep)),
+nb AS (SELECT count(DISTINCT o) AS n FROM b)"""
+
+
+ORACLE_CLOSED_PAIRS = f"""
+WITH {_ML_BASKET_SQL},
+pr AS (
+  SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS pair_support
+  FROM b x JOIN b y ON x.o = y.o AND x.i < y.i
+  GROUP BY x.i, y.i
+  HAVING CAST(count(*) AS HUGEINT) * 10000
+         >= CAST({MINE3_MINSUP_BP} AS HUGEINT) * (SELECT n FROM nb)
+),
+tr AS (
+  SELECT x.i AS a, y.i AS b, z.i AS c, CAST(count(*) AS BIGINT) AS s
+  FROM b x
+  JOIN b y ON x.o = y.o AND x.i < y.i
+  JOIN b z ON y.o = z.o AND y.i < z.i
+  GROUP BY x.i, y.i, z.i
+  HAVING CAST(count(*) AS HUGEINT) * 10000
+         >= CAST({MINE3_MINSUP_BP} AS HUGEINT) * (SELECT n FROM nb)
+),
+faces AS (
+  SELECT DISTINCT fa, fb, tsup FROM (
+    SELECT a AS fa, b AS fb, s AS tsup FROM tr
+    UNION ALL
+    SELECT a, c, s FROM tr
+    UNION ALL
+    SELECT b, c, s FROM tr
+  )
+)
+SELECT p.a AS item_a, p.b AS item_b, p.pair_support AS support,
+       f.fa IS NULL AS closed
+FROM pr p
+LEFT JOIN faces f
+  ON f.fa = p.a AND f.fb = p.b AND f.tsup = p.pair_support
+"""

@@ -704,3 +704,66 @@ FROM tiers t LEFT JOIN h ON h.np = t.np
 
 
 ORACLE_IVF_RECALL_CURVE = _ivf_recall_curve_oracle()
+
+
+# ---- PQ recall@k (round 13) ----
+#
+# The compressed-scan rung's QA number, completing the eval family
+# (exact <- IVF recall curve <- PQ recall): how many of the exact
+# brute-force top-k does the m-byte ADC scan return? ADC distance is
+# squared-L2 on UNIT vectors — monotone with cosine — so the exact
+# cosine top-k is the right reference ranking. Both rankings already
+# exist as hash-green lanes; this lane is one semi-join + one
+# aggregation over two k-row frames (all integers + one division of
+# identical integers).
+
+
+def vector_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the PQ-ADC scan against the exact top-k. Returns
+    one row (k, n_hits, recall)."""
+    from .vector import vector_cosine_topk
+
+    ex = (
+        vector_cosine_topk(spark, sf_dir)
+        .filter(F.col("method") == "exact")
+        .select("vec_id")
+    )
+    adc = vector_pq_adc_topk(spark, sf_dir).select("vec_id")
+    k = ex.count()  # TOPK by construction; tiny
+    hits = ex.join(adc, "vec_id", "semi")
+    return hits.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)) / F.lit(k) + F.lit(0.0)).alias("recall"),
+    )
+
+
+def _pq_recall_oracle() -> str:
+    from .vector import _COS_EQ, QUERY_VEC_ID, TOPK
+
+    # the full PQ oracle runs as a derived table (DuckDB allows a
+    # WITH-query inside a parenthesized FROM); the exact side is the
+    # cosine lane's landing convention on a fresh minimal CTE chain
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+exk AS (
+  SELECT vec_id FROM (
+    SELECT x.vec_id,
+           row_number() OVER (
+             ORDER BY round({_COS_EQ}, 4) DESC, x.vec_id ASC) AS rn
+    FROM e x, q
+    WHERE x.vec_id <> {QUERY_VEC_ID}) WHERE rn <= {TOPK}
+),
+adc AS (SELECT vec_id FROM ({ORACLE_PQ_ADC}) t)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exk) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       (CAST(count(*) AS DOUBLE)
+        / (SELECT count(*) FROM exk)) + 0.0 AS recall
+FROM exk WHERE vec_id IN (SELECT vec_id FROM adc)
+"""
+
+
+ORACLE_PQ_RECALL = _pq_recall_oracle()

@@ -112,6 +112,7 @@ from .lanes_layout import (  # noqa: F401 — re-exports, see lanes_layout
     mine_frequent_triples,
     mine_triple_rules,
     mine_brand_basket_census,
+    mine_closed_pairs,
     ORACLE_ASSOC_RULES,
     ORACLE_FREQ_PAIRS,
     ORACLE_BASKET_CENSUS,
@@ -119,6 +120,7 @@ from .lanes_layout import (  # noqa: F401 — re-exports, see lanes_layout
     ORACLE_FREQ_TRIPLES,
     ORACLE_TRIPLE_RULES,
     ORACLE_BRAND_CENSUS,
+    ORACLE_CLOSED_PAIRS,
 )
 from .lanes_seqsim import (  # noqa: F401 — re-exports, see lanes_seqsim
     EDITDIST_D,
@@ -253,6 +255,8 @@ from .lanes_vector_select import (  # noqa: F401 — re-exports, see lanes_vecto
     NPROBE_TIERS,
     vector_ivf_recall_curve,
     ORACLE_IVF_RECALL_CURVE,
+    vector_pq_recall,
+    ORACLE_PQ_RECALL,
 )
 from .lanes_monitoring import (  # noqa: F401 — re-exports, see lanes_monitoring
     MAD_K,
@@ -2457,6 +2461,8 @@ QUERIES = {
     "mine_triple_rules": mine_triple_rules,
     "vector_ivf_recall_curve": vector_ivf_recall_curve,
     "mine_brand_basket_census": mine_brand_basket_census,
+    "vector_pq_recall": vector_pq_recall,
+    "mine_closed_pairs": mine_closed_pairs,
 }
 
 ORACLE = {
@@ -2570,4 +2576,6 @@ ORACLE = {
     "mine_triple_rules": ORACLE_TRIPLE_RULES,
     "vector_ivf_recall_curve": ORACLE_IVF_RECALL_CURVE,
     "mine_brand_basket_census": ORACLE_BRAND_CENSUS,
+    "vector_pq_recall": ORACLE_PQ_RECALL,
+    "mine_closed_pairs": ORACLE_CLOSED_PAIRS,
 }
