@@ -942,3 +942,121 @@ FROM pr p
 LEFT JOIN faces f
   ON f.fa = p.a AND f.fb = p.b AND f.tsup = p.pair_support
 """
+
+
+def mine_rule_interest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZED-rule interest (Srikant & Agrawal, VLDB 1995 §4 —
+    multi-level association mining's pruning measure): a brand-level
+    pair is only informative beyond its LINE-level ancestor if its
+    support deviates from the ancestor-expected value
+    sup(anc) * (sup(a)/sup(line_a)) * (sup(b)/sup(line_b)); the lane
+    emits that ratio for every frequent cross-line brand pair
+    (same-line pairs have no 2-item ancestor — their lines coincide).
+    At fixture scale the ratios concentrate near 1.0 exactly as the
+    independence model predicts for uniform TPC-H baskets — the
+    MEASURE is the output contract, thresholding is the consumer's
+    R knob (the paper's R-interest), so no boolean is emitted that
+    would go vacuous as SF grows.
+
+    Cross-engine exactness: the ratio is ONE division of two widened
+    exact-integer products (decimal(38,0) / HUGEINT — the family's
+    overflow protocol; a triple count product reaches ~3.4e33 at
+    TPC-H-100TB basket counts, far past int64).
+
+    Returns (item_a, item_b, support, anc_a, anc_b, anc_support,
+    interest)."""
+    b = _multilevel_basket_frame(spark, sf_dir)
+    n_baskets = b.select("o").distinct().count()  # materializes b
+    cnt1 = b.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+    sup2 = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.o") == F.col("y.o")) & (F.col("x.i") < F.col("y.i")),
+        )
+        .select(F.col("x.i").alias("a"), F.col("y.i").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(_minsup_filter(F.col("s"), n_baskets))
+    )
+    line = lambda c: F.concat(F.lit("Line#"), F.substring(c, 7, 1))
+    bp = sup2.filter(
+        F.col("a").startswith("Brand#")
+        & F.col("b").startswith("Brand#")
+        & (F.substring("a", 7, 1) != F.substring("b", 7, 1))
+    ).select(
+        "a", "b", "s",
+        line(F.col("a")).alias("la"),
+        line(F.col("b")).alias("lb"),
+    )
+    anc = sup2.select(
+        F.col("a").alias("anc_a"), F.col("b").alias("anc_b"),
+        F.col("s").alias("anc_s"),
+    )
+    d = "decimal(19,0)"
+
+    def c(name, alias):
+        return F.broadcast(
+            cnt1.select(
+                F.col("i").alias(name), F.col("cnt").alias(alias)
+            )
+        )
+
+    j = (
+        bp.withColumn("anc_a", F.least("la", "lb"))
+        .withColumn("anc_b", F.greatest("la", "lb"))
+        .join(F.broadcast(anc), ["anc_a", "anc_b"])
+        .join(c("a", "c_a"), "a")
+        .join(c("b", "c_b"), "b")
+        .join(c("la", "c_la"), "la")
+        .join(c("lb", "c_lb"), "lb")
+    )
+    num = (F.col("s").cast(d) * F.col("c_la").cast(d)) * F.col(
+        "c_lb"
+    ).cast(d)
+    den = (F.col("anc_s").cast(d) * F.col("c_a").cast(d)) * F.col(
+        "c_b"
+    ).cast(d)
+    return j.select(
+        F.col("a").alias("item_a"),
+        F.col("b").alias("item_b"),
+        F.col("s").alias("support"),
+        "anc_a",
+        "anc_b",
+        F.col("anc_s").alias("anc_support"),
+        (num.cast("double") / den.cast("double")).alias("interest"),
+    )
+
+
+ORACLE_RULE_INTEREST = f"""
+WITH {_ML_BASKET_SQL},
+cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY i),
+pr AS (
+  SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS s
+  FROM b x JOIN b y ON x.o = y.o AND x.i < y.i
+  GROUP BY x.i, y.i
+  HAVING CAST(count(*) AS HUGEINT) * 10000
+         >= CAST({MINE3_MINSUP_BP} AS HUGEINT) * (SELECT n FROM nb)
+),
+bp AS (
+  SELECT a, b, s,
+         'Line#' || substring(a, 7, 1) AS la,
+         'Line#' || substring(b, 7, 1) AS lb
+  FROM pr
+  WHERE a LIKE 'Brand#%' AND b LIKE 'Brand#%'
+    AND substring(a, 7, 1) <> substring(b, 7, 1)
+)
+SELECT bp.a AS item_a, bp.b AS item_b, bp.s AS support,
+       least(bp.la, bp.lb) AS anc_a, greatest(bp.la, bp.lb) AS anc_b,
+       anc.s AS anc_support,
+       CAST(CAST(bp.s AS HUGEINT) * cla.c * clb.c AS DOUBLE)
+       / CAST(CAST(anc.s AS HUGEINT) * ca.c * cb.c AS DOUBLE)
+         AS interest
+FROM bp
+JOIN pr anc ON anc.a = least(bp.la, bp.lb)
+           AND anc.b = greatest(bp.la, bp.lb)
+JOIN cnt ca ON ca.i = bp.a
+JOIN cnt cb ON cb.i = bp.b
+JOIN cnt cla ON cla.i = bp.la
+JOIN cnt clb ON clb.i = bp.lb
+"""

@@ -113,6 +113,7 @@ from .lanes_layout import (  # noqa: F401 — re-exports, see lanes_layout
     mine_triple_rules,
     mine_brand_basket_census,
     mine_closed_pairs,
+    mine_rule_interest,
     ORACLE_ASSOC_RULES,
     ORACLE_FREQ_PAIRS,
     ORACLE_BASKET_CENSUS,
@@ -121,6 +122,7 @@ from .lanes_layout import (  # noqa: F401 — re-exports, see lanes_layout
     ORACLE_TRIPLE_RULES,
     ORACLE_BRAND_CENSUS,
     ORACLE_CLOSED_PAIRS,
+    ORACLE_RULE_INTEREST,
 )
 from .lanes_seqsim import (  # noqa: F401 — re-exports, see lanes_seqsim
     EDITDIST_D,
@@ -2463,6 +2465,7 @@ QUERIES = {
     "mine_brand_basket_census": mine_brand_basket_census,
     "vector_pq_recall": vector_pq_recall,
     "mine_closed_pairs": mine_closed_pairs,
+    "mine_rule_interest": mine_rule_interest,
 }
 
 ORACLE = {
@@ -2578,4 +2581,5 @@ ORACLE = {
     "mine_brand_basket_census": ORACLE_BRAND_CENSUS,
     "vector_pq_recall": ORACLE_PQ_RECALL,
     "mine_closed_pairs": ORACLE_CLOSED_PAIRS,
+    "mine_rule_interest": ORACLE_RULE_INTEREST,
 }

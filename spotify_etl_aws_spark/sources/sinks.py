@@ -465,6 +465,12 @@ def optimize_hilbert_incremental(
     admission (pinned in tests/test_hilbert_incremental.py) because
     disjointness, not global order, is what footer pruning uses.
 
+    KEY-AGNOSTIC: the algorithm only reads ``key_col`` footer ranges
+    and restores their disjointness, so it maintains ANY
+    linearized-key clustering — Hilbert, Morton/z-order
+    (operators/zorder.py keys), or a plain sort key (pinned in
+    tests/test_hilbert_incremental.py::test_optimize_is_key_agnostic).
+
     LOCAL-FILESYSTEM ONLY (same contract and guard as
     compact_dataset); on object stores a table format's OPTIMIZE owns
     the commit. Returns {files, groups_rewritten, files_rewritten,

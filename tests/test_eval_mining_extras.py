@@ -75,3 +75,27 @@ def test_closed_pairs_hierarchy_semantics(spark):
         assert len(holders) == r["support"]
         common = set.intersection(*holders) - pair
         assert common, (pair, "no equal-support extension found")
+
+
+def test_rule_interest_independence_anchor(spark):
+    """Srikant & Agrawal R-interest: under independence within a
+    line, a brand pair's support matches the ancestor-expected value
+    and the ratio concentrates near 1.0 — assert the measure is
+    well-formed (positive, finite) and actually centered (median
+    within [0.5, 2.0]) rather than degenerate, and that ancestors are
+    genuine line-level pairs with support >= the brand pair's."""
+    from spotify_etl_aws_spark.queries.lanes_layout import (
+        mine_rule_interest,
+    )
+
+    rows = mine_rule_interest(spark, SF_DIR).collect()
+    assert rows
+    vals = sorted(r["interest"] for r in rows)
+    assert all(v > 0 and v == v for v in vals)
+    med = vals[len(vals) // 2]
+    assert 0.5 <= med <= 2.0
+    for r in rows:
+        assert r["anc_a"].startswith("Line#")
+        assert r["anc_b"].startswith("Line#")
+        assert r["anc_support"] >= r["support"]  # ancestor dominates
+        assert r["item_a"][6] != r["item_b"][6]  # cross-line only

@@ -146,3 +146,31 @@ def test_post_compaction_admission_matches_full_rewrite(spark, tmp_path):
         spark.read.parquet(inc).count()
         == spark.read.parquet(full).count()
     )
+
+
+def test_optimize_is_key_agnostic(spark, tmp_path):
+    """The OPTIMIZE only reads key_col footer ranges — it maintains a
+    z-order (Morton) clustered table exactly the same way."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.operators.zorder import zvalue
+
+    path = str(tmp_path / "ztbl")
+    base = _grid(spark, range(N), range(N)).withColumn(
+        "_hkey", zvalue(["x", "y"], bits=BITS)
+    )
+    (
+        base.repartitionByRange(FILES, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    ep = _grid(spark, range(4), range(4), tag0=10_000).withColumn(
+        "_hkey", zvalue(["x", "y"], bits=BITS)
+    )
+    ep.coalesce(1).write.mode("append").parquet(path)
+    stats = optimize_hilbert_incremental(spark, path)
+    assert stats["groups_rewritten"] >= 1
+    spans = _spans(path)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    assert spark.read.parquet(path).count() == N * N + 16
