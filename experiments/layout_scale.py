@@ -14,7 +14,7 @@ admits, measured from the footers themselves (engine-independent and
 deterministic, unlike timing). Spark-side cross-check: the same
 filter's selected-rows count agrees across layouts.
 
-Result (2026-08-16, 2M rows, 32 files, bits=9; BASELINE.md 'Layout
+Result (2026-08-16, 200k rows, 32 files, bits=9; BASELINE.md 'Layout
 pruning'): 2-D band admits hilbert 7/32 files < linear 8 < zorder 9
 << ingest 32; the y-only band admits 26/32 for both space-filling
 layouts while linear/ingest admit ALL 32 (a first-sort-key layout can
@@ -171,7 +171,8 @@ def main() -> None:
 def main_incremental() -> None:
     """Round-13 probe (verdict item 5): pruning retained by the
     INCREMENTAL Hilbert compaction vs append-only vs full rewrite, at
-    the same 10x/2M-row scale. 90% of the amplified part table is the
+    the same 10x/200k-row scale (amplify(part, 10) on sf0.1's 20k-row
+    part table). 90% of the amplified part table is the
     clustered base; the remaining 10% lands as an epoch append (one
     file straddling many ranges); admission for the 2-D band is
     measured from the footers in all three states, plus how much data

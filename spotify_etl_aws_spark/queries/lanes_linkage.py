@@ -1383,11 +1383,15 @@ _PSEUDO_HEX = 16  # token width (>12: collision head-room at corpus size)
 
 def _pseudo_token(col: str, key: str):
     """Keyed token column: tokens under different keys are unrelated
-    (pinned in tests/test_mining_guard.py)."""
+    (pinned in tests/test_mining_guard.py). NULL-propagating concat
+    (F.concat, matching the oracle's ``||``), NOT concat_ws — a
+    concat_ws would silently drop a NULL name and emit the constant
+    md5(key) token, diverging from the oracle and leaking the row
+    into a shared pseudonym bucket (round-13 ADVICE)."""
     return F.concat(
         F.lit("u-"),
         F.substring(
-            F.md5(F.concat_ws(":", F.lit(key), F.col(col))),
+            F.md5(F.concat(F.lit(key), F.lit(":"), F.col(col))),
             1,
             _PSEUDO_HEX,
         ),

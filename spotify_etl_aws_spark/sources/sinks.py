@@ -504,15 +504,34 @@ def optimize_hilbert_incremental(
             continue
         fp = os.path.join(path, name)
         md = pq.ParquetFile(fp)
-        ki = md.schema_arrow.names.index(key_col)
-        lo = min(
-            md.metadata.row_group(g).column(ki).statistics.min
-            for g in range(md.metadata.num_row_groups)
+        # row_group(g).column(i) is indexed by parquet LEAF order,
+        # which diverges from schema_arrow.names on any table with a
+        # nested/list column before key_col — resolve the leaf index
+        # by path_in_schema instead (round-13 ADVICE)
+        rg0 = md.metadata.row_group(0)
+        ki = next(
+            (
+                i
+                for i in range(rg0.num_columns)
+                if rg0.column(i).path_in_schema == key_col
+            ),
+            None,
         )
-        hi = max(
-            md.metadata.row_group(g).column(ki).statistics.max
+        if ki is None:
+            raise ValueError(
+                f"key column {key_col!r} is not a leaf column of {fp}"
+            )
+        stats_list = [
+            md.metadata.row_group(g).column(ki).statistics
             for g in range(md.metadata.num_row_groups)
-        )
+        ]
+        if any(s is None for s in stats_list):
+            raise ValueError(
+                f"{fp} has row groups without {key_col!r} statistics; "
+                "rewrite the table with stats enabled before OPTIMIZE"
+            )
+        lo = min(s.min for s in stats_list)
+        hi = max(s.max for s in stats_list)
         spans.append((fp, lo, hi))
     spans.sort(key=lambda s: (s[1], s[2]))
     # connected components over interval overlap: sorted by min, a

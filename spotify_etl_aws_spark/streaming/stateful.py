@@ -392,10 +392,19 @@ def cusum_alarms_watermarked(
             # the tail seals when the watermark REACHES its first
             # row's millisecond; the timeout fires only when the
             # watermark strictly exceeds the armed timestamp (probed),
-            # so arm one ms EARLY — clamped strictly ahead of the
-            # current watermark per the API contract
+            # so arm one ms EARLY. The API clamp is AT the current
+            # watermark (pyspark state.py rejects only
+            # timestampMs < watermark, equality is legal) — clamping
+            # to wm+1 instead would strand a tail row whose ms is
+            # exactly wm+1 when that ms is also the stream's final
+            # watermark: armed would equal the final watermark and
+            # the strict-exceed condition could never fire
+            # (round-13 ADVICE). Post-seal bts[0]'s ms is always
+            # >= wm_ms+1, so the armed timestamp is always strictly
+            # below the first buffered row's ms and the row seals on
+            # any watermark advance into its millisecond.
             state.setTimeoutTimestamp(
-                max(bts[0] // 1_000_000 - 1, wm_ns // 1_000_000 + 1)
+                max(bts[0] // 1_000_000 - 1, wm_ns // 1_000_000)
             )
         out = []
         if dead_eid:

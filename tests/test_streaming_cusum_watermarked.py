@@ -165,3 +165,33 @@ def test_state_bounded_by_watermark_window(spark):
     assert "buf_ts array<bigint>" in src_txt
     # sealing drops sealed rows from the buffer (the boundedness move)
     assert "bts[n_seal:]" in src_txt
+
+
+def test_consecutive_ms_tail_seals(spark):
+    """Round-13 ADVICE (medium): a tail row whose event-time ms is
+    exactly watermark+1 at arming time, and whose ms is also the
+    stream's FINAL watermark, must still seal. The old clamp armed at
+    max(row_ms - 1, wm_ms + 1) = the row's own ms; the event-time
+    timeout fires only when the watermark STRICTLY exceeds the armed
+    timestamp, so the final no-data batch (watermark == row ms) never
+    fired and the row's alarm silently vanished. Arming clamps AT the
+    watermark now (equality is legal per pyspark's state.py check),
+    keeping the armed timestamp strictly below the first buffered
+    row's ms."""
+    src = tempfile.mkdtemp(prefix="cusum_ms_src_")
+    ckpt = tempfile.mkdtemp(prefix="cusum_ms_ckpt_")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, 7, t0, 2200)], _SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    out1 = _run_stream(spark, src, ckpt, "0 seconds")
+    assert {r.event_id for r in out1} == {1}  # wm -> t0: row 1 sealed
+
+    # incremental restart: one new row exactly ONE ms after the
+    # restored watermark -- the corner the old clamp stranded
+    spark.createDataFrame(
+        [(2, 7, t0 + dt.timedelta(milliseconds=1), 2200)], _SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    out2 = _run_stream(spark, src, ckpt, "0 seconds")
+    got = {r.event_id: (r.kind, r.cusum) for r in out2}
+    assert got == {2: ("alarm", 3200)}, got  # sealed, folded after row 1

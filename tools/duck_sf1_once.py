@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import queue
 import sys
 import time
 
@@ -78,7 +79,14 @@ def main() -> None:
             notes[name] = f"timeout>{budget}s"
             print(f"  duckdb {name}: TIMEOUT >{budget}s", file=sys.stderr)
             continue
-        val = q.get() if not q.empty() else None
+        # q.get with a timeout, not q.empty() polling: after join()
+        # the child's queue feeder thread may still be flushing the
+        # pipe, and a transient empty() would mislabel a timed run
+        # as failed (round-13 ADVICE)
+        try:
+            val = q.get(timeout=5)
+        except queue.Empty:
+            val = None
         out[name] = val
         if val is None:
             notes[name] = "failed"
