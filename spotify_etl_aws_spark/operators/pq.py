@@ -111,6 +111,16 @@ def fit_pq(
     if not rows:
         raise ValueError("fit_pq: empty embedding frame")
     x = _unit(np.array([r[1] for r in rows], dtype=np.float64))
+    return PQModel(_lloyd_books(x, m, k, iters, decimals))
+
+
+def _lloyd_books(
+    x: np.ndarray, m: int, k: int, iters: int, decimals: int | None
+) -> np.ndarray:
+    """The per-subspace Lloyd loop over an (n, dim) training matrix —
+    shared VERBATIM by ``fit_pq`` (unit vectors) and ``fit_ivfpq``
+    (residuals), so the two quantizer families can never drift in
+    arithmetic or tie conventions."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -138,7 +148,7 @@ def fit_pq(
                         mean if decimals is None else _round_away(mean, decimals)
                     )
         books[s] = cents
-    return PQModel(books)
+    return books
 
 
 def encode_pq(
@@ -178,13 +188,20 @@ def reconstruct(codes: np.ndarray, model: PQModel) -> np.ndarray:
     return np.concatenate(parts, axis=1)
 
 
-def adc_table(query: np.ndarray, model: PQModel) -> np.ndarray:
+def adc_table(
+    query: np.ndarray, model: PQModel, normalize: bool = True
+) -> np.ndarray:
     """(m, k) table of per-subspace squared-L2 contributions of the
-    (unit-normalized) query against every codeword."""
+    (unit-normalized) query against every codeword.
+
+    ``normalize=False`` takes the input as-is — the IVFADC path passes
+    a query RESIDUAL (unit(q) - centroid), which must not be
+    re-normalized or the residual geometry breaks."""
     q = np.asarray(query, dtype=np.float64)
-    n = np.linalg.norm(q)
-    if n > 0:
-        q = q / n
+    if normalize:
+        n = np.linalg.norm(q)
+        if n > 0:
+            q = q / n
     lut = np.empty((model.m, model.k), dtype=np.float64)
     for s in range(model.m):
         diff = model.codebooks[s] - q[s * model.dsub : (s + 1) * model.dsub][None, :]
@@ -225,6 +242,164 @@ def pq_topk(
 
     scored = codes_df.select(id_col, "code").mapInPandas(
         gen, schema=f"{id_col} bigint, adc_dist double"
+    )
+    if decimals is not None:
+        scored = scored.withColumn("adc_dist", F.round("adc_dist", decimals))
+    return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(top_k)
+
+
+# ---- IVFADC: coarse quantizer + residual PQ (round 14) ----
+#
+# FAISS's workhorse index (Jégou, Douze & Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search" §IV): the coarse IVF
+# quantizer routes each vector to a cell, PQ encodes the RESIDUAL
+# unit(v) - centroid(cell), and a query probes nprobe cells, scanning
+# only those cells' m-byte codes with a PER-CELL ADC table built from
+# the query's residual against that cell. The identity
+# ||q - u||^2 == ||(q - c) - (u - c)||^2 holds exactly for ANY cell
+# centroid c, so the approximation error is purely the PQ
+# quantization of the residual — which is far smaller than the
+# quantization of the raw vector because residuals concentrate near
+# the origin (the reason FAISS encodes residuals at all).
+#
+# 100 TB posture: memory is m bytes/vector (the codes) + O(k_cells*d)
+# model state; a probe scans ~nprobe/n_cells of the codes. Both
+# fit (driver-side, bounded sample) and encode (mapInPandas, one
+# GEMM per subspace per Arrow batch) are linear, shuffle-free.
+
+
+def _coarse_parts(
+    cents: list[tuple[int, list[float]]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cell_ids, C, Cn): sorted cell ids, raw centroid matrix, and
+    unit-normalized rows — the exact matrices assign_cells_arrow
+    builds, shared so assignment conventions cannot drift."""
+    cells = np.array([c for c, _ in sorted(cents)], dtype=np.int64)
+    C = np.array([cv for _, cv in sorted(cents)], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return cells, C, Cn
+
+
+def fit_ivfpq(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    decimals: int | None = None,
+) -> PQModel:
+    """Train RESIDUAL codebooks on the ``sample_n`` lowest-id vectors:
+    each sample row is assigned to its argmax-cosine coarse cell
+    (assign_cells_arrow's convention: ties -> lowest cell id,
+    zero-norm rows dropped — safe under the fixture's no-zero-vectors
+    pin) and the training matrix is unit(v) - raw_centroid(cell),
+    pooled across cells (FAISS's shared-residual-codebook design).
+    The Lloyd loop is _lloyd_books — byte-identical arithmetic to
+    fit_pq."""
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    if not rows:
+        raise ValueError("fit_ivfpq: empty embedding frame")
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    keep = norms[:, 0] > 0.0
+    M, norms = M[keep], norms[keep]
+    U = M / norms
+    _, C, Cn = _coarse_parts(cents)
+    idx = np.argmax(U @ Cn.T, axis=1)
+    return PQModel(_lloyd_books(U - C[idx], m, k, iters, decimals))
+
+
+def encode_ivfpq(
+    assigned: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    model: PQModel,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, u) -> (id, cell, code): PQ codes of the residual
+    u - raw_centroid(cell). Consumes assign_cells_arrow's output (its
+    ``u`` column is already unit-normalized), pure mapInPandas — one
+    centroid gather + one sub-GEMM per subspace per Arrow batch."""
+    books = model.codebooks
+    m, k, dsub = books.shape
+    cells_sorted, C, _ = _coarse_parts(cents)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents2 = (books**2).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = np.vstack(pdf["u"].to_numpy()).astype(np.float64)
+            ci = np.searchsorted(cells_sorted, pdf["cell"].to_numpy())
+            R = U - C[ci]
+            codes = np.empty((len(R), m), dtype=np.uint8)
+            for s in range(m):
+                sub = R[:, s * dsub : (s + 1) * dsub]
+                d2 = -2.0 * sub @ books[s].T + cents2[s][None, :]
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": pdf["cell"],
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return assigned.select(id_col, "cell", "u").mapInPandas(
+        gen, schema=f"{id_col} bigint, cell bigint, code binary"
+    )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    model: PQModel,
+    query: list[float] | np.ndarray,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    decimals: int | None = None,
+) -> DataFrame:
+    """ADC top-k over an IVFADC-coded frame (already filtered to the
+    probed cells): (id, cell, adc_dist) ascending. Per-cell LUTs are
+    built driver-side from the query residual unit(q) - centroid(cell)
+    — O(n_cells * m * k) floats of model state — and the scan is a
+    per-row (cell, code) double gather + sum: m bytes read per row,
+    no vectors in flight, TakeOrderedAndProject for the cut."""
+    q = np.asarray(query, dtype=np.float64)
+    n = np.linalg.norm(q)
+    if n == 0:
+        raise ValueError("ivfpq_topk: zero-norm query")
+    qu = q / n
+    cells_sorted, C, _ = _coarse_parts(cents)
+    luts = np.stack(
+        [adc_table(qu - C[j], model, normalize=False) for j in range(len(C))]
+    )  # (n_cells, m, k)
+    m = model.m
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cp = np.searchsorted(cells_sorted, pdf["cell"].to_numpy())
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            dist = luts[cp[:, None], rows[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": pdf["cell"],
+                    "adc_dist": dist,
+                }
+            )
+
+    scored = codes_df.select(id_col, "cell", "code").mapInPandas(
+        gen, schema=f"{id_col} bigint, cell bigint, adc_dist double"
     )
     if decimals is not None:
         scored = scored.withColumn("adc_dist", F.round("adc_dist", decimals))

@@ -767,3 +767,355 @@ FROM exk WHERE vec_id IN (SELECT vec_id FROM adc)
 
 
 ORACLE_PQ_RECALL = _pq_recall_oracle()
+
+
+# ---- IVFADC: probe-then-ADC over residual codebooks (round 14) ----
+#
+# The composition of the two existing rungs into FAISS's workhorse
+# index (Jégou, Douze & Schmid 2011 §IV; round-13 verdict item 1):
+# the IVF coarse quantizer (queries/vector.py — same learned
+# centroids, same probe-selection argsort) routes vectors to cells,
+# PQ codebooks are trained on RESIDUALS unit(v) - centroid(cell)
+# (operators/pq.py fit_ivfpq — the Lloyd loop is byte-identical to
+# fit_pq's), and the query ADC-scans ONLY the probed cells' m-byte
+# codes through per-cell lookup tables built from the query residual.
+# At 100 TB this is the memory AND compute story: codes are m
+# bytes/vector and a probe touches ~nprobe/n_cells of them, with the
+# cell-partitioned index giving PartitionFilters-level file pruning
+# exactly like the full-vector IVF index.
+#
+# Cross-engine exactness: coarse assignment + probe selection reuse
+# the already-probed IVF margins; residual codebooks land on the
+# PQ_DECIMALS rounding grid; ADC distances round to 4dp with vec_id
+# tiebreak (the house landing convention). Decision margins for the
+# residual-encode argmin and the rounding grid are probed in
+# tests/test_ivfpq.py at the declared SFs.
+
+IVFPQ_NPROBE = 2
+
+_IVFPQ_CACHE: dict[str, object] = {}
+
+
+def _ivfpq_model(spark: SparkSession, sf_dir: str):
+    """Memoized residual-codebook fit per corpus (same build/query
+    split as _pq_model; the coarse centroids come from the shared
+    memoized IVF fit, so the two quantizer levels can never
+    desynchronize)."""
+    from ..operators.pq import fit_ivfpq
+    from .vector import _learned_centroids
+
+    model = _IVFPQ_CACHE.get(sf_dir)
+    if model is None:
+        model = fit_ivfpq(
+            _embeddings(spark, sf_dir),
+            _learned_centroids(spark, sf_dir),
+            m=PQ_M,
+            k=PQ_K,
+            iters=PQ_ITERS,
+            sample_n=PQ_SAMPLE_N,
+            decimals=PQ_DECIMALS,
+        )
+        _IVFPQ_CACHE[sf_dir] = model
+    return model
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus per process) the IVFADC INDEX: residual
+    PQ codes written as parquet PARTITIONED BY cell — (vec_id, code)
+    ride in the files, so a probe reads nprobe/n_cells of the
+    partitions at m bytes/row. Same content-keyed cache, _SUCCESS
+    gate, and atomic-rename build protocol as
+    queries/vector.py:_ivf_index_path."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..operators.pq import encode_ivfpq
+    from ..operators.vector_ops import assign_cells_arrow
+    from .vector import (
+        CENTROID_DECIMALS,
+        KMEANS_ITERS,
+        NUM_CENTROIDS,
+        _learned_centroids,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):
+        parts = [
+            os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        ]
+        n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    else:
+        parts = [src]
+        n = pq.ParquetFile(src).metadata.num_rows
+    stat = ";".join(
+        f"{os.path.getsize(p)}:{os.path.getmtime(p):.0f}" for p in parts
+    )
+    key = (
+        f"ivfpq|{os.path.abspath(sf_dir)}|{n}|{stat}|{NUM_CENTROIDS}"
+        f"|{KMEANS_ITERS}|{CENTROID_DECIMALS}"
+        f"|{PQ_M}|{PQ_K}|{PQ_ITERS}|{PQ_SAMPLE_N}|{PQ_DECIMALS}"
+    )
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import shutil
+        import uuid
+
+        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        cents = _learned_centroids(spark, sf_dir)
+        model = _ivfpq_model(spark, sf_dir)
+        (
+            encode_ivfpq(
+                assign_cells_arrow(_embeddings(spark, sf_dir), cents),
+                cents,
+                model,
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+        try:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+    return path
+
+
+def vector_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k: probe the {IVFPQ_NPROBE} nearest coarse cells
+    (driver-side argsort over model state — _probe_cells), scan ONLY
+    those cells' residual PQ codes from the cell-partitioned index
+    (PartitionFilters pruning), distance = per-cell ADC gather+sum.
+    Returns (vec_id, cell, adc_dist) ascending, 4dp-rounded with
+    vec_id tiebreak."""
+    from ..operators.pq import ivfpq_topk
+    from .vector import QUERY_VEC_ID, _learned_centroids, _probe_cells
+
+    qv = _query_vector(sf_dir, QUERY_VEC_ID)
+    cents = _learned_centroids(spark, sf_dir)
+    probe = _probe_cells(cents, qv, IVFPQ_NPROBE)
+    codes = (
+        spark.read.parquet(_ivfpq_index_path(spark, sf_dir))
+        .filter(F.col("cell").isin(probe))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cell", F.col("cell").cast("long"))
+    )
+    return ivfpq_topk(
+        codes,
+        cents,
+        _ivfpq_model(spark, sf_dir),
+        qv,
+        top_k=PQ_TOPK,
+        decimals=4,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """SQL twin of the ENTIRE IVFADC pipeline: coarse k-means (the
+    shared _IVF_ASSIGN_CTES chain), residual computation, per-subspace
+    residual Lloyd fit (b0..b{iters}, empty slots keep their previous
+    codeword — fit_pq's convention), full-corpus residual encode,
+    probe-cell selection, and the per-cell ADC sum."""
+    from .vector import (
+        _FINAL_CENTS,
+        _IVF_ASSIGN_CTES,
+        QUERY_VEC_ID,
+    )
+
+    m, k, iters = PQ_M, PQ_K, PQ_ITERS
+    dsub = 64 // m
+    d2 = (
+        "list_dot_product(c.cv, c.cv)"
+        " - 2 * list_dot_product(p.sv, c.cv)"
+    )
+    parts = [
+        f"""uu AS (
+  SELECT vec_id, cell,
+         list_transform(v, x -> x / (CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                                          THEN 1.0
+                                          ELSE sqrt(list_dot_product(v, v)) END)) AS uv
+  FROM assign
+)""",
+        f"""res AS (
+  SELECT u.vec_id, u.cell,
+         list_transform(generate_series(1, len(u.uv)),
+                        i -> u.uv[i] - c.cv[i]) AS rv
+  FROM uu u JOIN {_FINAL_CENTS} c ON c.cell = u.cell
+)""",
+        f"""rsub AS (
+  SELECT vec_id, cell, g.s AS s,
+         list_slice(rv, g.s * {dsub} + 1, (g.s + 1) * {dsub}) AS sv
+  FROM res, unnest(generate_series(0, {m - 1})) AS g(s)
+)""",
+        f"sampids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_SAMPLE_N})",
+        "rsamp AS (SELECT rsub.* FROM rsub JOIN sampids USING (vec_id))",
+        f"""b0 AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cw,
+         sv AS cv
+  FROM rsamp
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= {k}
+)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""sb{i} AS (
+  SELECT p.vec_id, p.s, c.cw,
+         row_number() OVER (PARTITION BY p.vec_id, p.s
+                            ORDER BY {d2} ASC, c.cw ASC) AS rn
+  FROM rsamp p JOIN b{i} c ON c.s = p.s
+)"""
+        )
+        parts.append(f"ab{i} AS (SELECT vec_id, s, cw FROM sb{i} WHERE rn = 1)")
+        parts.append(
+            f"""mb{i + 1} AS (
+  SELECT a.s, a.cw, g.i AS i, round(avg(p.sv[g.i]), {PQ_DECIMALS}) AS mv
+  FROM ab{i} a JOIN rsamp p ON p.vec_id = a.vec_id AND p.s = a.s,
+       unnest(generate_series(1, {dsub})) AS g(i)
+  GROUP BY a.s, a.cw, g.i
+)"""
+        )
+        parts.append(
+            f"""b{i + 1} AS (
+  SELECT c.s, c.cw, coalesce(n.cv, c.cv) AS cv
+  FROM b{i} c
+  LEFT JOIN (SELECT s, cw, list(mv ORDER BY i) AS cv
+             FROM mb{i + 1} GROUP BY s, cw) n
+    ON n.s = c.s AND n.cw = c.cw
+)"""
+        )
+    parts.append(
+        f"""renc AS (
+  SELECT p.vec_id, p.cell, p.s, c.cw,
+         row_number() OVER (PARTITION BY p.vec_id, p.s
+                            ORDER BY {d2} ASC, c.cw ASC) AS rn
+  FROM rsub p JOIN b{iters} c ON c.s = p.s
+  WHERE p.vec_id <> {QUERY_VEC_ID}
+)"""
+    )
+    parts.append("rcodes AS (SELECT vec_id, cell, s, cw FROM renc WHERE rn = 1)")
+    parts.append(
+        f"qraw AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})"
+    )
+    parts.append(
+        """qunit AS (
+  SELECT list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS quv
+  FROM qraw
+)"""
+    )
+    parts.append(
+        f"""pc AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (
+             ORDER BY list_dot_product(c.cv, q.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv))
+                  * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             c.cell ASC) AS rnk
+    FROM {_FINAL_CENTS} c, qraw q
+    WHERE list_dot_product(c.cv, c.cv) > 0)
+  WHERE rnk <= {IVFPQ_NPROBE}
+)"""
+    )
+    parts.append(
+        f"""qres AS (
+  SELECT c.cell,
+         list_transform(generate_series(1, len(q.quv)),
+                        i -> q.quv[i] - c.cv[i]) AS qrv
+  FROM {_FINAL_CENTS} c JOIN pc USING (cell), qunit q
+)"""
+    )
+    parts.append(
+        f"""qrs AS (
+  SELECT cell, g.s AS s,
+         list_slice(qrv, g.s * {dsub} + 1, (g.s + 1) * {dsub}) AS qsv
+  FROM qres, unnest(generate_series(0, {m - 1})) AS g(s)
+)"""
+    )
+    parts.append(
+        f"""rdist AS (
+  SELECT cd.vec_id, cd.cell,
+         sum(list_dot_product(b.cv, b.cv)
+             - 2 * list_dot_product(b.cv, r.qsv)
+             + list_dot_product(r.qsv, r.qsv)) AS d
+  FROM rcodes cd
+  JOIN pc ON pc.cell = cd.cell
+  JOIN b{iters} b ON b.s = cd.s AND b.cw = cd.cw
+  JOIN qrs r ON r.cell = cd.cell AND r.s = cd.s
+  GROUP BY cd.vec_id, cd.cell
+)"""
+    )
+    return (
+        f"WITH {_IVF_ASSIGN_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cell AS BIGINT) AS cell,
+       round(d, 4) + 0.0 AS adc_dist
+FROM rdist
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {PQ_TOPK}"""
+    )
+
+
+ORACLE_IVFPQ_TOPK = _ivfpq_oracle()
+
+
+def vector_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVFADC scan against the exact cosine top-k —
+    the third point of the eval family (exact <- IVF curve <- PQ <-
+    IVFADC). Expected to sit at or below min(IVF@nprobe=2, full-scan
+    PQ): IVFADC inherits BOTH the probe miss (cells not probed) and
+    the code quantization error. Returns one row (k, n_hits,
+    recall)."""
+    from .vector import vector_cosine_topk
+
+    ex = (
+        vector_cosine_topk(spark, sf_dir)
+        .filter(F.col("method") == "exact")
+        .select("vec_id")
+    )
+    ap = vector_ivfpq_topk(spark, sf_dir).select("vec_id")
+    k = ex.count()  # TOPK by construction; tiny
+    hits = ex.join(ap, "vec_id", "semi")
+    return hits.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)) / F.lit(k) + F.lit(0.0)).alias("recall"),
+    )
+
+
+def _ivfpq_recall_oracle() -> str:
+    from .vector import _COS_EQ, QUERY_VEC_ID, TOPK
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+exk AS (
+  SELECT vec_id FROM (
+    SELECT x.vec_id,
+           row_number() OVER (
+             ORDER BY round({_COS_EQ}, 4) DESC, x.vec_id ASC) AS rn
+    FROM e x, q
+    WHERE x.vec_id <> {QUERY_VEC_ID}) WHERE rn <= {TOPK}
+),
+apx AS (SELECT vec_id FROM ({ORACLE_IVFPQ_TOPK}) t)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exk) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       (CAST(count(*) AS DOUBLE)
+        / (SELECT count(*) FROM exk)) + 0.0 AS recall
+FROM exk WHERE vec_id IN (SELECT vec_id FROM apx)
+"""
+
+
+ORACLE_IVFPQ_RECALL = _ivfpq_recall_oracle()

@@ -259,6 +259,12 @@ from .lanes_vector_select import (  # noqa: F401 — re-exports, see lanes_vecto
     ORACLE_IVF_RECALL_CURVE,
     vector_pq_recall,
     ORACLE_PQ_RECALL,
+    IVFPQ_NPROBE,
+    _ivfpq_model,
+    vector_ivfpq_topk,
+    ORACLE_IVFPQ_TOPK,
+    vector_ivfpq_recall,
+    ORACLE_IVFPQ_RECALL,
 )
 from .lanes_monitoring import (  # noqa: F401 — re-exports, see lanes_monitoring
     MAD_K,
@@ -2466,6 +2472,8 @@ QUERIES = {
     "vector_pq_recall": vector_pq_recall,
     "mine_closed_pairs": mine_closed_pairs,
     "mine_rule_interest": mine_rule_interest,
+    "vector_ivfpq_topk": vector_ivfpq_topk,
+    "vector_ivfpq_recall": vector_ivfpq_recall,
 }
 
 ORACLE = {
@@ -2582,4 +2590,6 @@ ORACLE = {
     "vector_pq_recall": ORACLE_PQ_RECALL,
     "mine_closed_pairs": ORACLE_CLOSED_PAIRS,
     "mine_rule_interest": ORACLE_RULE_INTEREST,
+    "vector_ivfpq_topk": ORACLE_IVFPQ_TOPK,
+    "vector_ivfpq_recall": ORACLE_IVFPQ_RECALL,
 }
