@@ -114,6 +114,8 @@ from .lanes_layout import (  # noqa: F401 — re-exports, see lanes_layout
     mine_brand_basket_census,
     mine_closed_pairs,
     mine_rule_interest,
+    mine_fpgrowth_itemsets,
+    ORACLE_FPGROWTH,
     ORACLE_ASSOC_RULES,
     ORACLE_FREQ_PAIRS,
     ORACLE_BASKET_CENSUS,
@@ -2474,6 +2476,7 @@ QUERIES = {
     "mine_rule_interest": mine_rule_interest,
     "vector_ivfpq_topk": vector_ivfpq_topk,
     "vector_ivfpq_recall": vector_ivfpq_recall,
+    "mine_fpgrowth_itemsets": mine_fpgrowth_itemsets,
 }
 
 ORACLE = {
@@ -2592,4 +2595,5 @@ ORACLE = {
     "mine_rule_interest": ORACLE_RULE_INTEREST,
     "vector_ivfpq_topk": ORACLE_IVFPQ_TOPK,
     "vector_ivfpq_recall": ORACLE_IVFPQ_RECALL,
+    "mine_fpgrowth_itemsets": ORACLE_FPGROWTH,
 }
