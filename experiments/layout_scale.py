@@ -264,8 +264,91 @@ def main_incremental() -> None:
     print(json.dumps(out))
 
 
+def main_small_epochs() -> None:
+    """Round-14 probe (verdict item 4): MANY SMALL EPOCHS. Ten 1-file
+    epoch appends accrete ten undersized straddling files; OPTIMIZE
+    with a target file size (the max base-file size) must (a) bound
+    the final file count near the base count instead of base+10,
+    (b) restore disjoint ranges and full row visibility, (c) retain
+    the full-rewrite admission level, and (d) converge — a repeat
+    pass rewrites nothing. Same 10x/200k-row amplified part fixture
+    and probe band as main_incremental."""
+    import os
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.sources.sinks import (
+        append_hilbert_epoch,
+        optimize_hilbert_incremental,
+        save_hilbert_table,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path, n = amplify("part", "p_partkey", 10, "/tmp/layout-amp")
+    src = spark.read.parquet(path)
+    ycol = F.expr(
+        "CAST(floor(CAST(round(p_retailprice * 100) AS BIGINT) / 1000)"
+        " AS BIGINT)"
+    )
+    base = src.withColumn("__x", F.col("p_size").cast("long")).withColumn(
+        "__y", ycol
+    )
+    # ten localized epoch slices inside the probe band (p_partkey
+    # residue classes), each ~1% of the table, landing as ONE file
+    in_band = F.col("p_size").between(20, 24)
+    main_part = base.filter(~(in_band & (F.col("p_partkey") % 20 < 10)))
+    tbl = "/tmp/layout-amp/layouts/small_epochs"
+    save_hilbert_table(
+        main_part, tbl, "__x", "__y", bits=BITS, num_files=N_FILES
+    )
+    for res in range(10):
+        ep = base.filter(in_band & (F.col("p_partkey") % 20 == res))
+        append_hilbert_epoch(ep, tbl, "__x", "__y", bits=BITS, num_files=1)
+    count_files = lambda: sum(  # noqa: E731
+        1 for f in os.listdir(tbl) if f.endswith(".parquet")
+    )
+    out = {"n_rows": n, "files_after_appends": count_files()}
+    fh, nf, gh, ng = _hits(_boxes(tbl))
+    out["append_only"] = {"files_admitted": fh, "files": nf}
+    target = max(
+        os.path.getsize(os.path.join(tbl, f))
+        for f in os.listdir(tbl)
+        if f.endswith(".parquet")
+    )
+    t0 = time.time()
+    stats = optimize_hilbert_incremental(
+        spark, tbl, target_file_bytes=target
+    )
+    out["optimize_stats"] = {
+        **stats,
+        "target_file_bytes": target,
+        "optimize_sec": round(time.time() - t0, 2),
+    }
+    fh, nf, gh, ng = _hits(_boxes(tbl))
+    out["post_optimize"] = {"files_admitted": fh, "files": nf}
+    again = optimize_hilbert_incremental(
+        spark, tbl, target_file_bytes=target
+    )
+    out["repeat_pass"] = {
+        "groups_rewritten": again["groups_rewritten"],
+        "files_after": again["files_after"],
+    }
+    assert spark.read.parquet(tbl).count() == n
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "incremental":
         main_incremental()
+    elif len(sys.argv) > 1 and sys.argv[1] == "small-epochs":
+        main_small_epochs()
     else:
         main()

@@ -474,6 +474,116 @@ def streaming_cusum_watermarked(
     )
 
 
+# ---- dead-letter census under deterministic disorder (round 14) ----
+#
+# Round-13 verdict item 3: the dead-letter branch of the watermarked
+# state machine was unit-test-only — this lane gives the
+# production-critical reconciliation path a HASH-CHECKED oracle by
+# replaying the events table through a DETERMINISTICALLY DISORDERED
+# two-pass feed and emitting the straggler census.
+#
+# The replay: event times are DAY-quantized, replay A (even ids,
+# day + 500us) lands and seals in pass 1 (its AvailableNow run's
+# final watermark = the max day's millisecond, so every A row seals
+# through the final event-time timeout); replay B (odd ids, day +
+# 200us) lands in pass 2 against the pass-1 checkpoint. The engine's
+# late filter (probed round 13: rows with ts >= the restored
+# watermark pass; the watermark is ms-granular) admits exactly the
+# MAX-day B rows, and every one of them sits behind its user's sealed
+# frontier (that user's max-day A row at +500us) — so the dead-letter
+# set is, provably, ALL odd-replay rows of the max day: computable in
+# SQL from the shift pattern alone, which is what makes the oracle
+# exact. Day quantization is what makes the census NON-vacuous: the
+# engine's late filter means only same-millisecond stragglers are
+# reachable at all, and quantizing puts an entire day's events into
+# that millisecond instead of whatever handful the raw fixture
+# happens to have.
+#
+# The batch-parity contract of the ALARM branch is untouched (pass 1
+# emits the replay's alarms; the lane returns only the census).
+
+
+def streaming_cusum_dead_letters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Straggler census of the watermark-bounded CUSUM under a
+    deterministic two-pass disordered replay. Returns (event_id,
+    user_id, cents) of every dead-lettered row — provably the odd
+    replay's max-day rows."""
+    import tempfile
+
+    from ..streaming.stateful import cusum_alarms_watermarked
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    a = ev.select(
+        (F.col("event_id") * 2).alias("event_id"),
+        "user_id",
+        (F.col("d") + F.expr("INTERVAL '0.0005' SECOND")).alias("ts"),
+        "cents",
+    )
+    b = ev.select(
+        (F.col("event_id") * 2 + 1).alias("event_id"),
+        "user_id",
+        (F.col("d") + F.expr("INTERVAL '0.0002' SECOND")).alias("ts"),
+        "cents",
+    )
+    feed = tempfile.mkdtemp(prefix="cusum_dl_feed_")
+    ckpt = tempfile.mkdtemp(prefix="cusum_dl_ckpt_")
+    rows: list = []
+
+    def run_pass() -> None:
+        # foreachBatch, not the memory sink: only foreachBatch
+        # supports RESUMING from the pass-1 checkpoint, and the
+        # resume is the whole point (the state carries the sealed
+        # frontiers replay B must land behind)
+        src = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, cents long"
+        ).parquet(feed)
+        q = (
+            cusum_alarms_watermarked(
+                src, ref=CUSUM_REF, h=CUSUM_H, delay="0 seconds"
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _eid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    a.coalesce(1).write.mode("append").parquet(feed)
+    run_pass()
+    b.coalesce(1).write.mode("append").parquet(feed)
+    run_pass()
+    dead = [
+        (r.event_id, r.user_id, r.cents)
+        for r in rows
+        if r.kind == "dead_letter"
+    ]
+    return spark.createDataFrame(
+        dead, "event_id long, user_id long, cents long"
+    )
+
+
+ORACLE_CUSUM_DEAD_LETTERS = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         date_trunc('day', ts) AS d
+  FROM events
+),
+mx AS (SELECT max(d) AS md FROM e)
+SELECT e.event_id * 2 + 1 AS event_id, e.user_id, e.cents
+FROM e, mx
+WHERE e.d = mx.md
+"""
+
+
 # ---- quantile-binned PSI drift contract (round 11) ----
 #
 # Monitoring practice bins PSI by REFERENCE-window quantiles (equal

@@ -288,6 +288,8 @@ from .lanes_monitoring import (  # noqa: F401 — re-exports, see lanes_monitori
     streaming_psi_drift,
     streaming_cusum_alarms,
     streaming_cusum_watermarked,
+    streaming_cusum_dead_letters,
+    ORACLE_CUSUM_DEAD_LETTERS,
     PSIQ_ACC,
     PSIQ_DECILES,
     stats_psi_quantile_contract,
@@ -2477,6 +2479,7 @@ QUERIES = {
     "vector_ivfpq_topk": vector_ivfpq_topk,
     "vector_ivfpq_recall": vector_ivfpq_recall,
     "mine_fpgrowth_itemsets": mine_fpgrowth_itemsets,
+    "streaming_cusum_dead_letters": streaming_cusum_dead_letters,
 }
 
 ORACLE = {
@@ -2596,4 +2599,5 @@ ORACLE = {
     "vector_ivfpq_topk": ORACLE_IVFPQ_TOPK,
     "vector_ivfpq_recall": ORACLE_IVFPQ_RECALL,
     "mine_fpgrowth_itemsets": ORACLE_FPGROWTH,
+    "streaming_cusum_dead_letters": ORACLE_CUSUM_DEAD_LETTERS,
 }

@@ -440,6 +440,7 @@ def optimize_hilbert_incremental(
     spark,
     path: str,
     key_col: str = "_hkey",
+    target_file_bytes: int | None = None,
 ) -> dict:
     """Incremental OPTIMIZE for a Hilbert-clustered table (round-13
     verdict item 5): re-cluster ONLY the files whose key ranges
@@ -471,6 +472,26 @@ def optimize_hilbert_incremental(
     (operators/zorder.py keys), or a plain sort key (pinned in
     tests/test_hilbert_incremental.py::test_optimize_is_key_agnostic).
 
+    BIN-PACKING (round-13 verdict item 4): with
+    ``target_file_bytes`` set, undersized files (< target/2 — Delta
+    OPTIMIZE's file-size-floor convention) are merged into the
+    rewrite plan even when range-disjoint: consecutive key-ordered
+    components that are dirty OR undersized coalesce into one rewrite
+    group until the group reaches the target, and every rewrite group
+    lands in ceil(bytes/target) output files instead of its input
+    file count. Repeated small epoch appends therefore no longer
+    accrete files without bound (probed in
+    experiments/layout_scale.py main_small_epochs). Merging only ever
+    joins ADJACENT components, so the key-ordered hulls stay pairwise
+    disjoint and footer pruning is preserved. ``None`` keeps the
+    round-13 semantics (rewrite only overlap groups, file count
+    preserved).
+
+    The footer scan is a THREAD-POOL pass (metadata-sized reads —
+    the round-13 verdict's serial-planning note), and dirty-group
+    rewrites submit as concurrent Spark jobs from a small driver
+    pool (independent non-overlapping inputs/outputs).
+
     LOCAL-FILESYSTEM ONLY (same contract and guard as
     compact_dataset); on object stores a table format's OPTIMIZE owns
     the commit. Returns {files, groups_rewritten, files_rewritten,
@@ -498,10 +519,9 @@ def optimize_hilbert_incremental(
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
 
-    spans: list[tuple[str, int, int]] = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _span(name: str) -> tuple[str, int, int, int]:
         fp = os.path.join(path, name)
         md = pq.ParquetFile(fp)
         # row_group(g).column(i) is indexed by parquet LEAF order,
@@ -532,40 +552,92 @@ def optimize_hilbert_incremental(
             )
         lo = min(s.min for s in stats_list)
         hi = max(s.max for s in stats_list)
-        spans.append((fp, lo, hi))
+        return (fp, lo, hi, os.path.getsize(fp))
+
+    names = [
+        n for n in sorted(os.listdir(path)) if n.endswith(".parquet")
+    ]
+    # metadata-sized reads: a thread pool hides per-file I/O latency
+    # (round-13 verdict's serial-planning note); order restored below
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(names)))) as ex:
+        spans = list(ex.map(_span, names))
     spans.sort(key=lambda s: (s[1], s[2]))
     # connected components over interval overlap: sorted by min, a
     # span belongs to the current component iff its min is inside the
     # component's running max — one sweep, exact
-    groups: list[list[tuple[str, int, int]]] = []
+    comps: list[list[tuple[str, int, int, int]]] = []
     cur_hi: int | None = None
     for s in spans:
-        if groups and cur_hi is not None and s[1] <= cur_hi:
-            groups[-1].append(s)
+        if comps and cur_hi is not None and s[1] <= cur_hi:
+            comps[-1].append(s)
             cur_hi = max(cur_hi, s[2])
         else:
-            groups.append([s])
+            comps.append([s])
             cur_hi = s[2]
-    dirty = [g for g in groups if len(g) > 1]
-    clean = [g[0] for g in groups if len(g) == 1]
+    if target_file_bytes is None:
+        # round-13 semantics: rewrite exactly the overlap groups,
+        # preserving each group's file count
+        rewrite = [(g, len(g)) for g in comps if len(g) > 1]
+        clean = [g[0] for g in comps if len(g) == 1]
+    else:
+        # bin-packing: coalesce consecutive components that are dirty
+        # or undersized (any file < target/2 — the file-size floor)
+        # into one rewrite group until the group reaches the target;
+        # right-sized clean singletons flush the bin and hardlink.
+        # Only ADJACENT components merge, so key-ordered hulls stay
+        # pairwise disjoint and footer pruning is unaffected.
+        floor_bytes = target_file_bytes // 2
+        rewrite = []
+        clean = []
+        bin_: list[tuple[str, int, int, int]] = []
+
+        def _flush() -> None:
+            nonlocal bin_
+            if not bin_:
+                return
+            if len(bin_) == 1:
+                # a lone undersized clean file: rewriting 1 -> 1
+                # moves no needle; keep it until a neighbor shows up
+                clean.append(bin_[0])
+            else:
+                nbytes = sum(f[3] for f in bin_)
+                n_out = max(1, -(-nbytes // target_file_bytes))
+                rewrite.append((bin_, n_out))
+            bin_ = []
+
+        for g in comps:
+            needs = len(g) > 1 or any(f[3] < floor_bytes for f in g)
+            if needs:
+                bin_.extend(g)
+                if sum(f[3] for f in bin_) >= target_file_bytes:
+                    nbytes = sum(f[3] for f in bin_)
+                    n_out = max(1, -(-nbytes // target_file_bytes))
+                    rewrite.append((bin_, n_out))
+                    bin_ = []
+            else:
+                _flush()
+                clean.append(g[0])
+        _flush()
     stats = {
         "files": len(spans),
-        "groups_rewritten": len(dirty),
-        "files_rewritten": sum(len(g) for g in dirty),
+        "groups_rewritten": len(rewrite),
+        "files_rewritten": sum(len(g) for g, _ in rewrite),
         "files_linked": len(clean),
     }
-    if not dirty:
+    if not rewrite:
         stats["files_after"] = len(spans)
         return stats
 
     os.makedirs(tmp)
-    for fp, _, _ in clean:
+    for fp, _, _, _ in clean:
         os.link(fp, os.path.join(tmp, os.path.basename(fp)))
-    for i, g in enumerate(dirty):
+
+    def _rewrite_group(args) -> None:
+        i, g, n_out = args
         gdir = os.path.join(tmp, f".group{i}")
-        df = spark.read.parquet(*[fp for fp, _, _ in g])
+        df = spark.read.parquet(*[fp for fp, _, _, _ in g])
         (
-            df.repartitionByRange(len(g), key_col)
+            df.repartitionByRange(n_out, key_col)
             .sortWithinPartitions(key_col)
             .write.mode("overwrite")
             .parquet(gdir)
@@ -577,6 +649,12 @@ def optimize_hilbert_incremental(
                     os.path.join(tmp, f"opt-{i}-{name}"),
                 )
         shutil.rmtree(gdir)
+
+    # groups are independent (disjoint inputs, distinct output
+    # prefixes): submit their Spark jobs concurrently
+    jobs = [(i, g, n_out) for i, (g, n_out) in enumerate(rewrite)]
+    with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as ex:
+        list(ex.map(_rewrite_group, jobs))
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

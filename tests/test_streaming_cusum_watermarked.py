@@ -195,3 +195,35 @@ def test_consecutive_ms_tail_seals(spark):
     out2 = _run_stream(spark, src, ckpt, "0 seconds")
     got = {r.event_id: (r.kind, r.cusum) for r in out2}
     assert got == {2: ("alarm", 3200)}, got  # sealed, folded after row 1
+
+
+def test_dead_letter_lane_is_max_day_odd_replay(spark, sf_dir):
+    """Round-14 lane: the deterministic two-pass disordered replay
+    dead-letters EXACTLY the odd replay's max-day rows (the only rows
+    that pass the engine's late filter yet sit behind their user's
+    sealed frontier) — the structural claim the SQL oracle encodes."""
+    from spotify_etl_aws_spark.queries.selection import (
+        streaming_cusum_dead_letters,
+    )
+    from spotify_etl_aws_spark.sources.readers import load_table
+
+    got = {
+        (r.event_id, r.user_id, r.cents)
+        for r in streaming_cusum_dead_letters(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    md = ev.agg(F.max("d")).first()[0]
+    want = {
+        (r.event_id * 2 + 1, r.user_id, r.cents)
+        for r in ev.filter(F.col("d") == F.lit(md)).collect()
+    }
+    assert got == want
+    assert len(got) > 0
