@@ -421,29 +421,44 @@ def label_propagation(
     at the fixpoint, so a generous bound costs nothing on converged
     graphs.
 
-    ``localCheckpoint`` cuts plan lineage each round so the DAG doesn't
-    grow with iterations; the convergence probe is an aggregate count on
-    the already-checkpointed blocks — no data is collected to the
-    driver. The probe only watches the neighbor-min step: if that step
-    changes nothing, every node's label already lower-bounds its
-    neighborhood, which on an undirected graph means labels are constant
-    per component (the fixpoint), and compression is a no-op. Raises if
-    ``max_iters`` rounds pass with labels still changing: returning
-    silently would hand out WRONG labels for any component whose
-    diameter exceeds the bound."""
+    ``localCheckpoint(eager=False)`` cuts plan lineage each round so the
+    DAG doesn't grow with iterations, and because the checkpoints are
+    LAZY the convergence-probe count is the ONLY Spark job per round —
+    it materializes that round's checkpoint blocks as a side effect
+    (r14: the eager form paid three job dispatches per round — eager
+    checkpoint of the neighbor-min frame, the probe count, eager
+    checkpoint of the halving frame — and the per-job dispatch floor,
+    not the tiny per-round shuffles, dominated every CC-based query at
+    bench scale). No data is collected to the driver. The probe only
+    watches the neighbor-min step: if that step changes nothing, every
+    node's label already lower-bounds its neighborhood, which on an
+    undirected graph means labels are constant per component (the
+    fixpoint), and compression is a no-op. Raises if ``max_iters``
+    rounds pass with labels still changing: returning silently would
+    hand out WRONG labels for any component whose diameter exceeds the
+    bound."""
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # Iterate ONLY over edge-incident nodes: an isolated node's label is
     # trivially itself, and on a near-dup graph the duplicate clusters
     # are a sliver of the corpus — every round's joins then scale with
     # |V_edges|, not |V|. The full node set comes back via one left
     # join after convergence.
+    #
+    # The seed IS round 0 (r14): min(self, min neighbor) per incident
+    # node comes out of one partial-min agg over sym — exactly what the
+    # first neighbor-min round would compute from identity labels, for
+    # the cost of the identity seed's own distinct. One fewer
+    # join+count round for every caller (star/clique components — the
+    # near-dup norm — then converge on the FIRST probe), and the
+    # monotone-min invariant (label <= own id, label >= component min,
+    # label always an incident node's id) holds from the start.
     labels = (
-        sym.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        sym.groupBy("doc_a")
+        .agg(F.least(F.col("doc_a"), F.min("doc_b")).alias("label"))
+        .select(F.col("doc_a").alias("node"), "label")
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for _ in range(max_iters):
@@ -452,9 +467,10 @@ def label_propagation(
             .groupBy("doc_a")
             .agg(F.min("label").alias("nlabel"))
         )
-        # the changed flag rides along in the same checkpointed pass, so
-        # the convergence probe is a filter-count on in-memory blocks,
-        # not another join against the previous labels
+        # the changed flag rides along in the same checkpointed pass —
+        # the probe count below is the round's ONE job: it computes and
+        # stores the lazy checkpoint's blocks while counting, so no
+        # separate materialization job ever runs
         new_label = F.least(
             F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
         )
@@ -465,7 +481,7 @@ def label_propagation(
                 new_label.alias("label"),
                 (new_label != F.col("label")).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = flagged.filter(F.col("chg")).count()
         labels = flagged.drop("chg")
@@ -476,10 +492,13 @@ def label_propagation(
         hop = labels.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
+        # lazy: the halving frame's blocks are computed and stored by
+        # the NEXT round's probe count (or by the consumer's action on
+        # the final result), never by a dedicated job
         labels = (
             labels.join(hop, labels.label == hop.pnode)
             .select("node", F.least("label", "plabel").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     if changed:
         # `changed` was counted BEFORE the last round's pointer-halving
@@ -859,11 +878,35 @@ def lsh_verified_pairs(
     per-document shingle sets and computes |A ∩ B| map-side with
     ``array_intersect`` — cost is linear in candidates, immune to
     shingle-frequency skew.
+
+    The signature build and the shingle-set build share ONE aggregation
+    (r14): the k partial mins and ``collect_set`` ride the same
+    groupBy(id) exchange, and the result is lazily localCheckpoint-ed so
+    the band self-join and both verification joins read the stored
+    blocks instead of re-running the explode + shuffle per reference.
+    Before, the two aggs had different partial-agg subtrees, so Spark's
+    ReuseExchange could not share them and the shingle explode (tokens +
+    n-grams + k md5s per shingle — the dominant map work of the whole
+    near-dedup family) executed twice per query. Cost of the trade: the
+    per-doc shingle sets are stored once (memory-and-disk blocks, same
+    class as the eventual collect_set shuffle both plans pay) instead of
+    recomputed. The checkpointed frame keeps its hash partitioning on
+    ``id_col``, so the verification joins exchange only the (small)
+    candidate side.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
-    sig = signatures_from_shingles(sh, id_col, num_hashes)
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    feat = (
+        sh.groupBy(id_col)
+        .agg(*sig_aggs, F.collect_set("shingle").alias("shs"))
+        .localCheckpoint(eager=False)
+    )
+    sig = feat.select(id_col, *[f"sig{i}" for i in range(num_hashes)])
     cand = minhash_lsh_pairs(sig, id_col, num_hashes, bands)
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shs"))
+    sets = feat.select(id_col, "shs")
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     n_common = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))

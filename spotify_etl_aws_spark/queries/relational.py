@@ -286,17 +286,38 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle emits the same exact counts and literal TRUE, so a sketch
     drifting past 5% fails the hash gate. Measured margin: max rel err
     0.86% across sf0.001-0.1 vs the 5% bound (≈6x headroom), and HLL
-    is deterministic for fixed data."""
+    is deterministic for fixed data.
+
+    The exact and approx aggregates run as SEPARATE aggregations joined
+    on the (tiny) group key (r14). Mixing ``count_distinct`` with
+    ``approx_count_distinct`` in ONE agg made Catalyst's
+    multi-distinct rewrite push the HLL sketches through the Expand:
+    the partial HLL agg was keyed on (returnflag, partkey, orderkey,
+    gid) — one 2x1639-long register buffer pair per DISTINCT VALUE
+    group, ~600k sketch pairs shuffled at sf0.1 ("... 3257 more
+    fields" in the partial agg's output). Measured: 74.5 s -> 3.0 s at
+    sf0.1 with row-identical output; the approx agg now keys on
+    returnflag alone (3 sketch pairs total) and the distinct rewrite
+    expands only the two exact counts."""
     li = t(spark, sf_dir, "lineitem")
     ap = F.approx_count_distinct("l_partkey", 0.01)
     ao = F.approx_count_distinct("l_orderkey", 0.01)
     ep = F.count_distinct("l_partkey")
     eo = F.count_distinct("l_orderkey")
-    return li.groupBy("l_returnflag").agg(
-        ep.alias("n_parts"),
-        eo.alias("n_orders"),
-        (F.abs(ap - ep) <= ep * F.lit(0.05)).alias("parts_within_5pct"),
-        (F.abs(ao - eo) <= eo * F.lit(0.05)).alias("orders_within_5pct"),
+    exact = li.groupBy("l_returnflag").agg(
+        ep.alias("n_parts"), eo.alias("n_orders")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        ap.alias("__ap"), ao.alias("__ao")
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "n_parts",
+        "n_orders",
+        (F.abs(F.col("__ap") - F.col("n_parts")) <= F.col("n_parts") * F.lit(0.05))
+        .alias("parts_within_5pct"),
+        (F.abs(F.col("__ao") - F.col("n_orders")) <= F.col("n_orders") * F.lit(0.05))
+        .alias("orders_within_5pct"),
     )
 
 

@@ -202,11 +202,18 @@ def test_label_propagation_chain_converges_to_min(spark):
 
 def test_label_propagation_raises_when_iteration_bound_too_small(spark):
     """Silently returning half-propagated labels would be wrong cluster
-    representatives; the operator must fail loud instead."""
+    representatives; the operator must fail loud instead.
+
+    The chain must be deep enough that seed + max_iters rounds + the
+    final halving step can NOT reach the fixpoint: since r14 the seed
+    is min(self, min neighbor) — one propagation round for free — so a
+    5-node path converges (correctly, no raise) within max_iters=1;
+    a 12-node path still cannot (labels reach ~4 hops back, nodes 5+
+    keep moving on the re-probe)."""
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(4)], "doc_a bigint, doc_b bigint"
+        [(i, i + 1) for i in range(11)], "doc_a bigint, doc_b bigint"
     )
-    nodes = spark.range(5).withColumnRenamed("id", "node")
+    nodes = spark.range(12).withColumnRenamed("id", "node")
     with pytest.raises(RuntimeError, match="did not converge"):
         label_propagation(pairs, nodes, max_iters=1)
 
