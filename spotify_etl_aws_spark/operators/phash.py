@@ -275,6 +275,14 @@ def hamming_near_pairs(
             f"max_distance ({max_distance}) < bands * (probe_radius+1) "
             f"({bands} * {probe_radius + 1})"
         )
+    # The hash frame is the lightweight PROXY of the media pipeline
+    # (id + packed hash — the expensive encode/decode/hash lineage
+    # sits behind it). It is referenced three times below (band index,
+    # probe side, both verify sides); a lazy localCheckpoint
+    # materializes that lineage exactly once and every reference reads
+    # the stored metadata-sized blocks (r14; guide §8 "decide with
+    # small rows" — measured 2.1x on dedup_video_clips' twin operator).
+    hashes = hashes.localCheckpoint(eager=False)
     width = bits // bands
     bb = band_buckets(hashes, id_col, hash_col, bits, bands)
     if max_band_bucket is not None:
@@ -472,6 +480,9 @@ def hamming_near_pairs_wide(
             f"max_distance ({max_distance}) < bands * (probe_radius+1) "
             f"({WIDE_BANDS} * {probe_radius + 1})"
         )
+    # single materialization of the proxy hash frame — same rationale
+    # as hamming_near_pairs (three references below)
+    hashes = hashes.localCheckpoint(eager=False)
     wcols = [f"w{k}" for k in range(WIDE_WORDS)]
     rows = [
         F.struct(F.lit(b).alias("band"), _wide_band_val(b).alias("band_val"))

@@ -128,6 +128,13 @@ def clip_near_pairs(
         )
     if bits % bands:
         raise ValueError(f"bits ({bits}) must divide into bands ({bands})")
+    # single materialization of the per-frame hash frame: it is
+    # referenced three times below (band index/probe, both temporal
+    # verify sides) and its lineage is the full GIF/AVI decode + dHash
+    # Python pipeline — without the checkpoint that pipeline executes
+    # once per reference (r14: measured 5.2 s -> 2.4 s on
+    # dedup_video_clips at sf0.1; guide §8 proxy pattern)
+    frames = frames.localCheckpoint(eager=False)
     width = bits // bands
     mask = (1 << width) - 1
     h = F.col("fhash")

@@ -1612,13 +1612,20 @@ def stats_profile_hll_contract(
 
     orders = t(spark, sf_dir, "orders")
     carriers = {c: F.col(c).cast("string") for c in PROFILE_COLS}
-    # estimate and exact ride the SAME aggregation over one stacked
-    # pass — a second profile_completeness call would re-scan orders
+    # exact and estimate run as SEPARATE aggregations joined on the
+    # tiny col_name key (r14): in one shared agg, Catalyst's distinct
+    # rewrite keys the partial HLL agg on (col_name, val, gid) — one
+    # HLL register buffer per DISTINCT VALUE, the same Expand trap
+    # measured at 21x on agg_approx_distinct. Two map-side stacked
+    # scans of orders cost far less than a sketch per distinct value.
     stacked = stack_carriers(orders, carriers, "string")
-    both = stacked.groupBy("col_name").agg(
-        F.count_distinct("val").alias("exact_distinct"),
-        F.approx_count_distinct("val", PROFILE_HLL_RSD).alias("est"),
+    exact = stacked.groupBy("col_name").agg(
+        F.count_distinct("val").alias("exact_distinct")
     )
+    approx = stacked.groupBy("col_name").agg(
+        F.approx_count_distinct("val", PROFILE_HLL_RSD).alias("est")
+    )
+    both = exact.join(approx, "col_name")
     return both.select(
         "col_name",
         "exact_distinct",

@@ -627,9 +627,18 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = q.lastProgress
             if p and p["sources"]:
                 end = _parse_offset(p["sources"][0]["endOffset"] or "{}")
-                if end.get("i", -1) >= n_files and p["numInputRows"] == 0:
+                # a progress event is only published AFTER its batch
+                # committed to the sink, so a committed endOffset at
+                # the fragment count means the complete-mode aggregate
+                # already covers the whole feed. The old extra
+                # ``numInputRows == 0`` conjunct waited for the IDLE
+                # progress event, which Spark only emits every
+                # noDataProgressEventInterval (10 s default) — pure
+                # wall-clock wait after the data was done (r14:
+                # measured 12.5 s -> 2.5 s drain).
+                if end.get("i", -1) >= n_files:
                     break
-            time.sleep(0.2)
+            time.sleep(0.1)
         else:
             raise TimeoutError(f"stream never drained {n_files} fragments")
     finally:
