@@ -205,7 +205,12 @@ def minhash_lsh_pairs(
     buckets join. No quadratic blowup unless a bucket is hot (which is
     exactly the near-dup cluster you're looking for).
     """
-    banded = band_table(signatures, id_col, num_hashes, bands)
+    # the signature frame feeds BOTH sides of the band self-join;
+    # materializing the narrow (id, sig...) proxy once stops the
+    # upstream minhash aggregation re-running per side (r14; guide §8)
+    banded = band_table(
+        signatures.localCheckpoint(eager=False), id_col, num_hashes, bands
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -334,6 +339,10 @@ def simhash_pairs(
     max_hamming``. Bucketed, never all-pairs."""
     if bits % bands:
         raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
+    # both self-join sides read the fingerprint frame; one lazy
+    # localCheckpoint of the narrow (id, simhash) proxy computes the
+    # token-hash aggregation once (r14; guide §8)
+    fingerprints = fingerprints.localCheckpoint(eager=False)
     width = bits // bands
     mask = (1 << width) - 1
     band_cols = [
@@ -574,6 +583,13 @@ def jaccard_join_prefix(
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     # ONE per-doc agg: the lexicographically sorted (df, shingle)
     # structs realize the global rarest-first order per document
+    # per_doc (the rarest-first ordered shingle list per document) is
+    # referenced several times below (prefix probes, index, both
+    # verification sides); without materialization the shingle explode
+    # + document-frequency join + collect_list sort re-runs per
+    # reference. One lazy localCheckpoint computes it once (r14:
+    # 4.5-6.1 s -> 2.5-4.4 s interleaved A/B on dedup_containment_join
+    # at sf0.1, row-identical; guide §8 proxy pattern)
     per_doc = (
         sh.join(dfreq, "shingle")
         .groupBy(id_col)
@@ -583,6 +599,7 @@ def jaccard_join_prefix(
             ).alias("__ordered")
         )
         .withColumn("__n", F.size("__ordered"))
+        .localCheckpoint(eager=False)
     )
     # the -1e-9 guards fp: t*n landing a hair ABOVE an exact integer
     # would over-ceil, shortening the prefix and silently dropping a
@@ -696,6 +713,13 @@ def containment_join_prefix(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh = shingle_table(df, id_col, text_col, shingle_n)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    # per_doc (the rarest-first ordered shingle list per document) is
+    # referenced several times below (prefix probes, index, both
+    # verification sides); without materialization the shingle explode
+    # + document-frequency join + collect_list sort re-runs per
+    # reference. One lazy localCheckpoint computes it once (r14:
+    # 4.5-6.1 s -> 2.5-4.4 s interleaved A/B on dedup_containment_join
+    # at sf0.1, row-identical; guide §8 proxy pattern)
     per_doc = (
         sh.join(dfreq, "shingle")
         .groupBy(id_col)
@@ -705,6 +729,7 @@ def containment_join_prefix(
             ).alias("__ordered")
         )
         .withColumn("__n", F.size("__ordered"))
+        .localCheckpoint(eager=False)
     )
     prefix_len = F.col("__n") - F.ceil(
         F.lit(threshold) * F.col("__n") - F.lit(1e-9)

@@ -114,7 +114,14 @@ def embedding_lsh_pairs(
     verified at exact cosine ≥ ``threshold``. Completeness is
     probabilistic (band recall), exactness of every EMITTED pair is
     not — the verification is exact."""
-    sig = rh_band_buckets(emb, id_col, vec_col, n_bits, bands, seed)
+    # the signature frame is referenced on BOTH sides of the band
+    # self-join; without materialization the Python GEMM pass
+    # (mapInPandas X·Wᵀ) runs twice. One lazy localCheckpoint of the
+    # narrow (id, band, bv) proxy computes it once (r14; guide §8 —
+    # same pattern as the phash/video media proxies)
+    sig = rh_band_buckets(
+        emb, id_col, vec_col, n_bits, bands, seed
+    ).localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

@@ -31,10 +31,14 @@ Scale posture:
 - driver state per iteration is TWO scalars (the dangling-mass sum and
   nothing else — n is computed once) — the same O(1)-driver-state
   contract as the k-means/classifier loops.
-- ``localCheckpoint`` every iteration cuts lineage so the DAG stays
-  flat across iterations (the connected-components convention); the
-  dangling aggregate runs on the checkpointed frame, so each
-  iteration's work is executed exactly once.
+- ``localCheckpoint(eager=False)`` every iteration cuts lineage so the
+  DAG stays flat across iterations (the connected-components
+  convention) while deferring block materialization: each iteration's
+  blocks are computed exactly once, by the first consumer that touches
+  them (the next iteration's dangling-mass subquery, or the caller's
+  final action) instead of by a dedicated per-iteration checkpoint job
+  (r14; guide §1.2-1 — the eager form paid one dispatch-floor job per
+  iteration on top of the subquery execution).
 """
 
 from __future__ import annotations
@@ -146,7 +150,7 @@ def pagerank(
         e = (
             keyed.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     else:
         e = (
@@ -158,13 +162,15 @@ def pagerank(
             )
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+    # lazy: the n = nodes.count() action below materializes e and
+    # nodes together in ONE job instead of three
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -176,10 +182,12 @@ def pagerank(
     # loop-invariant: every iteration probes the SAME (src, dst, deg)
     # frame, so join edges⋈outdeg once and checkpoint the result —
     # 10 iterations pay for 1 probe build instead of 10
-    e_deg = e.join(outdeg, "src").localCheckpoint()
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
     if teleport is None:
         tele = None
-        ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
+        ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(
+            eager=False
+        )
     else:
         w = teleport.select(
             F.col("node"), F.col("weight").cast("double").alias("__w")
@@ -197,9 +205,11 @@ def pagerank(
                 (F.coalesce(F.col("__w"), F.lit(0.0)) / F.lit(float(total))
                  ).alias("t"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        ranks = tele.select("node", F.col("t").alias("pr")).localCheckpoint()
+        ranks = tele.select("node", F.col("t").alias("pr")).localCheckpoint(
+            eager=False
+        )
     for it in range(iterations):
         # dangling mass rides the SAME action as the rank update: the
         # 1-row anti-join aggregate enters the plan as a SCALAR
@@ -245,7 +255,10 @@ def pagerank(
             # the real iteration plan (the no-cartesian pin reads it)
             ranks = new_ranks
             break
-        new_ranks = new_ranks.localCheckpoint()
+        # lazy: the next iteration's dangling-mass subquery (or the
+        # tol probe / the caller's final action) materializes this
+        # round's blocks — no dedicated per-iteration checkpoint job
+        new_ranks = new_ranks.localCheckpoint(eager=False)
         if tol is not None:
             delta = (
                 new_ranks.select("node", F.col("pr").alias("__new"))
@@ -287,6 +300,13 @@ def triangle_count(
     closing semi-join), each keyed on vertex/edge ids only; no vertex
     payload ever rides an exchange.
     """
+    # NOTE (r14): deliberately NOT checkpointed. e is referenced by
+    # four consumers across three driver actions, but materializing it
+    # (localCheckpoint) replaces the parquet-scan lineage with an
+    # ExistingRDD whose unknown size estimate demotes the planner's
+    # BroadcastHashJoins to sort-merge — measured 2.66 s -> 4.80 s at
+    # sf0.1. Recomputing the codegen'd distinct per action is cheaper
+    # than losing the broadcast strategy.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),

@@ -651,7 +651,19 @@ def _phon_frames(spark: SparkSession, sf_dir: str):
         .withColumn("phon2", phonetic_key(F.split(F.col("name"), " ")[1]))
         .drop("name")
     )
-    return probe, master
+    # The Soundex-lite key expands to a ~40-deep nested string
+    # expression; fs_link references each frame in every blocking pass
+    # AND the scoring re-join, so without materialization the key is
+    # recomputed on ~8 scans of part (plus once more inside each
+    # join-key null filter). The frames are narrow (7 scalar cols), so
+    # one lazy localCheckpoint each computes the keys exactly once —
+    # r14: 3.7-4.4 s -> 1.7-1.9 s interleaved A/B on
+    # link_part_phonetic at sf0.1 (guide §8 proxy pattern; an explicit
+    # broadcast hint on top measured no further gain)
+    return (
+        probe.localCheckpoint(eager=False),
+        master.localCheckpoint(eager=False),
+    )
 
 
 def _phon_blocking():

@@ -549,7 +549,15 @@ def streaming_cusum_dead_letters(
                 src, ref=CUSUM_REF, h=CUSUM_H, delay="0 seconds"
             )
             .writeStream.outputMode("update")
-            .foreachBatch(lambda df, _eid: rows.extend(df.collect()))
+            # only the census crosses to the driver — the alarm branch
+            # still computes (batch parity is its contract) but its
+            # rows are dropped executor-side instead of collected and
+            # discarded (r14; guide §5 driver does no data work)
+            .foreachBatch(
+                lambda df, _eid: rows.extend(
+                    df.filter(F.col("kind") == "dead_letter").collect()
+                )
+            )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -560,11 +568,7 @@ def streaming_cusum_dead_letters(
     run_pass()
     b.coalesce(1).write.mode("append").parquet(feed)
     run_pass()
-    dead = [
-        (r.event_id, r.user_id, r.cents)
-        for r in rows
-        if r.kind == "dead_letter"
-    ]
+    dead = [(r.event_id, r.user_id, r.cents) for r in rows]
     return spark.createDataFrame(
         dead, "event_id long, user_id long, cents long"
     )

@@ -136,6 +136,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = iv.select("l_suppkey", F.col("iid").alias("id_a"),
                   F.col("ds").alias("s_a"), F.col("de").alias("e_a"))
+    # the binned join broadcasts side b, so side a is the PROBE whose
+    # task count is the join's parallelism — and a single small
+    # parquet file scans as ~3 tasks, serializing the ~12-per-bucket
+    # candidate probe on 3 cores. One narrow repartition of the
+    # 4-column probe spreads it cluster-wide (r14: 5.0 s -> 2.8 s
+    # interleaved A/B at sf0.1, row-identical; guide §2.5 — a
+    # production table arrives as many files and gets this from the
+    # scan itself)
+    a = a.repartition(spark.sparkContext.defaultParallelism)
     b = iv.select("l_suppkey", F.col("iid").alias("id_b"),
                   F.col("ds").alias("s_b"), F.col("de").alias("e_b"))
     pairs = interval_overlap_join(

@@ -456,20 +456,37 @@ def agg_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     li = li.withColumn("cents", cents)
 
-    def pct(f: float, alias: str):
-        return F.round(F.percentile("cents", F.lit(f)) / 100, 2).alias(alias)
-
-    return li.groupBy("l_returnflag").agg(
-        pct(0.25, "p25_price"),
-        pct(0.5, "median_price"),
-        pct(0.75, "p75_price"),
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-        # + 0.0 normalizes IEEE -0.0: a near-zero negative correlation
-        # rounds to -0.0 in DuckDB but 0.0 in Spark — equal as floats,
-        # different under the harness's string/hash compare
-        (F.round(F.corr("l_extendedprice", "l_quantity"), 4) + F.lit(0.0)).alias(
-            "corr_pq"
-        ),
+    # ONE array-fraction percentile buffer instead of three scalar
+    # ones: exact percentile buffers hold every group value, so three
+    # separate aggregates tripled the buffered/sorted/shuffled state
+    # for identical results (r14: 3.5 s -> 1.6 s at sf0.1,
+    # row-identical — same interpolation arithmetic per fraction;
+    # guide §2.3 shuffle fewer bytes)
+    ps = F.percentile(
+        "cents", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            ps.alias("__ps"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            # + 0.0 normalizes IEEE -0.0: a near-zero negative
+            # correlation rounds to -0.0 in DuckDB but 0.0 in Spark —
+            # equal as floats, different under the harness's
+            # string/hash compare
+            (
+                F.round(F.corr("l_extendedprice", "l_quantity"), 4)
+                + F.lit(0.0)
+            ).alias("corr_pq"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("__ps")[0] / 100, 2).alias("p25_price"),
+            F.round(F.col("__ps")[1] / 100, 2).alias("median_price"),
+            F.round(F.col("__ps")[2] / 100, 2).alias("p75_price"),
+            "sd_price",
+            "corr_pq",
+        )
     )
 
 

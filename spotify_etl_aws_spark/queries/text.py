@@ -121,7 +121,17 @@ def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     language ID with a deterministic argmax tiebreak (first language in
     en > es > de > fr order wins ties), plus a min-hash over rolling
     character 8-grams (winnowing-style content signature, portable md5)."""
-    docs = t(spark, sf_dir, "documents")
+    # the fingerprint evaluates one md5 per rolling 8-gram — thousands
+    # per document — and a single small parquet file scans as ONE task,
+    # serializing all of it on one core. Spreading rows across the
+    # cluster first costs one narrow shuffle of the text column and
+    # buys full-width md5 throughput (r14: 3.0-3.5 s -> ~0.5 s at
+    # sf0.1, row-identical; guide §2.5 "input skew: repartition
+    # immediately after the read"). A production corpus lands as many
+    # files and gets this parallelism from the scan itself.
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens("text")
     hits = {lang: stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
     langs = list(STOPWORDS)

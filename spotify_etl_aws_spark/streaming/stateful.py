@@ -322,14 +322,23 @@ def cusum_alarms_watermarked(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # buffers live as int64 numpy arrays end to end (r14; guide
+        # §4.2): the former list/Python path sorted the buffer with a
+        # per-row key lambda and rebuilt three lists per trigger —
+        # O(buffer) interpreted Python per key per trigger, ~1M lambda
+        # calls per pass at sf0.1. lexsort/searchsorted/concatenate
+        # compute the identical order (ts, eid — unique pairs, so
+        # stability is moot) vectorized.
         if state.exists:
             pt, mp, last_ts, last_eid, bts, beid, bc = state.get
-            bts, beid, bc = list(bts), list(beid), list(bc)
+            bts = np.asarray(bts, np.int64)
+            beid = np.asarray(beid, np.int64)
+            bc = np.asarray(bc, np.int64)
         else:
             pt, mp, last_ts, last_eid = 0, far, None, None
-            bts, beid, bc = [], [], []
+            bts = beid = bc = np.empty(0, np.int64)
         wm_ns = state.getCurrentWatermarkMs() * 1_000_000
-        dead_eid, dead_cents = [], []
+        dead_eid = dead_cents = np.empty(0, np.int64)
         if not state.hasTimedOut:
             frames = [f for f in pdfs if len(f)]
             if frames:
@@ -344,31 +353,28 @@ def cusum_alarms_watermarked(
                     )
                 else:
                     is_dead = np.zeros(len(ts_ns), dtype=bool)
-                dead_eid = eid[is_dead].tolist()
-                dead_cents = cents[is_dead].tolist()
-                bts += ts_ns[~is_dead].tolist()
-                beid += eid[~is_dead].tolist()
-                bc += cents[~is_dead].tolist()
+                dead_eid = eid[is_dead]
+                dead_cents = cents[is_dead]
+                bts = np.concatenate([bts, ts_ns[~is_dead]])
+                beid = np.concatenate([beid, eid[~is_dead]])
+                bc = np.concatenate([bc, cents[~is_dead]])
         # seal: buffered rows the watermark has passed
         alarms = None
-        if bts:
-            order = sorted(range(len(bts)), key=lambda i: (bts[i], beid[i]))
-            bts = [bts[i] for i in order]
-            beid = [beid[i] for i in order]
-            bc = [bc[i] for i in order]
+        if len(bts):
+            order = np.lexsort((beid, bts))  # by (ts, eid)
+            bts, beid, bc = bts[order], beid[order], bc[order]
             # the watermark is MILLISECOND-granular (Spark truncates
             # event-time stats to ms) while ts carries ns: seal the
             # whole watermark millisecond, or rows in the final ms of
             # an AvailableNow run would never seal and batch parity
             # would break on the tail
             seal_below = wm_ns + 1_000_000
-            n_seal = 0
-            while n_seal < len(bts) and bts[n_seal] < seal_below:
-                n_seal += 1
+            # count of buffered rows with ts < seal_below (bts sorted)
+            n_seal = int(np.searchsorted(bts, seal_below, side="left"))
             if n_seal:
-                ts_s = np.asarray(bts[:n_seal], np.int64)
-                eid_s = np.asarray(beid[:n_seal], np.int64)
-                c_s = np.asarray(bc[:n_seal], np.int64)
+                ts_s = bts[:n_seal]
+                eid_s = beid[:n_seal]
+                c_s = bc[:n_seal]
                 p = pt + np.cumsum(c_s - ref)
                 m = np.minimum.accumulate(np.minimum(p, mp))
                 s = p - np.minimum(m, 0)
@@ -387,8 +393,11 @@ def cusum_alarms_watermarked(
                         "kind": "alarm",
                     }
                 )
-        state.update((pt, mp, last_ts, last_eid, bts, beid, bc))
-        if bts:
+        state.update(
+            (pt, mp, last_ts, last_eid,
+             bts.tolist(), beid.tolist(), bc.tolist())
+        )
+        if len(bts):
             # the tail seals when the watermark REACHES its first
             # row's millisecond; the timeout fires only when the
             # watermark strictly exceeds the armed timestamp (probed),
@@ -404,18 +413,18 @@ def cusum_alarms_watermarked(
             # below the first buffered row's ms and the row seals on
             # any watermark advance into its millisecond.
             state.setTimeoutTimestamp(
-                max(bts[0] // 1_000_000 - 1, wm_ns // 1_000_000)
+                max(int(bts[0]) // 1_000_000 - 1, wm_ns // 1_000_000)
             )
         out = []
-        if dead_eid:
+        if len(dead_eid):
             out.append(
                 pd.DataFrame(
                     {
-                        "event_id": np.asarray(dead_eid, np.int64),
+                        "event_id": dead_eid,
                         "user_id": np.full(
                             len(dead_eid), key[0], np.int64
                         ),
-                        "cents": np.asarray(dead_cents, np.int64),
+                        "cents": dead_cents,
                         "cusum": pd.array(
                             [None] * len(dead_eid), dtype="Int64"
                         ),
