@@ -205,12 +205,13 @@ def minhash_lsh_pairs(
     buckets join. No quadratic blowup unless a bucket is hot (which is
     exactly the near-dup cluster you're looking for).
     """
-    # the signature frame feeds BOTH sides of the band self-join;
-    # materializing the narrow (id, sig...) proxy once stops the
-    # upstream minhash aggregation re-running per side (r14; guide §8)
-    banded = band_table(
-        signatures.localCheckpoint(eager=False), id_col, num_hashes, bands
-    )
+    # NOTE (r14): deliberately no checkpoint HERE — lsh_verified_pairs
+    # already hands this function a checkpointed projection, and a
+    # second localCheckpoint re-materialized it (full-profile probe:
+    # dedup_lsh_verified_pairs 1.15 s -> 2.42 s with the double
+    # checkpoint). Callers whose signature input has expensive lineage
+    # materialize it themselves (see dedup_minhash_lsh_pairs).
+    banded = band_table(signatures, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
