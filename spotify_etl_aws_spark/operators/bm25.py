@@ -69,28 +69,48 @@ def bm25_index(
     """(postings, doc_lens, stats).
 
     postings: (term, bucket, doc_id, tf, df) — document frequency is
-    joined onto the postings at BUILD time (one extra term-keyed
-    shuffle paid once), so searches never re-aggregate it.
+    attached at BUILD time by a count window over the term partition
+    (one term-keyed shuffle paid once), so searches never
+    re-aggregate it.
     doc_lens: (doc_id, dl).
     """
+    from pyspark.sql import Window
+
     toks = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .filter(F.col("term") != "")
     )
     tf = toks.groupBy("term", id_col).agg(F.count("*").alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    postings = tf.join(df_tbl, "term").select(
+    # df rides a count window over tf (rows are unique per
+    # (term, doc) so count(*) over the term partition IS the document
+    # frequency) instead of a tf ⋈ groupBy(term) self-join: the join
+    # form re-derives the whole explode→aggregate lineage on its df
+    # branch (Catalyst rewrites the inner count to a distinct agg, so
+    # the two exchanges can never be reused), tokenizing the corpus
+    # twice per search. One lineage = one tokenization pass and one
+    # fewer exchange (guide §2.4; measured interleaved A/B at sf0.1:
+    # text_bm25_rank med 1.27 → 1.11 s, plan 3 scans → 2).
+    postings = tf.select(
         "term",
         _term_bucket(F.col("term"), buckets).alias("bucket"),
         F.col(id_col),
         "tf",
-        "df",
+        F.count("*").over(Window.partitionBy("term")).alias("df"),
     )
     # dl must count the SAME token stream the postings index (the
     # split regex yields empty strings at text edges — counting them
     # would inflate dl/avgdl relative to Σtf and skew normalization)
     nonempty = F.filter(tokens(text_col), lambda t: t != "")
-    doc_lens = docs.select(F.col(id_col), F.size(nonempty).alias("dl"))
+    # Lazy localCheckpoint: the stats collect below materializes the
+    # (id, dl) frame as a side effect, so the search-time
+    # hits ⋈ doc_lens join reads stored metadata-sized blocks instead
+    # of re-tokenizing the whole corpus a second time (guide §8 —
+    # decide with small rows; measured interleaved A/B on
+    # text_bm25_rank: no regression at sf0.1, one fewer full-corpus
+    # tokenization pass per search).
+    doc_lens = docs.select(
+        F.col(id_col), F.size(nonempty).alias("dl")
+    ).localCheckpoint(eager=False)
     row = doc_lens.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
