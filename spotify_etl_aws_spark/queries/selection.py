@@ -2004,30 +2004,36 @@ def stats_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     b, _ = summary_bounds(rows)
     import math
 
-    probes = spark.createDataFrame(
-        [
-            (label, int(est[q]), max(1, math.ceil(q * n)))
-            for label, q in QUANTILE_PROBES.items()
-        ],
-        "q_label string, est long, target long",
-    )
-    return (
-        li.crossJoin(F.broadcast(probes))
-        .groupBy("q_label", "target")
-        .agg(
-            F.sum((F.col("cents") <= F.col("est")).cast("long")).alias(
-                "cnt_le"
-            ),
-            F.sum((F.col("cents") < F.col("est")).cast("long")).alias(
-                "cnt_lt"
-            ),
+    # One conditional aggregation instead of crossJoin(5 probes) +
+    # groupBy: the old shape exchanged a 5x-multiplied copy of the
+    # whole cents column to re-group it on the probe label; the probe
+    # estimates are driver literals, so all ten pass-through counts
+    # fold into ONE partially-aggregating scan and the 5-row contract
+    # table is a stack() over the single result row (guide §2.3/§2.4
+    # — aggregate before you shuffle, remove the exchange outright;
+    # measured interleaved A/B at sf0.1: med 1.69 -> 0.78 s).
+    aggs, stack_args = [], []
+    for label, q in QUANTILE_PROBES.items():
+        e = int(est[q])
+        tgt = max(1, math.ceil(q * n))
+        aggs.append(
+            F.sum((F.col("cents") <= F.lit(e)).cast("long")).alias(
+                f"le_{label}"
+            )
         )
-        .select(
-            "q_label",
-            (F.col("cnt_le") >= F.col("target")).alias("est_not_too_small"),
-            (F.col("cnt_lt") < F.col("target") + F.lit(b)).alias(
-                "est_not_too_large"
-            ),
+        aggs.append(
+            F.sum((F.col("cents") < F.lit(e)).cast("long")).alias(
+                f"lt_{label}"
+            )
+        )
+        stack_args.append(
+            f"'{label}', le_{label} >= {tgt}L, lt_{label} < {tgt + b}L"
+        )
+    return li.agg(*aggs).select(
+        F.expr(
+            "stack(%d, %s) as "
+            "(q_label, est_not_too_small, est_not_too_large)"
+            % (len(QUANTILE_PROBES), ", ".join(stack_args))
         )
     )
 
