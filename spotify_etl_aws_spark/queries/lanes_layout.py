@@ -544,6 +544,14 @@ def _triple_support(
     cnt1 = b.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
     l1 = cnt1.filter(_minsup_filter(F.col("cnt"), n_baskets)).select("i")
     bf = b.join(F.broadcast(l1), "i", "semi")
+    # Lazy localCheckpoint: pair_occ feeds THREE consumers in one
+    # action (the sup2 aggregation lineage, the broadcast L2 survivor
+    # set derived from sup2, and the occ2 probe side), so without a
+    # reuse boundary the basket self-join executes three times per
+    # lane. The l2 broadcast job materializes the blocks first; the
+    # other consumers read them (guide §2.4; measured interleaved A/B
+    # at sf0.1: mine_closed_pairs med 3.37 -> 3.09 s,
+    # mine_frequent_triples 1.78 -> 1.55 s, outputs row-identical).
     pair_occ = (
         bf.alias("x")
         .join(
@@ -555,6 +563,7 @@ def _triple_support(
             F.col("x.i").alias("a"),
             F.col("y.i").alias("b"),
         )
+        .localCheckpoint(eager=False)
     )
     sup2 = (
         pair_occ.groupBy("a", "b")

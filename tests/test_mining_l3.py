@@ -68,6 +68,13 @@ def test_triple_plan_has_l2_survivor_semijoins(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     semi = plan.count("LeftSemi")
-    # 1 valve keep + 1 L1 prefilter + 3 L2-survivor gates
-    assert semi >= 5, f"expected >=5 semi-joins in plan, got {semi}"
+    # 3 L2-survivor gates (the occ2 gate plus the two new-face gates);
+    # the valve keep + L1 prefilter semis moved behind the pair_occ
+    # localCheckpoint reuse boundary (r14: the basket self-join feeds
+    # three consumers, so it materializes once) and show up as the
+    # reused ExistingRDD scans below instead of inline LeftSemi nodes
+    assert semi >= 3, f"expected >=3 semi-joins in plan, got {semi}"
     assert "BroadcastHashJoin" in plan  # survivor sets broadcast
+    # the checkpointed pair-occurrence frame is scanned (not re-joined)
+    # by at least the sup2 lineage and the occ2 probe side
+    assert plan.count("Scan ExistingRDD") >= 2, plan
