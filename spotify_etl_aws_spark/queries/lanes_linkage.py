@@ -1178,16 +1178,20 @@ def _assert_probe_offset_disjoint(master: DataFrame) -> None:
         )
 
 
-def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution end-to-end (operators/linkage.py:fs_link ->
-    operators/dedup.py:label_propagation): hand-weighted linkage
-    matches clustered into transitive entities. Returns (node,
-    entity_rep, kind) covering every probe and master row; the oracle
-    checks the fixpoint against an exact recursive-CTE closure."""
+def _entity_labels(probe: DataFrame, master: DataFrame) -> DataFrame:
+    """The shared entity-resolution chain (fs_link ->
+    label_propagation -> labeled nodes) over ALREADY-BUILT probe and
+    master frames — factored out (r14) so link_entity_golden can feed
+    the SAME pair of frames to both the clustering chain and its
+    attribute rows instead of deriving the dirty-record synthesis
+    twice. Callers pass lazy localCheckpoints: fs_link references each
+    frame three times (two blocking passes + the scoring re-join), so
+    the synthesis expressions materialize once (guide §8; measured
+    interleaved A/B at sf0.1: link_entity_golden med 2.29 -> 1.77 s,
+    link_entity_clusters 1.90 -> 1.70 s, outputs row-identical)."""
     from ..operators.dedup import label_propagation
     from ..operators.linkage import fs_link
 
-    probe, master = _fs_frames(spark, sf_dir)
     _assert_probe_offset_disjoint(master)
     matches = fs_link(
         probe,
@@ -1215,6 +1219,19 @@ def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") >= LINK_PROBE_OFFSET, F.lit("probe"))
         .otherwise(F.lit("master"))
         .alias("kind"),
+    )
+
+
+def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (operators/linkage.py:fs_link ->
+    operators/dedup.py:label_propagation): hand-weighted linkage
+    matches clustered into transitive entities. Returns (node,
+    entity_rep, kind) covering every probe and master row; the oracle
+    checks the fixpoint against an exact recursive-CTE closure."""
+    probe, master = _fs_frames(spark, sf_dir)
+    return _entity_labels(
+        probe.localCheckpoint(eager=False),
+        master.localCheckpoint(eager=False),
     )
 
 
@@ -1292,7 +1309,14 @@ def link_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     (master-first, lowest-node) precedence. Returns (entity_rep,
     n_members, n_probe, n_master, src_node, name, phone, segment,
     acct_cents)."""
+    # ONE pair of checkpointed frames feeds both the clustering chain
+    # and the attribute rows (see _entity_labels) — the old shape
+    # called link_entity_clusters(), which re-derived probe/master
+    # from scratch for the chain while this body derived them again
+    # for attrs
     probe, master = _fs_frames(spark, sf_dir)
+    probe = probe.localCheckpoint(eager=False)
+    master = master.localCheckpoint(eager=False)
     attrs = probe.select(
         (F.col("probe_id") + LINK_PROBE_OFFSET).alias("node"),
         "name", "phone", "segment", "acct_cents",
@@ -1302,7 +1326,7 @@ def link_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name", "phone", "segment", "acct_cents",
         )
     )
-    members = link_entity_clusters(spark, sf_dir).join(attrs, "node")
+    members = _entity_labels(probe, master).join(attrs, "node")
     pick = F.min(
         F.struct(
             F.when(F.col("kind") == "master", F.lit(0))
