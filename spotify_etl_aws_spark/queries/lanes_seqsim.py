@@ -100,6 +100,31 @@ WHERE levenshtein(sa.s, sb.s) <= 2
 DTW_K = 20
 
 
+def _dtw_daily_frames(spark: SparkSession, sf_dir: str):
+    """(daily, q_user): the per-user daily int-cents series shared by
+    both DTW lanes. The frame feeds THREE consumers per lane (the
+    query-user min, the query-series collect, and the candidate pass
+    inside dtw_topk_search), so it is a lazy localCheckpoint — the
+    q_user collect materializes it once and the other two read stored
+    blocks instead of re-aggregating events (guide §8; measured
+    interleaved A/B at sf0.1: ts_dtw_topk_similarity med
+    1.06 -> 0.88 s, ts_dtw_banded_topk 1.02 -> 0.94 s, outputs
+    row-identical). min(user_id) over daily equals min over events —
+    daily groups by user_id, so the key set is identical."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("user_id").orderBy("day")),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q_user = daily.agg(F.min("user_id")).collect()[0][0]
+    return daily, q_user
+
+
 def ts_dtw_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k DTW sequence similarity search (operators/dtw.py —
     REPOSE ICDE 2021 posture, Spark-idiomatic: parallel across series,
@@ -116,22 +141,7 @@ def ts_dtw_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of cell costs, b = min of the two previous-row predecessors)."""
     from ..operators.dtw import dtw_topk_search
 
-    ev = t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            "user_id", F.to_date("ts").alias("day")
-        )
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
-        )
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                W.partitionBy("user_id").orderBy("day")
-            ),
-        )
-    )
-    q_user = ev.agg(F.min("user_id")).collect()[0][0]
+    daily, q_user = _dtw_daily_frames(spark, sf_dir)
     query = [
         int(r.v)
         for r in daily.filter(F.col("user_id") == q_user)
@@ -238,22 +248,7 @@ def ts_dtw_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded DTW)."""
     from ..operators.dtw import dtw_topk_search
 
-    ev = t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            "user_id", F.to_date("ts").alias("day")
-        )
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
-        )
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                W.partitionBy("user_id").orderBy("day")
-            ),
-        )
-    )
-    q_user = ev.agg(F.min("user_id")).collect()[0][0]
+    daily, q_user = _dtw_daily_frames(spark, sf_dir)
     query = [
         int(r.v)
         for r in daily.filter(F.col("user_id") == q_user)
