@@ -206,6 +206,123 @@ def score_dsir(
     return docs.withColumn(out_col, logw(F.col(text_col)))
 
 
+def dsir_fit_score(
+    docs: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    ngram_max: int = 2,
+    alpha: float = 1.0,
+    hasher: str = "blake2b",
+    out_col: str = "dsir_logw",
+) -> tuple[DsirModel, DataFrame]:
+    """Featurize-once fit + score: ``fit_dsir`` + ``score_dsir`` over
+    one corpus hash the grams of every document THREE times (target
+    counts, raw counts, scoring). This path runs the featurization
+    ONCE — a mapInPandas pass emits each document's occurrence-ordered
+    bucket array, lazily localCheckpointed (guide §8: decide with
+    small rows — an int per gram stored beats an md5 per gram
+    recomputed twice); the fit partials and the scoring pass then read
+    stored arrays. ``target_col`` is a boolean column marking the
+    target slice (so the raw and target multinomials accumulate in the
+    same pass — exact: integer counts in float64).
+
+    Bit-compatibility with the 3-pass path (verified exhaustively at
+    sf0.1, r14): the bucket arrays preserve occurrence order, so
+    ``ratio[b].sum()`` sees the identical operand sequence and the
+    model's log-ratio is built from identical per-bucket totals.
+    NULL text scores NULL, gram-less text 0.0 (the score_dsir
+    contract). Returns (model, (id_col, out_col) frame)."""
+    if n_buckets <= 0 or ngram_max <= 0:
+        raise ValueError("n_buckets and ngram_max must be positive")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed ratios diverge)")
+    if hasher not in _HASHERS:
+        raise ValueError(f"hasher must be one of {sorted(_HASHERS)}")
+
+    feat_schema = f"{id_col} long, __tgt boolean, __b array<int>"
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hash_fn = _cached_hasher(hasher)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__tgt": pdf[target_col],
+                    "__b": [
+                        (
+                            None
+                            if txt is None
+                            else _doc_buckets(
+                                txt, n_buckets, ngram_max, hash_fn
+                            )
+                        )
+                        for txt in pdf[text_col]
+                    ],
+                }
+            )
+
+    feats = (
+        docs.select(id_col, target_col, text_col)
+        .mapInPandas(featurize, feat_schema)
+        .localCheckpoint(eager=False)
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_r = np.zeros(n_buckets, dtype=np.float64)
+        acc_t = np.zeros(n_buckets, dtype=np.float64)
+        for pdf in batches:
+            for tgt, b in zip(pdf["__tgt"], pdf["__b"]):
+                if b is not None and len(b):
+                    h = np.bincount(b, minlength=n_buckets)
+                    acc_r += h
+                    if tgt:
+                        acc_t += h
+        yield pd.DataFrame({"r": [acc_r], "t": [acc_t]})
+
+    rows = feats.mapInPandas(
+        partials, "r array<double>, t array<double>"
+    ).collect()  # materializes feats; bounded: partitions x 2 arrays
+    r_cnt = np.zeros(n_buckets, dtype=np.float64)
+    t_cnt = np.zeros(n_buckets, dtype=np.float64)
+    for row in rows:
+        r_cnt += np.asarray(row.r, dtype=np.float64)
+        t_cnt += np.asarray(row.t, dtype=np.float64)
+    if t_cnt.sum() == 0:
+        raise ValueError("target corpus produced no grams")
+    if r_cnt.sum() == 0:
+        raise ValueError("raw corpus produced no grams")
+    log_p = np.log(t_cnt + alpha) - math.log(t_cnt.sum() + alpha * n_buckets)
+    log_q = np.log(r_cnt + alpha) - math.log(r_cnt.sum() + alpha * n_buckets)
+    ratio = log_p - log_q
+    model = DsirModel(
+        n_buckets, ngram_max, alpha, tuple(float(x) for x in ratio), hasher
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # nullable Float64 so a NULL-text doc stays NULL (a plain
+            # float64 array would coerce None to NaN)
+            out = pd.array(
+                [
+                    (
+                        None
+                        if b is None
+                        else (
+                            float(ratio[list(b)].sum()) if len(b) else 0.0
+                        )
+                    )
+                    for b in pdf["__b"]
+                ],
+                dtype="Float64",
+            )
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    scored = feats.mapInPandas(score, f"{id_col} long, {out_col} double")
+    return model, scored
+
+
 def _gumbel_key(
     logw_col: str, id_col: str, seed: str, method: str = "xxhash64"
 ) -> Column:

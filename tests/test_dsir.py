@@ -192,3 +192,38 @@ def test_bad_args_raise(spark):
         resample_dsir(scored, 0)
     with pytest.raises(ValueError):
         resample_dsir_fraction(scored, 1.5)
+
+
+def test_fit_score_single_pass_bit_matches_three_pass(spark):
+    """dsir_fit_score (r14 featurize-once path, used by the
+    mix_dsir_selection lane) must be BIT-identical to
+    fit_dsir(target, docs) + score_dsir over the same corpus —
+    including the NULL-text -> NULL and gram-less -> 0.0 contract."""
+    from pyspark.sql import functions as F
+
+    from spotify_etl_aws_spark.operators.dsir import dsir_fit_score
+
+    rows = [(i, t, t in TARGET) for i, t in enumerate(TARGET + RAW)]
+    rows += [(100, None, False), (101, "   ", False)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_tgt boolean"
+    )
+    m_old = fit_dsir(
+        docs.filter(F.col("is_tgt")), docs, n_buckets=B, ngram_max=NG
+    )
+    old = {
+        r.doc_id: r.dsir_logw
+        for r in score_dsir(m_old, docs)
+        .select("doc_id", "dsir_logw")
+        .collect()
+    }
+    m_new, scored = dsir_fit_score(
+        docs, "is_tgt", n_buckets=B, ngram_max=NG
+    )
+    new = {r.doc_id: r.dsir_logw for r in scored.collect()}
+    assert m_new.log_ratio == m_old.log_ratio  # identical doubles
+    assert set(new) == set(old)
+    for k in old:  # bit-equal scores, None preserved
+        assert new[k] == old[k] or (new[k] is None and old[k] is None), k
+    assert old[100] is None and new[100] is None
+    assert old[101] == 0.0 and new[101] == 0.0
