@@ -51,10 +51,19 @@ def nb_train(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     toks = _doc_tokens(docs, [label_col], text_col)
+    # counts is the vocab x class frame every downstream consumer
+    # derives from; a lazy localCheckpoint (materialized by the
+    # v_size count below) means the corpus explode runs ONCE for the
+    # fit instead of once per branch — class_tot now rides counts
+    # (Σ cnt per class IS the class token total, exactly), vocab and
+    # the grid probe read stored blocks (guide §8; measured
+    # interleaved A/B on text_nb_lang_classifier at sf0.1: med
+    # 1.85 -> 1.46 s, outputs row-identical; plan 5 scans of
+    # documents -> 2)
     counts = toks.groupBy("token", label_col).agg(
         F.count("*").alias("cnt")
-    )
-    class_tot = toks.groupBy(label_col).agg(F.count("*").alias("tot"))
+    ).localCheckpoint(eager=False)
+    class_tot = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     vocab = counts.select("token").distinct()
     # V is a single driver scalar (vocab cardinality) — bounded model
     # state, same posture as the sketch merges
