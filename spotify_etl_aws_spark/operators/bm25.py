@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .lineage import cut_lineage
 
 DEFAULT_BUCKETS = 256
 
@@ -110,7 +111,7 @@ def bm25_index(
     # tokenization pass per search).
     doc_lens = docs.select(
         F.col(id_col), F.size(nonempty).alias("dl")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     row = doc_lens.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
+from .lineage import cut_lineage
 
 
 def exact_dedup_groups(
@@ -343,7 +344,7 @@ def simhash_pairs(
     # both self-join sides read the fingerprint frame; one lazy
     # localCheckpoint of the narrow (id, simhash) proxy computes the
     # token-hash aggregation once (r14; guide §8)
-    fingerprints = fingerprints.localCheckpoint(eager=False)
+    fingerprints = fingerprints.transform(cut_lineage)
     width = bits // bands
     mask = (1 << width) - 1
     band_cols = [
@@ -449,7 +450,7 @@ def label_propagation(
     bound."""
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     # Iterate ONLY over edge-incident nodes: an isolated node's label is
     # trivially itself, and on a near-dup graph the duplicate clusters
     # are a sliver of the corpus — every round's joins then scale with
@@ -468,7 +469,7 @@ def label_propagation(
         sym.groupBy("doc_a")
         .agg(F.least(F.col("doc_a"), F.min("doc_b")).alias("label"))
         .select(F.col("doc_a").alias("node"), "label")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     changed = 0
     for _ in range(max_iters):
@@ -491,7 +492,7 @@ def label_propagation(
                 new_label.alias("label"),
                 (new_label != F.col("label")).alias("chg"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         changed = flagged.filter(F.col("chg")).count()
         labels = flagged.drop("chg")
@@ -508,7 +509,7 @@ def label_propagation(
         labels = (
             labels.join(hop, labels.label == hop.pnode)
             .select("node", F.least("label", "plabel").alias("label"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     if changed:
         # `changed` was counted BEFORE the last round's pointer-halving
@@ -600,7 +601,7 @@ def jaccard_join_prefix(
             ).alias("__ordered")
         )
         .withColumn("__n", F.size("__ordered"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     # the -1e-9 guards fp: t*n landing a hair ABOVE an exact integer
     # would over-ceil, shortening the prefix and silently dropping a
@@ -730,7 +731,7 @@ def containment_join_prefix(
             ).alias("__ordered")
         )
         .withColumn("__n", F.size("__ordered"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     prefix_len = F.col("__n") - F.ceil(
         F.lit(threshold) * F.col("__n") - F.lit(1e-9)
@@ -928,7 +929,7 @@ def lsh_verified_pairs(
     feat = (
         sh.groupBy(id_col)
         .agg(*sig_aggs, F.collect_set("shingle").alias("shs"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     sig = feat.select(id_col, *[f"sig{i}" for i in range(num_hashes)])
     cand = minhash_lsh_pairs(sig, id_col, num_hashes, bands)

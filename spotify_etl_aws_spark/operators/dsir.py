@@ -50,6 +50,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .lineage import cut_lineage
 
 DEFAULT_BUCKETS = 10_000
 _GUMBEL_M = 1 << 20  # uniform-grid resolution for the hash→(0,1) map
@@ -266,7 +267,7 @@ def dsir_fit_score(
     feats = (
         docs.select(id_col, target_col, text_col)
         .mapInPandas(featurize, feat_schema)
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from .lineage import cut_lineage
 
 
 def rademacher_planes(seed: str, n_bits: int, dim: int) -> np.ndarray:
@@ -121,7 +122,7 @@ def embedding_lsh_pairs(
     # same pattern as the phash/video media proxies)
     sig = rh_band_buckets(
         emb, id_col, vec_col, n_bits, bands, seed
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .lineage import cut_lineage, cut_lineage_eager
 
 
 def bfs_levels(
@@ -79,12 +80,12 @@ def bfs_levels(
     )
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().localCheckpoint()
+    e = e.distinct().transform(cut_lineage_eager)
     visited = (
         sources.select(F.col("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint()
+        .transform(cut_lineage_eager)
     )
     frontier = visited
     for hop in range(1, max_hops + 1):
@@ -94,11 +95,11 @@ def bfs_levels(
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .localCheckpoint()
+            .transform(cut_lineage_eager)
         )
         if not nxt.take(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).transform(cut_lineage_eager)
         frontier = nxt
     return visited
 
@@ -150,7 +151,7 @@ def pagerank(
         e = (
             keyed.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     else:
         e = (
@@ -162,7 +163,7 @@ def pagerank(
             )
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     # lazy: the n = nodes.count() action below materializes e and
     # nodes together in ONE job instead of three
@@ -170,7 +171,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     n = nodes.count()
     if n == 0:
@@ -182,12 +183,10 @@ def pagerank(
     # loop-invariant: every iteration probes the SAME (src, dst, deg)
     # frame, so join edges⋈outdeg once and checkpoint the result —
     # 10 iterations pay for 1 probe build instead of 10
-    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
+    e_deg = e.join(outdeg, "src").transform(cut_lineage)
     if teleport is None:
         tele = None
-        ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(
-            eager=False
-        )
+        ranks = nodes.withColumn("pr", F.lit(1.0 / n)).transform(cut_lineage)
     else:
         w = teleport.select(
             F.col("node"), F.col("weight").cast("double").alias("__w")
@@ -205,11 +204,9 @@ def pagerank(
                 (F.coalesce(F.col("__w"), F.lit(0.0)) / F.lit(float(total))
                  ).alias("t"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
-        ranks = tele.select("node", F.col("t").alias("pr")).localCheckpoint(
-            eager=False
-        )
+        ranks = tele.select("node", F.col("t").alias("pr")).transform(cut_lineage)
     for it in range(iterations):
         # dangling mass rides the SAME action as the rank update: the
         # 1-row anti-join aggregate enters the plan as a SCALAR
@@ -258,7 +255,7 @@ def pagerank(
         # lazy: the next iteration's dangling-mass subquery (or the
         # tol probe / the caller's final action) materializes this
         # round's blocks — no dedicated per-iteration checkpoint job
-        new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_ranks = new_ranks.transform(cut_lineage)
         if tol is not None:
             delta = (
                 new_ranks.select("node", F.col("pr").alias("__new"))

@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .lineage import cut_lineage_eager
 
 _BUCKETS = 1_000_000
 
@@ -489,7 +490,7 @@ def domain_mix_scaled(
         if not head or head[0]["total"] is None:
             empty_rates = counts.select(
                 F.col(domain_col), F.lit(1.0).alias("rate")
-            ).localCheckpoint()
+            ).transform(cut_lineage_eager)
             return df.limit(0), empty_rates
         total, snt = float(head[0]["total"]), float(head[0]["snt"])
         rel = (F.pow("__n", F.lit(float(temperature))) / F.lit(snt)) * (
@@ -502,7 +503,7 @@ def domain_mix_scaled(
         # executor storage for the application lifetime
         rates = counts.select(
             F.col(domain_col), (rel / F.lit(peak)).alias("rate")
-        ).localCheckpoint()
+        ).transform(cut_lineage_eager)
     finally:
         counts.unpersist()
     return (

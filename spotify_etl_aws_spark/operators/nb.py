@@ -29,6 +29,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .lineage import cut_lineage
 
 
 def _doc_tokens(docs: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
@@ -62,7 +63,7 @@ def nb_train(
     # documents -> 2)
     counts = toks.groupBy("token", label_col).agg(
         F.count("*").alias("cnt")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     class_tot = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     vocab = counts.select("token").distinct()
     # V is a single driver scalar (vocab cardinality) — bounded model

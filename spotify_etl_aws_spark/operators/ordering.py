@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .lineage import cut_lineage_eager
 
 
 def order_key(seed: int, id_col: str = "doc_id"):
@@ -131,7 +132,7 @@ def _epoch_cum_before(
         .repartitionByRange(num_range_parts, "__order", F.col(id_col))
         .sortWithinPartitions("__order", id_col)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage_eager)
     )
     null_rows = parts.filter(F.col(tokens_col).isNull()).count()
     if null_rows:

@@ -43,6 +43,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .lineage import cut_lineage
 
 def id_ddl(df: DataFrame, id_col: str) -> str:
     """DDL type string of ``id_col`` in ``df`` — the mapInPandas
@@ -282,7 +283,7 @@ def hamming_near_pairs(
     # materializes that lineage exactly once and every reference reads
     # the stored metadata-sized blocks (r14; guide §8 "decide with
     # small rows" — measured 2.1x on dedup_video_clips' twin operator).
-    hashes = hashes.localCheckpoint(eager=False)
+    hashes = hashes.transform(cut_lineage)
     width = bits // bands
     bb = band_buckets(hashes, id_col, hash_col, bits, bands)
     if max_band_bucket is not None:
@@ -482,7 +483,7 @@ def hamming_near_pairs_wide(
         )
     # single materialization of the proxy hash frame — same rationale
     # as hamming_near_pairs (three references below)
-    hashes = hashes.localCheckpoint(eager=False)
+    hashes = hashes.transform(cut_lineage)
     wcols = [f"w{k}" for k in range(WIDE_WORDS)]
     rows = [
         F.struct(F.lit(b).alias("band"), _wide_band_val(b).alias("band_val"))

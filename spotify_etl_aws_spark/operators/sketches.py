@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .lineage import cut_lineage_eager
 
 def mg_partials(
     df: DataFrame, col: str = "term", capacity: int = 4096
@@ -127,7 +128,7 @@ def misra_gries_topk(
     size-k heaps, driver merge of k×partitions rows), never a global
     sort of all capacity×partitions survivors; the rank window then
     orders only the k kept rows."""
-    parts = mg_partials(df, col, capacity).localCheckpoint()
+    parts = mg_partials(df, col, capacity).transform(cut_lineage_eager)
     merged = (
         parts.filter(F.col(col).isNotNull())
         .groupBy(col)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .lineage import cut_lineage_eager
 
 _SALT = "__salt"
 
@@ -108,7 +109,7 @@ def detect_hot_keys_sketched(
     cap = capacity or max(64, int(math.ceil(4.0 / min_fraction)))
     from .sketches import mg_partials
 
-    parts = mg_partials(df.select(on), on, capacity=cap).localCheckpoint()
+    parts = mg_partials(df.select(on), on, capacity=cap).transform(cut_lineage_eager)
     head = parts.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("c"),
         F.coalesce(F.sum("dec"), F.lit(0)).alias("d"),

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .phash import HASH_BITS, dhash_pixels, id_ddl
+from .lineage import cut_lineage
 
 
 def clip_frame_pixels(data: bytes):
@@ -134,7 +135,7 @@ def clip_near_pairs(
     # Python pipeline — without the checkpoint that pipeline executes
     # once per reference (r14: measured 5.2 s -> 2.4 s on
     # dedup_video_clips at sf0.1; guide §8 proxy pattern)
-    frames = frames.localCheckpoint(eager=False)
+    frames = frames.transform(cut_lineage)
     width = bits // bands
     mask = (1 << width) - 1
     h = F.col("fhash")

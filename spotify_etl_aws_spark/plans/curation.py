@@ -70,6 +70,7 @@ from ..operators.splits import assign_split
 from ..operators.substring_dedup import dedup_substrings
 from ..operators.unigram import UnigramModel, encode_unigram
 from ..sources.sinks import commit_epoch
+from ..operators.lineage import cut_lineage_eager
 
 
 def curation_audit(
@@ -598,7 +599,7 @@ def incremental_curation(
             kept,
             num_hashes=neardup_num_hashes,
             shingle_n=neardup_shingle_n,
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage_eager)
         spark = batch_df.sparkSession
         try:
             # partition-discovered read (epoch is a column) so THIS

@@ -21,6 +21,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..sources.readers import load_table as t
+from ..operators.lineage import cut_lineage
 
 NUM_HASHES = 8
 BANDS = 4
@@ -91,7 +92,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes it once (r14: 0.77 -> 0.62 s interleaved A/B; the
     # checkpoint lives HERE, not inside minhash_lsh_pairs, because
     # lsh_verified_pairs passes an already-materialized projection)
-    sig = sig.localCheckpoint(eager=False)
+    sig = sig.transform(cut_lineage)
     return minhash_lsh_pairs(sig, num_hashes=NUM_HASHES, bands=BANDS)
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine
 from ..sources.readers import load_table as t
 from .vector import _embeddings, _query_vector
+from ..operators.lineage import cut_lineage
 
 ZORDER_BITS = 16
 
@@ -563,7 +564,7 @@ def _triple_support(
             F.col("x.i").alias("a"),
             F.col("y.i").alias("b"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     sup2 = (
         pair_occ.groupBy("a", "b")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine
 from ..sources.readers import load_table as t
 from .vector import _embeddings, _query_vector
+from ..operators.lineage import cut_lineage
 
 # ---- Fellegi-Sunter record linkage (round 9) ----
 #
@@ -661,8 +662,8 @@ def _phon_frames(spark: SparkSession, sf_dir: str):
     # link_part_phonetic at sf0.1 (guide §8 proxy pattern; an explicit
     # broadcast hint on top measured no further gain)
     return (
-        probe.localCheckpoint(eager=False),
-        master.localCheckpoint(eager=False),
+        probe.transform(cut_lineage),
+        master.transform(cut_lineage),
     )
 
 
@@ -1230,8 +1231,8 @@ def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the fixpoint against an exact recursive-CTE closure."""
     probe, master = _fs_frames(spark, sf_dir)
     return _entity_labels(
-        probe.localCheckpoint(eager=False),
-        master.localCheckpoint(eager=False),
+        probe.transform(cut_lineage),
+        master.transform(cut_lineage),
     )
 
 
@@ -1315,8 +1316,8 @@ def link_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from scratch for the chain while this body derived them again
     # for attrs
     probe, master = _fs_frames(spark, sf_dir)
-    probe = probe.localCheckpoint(eager=False)
-    master = master.localCheckpoint(eager=False)
+    probe = probe.transform(cut_lineage)
+    master = master.transform(cut_lineage)
     attrs = probe.select(
         (F.col("probe_id") + LINK_PROBE_OFFSET).alias("node"),
         "name", "phone", "segment", "acct_cents",

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine
 from ..sources.readers import load_table as t
 from .vector import _embeddings, _query_vector
+from ..operators.lineage import cut_lineage
 
 # ---- robust MAD outliers (round 9) ----
 MAD_K = 3
@@ -99,7 +100,7 @@ def stats_mad_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     med = base.groupBy("prio").agg(
         F.percentile_approx("cents", F.lit(0.5), F.lit(acc)).alias("med"),
         F.count(F.lit(1)).alias("n"),
@@ -641,7 +642,7 @@ def stats_psi_quantile_contract(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         (F.col("ts") < F.lit(PSI_CUTOFF).cast("timestamp")).alias("is_ref"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     ref = ev.filter(F.col("is_ref"))
     edges = ref.groupBy("event_type").agg(
         F.percentile_approx(

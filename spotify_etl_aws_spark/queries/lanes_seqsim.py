@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine
 from ..sources.readers import load_table as t
 from .vector import _embeddings, _query_vector
+from ..operators.lineage import cut_lineage
 
 EDITDIST_D = 2
 EDITDIST_TITLE_LEN = 30
@@ -119,7 +120,7 @@ def _dtw_daily_frames(spark: SparkSession, sf_dir: str):
             "pos",
             F.row_number().over(W.partitionBy("user_id").orderBy("day")),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     q_user = daily.agg(F.min("user_id")).collect()[0][0]
     return daily, q_user

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 from ..sources.readers import load_table as t
+from ..sources.readers import widen_if_starved
 from .vector import _embeddings, _query_vector
 
 def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,10 +142,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet file scans as ~3 tasks, serializing the ~12-per-bucket
     # candidate probe on 3 cores. One narrow repartition of the
     # 4-column probe spreads it cluster-wide (r14: 5.0 s -> 2.8 s
-    # interleaved A/B at sf0.1, row-identical; guide §2.5 — a
-    # production table arrives as many files and gets this from the
-    # scan itself)
-    a = a.repartition(spark.sparkContext.defaultParallelism)
+    # interleaved A/B at sf0.1, row-identical; guide §2.5).
+    # Conditional (r15): a production table arrives as many files and
+    # gets this from the scan itself — then no Exchange is added.
+    a = widen_if_starved(a)
     b = iv.select("l_suppkey", F.col("iid").alias("id_b"),
                   F.col("ds").alias("s_b"), F.col("de").alias("e_b"))
     pairs = interval_overlap_join(

@@ -19,6 +19,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.readers import load_table as t
+from ..sources.readers import widen_if_starved
 
 # canonical stopword lists live in functions/text.py (shared with the
 # curation language gate); imported above for the oracle twins
@@ -127,11 +128,10 @@ def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster first costs one narrow shuffle of the text column and
     # buys full-width md5 throughput (r14: 3.0-3.5 s -> ~0.5 s at
     # sf0.1, row-identical; guide §2.5 "input skew: repartition
-    # immediately after the read"). A production corpus lands as many
-    # files and gets this parallelism from the scan itself.
-    docs = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # immediately after the read"). Conditional (r15): a production
+    # corpus lands as many files and gets this parallelism from the
+    # scan itself — then no Exchange is added.
+    docs = widen_if_starved(t(spark, sf_dir, "documents"))
     toks = tokens("text")
     hits = {lang: stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
     langs = list(STOPWORDS)

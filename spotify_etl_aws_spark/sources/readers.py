@@ -101,6 +101,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(table_path(sf_dir, name))
 
 
+def widen_if_starved(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to ``defaultParallelism`` ONLY when the
+    frame's scan leaves most cores idle (r15; guide §2.5 "input skew:
+    repartition immediately after the read").
+
+    A single small parquet file plans as 1-3 tasks, serializing any
+    expensive per-row work (md5-per-gram fingerprints, bucketed join
+    probes) onto that many cores — there the one narrow shuffle buys
+    full-cluster width. A production table arrives as many files/row
+    groups and gets its parallelism from the scan itself; in that case
+    this is a no-op and the plan carries NO added Exchange (the r14
+    unconditional form would have re-shuffled 100 TB for nothing).
+    The partition-count probe is driver-side physical planning only —
+    no job runs.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

@@ -15,6 +15,7 @@ the end of the gold build.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from ..operators.lineage import cut_lineage_eager
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -90,7 +91,7 @@ def upsert_partitioned(
         )
         .filter(F.col("__rn") == 1)
         .drop("__batch", "__rn")
-        .localCheckpoint()
+        .transform(cut_lineage_eager)
     )
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -121,7 +122,7 @@ def upsert_unpartitioned(df: DataFrame, path: str, keys: list[str]) -> None:
         )
         .filter(F.col("__rn") == 1)
         .drop("__batch", "__rn")
-        .localCheckpoint()
+        .transform(cut_lineage_eager)
     )
     merged.write.mode("overwrite").parquet(path)
 

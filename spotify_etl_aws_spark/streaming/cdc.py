@@ -36,6 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.scd import latest_by_key
+from ..operators.lineage import cut_lineage_eager
 
 
 def run_cdc_upsert(
@@ -95,7 +96,7 @@ def run_cdc_upsert(
         final = (
             out.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
             .drop(op_col)
-            .localCheckpoint()  # detach before the temp state dies
+            .transform(cut_lineage_eager)  # detach before the temp state dies
         )
         return final
     finally:
