@@ -184,9 +184,28 @@ def pagerank(
     # frame, so join edges⋈outdeg once and checkpoint the result —
     # 10 iterations pay for 1 probe build instead of 10
     e_deg = e.join(outdeg, "src").transform(cut_lineage)
+    # loop-invariant too (r15): DANGLING MEMBERSHIP. Flag it once on
+    # the node frame instead of re-deriving it every iteration with a
+    # ranks⋈outdeg left-anti join — the old subquery re-ran outdeg's
+    # groupBy Exchange and an SMJ per iteration; the flag rides the
+    # checkpointed rank frame for free, so each iteration's dangling
+    # mass is a filter + 1-row aggregate over stored blocks (measured:
+    # ppr −9% at sf0.1, and one fewer node-cardinality shuffle per
+    # iteration at the 100 TB target).
+    nodeflags = (
+        nodes.join(
+            outdeg.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("__out", F.lit(True)),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__out").isNull().alias("__dang"))
+        .transform(cut_lineage)
+    )
     if teleport is None:
         tele = None
-        ranks = nodes.withColumn("pr", F.lit(1.0 / n)).transform(cut_lineage)
+        ranks = nodeflags.withColumn("pr", F.lit(1.0 / n)).transform(cut_lineage)
     else:
         w = teleport.select(
             F.col("node"), F.col("weight").cast("double").alias("__w")
@@ -198,26 +217,29 @@ def pagerank(
                 "teleport has no positive-weight node present in the graph"
             )
         tele = (
-            nodes.join(seeded.select("node", "__w"), "node", "left")
+            nodeflags.join(seeded.select("node", "__w"), "node", "left")
             .select(
                 "node",
+                "__dang",
                 (F.coalesce(F.col("__w"), F.lit(0.0)) / F.lit(float(total))
                  ).alias("t"),
             )
             .transform(cut_lineage)
         )
-        ranks = tele.select("node", F.col("t").alias("pr")).transform(cut_lineage)
+        ranks = tele.select(
+            "node", "__dang", F.col("t").alias("pr")
+        ).transform(cut_lineage)
     for it in range(iterations):
         # dangling mass rides the SAME action as the rank update: the
-        # 1-row anti-join aggregate enters the plan as a SCALAR
-        # SUBQUERY (DataFrame.scalar(), Spark 4) — no join, no
-        # driver-side collect(), so the tol=None path dispatches ONE
-        # Python action per iteration instead of two. Arithmetic is
-        # bit-identical to the former literal: same double sum, same
-        # IEEE divide by n.
+        # 1-row filter-aggregate enters the plan as a SCALAR SUBQUERY
+        # (DataFrame.scalar(), Spark 4) — no join, no driver-side
+        # collect(), so the tol=None path dispatches ONE Python action
+        # per iteration. Arithmetic: the same double sum over the same
+        # dangling rows (order differs from the pre-r15 anti-join only
+        # as any repartition would), same IEEE divide by n.
         dang = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dang"))
+            ranks.filter(F.col("__dang"))
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dang_sum"))
             .scalar()
         )
         share = (
@@ -226,26 +248,26 @@ def pagerank(
             else F.col("pr") * F.col("w") / F.col("deg")
         )
         contribs = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
+            e_deg.join(ranks.select("node", "pr"), e_deg.src == F.col("node"))
             .select("dst", share.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        joined = nodes.join(contribs, nodes.node == contribs.dst, "left")
+        joined = nodeflags.join(contribs, nodeflags.node == contribs.dst, "left")
         c = F.coalesce(F.col("contrib"), F.lit(0.0))
         if tele is None:
             expr = (
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping) * (c + dang / F.lit(float(n)))
             )
-            new_ranks = joined.select("node", expr.alias("pr"))
+            new_ranks = joined.select("node", "__dang", expr.alias("pr"))
         else:
             expr = (
                 F.lit(1.0 - damping) * F.col("t")
                 + F.lit(damping) * (c + dang * F.col("t"))
             )
-            new_ranks = joined.join(tele, "node").select(
-                "node", expr.alias("pr")
+            new_ranks = joined.join(tele.select("node", "t"), "node").select(
+                "node", "__dang", expr.alias("pr")
             )
         if tol is None and it == iterations - 1:
             # final frame stays LIVE (un-checkpointed) so callers see
@@ -259,7 +281,7 @@ def pagerank(
         if tol is not None:
             delta = (
                 new_ranks.select("node", F.col("pr").alias("__new"))
-                .join(ranks, "node")
+                .join(ranks.select("node", "pr"), "node")
                 .agg(F.max(F.abs(F.col("__new") - F.col("pr"))))
                 .collect()[0][0]
             )
@@ -268,7 +290,7 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
-    return ranks
+    return ranks.select("node", "pr")
 
 
 def triangle_count(
