@@ -901,30 +901,55 @@ def streaming_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_count_min_stream,
     )
 
-    src = read_table_stream(spark, sf_dir, "events")
-    sketch = run_available_now(
-        windowed_count_min_stream(
-            src, "ts", "user_id", "1 hour", "1 hour", SK_DEPTH, SK_WIDTH
-        ),
-        "cm_sketch",
-        output_mode="append",
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.lineage import cut_lineage_eager
+
+    # ONE events scan + ONE shuffle for BOTH offline denominators
+    # (r15; guide §2.4): watchlist users keep their id, everything
+    # else folds into a NULL bucket, so the (w, uid) cell frame is
+    # (SK_USERS+1) x n_windows rows — exact counts are the non-NULL
+    # cells and the per-window total re-aggregates the tiny cell
+    # frame instead of re-scanning events (was: two full scans, two
+    # window-bucket shuffles). The lineage cut is what makes the
+    # sharing real: without it Catalyst pushes the non-NULL group-key
+    # filter below the exact branch's aggregate, the two agg subtrees
+    # stop being identical, ReuseExchange can't fire, and the plan
+    # scans events twice again (observed before this cut).
+    cells_live = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.window("ts", "1 hour").alias("w"),
+            F.when(F.col("user_id") < SK_USERS, F.col("user_id")).alias(
+                "__uid"
+            ),
+        )
+        .groupBy("w", "__uid")
+        .agg(F.count("*").alias("cnt"))
     )
+    # the batch cell build is INDEPENDENT of the streaming sketch run
+    # — overlap the two jobs (guide §2.6) instead of leaving the
+    # cluster idle behind the stream's microbatch barrier
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sketch_f = pool.submit(
+            run_available_now,
+            windowed_count_min_stream(
+                read_table_stream(spark, sf_dir, "events"),
+                "ts", "user_id", "1 hour", "1 hour", SK_DEPTH, SK_WIDTH,
+            ),
+            "cm_sketch",
+            output_mode="append",
+        )
+        cells_f = pool.submit(cut_lineage_eager, cells_live)
+        sketch, cells = sketch_f.result(), cells_f.result()
     keys = spark.createDataFrame(
         [(i,) for i in range(SK_USERS)], "user_id long"
     )
     est = cm_estimate_windowed(sketch, keys, "user_id", SK_DEPTH, SK_WIDTH)
-
-    ev = t(spark, sf_dir, "events").select(
-        F.window("ts", "1 hour").alias("w"), "user_id"
+    exact = cells.filter(F.col("__uid").isNotNull()).select(
+        "w", F.col("__uid").alias("user_id"), F.col("cnt").alias("exact_cnt")
     )
-    exact = (
-        ev.filter(F.col("user_id") < SK_USERS)
-        .groupBy("w", "user_id")
-        .agg(F.count("*").alias("exact_cnt"))
-    )
-    n_win = t(spark, sf_dir, "events").select(
-        F.window("ts", "1 hour").alias("w")
-    ).groupBy("w").agg(F.count("*").alias("n_w"))
+    n_win = cells.groupBy("w").agg(F.sum("cnt").alias("n_w"))
     slack = F.ceil(F.lit(math.e / SK_WIDTH) * F.col("n_w"))
     return (
         est.join(exact, ["w", "user_id"], "left")
